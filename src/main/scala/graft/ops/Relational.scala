@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational building blocks of the engine, mirroring the reference's
+  * dedup / conflict-policy / ranking semantics (SURVEY.md §2.3-§2.5) as
+  * declarative Spark programs.
+  *
+  * Determinism note: the reference relies on pandas' implicit row order
+  * (`drop_duplicates` keep-first — processor.py:256-258,294-296). Under
+  * Spark parallelism there is no implicit order, so every "first" here is
+  * made explicit with a total ordering (SURVEY.md §7.4).
+  */
+object Relational {
+
+  /** A1-A4: dedup by key, keeping the first row under `order` (explicit
+    * replacement for pandas keep-first). `order` must be total within a
+    * key group for a deterministic result.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W1/A6: latest row per key (ROW_NUMBER ... ORDER BY ts DESC, tiebreak). */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    dedupKeepFirst(df, keys, order)
+
+  /** S9: `INSERT ... ON CONFLICT DO NOTHING` on Parquet-backed tables:
+    * keep all existing rows, append only incoming rows whose PK is absent.
+    * The anti-join shuffles on the PK; at scale the existing side is the
+    * large one, so incoming (a monthly batch) is the build side.
+    */
+  def appendIgnore(existing: DataFrame, incoming: DataFrame, pk: Seq[String]): DataFrame =
+    existing.unionByName(incoming.join(existing.select(pk.map(col): _*).distinct(), pk, "left_anti"))
+
+  /** S10: `INSERT ... ON CONFLICT DO UPDATE` (incoming wins on PK clash):
+    * expressed as union + windowed latest-wins dedup with an explicit
+    * source priority, so re-running the same batch is idempotent.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, pk: Seq[String]): DataFrame = {
+    val tagged = incoming.withColumn("__src", lit(0))
+      .unionByName(existing.withColumn("__src", lit(1)))
+    dedupKeepFirst(tagged, pk, Seq(col("__src").asc)).drop("__src")
+  }
+
+  /** S11: replace-period — drop all rows of `table` in the key-range
+    * defined by `periodPredicate` and substitute `replacement`. On a real
+    * partitioned table this is dynamic partition overwrite; as a dataflow
+    * it is the filter-union below.
+    */
+  def replacePeriod(table: DataFrame, replacement: DataFrame, periodPredicate: Column): DataFrame =
+    table.filter(!periodPredicate).unionByName(replacement)
+
+  /** SO2: UNION ALL view with a literal discriminator column per side. */
+  def unionView(sides: Seq[(DataFrame, String)], discriminator: String): DataFrame =
+    sides.map { case (df, tag) => df.withColumn(discriminator, lit(tag)) }
+      .reduce(_ unionByName _)
+
+  /** J3: left-join enrichment with template fallback for missing rows
+    * (placeholder repair, etl_pipeline.py:300-336). `fallbacks` maps an
+    * output column to (joined source column, fallback expression).
+    */
+  def enrichWithFallback(
+      base: DataFrame, lookup: DataFrame, keys: Seq[String],
+      fallbacks: Seq[(String, Column, Column)]): DataFrame = {
+    val joined = base.join(lookup, keys, "left")
+    fallbacks.foldLeft(joined) { case (df, (out, src, fb)) =>
+      df.withColumn(out, coalesce(src, fb))
+    }
+  }
+}
