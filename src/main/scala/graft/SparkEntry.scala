@@ -106,8 +106,11 @@ object SparkEntry {
     // A1-A4 dedup-keep-first with explicit total order
     "q07_dedup_keep_first" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+      // Tiebreak on l_quantity: the testdata contains duplicate
+      // (l_orderkey, l_partkey, l_linenumber) rows, so l_linenumber alone
+      // is not a total order within dedup groups.
       Relational.dedupKeepFirst(li, Seq("l_orderkey", "l_partkey"),
-          Seq(col("l_linenumber").asc))
+          Seq(col("l_linenumber").asc, col("l_quantity").asc))
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_partkey"))
     }),
@@ -303,7 +306,7 @@ object SparkEntry {
     "q07_dedup_keep_first" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
         | SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
-        |   ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC) AS rn
+        |   ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC, l_quantity ASC) AS rn
         | FROM lineitem) WHERE rn = 1
         |ORDER BY l_orderkey, l_partkey""".stripMargin,
 

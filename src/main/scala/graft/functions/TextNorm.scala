@@ -27,17 +27,24 @@ object TextNorm {
     sb.toString
   }
 
-  /** Cell-mode normalization (single-space replacement). */
+  /** Cell-mode normalization (single-space replacement).
+    * Locale.ROOT: Python's str.upper() is locale-independent; the default
+    * JVM locale (e.g. Turkish dotted-I) would silently diverge.
+    */
   def normalizeCell(s: String): String = {
-    val base = stripMarks(s.trim).toUpperCase
+    val base = stripMarks(s.trim).toUpperCase(java.util.Locale.ROOT)
       .replace(' ', '_').replace('\n', '_')
     base.replaceAll("[^A-Z0-9_]", "")
   }
 
-  /** Header/column-mode normalization (whitespace runs collapse). */
+  /** Header/column-mode normalization (whitespace runs collapse).
+    * `(?U)\s+` matches Unicode whitespace (NBSP, thin space, ...) like
+    * Python's `re.sub(r"[\s\n]+", ...)` does; Java's plain `\s` is
+    * ASCII-only and would drop e.g. U+00A0 instead of mapping it to '_'.
+    */
   def normalizeHeader(s: String): String = {
-    val base = stripMarks(s.trim).toUpperCase
-      .replaceAll("[\\s\\n]+", "_")
+    val base = stripMarks(s.trim).toUpperCase(java.util.Locale.ROOT)
+      .replaceAll("(?U)\\s+", "_")
     base.replaceAll("[^A-Z0-9_]", "")
   }
 

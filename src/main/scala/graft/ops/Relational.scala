@@ -41,11 +41,17 @@ object Relational {
   /** S10: `INSERT ... ON CONFLICT DO UPDATE` (incoming wins on PK clash):
     * expressed as union + windowed latest-wins dedup with an explicit
     * source priority, so re-running the same batch is idempotent.
+    *
+    * `tiebreak` makes the surviving row deterministic when `incoming`
+    * itself carries multiple rows per PK (appended after the source
+    * priority in the window order). Callers with PK-unique batches may
+    * omit it.
     */
-  def upsert(existing: DataFrame, incoming: DataFrame, pk: Seq[String]): DataFrame = {
+  def upsert(existing: DataFrame, incoming: DataFrame, pk: Seq[String],
+             tiebreak: Seq[Column] = Nil): DataFrame = {
     val tagged = incoming.withColumn("__src", lit(0))
       .unionByName(existing.withColumn("__src", lit(1)))
-    dedupKeepFirst(tagged, pk, Seq(col("__src").asc)).drop("__src")
+    dedupKeepFirst(tagged, pk, col("__src").asc +: tiebreak).drop("__src")
   }
 
   /** S11: replace-period — drop all rows of `table` in the key-range

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *    (root, node) are pre-aggregated (`sum` of path products — valid
   *    because multiplication distributes over addition). Path count never
   *    explodes combinatorially, unlike naive path enumeration.
-  *  - **Lineage control**: `localCheckpoint` every `checkpointEvery`
-  *    levels so the plan doesn't grow unboundedly with depth.
+  *  - **Lineage control**: every BFS level is `localCheckpoint`'ed so the
+  *    plan doesn't grow unboundedly with depth and each level is computed
+  *    exactly once (reused by the emptiness probe, the next hop, and the
+  *    final roll-up).
   *
   * Cycle guard: the loop is bounded by `maxDepth`; a non-empty frontier at
   * the bound raises (dangling/cyclic graphs exist in the wild — the
@@ -28,33 +30,61 @@ object TreeExplode {
     *         with the summed product of edge coefficients over all paths.
     */
   def explode(edges: DataFrame, roots: DataFrame,
-              maxDepth: Int = 32, checkpointEvery: Int = 4): DataFrame = {
+              maxDepth: Int = 32): DataFrame = {
     val e = edges.select(col("parent"), col("child"), col("coeff"))
     // At realistic scale the edge table is dimension-sized (10^5-10^6 rows):
-    // cache it once; every level joins against it.
+    // cache it once; every level joins against it. Unpersisted in the
+    // finally block — the result is localCheckpoint'ed first so it no
+    // longer depends on the cached lineage.
     e.cache()
-    var frontier = roots.select(col("root")).as("f")
-      .join(e.as("e"), col("f.root") === col("e.parent"))
-      .select(col("f.root").as("root"), col("e.child").as("node"),
-        col("e.coeff").as("eff_coeff"))
-      .groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
-    var acc = frontier
-    var depth = 1
-    var done = frontier.isEmpty
-    while (!done && depth < maxDepth) {
-      frontier = frontier.as("f")
-        .join(e.as("e"), col("f.node") === col("e.parent"))
+    val spark = edges.sparkSession
+    // Unioning localCheckpoint'ed levels trips a Catalyst bug: UnionBase's
+    // constraint rewrite looks up the checkpoint's ORIGIN attributes in a
+    // map keyed by its NEW output attributes ("key not found: root#NN").
+    // Constraint propagation buys nothing for this iterative plan (every
+    // level is already a materialized RDD scan), so disable it around the
+    // loop and restore the caller's setting afterwards.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpOld = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try {
+      // Every frontier is localCheckpoint'ed (eager): the per-level
+      // isEmpty probe, the next hop's join, and the final accumulator all
+      // reuse the materialized level instead of recomputing the whole BFS
+      // lineage; it also keeps the accumulator union homogeneous (RDD
+      // scans only), which sidesteps a Catalyst Union constraint-rewrite
+      // bug when checkpointed and non-checkpointed branches are mixed.
+      var frontier = roots.select(col("root")).as("f")
+        .join(e.as("e"), col("f.root") === col("e.parent"))
         .select(col("f.root").as("root"), col("e.child").as("node"),
-          (col("f.eff_coeff") * col("e.coeff")).as("eff_coeff"))
+          col("e.coeff").as("eff_coeff"))
         .groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
-      if (depth % checkpointEvery == 0) frontier = frontier.localCheckpoint()
-      done = frontier.isEmpty
-      if (!done) acc = acc.unionByName(frontier)
-      depth += 1
+        .localCheckpoint()
+      var acc = frontier
+      var depth = 1
+      var done = frontier.isEmpty
+      while (!done && depth < maxDepth) {
+        frontier = frontier.as("f")
+          .join(e.as("e"), col("f.node") === col("e.parent"))
+          .select(col("f.root").as("root"), col("e.child").as("node"),
+            (col("f.eff_coeff") * col("e.coeff")).as("eff_coeff"))
+          .groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
+          .localCheckpoint()
+        done = frontier.isEmpty
+        if (!done) acc = acc.unionByName(frontier)
+        depth += 1
+      }
+      if (!done && depth >= maxDepth)
+        throw new IllegalStateException(
+          s"TreeExplode: frontier still non-empty at depth $maxDepth - cycle or overly deep graph")
+      acc.groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
+        .localCheckpoint()
+    } finally {
+      cpOld match {
+        case Some(v) => spark.conf.set(cpKey, v)
+        case None    => spark.conf.unset(cpKey)
+      }
+      e.unpersist()
     }
-    if (!done && depth >= maxDepth)
-      throw new IllegalStateException(
-        s"TreeExplode: frontier still non-empty at depth $maxDepth - cycle or overly deep graph")
-    acc.groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
   }
 }
