@@ -1,0 +1,120 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Schemas
+import graft.ops.Relational
+
+/** Parquet-backed warehouse with the reference's four load policies
+  * (`/root/reference/autosinapi/core/database.py:151-259`, SURVEY §2.1
+  * S9-S13), re-expressed as Spark jobs:
+  *
+  *  - append-ignore (ON CONFLICT DO NOTHING)  → PK anti-join, append
+  *  - upsert        (ON CONFLICT DO UPDATE)   → latest-wins merge, swap
+  *  - replace-period (DELETE month + INSERT)  → filter-out + union, swap
+  *  - truncate/overwrite                      → full rewrite
+  *
+  * Atomicity (the parity answer to PG transactions, SURVEY §4): every
+  * rewrite materializes to a run-scoped staging dir first, then publishes
+  * with a filesystem rename — readers never observe a half-written table.
+  * PK metadata comes from [[Schemas.primaryKeys]] (no pg_index).
+  *
+  * At cluster scale the same policies apply unchanged; only `publish`
+  * would move from rename to a metastore pointer swap (or an ACID table
+  * format), which is why it is isolated here.
+  */
+class TableStore(val spark: SparkSession, val root: String) {
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def tablePath(table: String): String = s"$root/$table"
+
+  def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
+
+  /** Read a table; absent tables read as empty with the registered schema
+    * (so first-month loads need no special-casing). */
+  def read(table: String): DataFrame =
+    if (exists(table)) spark.read.parquet(tablePath(table))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      Schemas.all.getOrElse(table,
+        throw new IllegalArgumentException(s"unknown table: $table")))
+
+  /** S13: (re)initialize all registered tables as empty. */
+  def createTables(): Unit =
+    Schemas.all.keys.foreach { t =>
+      overwrite(t, spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.all(t)))
+    }
+
+  /** S12/S13: wholesale overwrite (truncate-reload of the edge tables). */
+  def overwrite(table: String, df: DataFrame): Unit =
+    publish(table, align(table, df))
+
+  /** S9: append only incoming rows whose PK is absent — pure append of
+    * new part-files, no rewrite of existing data. */
+  def appendIgnore(table: String, df: DataFrame): Long = {
+    val pk = Schemas.primaryKeys(table)
+    val incoming = align(table, df).dropDuplicates(pk)
+    val fresh =
+      if (!exists(table)) incoming
+      else incoming.join(read(table).select(pk.map(col): _*), pk, "left_anti")
+    val n = fresh.cache().count()
+    if (n > 0) fresh.write.mode("append").parquet(tablePath(table))
+    else if (!exists(table)) publish(table, fresh)
+    fresh.unpersist()
+    n
+  }
+
+  /** S10: incoming wins on PK clash; `tiebreak` orders non-PK-unique
+    * incoming batches. Full merge + atomic swap (read-merge-rewrite is
+    * the plain-Parquet upsert; see class doc for the at-scale variant). */
+  def upsert(table: String, df: DataFrame,
+             tiebreak: Seq[org.apache.spark.sql.Column] = Nil): Long = {
+    val incoming = align(table, df)
+    val merged = Relational.upsert(read(table), incoming, Schemas.primaryKeys(table), tiebreak)
+    publish(table, merged)
+    incoming.count()
+  }
+
+  /** S11: month-level reprocessing — drop the period, insert replacement. */
+  def replacePeriod(table: String, df: DataFrame, periodCol: String,
+                    period: java.sql.Date): Long = {
+    val incoming = align(table, df)
+    val kept = read(table).filter(
+      date_trunc("month", col(periodCol)) =!= lit(new java.sql.Timestamp(period.getTime)))
+    publish(table, kept.unionByName(incoming))
+    incoming.count()
+  }
+
+  /** Cast/reorder an incoming frame to the registered schema (coerce
+    * semantics: cast failures null out, SURVEY §1.2). */
+  private def align(table: String, df: DataFrame): DataFrame = {
+    val schema: StructType = Schemas.all(table)
+    df.select(schema.fields.map(f => graft.functions.Coerce.to(col(f.name), f.dataType)).toIndexedSeq: _*)
+  }
+
+  /** Materialize-then-rename publish: write to `.staging`, swap in. */
+  private def publish(table: String, df: DataFrame): Unit = {
+    val target = new Path(tablePath(table))
+    val staging = new Path(s"$root/.staging/${table}_${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(staging, target))
+      throw new IllegalStateException(s"publish failed for $table: rename $staging -> $target")
+  }
+
+  /** SO2: the unified edge view (`database.py:129-132`), registered as a
+    * temp view for the spark.sql query surface (S14). */
+  def registerUnifiedView(viewName: String = "vw_composicao_itens_unificados"): Unit = {
+    val ins = read("composicao_insumos").select(
+      col("composicao_pai_codigo"), col("insumo_filho_codigo").as("item_filho_codigo"),
+      col("coeficiente"), lit(Schemas.ItemType.Insumo).as("tipo_item"))
+    val subs = read("composicao_subcomposicoes").select(
+      col("composicao_pai_codigo"), col("composicao_filho_codigo").as("item_filho_codigo"),
+      col("coeficiente"), lit(Schemas.ItemType.Composicao).as("tipo_item"))
+    ins.unionByName(subs).createOrReplaceTempView(viewName)
+  }
+}

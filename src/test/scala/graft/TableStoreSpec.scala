@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.TableStore
+
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore() = new TableStore(spark, tmpDir("graft_store"))
+
+  test("createTables initializes all registered tables empty, readable") {
+    val store = newStore()
+    store.createTables()
+    graft.model.Schemas.all.keys.foreach { t =>
+      assert(store.exists(t), s"$t missing")
+      assert(store.read(t).count() == 0)
+    }
+  }
+
+  test("absent table reads as empty with registered schema") {
+    val store = newStore()
+    val df = store.read("insumos")
+    assert(df.count() == 0)
+    assert(df.columns.toSeq ==
+      Seq("codigo", "descricao", "unidade", "classificacao", "status"))
+  }
+
+  test("appendIgnore: PK conflicts dropped, re-run is a no-op") {
+    val store = newStore()
+    val batch = Seq((1, "A", "UN", null: String, "ATIVO"),
+      (2, "B", "UN", null: String, "ATIVO"))
+      .toDF("codigo", "descricao", "unidade", "classificacao", "status")
+    assert(store.appendIgnore("insumos", batch) == 2)
+    assert(store.appendIgnore("insumos", batch) == 0)
+    val conflicting = Seq((2, "B2", "KG", null: String, "ATIVO"),
+      (3, "C", "UN", null: String, "ATIVO"))
+      .toDF("codigo", "descricao", "unidade", "classificacao", "status")
+    assert(store.appendIgnore("insumos", conflicting) == 1)
+    val out = store.read("insumos").select("codigo", "descricao")
+      .as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "A", 2 -> "B", 3 -> "C"))
+  }
+
+  test("upsert: incoming wins on PK clash, others kept; idempotent") {
+    val store = newStore()
+    store.overwrite("insumos",
+      Seq((1, "A", "UN", null: String, "ATIVO"), (2, "B", "UN", null: String, "ATIVO"))
+        .toDF("codigo", "descricao", "unidade", "classificacao", "status"))
+    val incoming = Seq((2, "B2", "KG", null: String, "ATIVO"),
+      (3, "C", "UN", null: String, "ATIVO"))
+      .toDF("codigo", "descricao", "unidade", "classificacao", "status")
+    store.upsert("insumos", incoming)
+    store.upsert("insumos", incoming) // re-run must not change the state
+    val out = store.read("insumos").select("codigo", "descricao")
+      .as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "A", 2 -> "B2", 3 -> "C"))
+  }
+
+  test("replacePeriod swaps exactly one month's slice") {
+    val store = newStore()
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val base = Seq(
+      (1, "SP", d("2025-01-01"), "NAO_DESONERADO", BigDecimal(10)),
+      (1, "SP", d("2025-02-01"), "NAO_DESONERADO", BigDecimal(20)))
+      .toDF("insumo_codigo", "uf", "data_referencia", "regime", "preco_mediano")
+    store.overwrite("precos_insumos_mensal", base)
+    val repl = Seq((1, "SP", d("2025-01-01"), "NAO_DESONERADO", BigDecimal(99)))
+      .toDF("insumo_codigo", "uf", "data_referencia", "regime", "preco_mediano")
+    store.replacePeriod("precos_insumos_mensal", repl, "data_referencia", d("2025-01-01"))
+    val out = store.read("precos_insumos_mensal")
+      .select(col("data_referencia").cast("string"), col("preco_mediano").cast("int"))
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("2025-01-01" -> 99, "2025-02-01" -> 20))
+  }
+
+  test("unified edge view unions both edge tables with tipo_item discriminator") {
+    val store = newStore()
+    store.overwrite("composicao_insumos",
+      Seq((100, 1, BigDecimal(2.5))).toDF("composicao_pai_codigo", "insumo_filho_codigo", "coeficiente"))
+    store.overwrite("composicao_subcomposicoes",
+      Seq((100, 200, BigDecimal(1.0))).toDF("composicao_pai_codigo", "composicao_filho_codigo", "coeficiente"))
+    store.registerUnifiedView()
+    val out = spark.sql(
+      "SELECT item_filho_codigo, tipo_item FROM vw_composicao_itens_unificados ORDER BY 1")
+      .as[(Int, String)].collect().toSeq
+    assert(out == Seq((1, "INSUMO"), (200, "COMPOSICAO")))
+  }
+}
