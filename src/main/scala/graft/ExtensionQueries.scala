@@ -1,0 +1,303 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextAnalysis, TextFeatures}
+import graft.ops.{Multimodal, Similarity, TextDedup}
+
+/** Beyond-reference operators for large-scale training-data pipelines
+  * (SURVEY §7.6): dedup family, similarity search, text analysis,
+  * multimodal plumbing — each exposed as a driver-checkable query over
+  * the synthetic `documents` / `embeddings` tables with a DuckDB oracle.
+  *
+  * Duplicate-detection queries run over a constructed corpus (documents ∪
+  * exact clones ∪ 60%-prefix truncations) because the raw synthetic table
+  * has no duplicates — the construction is mirrored verbatim in each
+  * oracle's `corpus` CTE.
+  *
+  * Cross-engine determinism: every hash is a left-to-right polynomial
+  * fold mod 1e9+7 over code points; every float is a left-to-right double
+  * fold in array index order — both reproducible bit-for-bit in DuckDB's
+  * list_reduce/list_transform.
+  */
+object ExtensionQueries {
+
+  // ---- Spark-side corpus construction (mirrors the corpus CTE) ---------
+  private def demoCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val clones = base.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val trunc = docs
+      .select(col("doc_id"), TextFeatures.tokens(col("text")).as("__toks"))
+      .filter(col("doc_id") % 5 === 0 && size(col("__toks")) >= 5)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat_ws(" ", slice(col("__toks"), lit(1),
+          floor(size(col("__toks")) * 3 / 5).cast("int"))).as("text"))
+    base.unionByName(clones).unionByName(trunc)
+  }
+
+  /** documents with the native functions registered and the (single
+    * parquet file) source fanned out for compute-heavy per-doc stages. */
+  private def docsFanned(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  }
+
+  private def embCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: one shuffle keyed on the text hash.
+    "q21_dedup_exact" -> ((s, d) =>
+      TextDedup.exactDupGroups(demoCorpus(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy(col("canonical_id"))),
+
+    // MinHash(16) + LSH(4 bands): bucket-join candidates, no all-pairs.
+    "q22_dedup_minhash_lsh" -> ((s, d) =>
+      TextDedup.minhashCandidates(demoCorpus(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash(30 bits) near-dups via the pigeonhole byte-band join.
+    "q23_dedup_simhash" -> ((s, d) =>
+      TextDedup.simhashPairs(demoCorpus(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact trigram Jaccard over shared-shingle candidates.
+    "q24_dedup_ngram_jaccard" -> ((s, d) =>
+      TextDedup.ngramJaccardPairs(demoCorpus(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Embedding-cosine near-dup pairs via sign-LSH buckets.
+    "q25_embedding_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(embCorpus(s, d), "vec_id", "embedding", 0.99)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact ANN baseline: brute-force cosine top-5, broadcast queries.
+    "q26_knn_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Scale-path ANN: sign-LSH bucketed top-3 (equi-join, no cross join).
+    "q27_knn_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Stopword-hit language ID with deterministic alphabetical tiebreak.
+    "q28_lang_id" -> ((s, d) =>
+      docsFanned(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(TextFeatures.tokens(col("text"))).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    // Quality heuristics (length / stopword / alphabetic ratios).
+    "q29_quality_score" -> ((s, d) => {
+      val toks = TextFeatures.tokens(col("text"))
+      val cols = TextAnalysis.qualityColumns(col("text"), toks)
+        .map { case (n, c) => c.as(n) }
+      docsFanned(s, d).select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex segmentation.
+    "q30_token_stats" -> ((s, d) => {
+      val toks = TextFeatures.tokens(col("text"))
+      val cols = TextAnalysis.tokenCounts(col("text"), toks)
+        .map { case (n, c) => c.as(n) }
+      docsFanned(s, d).select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprints: full rolling hash + winnowing min over
+    // 8-token windows.
+    "q31_fingerprint" -> ((s, d) => {
+      val toks = TextFeatures.tokens(col("text"))
+      val cols = TextAnalysis.fingerprintColumns(col("text"), toks, 8)
+        .map { case (n, c) => c.as(n) }
+      docsFanned(s, d).select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
+    }),
+
+    // Multimodal plumbing: binary payload + per-partition batch decode
+    // ([STUB] deterministic fake decoder; real codecs slot in unchanged).
+    "q32_multimodal_meta" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMediaTable(docsFanned(s, d), "doc_id", "text"))
+        .toDF().orderBy(col("doc_id"))),
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  /** Polynomial code-point hash — DuckDB spelling of TextFeatures.charHash. */
+  private def dh(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a*31 + x) % 1000000007)"
+
+  private val corpusCte =
+    """corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 20000 AS doc_id,
+      |   array_to_string(list_slice(toks, 1, CAST((len(toks)*3)//5 AS INT)), ' ') AS text
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+      |  WHERE doc_id % 5 = 0 AND len(toks) >= 5
+      |)""".stripMargin
+
+  private val tokCte =
+    "tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM corpus)"
+
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, x) -> a + x)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private val signBucketSql =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), i -> CASE WHEN embedding[i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)"
+
+  private def stopList(lang: String): String =
+    TextFeatures.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_dedup_exact" ->
+      s"""WITH $corpusCte
+         |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM corpus GROUP BY text HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin,
+
+    "q22_dedup_minhash_lsh" ->
+      s"""WITH $corpusCte, $tokCte,
+         |hs AS (SELECT doc_id, list_transform(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |    s -> ${dh("s")}) AS hashes
+         |  FROM tok WHERE len(toks) >= 3),
+         |sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+         |    list_min(list_transform(hashes, h -> ((2*j+3)*h + (5*j+7)) % 1000000007))) AS sig
+         |  FROM hs),
+         |band AS (SELECT doc_id, sig, b AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, b*4+1, b*4+4)),
+         |      (a, x) -> (a*1000003 + x) % 1000000007) AS bucket
+         |  FROM sig, range(0, 4) t(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE)/16 AS est_jaccard
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "q23_dedup_simhash" ->
+      s"""WITH $corpusCte, $tokCte,
+         |th AS (SELECT doc_id, ${dh("t")} AS h
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM tok)),
+         |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         |  FROM th, range(0, 30) r(b) GROUP BY 1, 2),
+         |sh AS (SELECT doc_id, SUM(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+         |  FROM bits GROUP BY 1),
+         |band AS (SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) & 32767 AS bucket
+         |  FROM sh, range(0, 2) r(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q24_dedup_ngram_jaccard" ->
+      s"""WITH $corpusCte, $tokCte,
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS shingle
+         |  FROM tok WHERE len(toks) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_inter AS DOUBLE)/(sa.n + sb.n - n_inter) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE)/(sa.n + sb.n - n_inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_embedding_neardup" ->
+      s"""WITH ecorpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+         |bk AS (SELECT vec_id, embedding, $signBucketSql AS bucket FROM ecorpus),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
+         |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q26_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |sc AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cosine
+         |  FROM q, c WHERE neighbor_id <> query_id),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q27_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $signBucketSql AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 20),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id, ${cosSql("qe", "e.embedding")} AS cosine
+         |  FROM q JOIN e USING (bucket) WHERE e.vec_id <> query_id),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q28_lang_id" ->
+      s"""WITH tok AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  len(list_filter(toks, t -> list_contains(${stopList("de")}, t))) AS h_de,
+         |  len(list_filter(toks, t -> list_contains(${stopList("en")}, t))) AS h_en,
+         |  len(list_filter(toks, t -> list_contains(${stopList("es")}, t))) AS h_es,
+         |  len(list_filter(toks, t -> list_contains(${stopList("fr")}, t))) AS h_fr
+         | FROM tok)
+         |SELECT doc_id, lang, CASE
+         |  WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |  WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |  WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_en AND h_es >= h_fr THEN 'es'
+         |  WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+         |  ELSE 'und' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q29_quality_score" -> {
+      val allStop = TextFeatures.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH tok AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(toks, t -> CAST(length(t) AS DOUBLE))), (a, x) -> a + x) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+         |  CAST(len(list_filter(toks, t -> list_contains($allStop, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio
+         |FROM tok ORDER BY doc_id""".stripMargin
+    },
+
+    "q30_token_stats" ->
+      s"""WITH tok AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpeish_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q31_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+         |SELECT doc_id, ${dh("text")} AS fp_full,
+         |  CASE WHEN len(toks) >= 8 THEN list_min(list_transform(
+         |    list_transform(range(1, len(toks)-6), i -> array_to_string(list_slice(toks, i, i+7), ' ')),
+         |    s -> ${dh("s")}))
+         |  ELSE ${dh("text")} END AS fp_winnow
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q32_multimodal_meta" ->
+      s"""SELECT doc_id,
+         |  CAST(strlen(text) AS BIGINT) AS byte_len,
+         |  CAST(strlen(text)//100 + 1 AS BIGINT) AS n_frames,
+         |  ${dh("text")} AS checksum
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

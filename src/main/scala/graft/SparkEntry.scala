@@ -58,7 +58,10 @@ object SparkEntry {
       .orderBy(col("r_name"), col("n_name"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ ExtensionQueries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
     "q02_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
 
@@ -414,5 +417,5 @@ object SparkEntry {
         |SELECT user_id, COUNT(fv) AS n_filled,
         |       CAST(SUM(CAST(fv AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin,
-  )
+  ) ++ ExtensionQueries.oracleSql
 }

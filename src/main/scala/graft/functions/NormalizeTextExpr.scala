@@ -39,5 +39,7 @@ object GraftFunctions {
       "normalize_text", es => NormalizeTextExpr(es.head, header = false), "scala_udf")
     reg.createOrReplaceTempFunction(
       "normalize_header", es => NormalizeTextExpr(es.head, header = true), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_polyhash", es => PolyHashExpr(es.head), "scala_udf")
   }
 }

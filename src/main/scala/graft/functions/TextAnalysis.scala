@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFeatures._
+
+/** Document-analysis operators for training-data curation (SURVEY §7.6):
+  * language ID, quality scoring, token counting, fingerprinting. All
+  * built-in-expression programs (codegen'd, one pass per doc).
+  */
+object TextAnalysis {
+
+  /** Stopword-hit language ID: score each candidate language by hits of
+    * its tiny stopword list, pick the argmax with a deterministic
+    * alphabetical tiebreak; zero hits everywhere → "und" (undetermined).
+    */
+  def langId(toks: Column): Column = {
+    // Explicit CASE chain in alphabetical language order: the first
+    // language whose hit count is positive and >= all others wins —
+    // deterministic, and mirrored 1:1 by the oracle SQL.
+    val hits = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> stopwordHits(toks, words)
+    }
+    val cases = hits.map { case (lang, h) =>
+      val geAll = hits.filter(_._1 != lang)
+        .map { case (_, o) => h >= o }.reduce(_ && _)
+      (h > 0 && geAll, lit(lang))
+    }
+    cases.foldRight(lit("und"): Column) { case ((cond, lang), acc) =>
+      when(cond, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality heuristics: token count, mean token length, stopword ratio
+    * (any language), alphabetic-character ratio. The composite score is
+    * a fixed linear blend — integer counts divided in double precision,
+    * reproducible cross-engine. */
+  def qualityColumns(text: Column, toks: Column): Seq[(String, Column)] = {
+    val nToks = size(toks).cast("double")
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val stopRatio = stopwordHits(toks, allStop).cast("double") / nToks
+    val meanLen = aggregate(transform(toks, t => length(t).cast("double")),
+      lit(0.0d), (a, v) => a + v) / nToks
+    val alphaRatio = (length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+      / length(text).cast("double"))
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "mean_token_len" -> meanLen,
+      "stopword_ratio" -> stopRatio,
+      "alpha_ratio" -> alphaRatio)
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / digit runs / single punctuation). */
+  def tokenCounts(text: Column, toks: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> size(toks).cast("long"),
+    "bpeish_tokens" -> size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"),
+    "n_chars" -> length(text).cast("long"))
+
+  /** Document fingerprints: whole-text polynomial rolling hash, plus a
+    * winnowing-style selected fingerprint (min hash over all `w`-token
+    * windows — robust to local edits). */
+  def fingerprintColumns(text: Column, toks: Column, w: Int): Seq[(String, Column)] = Seq(
+    "fp_full" -> charHash(text),
+    "fp_winnow" -> when(size(toks) >= w,
+      array_min(transform(shingles(toks, w), s => charHash(s))))
+      .otherwise(charHash(text)))
+}

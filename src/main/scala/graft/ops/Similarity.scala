@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY §7.6): brute-force cosine top-k
+  * as the exact baseline, sign-LSH bucketing as the scale path. The
+  * cosine is an ordered left-to-right double fold over the vector —
+  * deterministic, and reproducible bit-for-bit by a DuckDB list_reduce.
+  */
+object Similarity {
+
+  /** dot(a,b) in double precision, index order (zip_with preserves it). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k neighbors for each query vector: broadcast the (small)
+    * query set against the corpus, rank by (similarity desc, id asc) —
+    * the id tiebreak makes near-equal similarities deterministic.
+    * One pass over the corpus per job, no corpus self-join.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Sign-LSH bucket id: bit i (i < planes) set iff vec[i] > 0. A
+    * stand-in for random-hyperplane LSH with axis-aligned planes —
+    * deterministic and engine-neutral. */
+  def signBucket(vec: Column, planes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), i =>
+        when(element_at(vec, i + 1) > 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Approximate top-k: candidates limited to the query's sign bucket
+    * (shuffle on bucket id = equi-join, never a cross join). Recall is
+    * traded for a |corpus|/2^planes-sized candidate set per query; at
+    * 100 TB the bucket count scales with `planes` at zero extra passes.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), planes).as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), planes).as("__bucket"))
+    c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sign-bucket candidates, then
+    * exact cosine ≥ threshold (id_a < id_b). */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), planes).as("__bucket"))
+    val a = c.select(col("__bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = c.select(col("__bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

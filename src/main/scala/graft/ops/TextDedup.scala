@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFeatures._
+
+/** Document-deduplication operators for large-scale training-data
+  * pipelines (SURVEY §7.6): exact, MinHash+LSH, SimHash, and n-gram
+  * Jaccard. All candidate generation is join-based (bucket/shingle
+  * collisions) — never an all-pairs cross join — so each operator's
+  * shuffle volume scales with collisions, not with |docs|².
+  */
+object TextDedup {
+
+  /** Spread a (possibly single-partition) source across the cluster
+    * before a compute-heavy per-row stage, and make sure the native
+    * graft functions (polyhash) are registered on this session. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  }
+
+  /** Exact dedup by full-text equality: one shuffle on a text hash.
+    * Returns (canonical_id, n_copies) per duplicated text. At scale the
+    * groupBy key is charHash(text) (fixed width) rather than the text
+    * itself; the full text only rides along for collision confirmation.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.groupBy(charHash(col(textCol)).as("__h"), col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("canonical_id"), col("n_copies"))
+  }
+
+  /** MinHash+LSH candidate pairs: shingle → k-minhash signature → band →
+    * bucket self-join. Output (id_a < id_b, est_jaccard) where
+    * est_jaccard is the fraction of equal signature positions.
+    * Docs with fewer than `shingleN` tokens carry no signature and are
+    * excluded (empty shingle set has no minimum).
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    // Two materialization points, both |docs|-sized and deliberate:
+    //  1. shingle hashes — otherwise the string hashing is inlined into
+    //     the k-way signature lambda and re-evaluated k times per doc;
+    //  2. signatures — otherwise the signature expression is inlined
+    //     into the band keys and est_jaccard and re-evaluated per band
+    //     row / per candidate pair (O(pairs·k·shingles) instead of
+    //     O(docs·k·shingles)).
+    // Fan out first: a small parquet source arrives as one partition,
+    // and the per-doc hashing below is the expensive stage — without the
+    // repartition it would run on a single core regardless of cluster
+    // size (interpreted HOF evaluation makes this very visible).
+    val hashed = fanOut(docs)
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(col(idCol).as("id"),
+        shingleHashes(shingles(col("__toks"), shingleN)).as("__h"))
+      .localCheckpoint()
+    val sigOnly = hashed
+      .select(col("id"), minhashSignature(col("__h"), k).as("__sig"))
+      .localCheckpoint()
+    val sigs = sigOnly
+      .select(col("id"), col("__sig"),
+        posexplode(bandValues(col("__sig"), bands, rowsPerBand)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val a = sigs.select(col("band"), col("bucket"), col("id").as("id_a"), col("__sig").as("sig_a"))
+    val b = sigs.select(col("band"), col("bucket"), col("id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
+          .cast("double") / k).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Per-doc SimHash fingerprint (`bits` wide). */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String, bits: Int = 30): DataFrame =
+    docs.select(col(idCol).as("id"), simhash(tokens(col(textCol)), bits).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming:
+    * candidates via the pigeonhole band trick — fingerprints within
+    * Hamming h of each other must agree on at least one of (h+1) equal
+    * bands. Using exactly h+1 bands maximizes band width (bits/(h+1)),
+    * which minimizes accidental bucket collisions: for h=1 that is two
+    * 15-bit bands (32768 buckets each) instead of four 8-bit ones.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 30, maxHamming: Int = 1): DataFrame = {
+    val bands = maxHamming + 1
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    // Materialized for the same reason as the MinHash signatures: the
+    // simhash fold must be computed once per doc, not once per candidate
+    // pair (it feeds both the band keys and the hamming distance).
+    val sh = simhashes(fanOut(docs), idCol, textCol, bits).localCheckpoint()
+    // Clique collapse: duplicate-heavy corpora concentrate on few
+    // distinct fingerprints, so the quadratic band self-join runs over
+    // DISTINCT simhash VALUES (|values| ≪ |docs|), and doc pairs are
+    // recovered by two hash joins afterwards. Candidate volume drops
+    // from |docs-in-bucket|² to |values-in-bucket|² — the difference
+    // between 12M and 100k joined rows on clustered data.
+    val vals = sh.select("simhash").distinct().localCheckpoint()
+    val bandv = vals.select(col("simhash"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          call_function("shiftright", col("simhash"), j * width).bitwiseAND(mask))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val vp = bandv.select(col("band"), col("bucket"), col("simhash").as("va"))
+      .join(bandv.select(col("band"), col("bucket"), col("simhash").as("vb")),
+        Seq("band", "bucket"))
+      .filter(col("va") <= col("vb"))
+      .select(col("va"), col("vb"),
+        bit_count(col("va").bitwiseXOR(col("vb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    sh.select(col("id").as("__ia"), col("simhash").as("va"))
+      .join(vp, Seq("va"))
+      .join(sh.select(col("id").as("__ib"), col("simhash").as("vb")), Seq("vb"))
+      .filter(col("__ia") =!= col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing at least one shingle:
+    * explode DISTINCT shingles → shingle-equality self-join → per-pair
+    * intersection counts → |∩| / (|A|+|B|-|∩|). Returns pairs with
+    * jaccard ≥ threshold. The shared-shingle join IS the candidate
+    * filter — disjoint docs never meet.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = fanOut(docs)
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col("__toks"), shingleN))).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, Similarity}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // identical to 1
+    (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // close to 1
+    (4L, Array(0.0f, 0.0f, 0.0f, 1.0f)),  // orthogonal
+    (5L, Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val out = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") === 1 && col("b.vec_id").isin(2, 4, 5))
+      .select(col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .as[(Long, Double)].collect().toMap
+    assert(out(2L) == 1.0)
+    assert(out(4L) == 0.0)
+    assert(out(5L) == -1.0)
+  }
+
+  test("brute-force top-k ranks by similarity with id tiebreak") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
+        "vec_id", "embedding", 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    // rank1: identical (id 2); rank2: close (id 3); rank3: orthogonal (4)
+    assert(out == Seq((2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("sign-LSH bucket groups same-sign vectors; near-dup pairs found in-bucket") {
+    val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))   // identical, same bucket
+    assert(!out.contains((1L, 5L)))  // opposite sign -> different bucket
+  }
+
+  test("multimodal: per-partition stub decode produces deterministic features") {
+    val docs = Seq((1L, "abc"), (2L, "x" * 250)).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+        Multimodal.asMediaTable(docs, "doc_id", "text"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).byte_len == 3 && out(1L).n_frames == 1)
+    assert(out(1L).checksum == 96354L) // same fold as TextFeatures.charHash
+    assert(out(2L).byte_len == 250 && out(2L).n_frames == 3)
+  }
+}
