@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+import graft.store.TableStore
+
+/** Structured Streaming surface (SURVEY §2.9). The reference is a
+  * batch-per-month program whose idempotence comes from conflict policies
+  * (`ON CONFLICT DO NOTHING` / upsert); its continuous-operation story is
+  * therefore: watch a staging directory, run the SAME load program on
+  * each new file batch. That is exactly `readStream` + `foreachBatch`
+  * here — the batch dataflow is reused verbatim, so batch and streaming
+  * cannot drift apart.
+  *
+  * The windowed / stateful operators below are beyond-reference
+  * extensions (the reference has no event-time semantics at all).
+  */
+object StreamingLoad {
+
+  /** Continuous monthly ingestion: stream CSV files landing in
+    * `stagingDir`, run the append-ignore load per micro-batch. Exactly-
+    * once effect comes from the load policy itself (PK anti-join makes
+    * re-delivered rows no-ops), not from sink transactions — the same
+    * idempotence argument the reference makes for re-runs.
+    */
+  def fileLoadStream(spark: SparkSession, stagingDir: String, schema: StructType,
+                     store: TableStore, table: String,
+                     sep: String = ";"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    spark.readStream
+      .schema(schema)
+      .option("sep", sep)
+      .option("header", "true")
+      .csv(stagingDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.appendIgnore(table, batch): Unit
+      }
+  }
+
+  /** Event-time hourly aggregation with a watermark — the streaming form
+    * of the batch q19 (`date_trunc('hour') groupBy`): late rows beyond
+    * the watermark are dropped instead of growing state forever. */
+  def eventsHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
+
+  // ---- custom state: sessionization (flatMapGroupsWithState) -----------
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
+  final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+                              n_events: Long, total: Double)
+
+  /** Session windows with an inactivity gap, as explicit keyed state —
+    * the `KeyValueGroupedDataset.flatMapGroupsWithState` pattern for
+    * semantics Spark's built-in windows can't express. EVENT-time
+    * timeouts (not processing-time): a session closes either in-line
+    * when a later event exceeds the gap, or when the WATERMARK passes
+    * lastSeen+gap — deterministic under replay and in tests, and no
+    * wall-clock-driven empty micro-batches. State per key is O(1)
+    * (aggregates only, no event buffer).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.nEvents, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

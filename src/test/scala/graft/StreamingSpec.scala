@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.store.TableStore
+import graft.streaming.StreamingLoad
+import graft.streaming.StreamingLoad.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file stream + foreachBatch reuses the append-ignore load (idempotent)") {
+    val staging = tmpDir("graft_stream_staging")
+    val store = new TableStore(spark, tmpDir("graft_stream_wh"))
+    val schema = "item_codigo INT, tipo_item STRING, data_referencia DATE, " +
+      "tipo_manutencao STRING, descricao_item STRING"
+    val q = StreamingLoad.fileLoadStream(spark, staging,
+        org.apache.spark.sql.types.StructType.fromDDL(schema),
+        store, "manutencoes_historico")
+      .option("checkpointLocation", tmpDir("graft_stream_ckpt"))
+      .start()
+    try {
+      Files.write(Paths.get(staging, "batch1.csv"),
+        ("item_codigo;tipo_item;data_referencia;tipo_manutencao;descricao_item\n" +
+          "1;INSUMO;2025-01-01;ALTERACAO;A\n2;INSUMO;2025-01-01;ALTERACAO;B\n").getBytes)
+      q.processAllAvailable()
+      assert(store.read("manutencoes_historico").count() == 2)
+      // re-delivered + one new row: conflict policy absorbs the dups
+      Files.write(Paths.get(staging, "batch2.csv"),
+        ("item_codigo;tipo_item;data_referencia;tipo_manutencao;descricao_item\n" +
+          "1;INSUMO;2025-01-01;ALTERACAO;A\n3;INSUMO;2025-02-01;ALTERACAO;C\n").getBytes)
+      q.processAllAvailable()
+      assert(store.read("manutencoes_historico").count() == 3)
+    } finally q.stop()
+  }
+
+  test("watermarked hourly aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingLoad.eventsHourly(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ev(h: Int, m: Int, t: String, v: Double) =
+        Event(1L, Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00"), t, v)
+      mem.addData(ev(10, 5, "view", 1.0), ev(10, 40, "view", 2.0), ev(11, 10, "click", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close hours 10 and 11
+      mem.addData(ev(15, 0, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_test")
+        .select($"hour".cast("string"), $"event_type", $"n", $"total")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(out.contains(("2025-01-01 10:00:00", "view", 2L, 3.0)))
+      assert(out.contains(("2025-01-01 11:00:00", "click", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization with custom keyed state emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingLoad.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two bursts 2h apart -> first burst closes when the second arrives
+      mem.addData(
+        Event(7L, Timestamp.valueOf("2025-01-01 10:00:00"), "view", 1.0),
+        Event(7L, Timestamp.valueOf("2025-01-01 10:05:00"), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(7L, Timestamp.valueOf("2025-01-01 12:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_test")
+        .select($"user_id", $"start".cast("string"), $"n_events", $"total")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(out.contains((7L, "2025-01-01 10:00:00", 2L, 3.0)))
+    } finally q.stop()
+  }
+}
