@@ -41,5 +41,7 @@ object GraftFunctions {
       "normalize_header", es => NormalizeTextExpr(es.head, header = true), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_polyhash", es => PolyHashExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", es => DotProductExpr(es.head, es(1)), "scala_udf")
   }
 }

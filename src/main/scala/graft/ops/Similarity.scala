@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) in double precision, index order (zip_with preserves it). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+  /** dot(a,b) in double precision, index order — the native codegen'd
+    * [[graft.functions.DotProductExpr]] (same fold order as the HOF
+    * spelling `aggregate(zip_with(...))`, so bit-identical results, at
+    * compiled-loop speed). Callers register via GraftFunctions. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -27,6 +28,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
@@ -57,6 +59,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       signBucket(col(vecCol), planes).as("__bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
@@ -75,6 +78,7 @@ object Similarity {
     * exact cosine ≥ threshold (id_a < id_b). */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       signBucket(col(vecCol), planes).as("__bucket"))
     val a = c.select(col("__bucket"), col("id").as("id_a"), col("v").as("v_a"))

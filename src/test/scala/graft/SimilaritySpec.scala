@@ -16,6 +16,7 @@ class SimilaritySpec extends SparkSpec {
   ).toDF("vec_id", "embedding")
 
   test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    graft.functions.GraftFunctions.register(spark)
     val out = vecs.as("a").crossJoin(vecs.as("b"))
       .filter(col("a.vec_id") === 1 && col("b.vec_id").isin(2, 4, 5))
       .select(col("b.vec_id"),
