@@ -88,6 +88,17 @@ object Schemas {
     "composicao_subcomposicoes" -> composicaoSubcomposicoes,
     "manutencoes_historico" -> manutencoesHistorico)
 
+  /** Partition layout: monthly fact/log tables are laid out by
+    * `data_referencia` (one partition per month — the reference's
+    * period granularity, `etl_pipeline.py:483`). Month lookups touch one
+    * partition; replace-period becomes a dynamic partition overwrite;
+    * append-ignore's anti-join prunes to the incoming months. Dims stay
+    * unpartitioned (they are small and upsert-rewritten). */
+  val partitionedBy: Map[String, Seq[String]] = Map(
+    "precos_insumos_mensal" -> Seq("data_referencia"),
+    "custos_composicoes_mensal" -> Seq("data_referencia"),
+    "manutencoes_historico" -> Seq("data_referencia"))
+
   /** Engine-side PK registry — replaces the reference's pg_index
     * introspection (`database.py:178-189`). Drives the anti-join /
     * merge keys of the load policies (SURVEY §2.1 S9/S10). */

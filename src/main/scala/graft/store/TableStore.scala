@@ -34,13 +34,17 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
 
-  /** Read a table; absent tables read as empty with the registered schema
-    * (so first-month loads need no special-casing). */
-  def read(table: String): DataFrame =
-    if (exists(table)) spark.read.parquet(tablePath(table))
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-      Schemas.all.getOrElse(table,
-        throw new IllegalArgumentException(s"unknown table: $table")))
+  /** Read a table; absent tables read as empty with the registered
+    * schema (so first-month loads need no special-casing). The schema is
+    * always supplied explicitly: a freshly-bootstrapped partitioned
+    * table has no files to infer from, and fixed schemas keep reads
+    * independent of file-level drift. */
+  def read(table: String): DataFrame = {
+    val schema = Schemas.all.getOrElse(table,
+      throw new IllegalArgumentException(s"unknown table: $table"))
+    if (exists(table)) spark.read.schema(schema).parquet(tablePath(table))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   /** S13: (re)initialize all registered tables as empty. */
   def createTables(): Unit =
@@ -53,16 +57,32 @@ class TableStore(val spark: SparkSession, val root: String) {
     publish(table, align(table, df))
 
   /** S9: append only incoming rows whose PK is absent — pure append of
-    * new part-files, no rewrite of existing data. */
+    * new part-files, no rewrite of existing data. On a partitioned
+    * table the anti-join's existing side is pruned to the incoming
+    * batch's partitions (a monthly batch scans one month of history,
+    * not all of it — the difference between O(batch) and O(table) at
+    * 100 TB). */
   def appendIgnore(table: String, df: DataFrame): Long = {
     val pk = Schemas.primaryKeys(table)
+    val parts = Schemas.partitionedBy.getOrElse(table, Nil)
     val incoming = align(table, df).dropDuplicates(pk)
     val fresh =
       if (!exists(table)) incoming
-      else incoming.join(read(table).select(pk.map(col): _*), pk, "left_anti")
+      else {
+        val existing = parts.headOption match {
+          case Some(pcol) =>
+            // bounded driver-side collect: distinct months in the batch
+            val periods = incoming.select(col(pcol)).distinct().collect().map(_.get(0))
+            read(table).filter(col(pcol).isin(periods.toIndexedSeq: _*))
+          case None => read(table)
+        }
+        incoming.join(existing.select(pk.map(col): _*), pk, "left_anti")
+      }
     val n = fresh.cache().count()
-    if (n > 0) fresh.write.mode("append").parquet(tablePath(table))
-    else if (!exists(table)) publish(table, fresh)
+    if (n > 0) {
+      val w = fresh.write.mode("append")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
+    } else if (!exists(table)) publish(table, fresh)
     fresh.unpersist()
     n
   }
@@ -78,13 +98,30 @@ class TableStore(val spark: SparkSession, val root: String) {
     incoming.count()
   }
 
-  /** S11: month-level reprocessing — drop the period, insert replacement. */
+  /** S11: month-level reprocessing — drop the period, insert replacement.
+    * On a table partitioned by the period column this is a DYNAMIC
+    * PARTITION OVERWRITE: only the partitions present in the
+    * replacement are rewritten, every other month's files are
+    * untouched — no read-merge-rewrite of the table. Unpartitioned
+    * tables fall back to filter-out + union + atomic swap. */
   def replacePeriod(table: String, df: DataFrame, periodCol: String,
                     period: java.sql.Date): Long = {
     val incoming = align(table, df)
-    val kept = read(table).filter(
-      date_trunc("month", col(periodCol)) =!= lit(new java.sql.Timestamp(period.getTime)))
-    publish(table, kept.unionByName(incoming))
+    val parts = Schemas.partitionedBy.getOrElse(table, Nil)
+    if (parts.headOption.contains(periodCol) && exists(table)) {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try incoming.write.mode("overwrite").partitionBy(parts: _*).parquet(tablePath(table))
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    } else {
+      val kept = read(table).filter(
+        date_trunc("month", col(periodCol)) =!= lit(new java.sql.Timestamp(period.getTime)))
+      publish(table, kept.unionByName(incoming))
+    }
     incoming.count()
   }
 
@@ -95,11 +132,15 @@ class TableStore(val spark: SparkSession, val root: String) {
     df.select(schema.fields.map(f => graft.functions.Coerce.to(col(f.name), f.dataType)).toIndexedSeq: _*)
   }
 
-  /** Materialize-then-rename publish: write to `.staging`, swap in. */
+  /** Materialize-then-rename publish: write to `.staging`, swap in.
+    * Registered partition layouts are applied here, so every full
+    * rewrite (overwrite/upsert/bootstrap) lands partitioned. */
   private def publish(table: String, df: DataFrame): Unit = {
     val target = new Path(tablePath(table))
     val staging = new Path(s"$root/.staging/${table}_${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = Schemas.partitionedBy.getOrElse(table, Nil)
+    val w = df.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging.toString)
     if (fs.exists(target)) fs.delete(target, true)
     fs.mkdirs(target.getParent)
     if (!fs.rename(staging, target))

@@ -74,6 +74,46 @@ class TableStoreSpec extends SparkSpec {
     assert(out == Map("2025-01-01" -> 99, "2025-02-01" -> 20))
   }
 
+  test("facts land partitioned by month; replace-period rewrites only its partition") {
+    val store = newStore()
+    def d(s: String) = java.sql.Date.valueOf(s)
+    store.overwrite("precos_insumos_mensal", Seq(
+      (1, "SP", d("2025-01-01"), "NAO_DESONERADO", BigDecimal(10)),
+      (1, "SP", d("2025-02-01"), "NAO_DESONERADO", BigDecimal(20)))
+      .toDF("insumo_codigo", "uf", "data_referencia", "regime", "preco_mediano"))
+    val p = new java.io.File(store.tablePath("precos_insumos_mensal"))
+    assert(p.listFiles().exists(_.getName == "data_referencia=2025-01-01"))
+    val janFile = new java.io.File(p, "data_referencia=2025-02-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val febMtime = janFile.lastModified()
+    store.replacePeriod("precos_insumos_mensal",
+      Seq((1, "SP", d("2025-01-01"), "NAO_DESONERADO", BigDecimal(99)))
+        .toDF("insumo_codigo", "uf", "data_referencia", "regime", "preco_mediano"),
+      "data_referencia", d("2025-01-01"))
+    // dynamic overwrite must not touch February's files
+    assert(new java.io.File(p, "data_referencia=2025-02-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head.lastModified() == febMtime)
+    val out = store.read("precos_insumos_mensal")
+      .select(col("data_referencia").cast("string"), col("preco_mediano").cast("int"))
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("2025-01-01" -> 99, "2025-02-01" -> 20))
+  }
+
+  test("partition-pruned append-ignore only scans incoming months") {
+    val store = newStore()
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val jan = Seq((1, "SP", d("2025-01-01"), "NAO_DESONERADO", BigDecimal(10)))
+      .toDF("insumo_codigo", "uf", "data_referencia", "regime", "preco_mediano")
+    val feb = Seq(
+      (1, "SP", d("2025-02-01"), "NAO_DESONERADO", BigDecimal(20)),
+      (1, "SP", d("2025-02-01"), "NAO_DESONERADO", BigDecimal(20))) // in-batch dup
+      .toDF("insumo_codigo", "uf", "data_referencia", "regime", "preco_mediano")
+    assert(store.appendIgnore("precos_insumos_mensal", jan) == 1)
+    assert(store.appendIgnore("precos_insumos_mensal", feb) == 1)
+    assert(store.appendIgnore("precos_insumos_mensal", feb) == 0) // re-run no-op
+    assert(store.read("precos_insumos_mensal").count() == 2)
+  }
+
   test("unified edge view unions both edge tables with tipo_item discriminator") {
     val store = newStore()
     store.overwrite("composicao_insumos",
