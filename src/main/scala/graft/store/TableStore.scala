@@ -147,6 +147,21 @@ class TableStore(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(s"publish failed for $table: rename $staging -> $target")
   }
 
+  /** Catalog-registered bucketed copy of a DataFrame — the co-located
+    * join layout (SURVEY §4 shuffle notes): two tables bucketed+sorted
+    * on the same key join with NO shuffle exchange (and no per-task
+    * sort), which is the difference between O(table) network and zero
+    * network for repeated fact-fact joins at 100 TB. Bucket metadata
+    * lives in the session catalog, so this goes through saveAsTable
+    * rather than the path-based writers above.
+    */
+  def writeBucketed(tableName: String, df: DataFrame, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(tableName)
+
   /** SO2: the unified edge view (`database.py:129-132`), registered as a
     * temp view for the spark.sql query surface (S14). */
   def registerUnifiedView(viewName: String = "vw_composicao_itens_unificados"): Unit = {

@@ -114,6 +114,27 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("precos_insumos_mensal").count() == 2)
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    val store = newStore()
+    val facts1 = (1 to 1000).map(i => (i % 97, i, s"a$i"))
+      .toDF("codigo", "seq", "payload")
+    val facts2 = (1 to 1000).map(i => (i % 97, i, s"b$i"))
+      .toDF("codigo", "seq", "payload2")
+    store.writeBucketed("graft_bucket_l", facts1, 4, Seq("codigo"))
+    store.writeBucketed("graft_bucket_r", facts2, 4, Seq("codigo"))
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(bcastKey)
+    spark.conf.set(bcastKey, "-1") // force SMJ so the exchange check is meaningful
+    try {
+      val joined = spark.table("graft_bucket_l")
+        .join(spark.table("graft_bucket_r"), Seq("codigo", "seq"))
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set(bcastKey, old)
+  }
+
   test("unified edge view unions both edge tables with tipo_item discriminator") {
     val store = newStore()
     store.overwrite("composicao_insumos",
