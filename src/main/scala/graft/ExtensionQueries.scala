@@ -129,6 +129,40 @@ object ExtensionQueries {
       Multimodal.extractFeatures(
         Multimodal.asMediaTable(docsFanned(s, d), "doc_id", "text"))
         .toDF().orderBy(col("doc_id"))),
+
+    // Per-label centroid accumulation over embeddings (classifier
+    // prototypes): posexplode -> per-(label, dim) sums. Values are
+    // quantized (floor(v*1e6) as long) so the partial-aggregate merge
+    // order cannot perturb float sums — exact at any parallelism.
+    "q33_label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+          floor(col("col").cast("double") * 1e6).cast("long").as("vq"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("vq")).as("sum_q"), count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pos"))),
+
+    // Batch sessionization: the window-composition counterpart of the
+    // streaming flatMapGroupsWithState sessionize — lag() flags session
+    // starts, a running sum assigns session ids, then per-session aggs.
+    "q34_sessionize_batch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("__new",
+          when(col("__prev").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("__new")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(graft.model.Schemas.money)).cast("double").as("total"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -299,5 +333,29 @@ object ExtensionQueries {
          |  CAST(strlen(text)//100 + 1 AS BIGINT) AS n_frames,
          |  ${dh("text")} AS checksum
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_label_centroids" ->
+      """SELECT label, i AS pos,
+        |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  COUNT(*) AS n
+        |FROM embeddings, range(1, 65) r(i)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
+    "q34_sessionize_batch" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |         OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts, value,
+        |   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
   )
 }
