@@ -43,5 +43,7 @@ object GraftFunctions {
       "graft_polyhash", es => PolyHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_dot", es => DotProductExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash30", es => SimHashExpr(es.head, bits = 30), "scala_udf")
   }
 }

@@ -66,23 +66,12 @@ object TextFeatures {
     * weighting (vs a distinct-token fold) keeps the fingerprint
     * discriminative even when documents share a small vocabulary. */
   def simhash(toks: Column, bits: Int): Column = {
-    // shiftleft/shiftright Scala wrappers take Int positions; inside the
-    // per-bit lambda the position is a Column, so go through the SQL
-    // functions (which accept expressions) via call_function.
-    def shr(x: Column, n: Column) = call_function("shiftright", x, n)
-    def shl(x: Column, n: Column) = call_function("shiftleft", x, n)
-    val perToken = transform(toks, t => charHash(t))
-    val counters = aggregate(
-      perToken,
-      array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(bits - 1)), b =>
-          when(shr(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        (a, d) => a + d))
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), b =>
-        when(element_at(counters, b + 1) > 0, shl(lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
+    // Native codegen'd SimHashExpr (flat compiled loop) — the HOF
+    // spelling allocated a bits-wide array per token and walked an
+    // interpreted expression tree per element. Only the 30-bit variant
+    // is registered (the width every graft operator uses).
+    require(bits == 30, "only the registered 30-bit variant is exposed")
+    call_function("graft_simhash30", toks)
   }
 
   /** Tiny fixed stopword lists per language for the n-gram/stopword
