@@ -11,8 +11,9 @@ import graft.model.Schemas
 import graft.ops.Lifecycle
 
 /** Run contract of the reference (`etl_pipeline.py:506-511`,
-  * statuses `config.py:40-42`). */
+  * statuses `config.py:40-42`; 8-char run id `__init__.py:64`). */
 final case class RunReport(
+    runId: String,
     status: String,
     message: String,
     tablesUpdated: Seq[String],
@@ -42,6 +43,16 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
     }
 
   def run(stagingDir: String, year: Int, month: Int): RunReport = {
+    // 8-char run id tagged onto every log line (O4, `__init__.py:64`;
+    // log4j MDC is the JVM counterpart of the reference's run-scoped
+    // logging handler, `etl_pipeline.py:75-113`).
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    org.apache.logging.log4j.ThreadContext.put("graftRunId", runId)
+    try runInternal(runId, stagingDir, year, month)
+    finally org.apache.logging.log4j.ThreadContext.remove("graftRunId")
+  }
+
+  private def runInternal(runId: String, stagingDir: String, year: Int, month: Int): RunReport = {
     val dataRef = Date.valueOf(f"$year-$month%02d-01")
     val errors = scala.collection.mutable.Map.empty[String, String]
     val inserted = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -188,7 +199,7 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
       if (errors.nonEmpty && inserted.isEmpty) cfg("STATUS_FAILURE")
       else if (!anyData) cfg("STATUS_NO_DATA")
       else cfg("STATUS_SUCCESS")
-    RunReport(status,
+    RunReport(runId, status,
       if (errors.isEmpty) s"processed ${files.length} sheet file(s) for $dataRef"
       else s"completed with ${errors.size} sheet error(s): ${errors.keys.mkString(", ")}",
       inserted.keys.toSeq, inserted.toMap, errors.toMap)

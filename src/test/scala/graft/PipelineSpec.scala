@@ -157,6 +157,49 @@ class PipelineSpec extends SparkSpec {
     assert(report2.status != "FALHA")
   }
 
+  test("empty staging dir yields SUCESSO (SEM DADOS) with a run id") {
+    val store = new TableStore(spark, tmpDir("graft_wh"))
+    val report = new PipelineETL(spark, store, EngineConfig.load(env = Map.empty))
+      .run(tmpDir("graft_staging_empty"), 2025, 1)
+    assert(report.status == "SUCESSO (SEM DADOS)")
+    assert(report.runId.length == 8)
+  }
+
+  test("second month accumulates facts, dims upsert, edges reload") {
+    val store = new TableStore(spark, tmpDir("graft_wh"))
+    val pipeline = new PipelineETL(spark, store, EngineConfig.load(env = Map.empty))
+    pipeline.run(fixtures(), 2025, 1)
+
+    val dir2 = Paths.get(tmpDir("graft_staging_m2"))
+    write(dir2, "ISD_202502.csv",
+      "Código do Insumo;Descrição do Insumo;Unidade;SP",
+      "1;AREIA MÉDIA (NOVA);M3;125,00",
+      "9;BRITA 1;M3;80,00")
+    write(dir2, "Analitico_202502.csv",
+      "Código da Composição;Tipo Item;Código do Item;Coeficiente;Descrição;Unidade",
+      "100;COMPOSICAO_PAI;;;ALVENARIA DE VEDAÇÃO;M2",
+      "100;INSUMO;9;4,0;BRITA 1;M3")
+    val r2 = pipeline.run(dir2.toString, 2025, 2)
+    assert(r2.status == "SUCESSO", r2)
+
+    // facts: both months present (append-ignore keeps January)
+    val months = store.read("precos_insumos_mensal")
+      .select(col("data_referencia").cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(months == Set("2025-01-01", "2025-02-01"))
+    // dim upsert: description updated, new insumo present, old ones kept
+    val ins = store.read("insumos").select("codigo", "descricao")
+      .as[(Int, String)].collect().toMap
+    assert(ins(1) == "AREIA MÉDIA (NOVA)")
+    assert(ins(9) == "BRITA 1")
+    assert(ins.contains(2))
+    // edges: truncate-reload — only February's structure remains
+    val edges = store.read("composicao_insumos")
+      .select("composicao_pai_codigo", "insumo_filho_codigo")
+      .as[(Int, Int)].collect().toSet
+    assert(edges == Set((100, 9)))
+  }
+
   test("per-sheet error isolation: a broken sheet doesn't kill the run") {
     val dir = Paths.get(tmpDir("graft_staging_bad"))
     write(dir, "ISD_202501.csv",
