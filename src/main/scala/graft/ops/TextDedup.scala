@@ -132,22 +132,47 @@ object TextDedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = fanOut(docs)
+    require(threshold <= 1.0, "jaccard threshold cannot exceed 1.0")
+    // Representative collapse (same idea as the SimHash clique collapse):
+    // duplicate-heavy corpora make the shingle self-join quadratic in
+    // clone count. Jaccard only depends on the text, so compute pairs
+    // among DISTINCT texts (min-id representative each) and expand:
+    //  - within a clique every pair has jaccard exactly 1.0,
+    //  - across cliques every member pair inherits the rep pair's value.
+    val base = fanOut(docs)
       .withColumn("__toks", tokens(col(textCol)))
       .filter(size(col("__toks")) >= shingleN)
-      .select(col(idCol).as("id"),
+      .select(col(idCol).as("id"), charHash(col(textCol)).as("__h"), col("__toks"))
+      .localCheckpoint()
+    val reps = base.groupBy("__h").agg(min(col("id")).as("rep"))
+    val members = base.select(col("id"), col("__h"))
+      .join(reps, Seq("__h")).select(col("id"), col("rep")).localCheckpoint()
+
+    val sh = base.join(reps, base("id") === reps("rep"))
+      .select(col("rep").as("id"),
         explode(array_distinct(shingles(col("__toks"), shingleN))).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("id").as("id_a"), col("shingle"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
+    val inter = sh.select(col("id").as("ra"), col("shingle"))
+      .join(sh.select(col("id").as("rb"), col("shingle")), Seq("shingle"))
+      .filter(col("ra") < col("rb"))
+      .groupBy("ra", "rb").agg(count(lit(1)).as("n_inter"))
+    val repPairs = inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "ra", "n" -> "n_a")), Seq("ra"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "rb", "n" -> "n_b")), Seq("rb"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("ra"), col("rb"), col("jaccard"))
+
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("id").as("__ia")), Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("id").as("__ib")), Seq("rb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+    val within = members.select(col("rep"), col("id").as("id_a"))
+      .join(members.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0d).as("jaccard"))
+    cross.unionByName(within)
   }
 }
