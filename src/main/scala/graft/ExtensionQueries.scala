@@ -91,6 +91,14 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // IVF-style ANN: fixed seed centroids, probe-2 inverted lists.
+    "q35_knn_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Stopword-hit language ID with deterministic alphabetical tiebreak.
     "q28_lang_id" -> ((s, d) =>
       docsFanned(s, d)
@@ -280,6 +288,23 @@ object ExtensionQueries {
          |rk AS (SELECT query_id, neighbor_id, cosine,
          |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sc)
          |SELECT query_id, neighbor_id, rnk, cosine FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q35_knn_ivf" ->
+      s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |scored AS (SELECT e.vec_id, e.embedding, s.cid, ${cosSql("e.embedding", "s.ce")} AS c
+         |  FROM embeddings e, seeds s),
+         |assign AS (SELECT vec_id AS neighbor_id, embedding AS cv, cid FROM (
+         |  SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cid ASC) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+         |  SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cid ASC) AS rn
+         |  FROM scored WHERE vec_id < 20) WHERE rn <= 2),
+         |cand AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cosine
+         |  FROM probes JOIN assign USING (cid) WHERE neighbor_id <> query_id),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM cand)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM rk WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
 
     "q28_lang_id" ->

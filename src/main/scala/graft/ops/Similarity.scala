@@ -74,6 +74,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF-style ANN. Coarse quantizer: the first `nlist` corpus vectors
+    * (by id) act as fixed centroids — deterministic, no iterative
+    * k-means (iteration order would be engine-dependent); a production
+    * deployment would plug trained centroids into the same shape. Every
+    * vector is assigned to its max-cosine centroid (id tiebreak); a
+    * query probes its `nprobe` nearest centroids and brute-forces only
+    * those inverted lists — candidate volume |corpus|·nprobe/nlist.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val seeds = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("__ce"))
+    def nearest(df: DataFrame, id: String, vec: String, n: Int): DataFrame =
+      df.crossJoin(broadcast(seeds))
+        .withColumn("__c", cosine(col(vec), col("__ce")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(id).orderBy(col("__c").desc, col("cid").asc)))
+        .filter(col("__rn") <= n)
+        .select(col(id), col(vec), col("cid"))
+    val assigned = nearest(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", 1)
+    val probes = nearest(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "query_id", "__qv", nprobe)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-bucket candidates, then
     * exact cosine ≥ threshold (id_a < id_b). */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
