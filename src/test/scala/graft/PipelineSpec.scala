@@ -157,6 +157,29 @@ class PipelineSpec extends SparkSpec {
     assert(report2.status != "FALHA")
   }
 
+  test("loaded warehouse passes every data-quality check (FK/PK/domain)") {
+    val (store, report) = runOnce()
+    assert(report.status == "SUCESSO")
+    val bad = graft.ops.Quality.violations(store)
+    assert(bad.isEmpty, s"violations: $bad")
+  }
+
+  test("quality checks detect seeded FK orphans and PK duplicates") {
+    val store = new TableStore(spark, tmpDir("graft_wh_bad"))
+    store.createTables()
+    store.overwrite("composicao_insumos",
+      Seq((100, 999, BigDecimal(1))) // neither 100 nor 999 exist
+        .toDF("composicao_pai_codigo", "insumo_filho_codigo", "coeficiente"))
+    store.overwrite("insumos",
+      Seq((1, "A", "UN", null: String, "ATIVO"), (1, "A2", "UN", null: String, "WAT"))
+        .toDF("codigo", "descricao", "unidade", "classificacao", "status"))
+    val bad = graft.ops.Quality.violations(store).map(c => c.name -> c.violations).toMap
+    assert(bad("fk edges.pai->composicoes") == 1)
+    assert(bad("fk edges.filho->insumos") == 1)
+    assert(bad("pk unique insumos") == 1)
+    assert(bad("status domain insumos") == 1)
+  }
+
   test("empty staging dir yields SUCESSO (SEM DADOS) with a run id") {
     val store = new TableStore(spark, tmpDir("graft_wh"))
     val report = new PipelineETL(spark, store, EngineConfig.load(env = Map.empty))
