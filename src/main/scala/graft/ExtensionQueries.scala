@@ -70,6 +70,19 @@ object ExtensionQueries {
       TextDedup.ngramJaccardPairs(demoCorpus(Tables.documents(s, d)), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Duplicate clusters: connected components (min-label propagation)
+    // over high-confidence MinHash pairs — pairs become groups, one
+    // representative (the min id) per component.
+    "q36_dedup_clusters" -> ((s, d) => {
+      val pairs = TextDedup.minhashCandidates(
+          demoCorpus(Tables.documents(s, d)), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.75)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.ops.ConnectedComponents.labels(pairs)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup pairs via sign-LSH buckets.
     "q25_embedding_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(embCorpus(s, d), "vec_id", "embedding", 0.99)
@@ -192,6 +205,28 @@ object ExtensionQueries {
   private val tokCte =
     "tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM corpus)"
 
+  /** Shared MinHash chain: corpus → trigram shingle hashes → 16-way
+    * signatures → 4 LSH bands → candidate pairs with est_jaccard
+    * (the oracle spelling of TextDedup.minhashCandidates). */
+  private lazy val minhashCtes =
+    s"""$corpusCte, $tokCte,
+       |hs AS (SELECT doc_id, list_transform(
+       |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+       |    s -> ${dh("s")}) AS hashes
+       |  FROM tok WHERE len(toks) >= 3),
+       |sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+       |    list_min(list_transform(hashes, h -> ((2*j+3)*h + (5*j+7)) % 1000000007))) AS sig
+       |  FROM hs),
+       |band AS (SELECT doc_id, sig, b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, b*4+1, b*4+4)),
+       |      (a, x) -> (a*1000003 + x) % 1000000007) AS bucket
+       |  FROM sig, range(0, 4) t(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (SELECT id_a, id_b,
+       |  CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE)/16 AS est_jaccard
+       |  FROM pairs)""".stripMargin
+
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, x) -> a + x)"
@@ -212,23 +247,19 @@ object ExtensionQueries {
          |ORDER BY canonical_id""".stripMargin,
 
     "q22_dedup_minhash_lsh" ->
-      s"""WITH $corpusCte, $tokCte,
-         |hs AS (SELECT doc_id, list_transform(
-         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
-         |    s -> ${dh("s")}) AS hashes
-         |  FROM tok WHERE len(toks) >= 3),
-         |sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
-         |    list_min(list_transform(hashes, h -> ((2*j+3)*h + (5*j+7)) % 1000000007))) AS sig
-         |  FROM hs),
-         |band AS (SELECT doc_id, sig, b AS band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, b*4+1, b*4+4)),
-         |      (a, x) -> (a*1000003 + x) % 1000000007) AS bucket
-         |  FROM sig, range(0, 4) t(b)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE)/16 AS est_jaccard
-         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, est_jaccard FROM est ORDER BY id_a, id_b""".stripMargin,
+
+    "q36_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.75),
+         |und AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+         |  UNION
+         |  SELECT u.b, r.r FROM reach r JOIN und u ON u.a = r.node)
+         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q23_dedup_simhash" ->
       s"""WITH $corpusCte, $tokCte,

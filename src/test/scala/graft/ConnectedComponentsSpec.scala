@@ -1,0 +1,23 @@
+package graft
+
+import graft.ops.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two components, min id labels, multi-hop chains converge") {
+    // component {1,2,3,7} via chain 1-2, 2-3, 3-7; component {10,11}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("a", "b")
+    val out = ConnectedComponents.labels(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a clique resolves in few rounds; isolated pair keeps its own min") {
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val edges = (clique :+ ((100L, 200L))).toDF("a", "b")
+    val out = ConnectedComponents.labels(edges).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(out(_) == 1L))
+    assert(out(100L) == 100L && out(200L) == 100L)
+  }
+}
