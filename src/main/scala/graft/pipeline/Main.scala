@@ -34,7 +34,8 @@ object Main {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val tables = report.recordsInserted.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errs = report.sheetErrors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    println(s"""{"run_id":${q(report.runId)},"status":${q(report.status)},"message":${q(report.message)},"records_inserted":$tables,"sheet_errors":$errs}""")
+    val phases = report.phaseSeconds.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    println(s"""{"run_id":${q(report.runId)},"status":${q(report.status)},"message":${q(report.message)},"records_inserted":$tables,"sheet_errors":$errs,"phase_seconds":$phases}""")
     spark.stop()
     if (report.status == EngineConfig.load()("STATUS_FAILURE")) sys.exit(1)
   }

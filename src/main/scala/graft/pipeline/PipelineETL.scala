@@ -18,7 +18,8 @@ final case class RunReport(
     message: String,
     tablesUpdated: Seq[String],
     recordsInserted: Map[String, Long],
-    sheetErrors: Map[String, String] = Map.empty)
+    sheetErrors: Map[String, String] = Map.empty,
+    phaseSeconds: Map[String, Double] = Map.empty)
 
 /** Phase-0..3 orchestrator (`etl_pipeline.py:426-504`, SURVEY §2.11 O1-O3)
   * over a staging directory of `;`-CSV sheets:
@@ -68,21 +69,32 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
     def route(pred: String => Boolean): Seq[java.io.File] =
       files.filter(f => pred(f.getName)).toSeq
 
+    // measure, don't guess: wall-clock per phase in the run report
+    val phaseSeconds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def phase[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      try body finally phaseSeconds(name) = (System.nanoTime() - t0) / 1e9
+    }
+
     // Phase 0: schema bootstrap (S13) — only for tables not yet present,
     // so monthly re-runs keep history.
-    Schemas.all.keys.filterNot(store.exists).foreach { t =>
-      store.overwrite(t, store.read(t))
+    phase("bootstrap") {
+      Schemas.all.keys.filterNot(store.exists).foreach { t =>
+        store.overwrite(t, store.read(t))
+      }
     }
 
     // Phase 2a: maintenance-first (etl_pipeline.py:450-458).
-    route(_.contains("Manuten")).foreach { f =>
-      isolated(f.getName) {
-        val staged = Staging.stage(spark, f.getPath,
-          cfg.list("MANUTENCOES_HEADER_KEYWORDS"), cfg)
-        val events = Processors.processManutencoes(staged, cfg)
-        val n = store.appendIgnore("manutencoes_historico", events)
-        inserted("manutencoes_historico") = inserted.getOrElse("manutencoes_historico", 0L) + n
-        syncStatuses()
+    phase("maintenance") {
+      route(_.contains("Manuten")).foreach { f =>
+        isolated(f.getName) {
+          val staged = Staging.stage(spark, f.getPath,
+            cfg.list("MANUTENCOES_HEADER_KEYWORDS"), cfg)
+          val events = Processors.processManutencoes(staged, cfg)
+          val n = store.appendIgnore("manutencoes_historico", events)
+          inserted("manutencoes_historico") = inserted.getOrElse("manutencoes_historico", 0L) + n
+          syncStatuses()
+        }
       }
     }
 
@@ -94,35 +106,39 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
       entries.sortBy { case (k, _) =>
         val i = sheetPriority.indexOf(k); if (i < 0) Int.MaxValue else i
       }
-    for {
-      (key, (table, regime)) <- byPriority(sheetMap.toSeq) if table == "precos"
-      f <- route(_.startsWith(key))
-    } isolated(f.getName) {
-      val staged = Staging.stage(spark, f.getPath, cfg.list("PRECOS_HEADER_KEYWORDS"), cfg)
-      val (cat, prices) = Processors.processPrecosSheet(staged, regime, dataRef, cfg)
-      catalogFragments += cat
-      priceFragments += prices
+    val (analitico, custoFragments) = phase("transform") {
+      for {
+        (key, (table, regime)) <- byPriority(sheetMap.toSeq) if table == "precos"
+        f <- route(_.startsWith(key))
+      } isolated(f.getName) {
+        val staged = Staging.stage(spark, f.getPath, cfg.list("PRECOS_HEADER_KEYWORDS"), cfg)
+        val (cat, prices) = Processors.processPrecosSheet(staged, regime, dataRef, cfg)
+        catalogFragments += cat
+        priceFragments += prices
+      }
+
+      val analitico = route(n => n.contains("Analitico") && !n.contains("Custo")).headOption
+        .flatMap { f =>
+          isolated(f.getName) {
+            val staged = Staging.stage(spark, f.getPath,
+              cfg.list("COMPOSICAO_HEADER_KEYWORDS"), cfg)
+            Processors.processAnalitico(staged, cfg)
+          }
+        }
+
+      val custoFragments = for {
+        (key, (table, regime)) <- byPriority(sheetMap.toSeq) if table == "custos"
+        f <- route(_.startsWith(key))
+        out <- isolated(f.getName) {
+          val staged = Staging.stageTwoRowHeader(spark, f.getPath,
+            cfg.list("CUSTOS_HEADER_KEYWORDS"), cfg)
+          Processors.processCustosSheet(staged, regime, dataRef, cfg)
+        }
+      } yield out
+      (analitico, custoFragments)
     }
 
-    val analitico = route(n => n.contains("Analitico") && !n.contains("Custo")).headOption
-      .flatMap { f =>
-        isolated(f.getName) {
-          val staged = Staging.stage(spark, f.getPath,
-            cfg.list("COMPOSICAO_HEADER_KEYWORDS"), cfg)
-          Processors.processAnalitico(staged, cfg)
-        }
-      }
-
-    val custoFragments = for {
-      (key, (table, regime)) <- byPriority(sheetMap.toSeq) if table == "custos"
-      f <- route(_.startsWith(key))
-      out <- isolated(f.getName) {
-        val staged = Staging.stageTwoRowHeader(spark, f.getPath,
-          cfg.list("CUSTOS_HEADER_KEYWORDS"), cfg)
-        Processors.processCustosSheet(staged, regime, dataRef, cfg)
-      }
-    } yield out
-
+    phase("load") {
     // A4: consolidate per-sheet catalog fragments, first-sheet-wins
     // (priority = position in the fragment sequence, made explicit).
     if (catalogFragments.nonEmpty) {
@@ -154,7 +170,9 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
     if (custoFragments.nonEmpty)
       inserted("custos_composicoes_mensal") =
         store.appendIgnore("custos_composicoes_mensal", custoFragments.reduce(_ unionByName _))
+    }
 
+    phase("repair_and_sync") {
     // Placeholder repair (etl_pipeline.py:287-338): children referenced by
     // the loaded edges but absent from the catalogs get template rows, so
     // FK integrity holds by construction (J6 as an invariant, not a hope).
@@ -193,6 +211,7 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
     // of the immutable maintenance log, so recomputing it restores the
     // same end state idempotently.
     if (analitico.nonEmpty || catalogFragments.nonEmpty) syncStatuses()
+    }
 
     val anyData = inserted.values.sum > 0
     val status =
@@ -202,7 +221,7 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
     RunReport(runId, status,
       if (errors.isEmpty) s"processed ${files.length} sheet file(s) for $dataRef"
       else s"completed with ${errors.size} sheet error(s): ${errors.keys.mkString(", ")}",
-      inserted.keys.toSeq, inserted.toMap, errors.toMap)
+      inserted.keys.toSeq, inserted.toMap, errors.toMap, phaseSeconds.toMap)
   }
 
   /** W1/J4 applied to both catalogs after a maintenance load. */

@@ -186,6 +186,8 @@ class PipelineSpec extends SparkSpec {
       .run(tmpDir("graft_staging_empty"), 2025, 1)
     assert(report.status == "SUCESSO (SEM DADOS)")
     assert(report.runId.length == 8)
+    assert(report.phaseSeconds.keySet ==
+      Set("bootstrap", "maintenance", "transform", "load", "repair_and_sync"))
   }
 
   test("second month accumulates facts, dims upsert, edges reload") {
