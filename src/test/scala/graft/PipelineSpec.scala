@@ -225,6 +225,16 @@ class PipelineSpec extends SparkSpec {
     assert(edges == Set((100, 9)))
   }
 
+  test("all sheets failing and nothing loaded yields FALHA") {
+    val dir = Paths.get(tmpDir("graft_staging_allbad"))
+    write(dir, "ISD_202501.csv", "no header at all;;;", "1;2;3;4")
+    val store = new TableStore(spark, tmpDir("graft_wh"))
+    val report = new PipelineETL(spark, store, EngineConfig.load(env = Map.empty))
+      .run(dir.toString, 2025, 1)
+    assert(report.status == "FALHA", report)
+    assert(report.sheetErrors.keySet == Set("ISD_202501.csv"))
+  }
+
   test("per-sheet error isolation: a broken sheet doesn't kill the run") {
     val dir = Paths.get(tmpDir("graft_staging_bad"))
     write(dir, "ISD_202501.csv",
