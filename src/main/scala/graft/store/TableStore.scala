@@ -65,7 +65,11 @@ class TableStore(val spark: SparkSession, val root: String) {
   def appendIgnore(table: String, df: DataFrame): Long = {
     val pk = Schemas.primaryKeys(table)
     val parts = Schemas.partitionedBy.getOrElse(table, Nil)
-    val incoming = align(table, df).dropDuplicates(pk)
+    // PG would reject NULL PK components (NOT NULL); here a null key
+    // would also never match the anti-join and so would re-append on
+    // every run — drop such rows, mirroring the reference's explicit
+    // key-null drops (SURVEY §1.2).
+    val incoming = align(table, df).na.drop(pk).dropDuplicates(pk)
     val fresh =
       if (!exists(table)) incoming
       else {
@@ -92,7 +96,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     * the plain-Parquet upsert; see class doc for the at-scale variant). */
   def upsert(table: String, df: DataFrame,
              tiebreak: Seq[org.apache.spark.sql.Column] = Nil): Long = {
-    val incoming = align(table, df)
+    val incoming = align(table, df).na.drop(Schemas.primaryKeys(table))
     val merged = Relational.upsert(read(table), incoming, Schemas.primaryKeys(table), tiebreak)
     publish(table, merged)
     incoming.count()

@@ -74,6 +74,20 @@ class TableStoreSpec extends SparkSpec {
     assert(out == Map("2025-01-01" -> 99, "2025-02-01" -> 20))
   }
 
+  test("null-PK rows are rejected by the load policies (PG NOT NULL parity)") {
+    val store = newStore()
+    val batch = Seq((Some(1), "A"), (None, "NULLKEY"))
+      .toDF("codigo", "descricao")
+      .withColumn("unidade", lit("UN"))
+      .withColumn("classificacao", lit(null).cast("string"))
+      .withColumn("status", lit("ATIVO"))
+    assert(store.appendIgnore("insumos", batch) == 1)
+    // re-run: the null-key row must not re-append each time
+    assert(store.appendIgnore("insumos", batch) == 0)
+    store.upsert("insumos", batch)
+    assert(store.read("insumos").count() == 1)
+  }
+
   test("facts land partitioned by month; replace-period rewrites only its partition") {
     val store = newStore()
     def d(s: String) = java.sql.Date.valueOf(s)
