@@ -68,6 +68,30 @@ class QueriesSpec extends SparkSpec {
     assert(total == 37.0)
   }
 
+  test("ad-hoc SQL surface: spark.sql over registered views (S14)") {
+    val store = warehouse()
+    graft.query.Views.registerAll(store)
+    // the documented history-scan SQL shape (docs/DataModel.md:393-401)
+    val hist = spark.sql(
+      """SELECT data_referencia, tipo_manutencao FROM manutencoes_historico
+        |WHERE item_codigo = 1 AND tipo_item = 'INSUMO'
+        |ORDER BY data_referencia DESC""".stripMargin)
+      .collect().map(_.getString(1)).toSeq
+    assert(hist == Seq("DESATIVAÇÃO", "ALTERAÇÃO"))
+    // point cost lookup with status join, as SQL
+    val cost = spark.sql(
+      """SELECT c.custo_total, d.status FROM custos_composicoes_mensal c
+        |JOIN composicoes d ON d.codigo = c.composicao_codigo
+        |WHERE c.composicao_codigo = 100 AND c.uf = 'SP'
+        |  AND c.data_referencia = DATE'2025-01-01' AND c.regime = 'NAO_DESONERADO'""".stripMargin)
+      .head()
+    assert(cost.getDecimal(0).doubleValue() == 1234.56 && cost.getString(1) == "ATIVO")
+    // unified view with discriminator
+    assert(spark.sql(
+      "SELECT count(*) FROM vw_composicao_itens_unificados WHERE tipo_item = 'INSUMO'")
+      .head().getLong(0) == 2L)
+  }
+
   test("item history: filtered scan, newest first") {
     val store = warehouse()
     val out = Queries.historico(store, 1, Schemas.ItemType.Insumo)
