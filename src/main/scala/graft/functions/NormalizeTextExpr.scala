@@ -45,5 +45,7 @@ object GraftFunctions {
       "graft_dot", es => DotProductExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_simhash30", es => SimHashExpr(es.head, bits = 30), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash16", es => MinHashExpr(es.head, k = 16), "scala_udf")
   }
 }

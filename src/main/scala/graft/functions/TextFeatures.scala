@@ -47,11 +47,13 @@ object TextFeatures {
   /** k-function MinHash signature over pre-computed shingle hashes.
     * h_j(x) = ((2j+3)*x + (5j+7)) mod HashMod — fixed, engine-neutral
     * coefficients. Min over a multiset equals min over the set, so no
-    * distinct pass is needed. */
-  def minhashSignature(hashesCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(hashesCol, h =>
-        ((j * 2 + 3) * h + (j * 5 + 7)) % HashMod)))
+    * distinct pass is needed. Native [[MinHashExpr]]: one compiled pass
+    * carrying all k running minima (the HOF spelling re-walks the hash
+    * array k times, interpreted). Only k=16 is registered. */
+  def minhashSignature(hashesCol: Column, k: Int): Column = {
+    require(k == 16, "only the registered 16-hash variant is exposed")
+    call_function("graft_minhash16", hashesCol)
+  }
 
   /** LSH band values: fold each of `bands` contiguous rows-of-`rowsPerBand`
     * signature slices into one bucket hash. */
