@@ -37,16 +37,24 @@ object ConnectedComponents {
         var converged = false
         var it = 0
         while (!converged && it < maxIters) {
+          // ONE job per round: the node's previous label rides through
+          // the aggregate (self rows carry it, neighbor rows carry null;
+          // min ignores nulls and every node has exactly one self row),
+          // so the change count is a filter over the same lazily
+          // checkpointed frame — its count() both materializes the new
+          // labels and decides convergence, with no second join+count.
+          val selfRows = lbl.select(col("node"), col("cluster_id"),
+            col("cluster_id").as("__old"))
           val fromNeighbors = lbl.join(und, lbl("node") === und("a"))
-            .select(und("b").as("node"), lbl("cluster_id"))
-          val next = lbl.unionByName(fromNeighbors)
-            .groupBy("node").agg(min("cluster_id").as("cluster_id"))
-            .localCheckpoint()
-          val changed = next.as("n")
-            .join(lbl.as("o"), col("n.node") === col("o.node"))
-            .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-            .count()
-          lbl = next
+            .select(und("b").as("node"), lbl("cluster_id"),
+              lit(null).cast(lbl.schema("cluster_id").dataType).as("__old"))
+          val next = selfRows.unionByName(fromNeighbors)
+            .groupBy("node").agg(min("cluster_id").as("cluster_id"),
+              min("__old").as("__old"))
+            .localCheckpoint(eager = false)
+          val changed = next
+            .filter(col("cluster_id") =!= col("__old")).count()
+          lbl = next.select(col("node"), col("cluster_id"))
           converged = changed == 0
           it += 1
         }

@@ -27,18 +27,23 @@ object Multimodal {
                                  n_frames: Long, checksum: Long)
 
   /** [STUB] Deterministic fake decoder: "frames" are 100-byte windows,
-    * "checksum" is the polynomial byte hash (mod 1e9+7) matching
-    * [[graft.functions.TextFeatures.charHash]] for ASCII payloads. A real
-    * decoder would decode payload bytes here instead.
+    * "checksum" is the polynomial CODE-POINT hash (mod 1e9+7) of the
+    * UTF-8-decoded payload — the same fold as
+    * [[graft.functions.TextFeatures.charHash]] for ANY text, ASCII or
+    * not (a byte-wise fold would silently diverge from the code-point
+    * oracle on multi-byte characters). A real decoder would decode
+    * payload bytes here instead.
     */
   object FakeDecoder {
     val HashMod = 1000000007L
     def features(r: MediaRow): MediaFeatures = {
+      val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
       var h = 0L
       var i = 0
-      while (i < r.payload.length) {
-        h = (h * 31 + (r.payload(i) & 0xff)) % HashMod
-        i += 1
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % HashMod
+        i += Character.charCount(cp)
       }
       MediaFeatures(r.doc_id, r.byte_len, r.byte_len / 100 + 1, h)
     }

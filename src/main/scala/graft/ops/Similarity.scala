@@ -42,15 +42,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Sign-LSH bucket id: bit i (i < planes) set iff vec[i] > 0. A
-    * stand-in for random-hyperplane LSH with axis-aligned planes —
-    * deterministic and engine-neutral. */
-  def signBucket(vec: Column, planes: Int): Column =
+  /** Sign-LSH bucket id over `planes` consecutive dimensions starting
+    * at 0-based `offset`: bit i set iff vec[offset+i] > 0. A stand-in
+    * for random-hyperplane LSH with axis-aligned planes — deterministic
+    * and engine-neutral. Disjoint offsets give INDEPENDENT plane sets,
+    * the building block of OR-amplified multi-band LSH. */
+  def signBucketAt(vec: Column, planes: Int, offset: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), i =>
-        when(element_at(vec, i + 1) > 0,
+        // try_element_at: a vector shorter than offset+planes yields
+        // NULL > 0 = NULL → bit 0 — same as SQL list indexing out of
+        // range, so short vectors bucket on their existing dims only.
+        when(try_element_at(vec, i + offset + 1) > 0,
           call_function("shiftleft", lit(1L), i)).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
+
+  def signBucket(vec: Column, planes: Int): Column = signBucketAt(vec, planes, 0)
 
   /** Approximate top-k: candidates limited to the query's sign bucket
     * (shuffle on bucket id = equi-join, never a cross join). Recall is
@@ -110,18 +117,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: sign-bucket candidates, then
-    * exact cosine ≥ threshold (id_a < id_b). */
-  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, planes: Int = 8): DataFrame = {
+  /** Candidate pairs for embedding near-dup detection: multi-band
+    * OR-amplified sign-LSH with a per-bucket size cap.
+    *
+    * Real embedding corpora are strongly correlated — a single sign
+    * band concentrates a large fraction of vectors into one bucket, and
+    * a bucket equi-join then degenerates to near-quadratic on that hot
+    * key (a legitimate key match AQE cannot split). Two defenses:
+    *  - `bands` independent plane sets over DISJOINT dimension ranges;
+    *    a pair is a candidate if it collides in ANY band (union +
+    *    distinct = OR-amplification, which also recovers recall that a
+    *    capped band loses);
+    *  - buckets holding more than `bucketCap` members are excluded from
+    *    pair generation entirely (the standard hot-bucket cap: such a
+    *    bucket carries almost no similarity signal for axis-sign LSH,
+    *    and its members still pair through their other bands). Candidate
+    *    volume is hence ≤ bands · Σ_bucket min(|bucket|, cap)² — bounded
+    *    sub-quadratic regardless of skew.
+    */
+  def nearDupCandidates(corpus: DataFrame, idCol: String, vecCol: String,
+                        planes: Int = 8, bands: Int = 2,
+                        bucketCap: Long = 10000L): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), planes).as("__bucket"))
-    val a = c.select(col("__bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = c.select(col("__bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+    // One row per (vector, band). Materialized: the bucket fold is an
+    // interpreted HOF and the frame is read twice (size agg + join).
+    val banded = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(array((0 until bands).map(j =>
+          signBucketAt(col(vecCol), planes, j * planes)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .localCheckpoint()
+    val smallBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= bucketCap)
+      .select(col("band"), col("bucket"))
+    val ok = banded.join(smallBuckets, Seq("band", "bucket"))
+    val a = ok.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = ok.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: capped multi-band sign-LSH
+    * candidates, then exact cosine ≥ threshold (id_a < id_b). */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, planes: Int = 8, bands: Int = 2,
+                   bucketCap: Long = 10000L): DataFrame =
+    nearDupCandidates(corpus, idCol, vecCol, planes, bands, bucketCap)
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-  }
 }

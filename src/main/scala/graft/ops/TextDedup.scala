@@ -129,9 +129,18 @@ object TextDedup {
     * intersection counts → |∩| / (|A|+|B|-|∩|). Returns pairs with
     * jaccard ≥ threshold. The shared-shingle join IS the candidate
     * filter — disjoint docs never meet.
+    *
+    * `maxShingleDf` is the stop-shingle cap: shingles occurring in more
+    * than that many DISTINCT texts are excluded from both intersections
+    * and set sizes (so jaccard is computed over the reduced shingle
+    * sets). A ubiquitous boilerplate trigram otherwise turns the
+    * shingle-equality join into one hot key with O(|texts|²) candidate
+    * rows — dropping it bounds the join fan-out AND improves precision
+    * (boilerplate overlap is not similarity signal).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Long = Long.MaxValue): DataFrame = {
     require(threshold <= 1.0, "jaccard threshold cannot exceed 1.0")
     // Representative collapse (same idea as the SimHash clique collapse):
     // duplicate-heavy corpora make the shingle self-join quadratic in
@@ -139,18 +148,35 @@ object TextDedup {
     // among DISTINCT texts (min-id representative each) and expand:
     //  - within a clique every pair has jaccard exactly 1.0,
     //  - across cliques every member pair inherits the rep pair's value.
+    // Representatives are keyed by (hash, text), NOT the hash alone: by
+    // the birthday bound a 10^9-space hash is expected to collide above
+    // ~50k distinct texts, and a hash-only key would merge two distinct
+    // texts into one clique (false jaccard=1.0 pairs, dropped true
+    // pairs). The text rides along solely to disambiguate collisions —
+    // same pattern as exactDupGroups.
     val base = fanOut(docs)
       .withColumn("__toks", tokens(col(textCol)))
       .filter(size(col("__toks")) >= shingleN)
-      .select(col(idCol).as("id"), charHash(col(textCol)).as("__h"), col("__toks"))
+      .select(col(idCol).as("id"), charHash(col(textCol)).as("__h"),
+        col(textCol).as("__t"), col("__toks"))
       .localCheckpoint()
-    val reps = base.groupBy("__h").agg(min(col("id")).as("rep"))
-    val members = base.select(col("id"), col("__h"))
-      .join(reps, Seq("__h")).select(col("id"), col("rep")).localCheckpoint()
+    val reps = base.groupBy("__h", "__t").agg(min(col("id")).as("rep"))
+    val members = base.select(col("id"), col("__h"), col("__t"))
+      .join(reps, Seq("__h", "__t")).select(col("id"), col("rep")).localCheckpoint()
 
-    val sh = base.join(reps, base("id") === reps("rep"))
+    val shAll = base.join(reps.select(col("rep")), base("id") === col("rep"))
       .select(col("rep").as("id"),
         explode(array_distinct(shingles(col("__toks"), shingleN))).as("shingle"))
+    // Stop-shingle exclusion. Document frequency is counted over
+    // representatives = distinct texts (clone count must not inflate a
+    // shingle into "ubiquitous").
+    val sh =
+      if (maxShingleDf == Long.MaxValue) shAll
+      else {
+        val stop = shAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf).select("shingle")
+        shAll.join(stop, Seq("shingle"), "left_anti")
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("id").as("ra"), col("shingle"))
       .join(sh.select(col("id").as("rb"), col("shingle")), Seq("shingle"))
@@ -169,7 +195,14 @@ object TextDedup {
       .join(members.select(col("rep").as("rb"), col("id").as("__ib")), Seq("rb"))
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
-    val within = members.select(col("rep"), col("id").as("id_a"))
+    // Within-clique pairs are 1.0 by definition — but only for cliques
+    // whose representative still has ≥1 shingle after the stop-filter
+    // (a doc made entirely of stop-shingles has an empty set; empty-set
+    // jaccard is undefined and such docs emit no pairs at all, matching
+    // the inner-join semantics of the cross-clique path).
+    val eligible = sizes.select(col("id").as("rep"))
+    val within = members.join(eligible, Seq("rep"))
+      .select(col("rep"), col("id").as("id_a"))
       .join(members.select(col("rep"), col("id").as("id_b")), Seq("rep"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0d).as("jaccard"))

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *    explodes combinatorially, unlike naive path enumeration.
   *  - **Lineage control**: every BFS level is `localCheckpoint`'ed so the
   *    plan doesn't grow unboundedly with depth and each level is computed
-  *    exactly once (reused by the emptiness probe, the next hop, and the
-  *    final roll-up).
+  *    exactly once — lazily, so the size count that drives the loop is
+  *    the same single job that materializes the level (reused by the
+  *    next hop and the final roll-up).
   *
   * Cycle guard: the loop is bounded by `maxDepth`; a non-empty frontier at
   * the bound raises (dangling/cyclic graphs exist in the wild — the
@@ -48,33 +49,37 @@ object TreeExplode {
     val cpOld = spark.conf.getOption(cpKey)
     spark.conf.set(cpKey, "false")
     try {
-      // Every frontier is localCheckpoint'ed (eager): the per-level
-      // isEmpty probe, the next hop's join, and the final accumulator all
-      // reuse the materialized level instead of recomputing the whole BFS
-      // lineage; it also keeps the accumulator union homogeneous (RDD
-      // scans only), which sidesteps a Catalyst Union constraint-rewrite
-      // bug when checkpointed and non-checkpointed branches are mixed.
+      // ONE Spark job per BFS level: each frontier is a LAZY
+      // localCheckpoint whose first action — the count() below — both
+      // materializes the level (bounded lineage, computed exactly once)
+      // and returns its size, replacing the eager-checkpoint-job +
+      // isEmpty-probe double action of the previous design (the r2
+      // bench's 16 s → the per-level driver round-trips, not data
+      // volume). Checkpointing every level also keeps the accumulator
+      // union homogeneous (RDD scans only), which sidesteps a Catalyst
+      // Union constraint-rewrite bug when checkpointed and
+      // non-checkpointed branches are mixed.
       var frontier = roots.select(col("root")).as("f")
         .join(e.as("e"), col("f.root") === col("e.parent"))
         .select(col("f.root").as("root"), col("e.child").as("node"),
           col("e.coeff").as("eff_coeff"))
         .groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      var n = frontier.count()
       var acc = frontier
       var depth = 1
-      var done = frontier.isEmpty
-      while (!done && depth < maxDepth) {
+      while (n > 0 && depth < maxDepth) {
         frontier = frontier.as("f")
           .join(e.as("e"), col("f.node") === col("e.parent"))
           .select(col("f.root").as("root"), col("e.child").as("node"),
             (col("f.eff_coeff") * col("e.coeff")).as("eff_coeff"))
           .groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
-          .localCheckpoint()
-        done = frontier.isEmpty
-        if (!done) acc = acc.unionByName(frontier)
+          .localCheckpoint(eager = false)
+        n = frontier.count()
+        if (n > 0) acc = acc.unionByName(frontier)
         depth += 1
       }
-      if (!done && depth >= maxDepth)
+      if (n > 0)
         throw new IllegalStateException(
           s"TreeExplode: frontier still non-empty at depth $maxDepth - cycle or overly deep graph")
       acc.groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))

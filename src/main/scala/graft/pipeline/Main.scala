@@ -30,8 +30,19 @@ object Main {
     val store = new TableStore(spark, warehouseDir)
     val report = new PipelineETL(spark, store, EngineConfig.load())
       .run(stagingDir, y.toInt, m.toInt)
-    // one-line parseable run report (O3)
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // one-line parseable run report (O3). Escapes ALL control chars:
+    // sheet_errors carries raw exception messages, which in Spark
+    // routinely contain newlines — unescaped they'd break both JSON
+    // validity and the one-line contract.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val tables = report.recordsInserted.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errs = report.sheetErrors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val phases = report.phaseSeconds.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")

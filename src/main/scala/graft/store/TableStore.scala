@@ -62,21 +62,40 @@ class TableStore(val spark: SparkSession, val root: String) {
     * batch's partitions (a monthly batch scans one month of history,
     * not all of it — the difference between O(batch) and O(table) at
     * 100 TB). */
-  def appendIgnore(table: String, df: DataFrame): Long = {
+  def appendIgnore(table: String, df: DataFrame,
+                   tiebreak: Seq[org.apache.spark.sql.Column] = Nil): Long = {
     val pk = Schemas.primaryKeys(table)
     val parts = Schemas.partitionedBy.getOrElse(table, Nil)
+    // In-batch survivor choice: with a `tiebreak` ordering the surviving
+    // row per PK group is the FIRST under that order — pass the staged
+    // `__line` column to reproduce the reference's ON CONFLICT DO
+    // NOTHING first-in-file-order exactly. Without one, dropDuplicates
+    // keeps an arbitrary row (documented: fine for PK-unique batches,
+    // which is what the pipeline's processors emit after their own
+    // keep-first dedup).
+    val deduped =
+      if (tiebreak.nonEmpty) Relational.dedupKeepFirst(df, pk, tiebreak) else df
     // PG would reject NULL PK components (NOT NULL); here a null key
     // would also never match the anti-join and so would re-append on
     // every run — drop such rows, mirroring the reference's explicit
     // key-null drops (SURVEY §1.2).
-    val incoming = align(table, df).na.drop(pk).dropDuplicates(pk)
+    val incoming = align(table, deduped).na.drop(pk).dropDuplicates(pk)
     val fresh =
       if (!exists(table)) incoming
       else {
         val existing = parts.headOption match {
           case Some(pcol) =>
-            // bounded driver-side collect: distinct months in the batch
-            val periods = incoming.select(col(pcol)).distinct().collect().map(_.get(0))
+            // bounded driver-side collect: distinct months in the batch.
+            // Guarded — a mis-partitioned frame (e.g. a timestamp
+            // mistakenly used as the period) would otherwise collect
+            // millions of values onto the driver.
+            val periods = incoming.select(col(pcol)).distinct()
+              .limit(TableStore.MaxCollectedPeriods + 1).collect().map(_.get(0))
+            if (periods.length > TableStore.MaxCollectedPeriods)
+              throw new IllegalStateException(
+                s"appendIgnore($table): more than ${TableStore.MaxCollectedPeriods} " +
+                s"distinct values of partition column '$pcol' in one batch - " +
+                "not a period column? Refusing the driver-side collect.")
             read(table).filter(col(pcol).isin(periods.toIndexedSeq: _*))
           case None => read(table)
         }
@@ -138,17 +157,32 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   /** Materialize-then-rename publish: write to `.staging`, swap in.
     * Registered partition layouts are applied here, so every full
-    * rewrite (overwrite/upsert/bootstrap) lands partitioned. */
+    * rewrite (overwrite/upsert/bootstrap) lands partitioned.
+    *
+    * Swap order is crash-safe-by-retention: the live table is renamed
+    * ASIDE first, then staging renamed in, then the old copy deleted —
+    * a crash between the two renames leaves the previous table intact
+    * under `.staging/<table>_old_*` (recoverable), never a deleted
+    * table. True atomicity needs a metastore pointer swap or an ACID
+    * table format (class doc); this is the strongest ordering plain
+    * filesystem renames allow. */
   private def publish(table: String, df: DataFrame): Unit = {
     val target = new Path(tablePath(table))
-    val staging = new Path(s"$root/.staging/${table}_${java.util.UUID.randomUUID()}")
+    val id = java.util.UUID.randomUUID()
+    val staging = new Path(s"$root/.staging/${table}_$id")
     val parts = Schemas.partitionedBy.getOrElse(table, Nil)
     val w = df.write.mode("overwrite")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
     fs.mkdirs(target.getParent)
-    if (!fs.rename(staging, target))
+    val old = new Path(s"$root/.staging/${table}_old_$id")
+    val hadOld = fs.exists(target)
+    if (hadOld && !fs.rename(target, old))
+      throw new IllegalStateException(s"publish failed for $table: rename $target -> $old")
+    if (!fs.rename(staging, target)) {
+      if (hadOld) fs.rename(old, target) // restore the previous table
       throw new IllegalStateException(s"publish failed for $table: rename $staging -> $target")
+    }
+    if (hadOld) fs.delete(old, true)
   }
 
   /** Catalog-registered bucketed copy of a DataFrame — the co-located
@@ -177,4 +211,11 @@ class TableStore(val spark: SparkSession, val root: String) {
       col("coeficiente"), lit(Schemas.ItemType.Composicao).as("tipo_item"))
     ins.unionByName(subs).createOrReplaceTempView(viewName)
   }
+}
+
+object TableStore {
+  /** Cap on the distinct-period driver-side collect in [[TableStore!.appendIgnore]]:
+    * far above any real months-per-batch count, low enough that a
+    * mis-typed partition column fails fast instead of OOMing the driver. */
+  val MaxCollectedPeriods = 1000
 }
