@@ -42,6 +42,34 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.contains((1L, 5L)))  // opposite sign -> different bucket
   }
 
+  test("multi-band LSH: hot-bucket cap keeps candidates sub-quadratic; other bands keep recall") {
+    val n = 60
+    // Band 0 (dims 1-8) identical for EVERY vector — the hot-bucket
+    // shape of a correlated embedding corpus. Band 1 (dims 9-16) pairs
+    // vectors (2k, 2k+1) into two-member buckets.
+    val skewed = (0 until n).map { i =>
+      val band0 = Array.fill(8)(0.5f)
+      val bits = i / 2
+      val band1 = (0 until 8).map(b =>
+        if (((bits >> b) & 1) == 1) 0.5f else -0.5f).toArray
+      (i.toLong, band0 ++ band1)
+    }.toDF("vec_id", "embedding")
+    // uncapped: the 60-member band-0 bucket goes quadratic
+    val uncapped = Similarity.nearDupCandidates(skewed, "vec_id", "embedding",
+      bucketCap = Long.MaxValue).count()
+    assert(uncapped == n.toLong * (n - 1) / 2)
+    // capped: the hot bucket is excluded; candidates only via band-1
+    // buckets (30 pairs) — sub-quadratic regardless of the skew
+    val capped = Similarity.nearDupCandidates(skewed, "vec_id", "embedding",
+      bucketCap = 10).count()
+    assert(capped == n / 2)
+    // recall: identical pairs are still found through their OTHER band
+    val pairs = Similarity.nearDupPairs(skewed, "vec_id", "embedding", 0.999,
+        bucketCap = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0 until n by 2).map(k => (k.toLong, (k + 1).toLong)).toSet)
+  }
+
   test("multimodal: per-partition stub decode produces deterministic features") {
     val docs = Seq((1L, "abc"), (2L, "x" * 250)).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(

@@ -128,6 +128,46 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("precos_insumos_mensal").count() == 2)
   }
 
+  test("appendIgnore: tiebreak makes the in-batch survivor first-in-order") {
+    val store = newStore()
+    val batch = Seq(
+      (1, "FIRST", "UN", null: String, "ATIVO", 10L),
+      (1, "SECOND", "UN", null: String, "ATIVO", 20L))
+      .toDF("codigo", "descricao", "unidade", "classificacao", "status", "__line")
+    assert(store.appendIgnore("insumos", batch, Seq(col("__line").asc)) == 1)
+    val out = store.read("insumos").select("codigo", "descricao")
+      .as[(Int, String)].collect().toSeq
+    assert(out == Seq((1, "FIRST"))) // ON CONFLICT DO NOTHING keeps first-in-file-order
+  }
+
+  test("appendIgnore refuses an unbounded period collect (mis-partitioned batch)") {
+    val store = newStore()
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2000, 1, 1).plusDays(i))
+    store.overwrite("manutencoes_historico",
+      Seq((1, "INSUMO", d(0), "ALTERACAO", "x"))
+        .toDF("item_codigo", "tipo_item", "data_referencia", "tipo_manutencao", "descricao_item"))
+    // a "period" column with 1001 distinct values is not a period column
+    val wide = (0 to graft.store.TableStore.MaxCollectedPeriods)
+      .map(i => (i, "INSUMO", d(i), "ALTERACAO", "x"))
+      .toDF("item_codigo", "tipo_item", "data_referencia", "tipo_manutencao", "descricao_item")
+    val e = intercept[IllegalStateException](
+      store.appendIgnore("manutencoes_historico", wide))
+    assert(e.getMessage.contains("distinct values"))
+  }
+
+  test("publish leaves no stale backup copies in .staging") {
+    val store = newStore()
+    def batch(c: Int, d: String) = Seq((c, d, "UN", null: String, "ATIVO"))
+      .toDF("codigo", "descricao", "unidade", "classificacao", "status")
+    store.overwrite("insumos", batch(1, "A"))
+    store.overwrite("insumos", batch(2, "B")) // second publish renames the live table aside
+    assert(store.read("insumos").count() == 1)
+    val staging = new java.io.File(s"${store.root}/.staging")
+    assert(!staging.exists() ||
+      staging.listFiles().forall(f => !f.getName.contains("_old_")),
+      "old table copy must be deleted after a successful swap")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val store = newStore()
     val facts1 = (1 to 1000).map(i => (i % 97, i, s"a$i"))

@@ -41,4 +41,60 @@ class TextDedupSpec extends SparkSpec {
     assert(out((1L, 3L)) == 0.75)
     assert(!out.contains((1L, 4L)))
   }
+
+  test("ngram jaccard: stop-shingle cap removes boilerplate-driven pairs") {
+    val boiler = Seq(
+      (1L, "alpha beta gamma copyright notice footer"),
+      (2L, "delta epsilon zeta copyright notice footer"),
+      (3L, "eta theta iota copyright notice footer"),
+      (4L, "kappa lambda mu copyright notice footer"),
+      (5L, "alpha beta gamma copyright notice footer"), // clone of 1
+      (6L, "copyright notice footer"),                  // ONLY the boilerplate
+      (7L, "copyright notice footer")                   // clone of 6
+    ).toDF("doc_id", "text")
+    // Uncapped: the ubiquitous trigram (df = 5 distinct texts) links
+    // every doc to every other — the hot-key fan-out the cap exists for.
+    val loose = TextDedup.ngramJaccardPairs(boiler, "doc_id", "text", threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((1L, 2L)))
+    // Capped at df > 2: the boilerplate shingle is excluded in BOTH
+    // intersections and sizes; only the true clone pair survives.
+    val capped = TextDedup.ngramJaccardPairs(boiler, "doc_id", "text",
+        threshold = 0.1, maxShingleDf = 2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped.keySet == Set((1L, 5L)))
+    assert(capped((1L, 5L)) == 1.0)
+    // docs consisting ENTIRELY of stop-shingles have an empty reduced
+    // set -> undefined jaccard -> no pairs at all, even within a clique
+    assert(!capped.contains((6L, 7L)))
+  }
+
+  test("ngram jaccard: hash-colliding distinct texts are not merged into one clique") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Find two distinct texts with the same charHash (mod 1e9+7, so a
+    // birthday search over ~hundreds of thousands of probes finds one).
+    val seen = scala.collection.mutable.HashMap.empty[Long, Int]
+    var pair: Option[(Int, Int)] = None
+    var i = 0
+    while (pair.isEmpty && i < 2000000) {
+      val h = graft.functions.PolyHash.hash(
+        UTF8String.fromString(s"collision probe token $i"))
+      seen.get(h) match {
+        case Some(j) => pair = Some((j, i))
+        case None    => seen(h) = i; ()
+      }
+      i += 1
+    }
+    assert(pair.nonEmpty, "no charHash collision found in 2M probes")
+    val (x, y) = pair.get
+    val colliding = Seq(
+      (1L, s"collision probe token $x"),
+      (2L, s"collision probe token $y")).toDF("doc_id", "text")
+    val out = TextDedup.ngramJaccardPairs(colliding, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // The two texts share only "collision probe token" (1 of 2+2-1=3
+    // shingles): a hash-keyed representative would have merged them
+    // into one clique and reported a false 1.0.
+    assert(out((1L, 2L)) == 1.0 / 3)
+  }
 }
