@@ -62,19 +62,42 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
       try Some(body)
       catch { case e: Exception => errors(sheet) = e.getMessage; None }
 
-    val files = Option(new java.io.File(stagingDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".csv"))
-      .sortBy(_.getName)
-
-    def route(pred: String => Boolean): Seq[java.io.File] =
-      files.filter(f => pred(f.getName)).toSeq
-
     // measure, don't guess: wall-clock per phase in the run report
     val phaseSeconds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def phase[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime()
       try body finally phaseSeconds(name) = (System.nanoTime() - t0) / 1e9
     }
+
+    // S6 pre-conversion (pre_processor.py:51-84): xlsx workbooks dropped
+    // into the staging dir are expanded to one `;`-CSV per sheet (accent-
+    // stripped names) so the filename routing below treats workbook tabs
+    // and pre-staged CSVs identically. A CSV that already exists wins —
+    // conversion never clobbers explicit input. Per-workbook failures are
+    // sheet-isolated like every other input (O2).
+    phase("preconvert") {
+      Option(new java.io.File(stagingDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".xlsx"))
+        .sortBy(_.getName)
+        .foreach { f =>
+          isolated(f.getName) {
+            graft.ingest.XlsxToCsv.sheetNames(f.toPath).foreach { sheet =>
+              val out = new java.io.File(stagingDir,
+                graft.ingest.XlsxToCsv.asciiName(sheet) + ".csv")
+              if (!out.exists())
+                graft.ingest.XlsxToCsv.convertSheet(f.toPath, sheet, out.toPath,
+                  cfg("CSV_SEPARATOR").head)
+            }
+          }
+        }
+    }
+
+    val files = Option(new java.io.File(stagingDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".csv"))
+      .sortBy(_.getName)
+
+    def route(pred: String => Boolean): Seq[java.io.File] =
+      files.filter(f => pred(f.getName)).toSeq
 
     // Phase 0: schema bootstrap (S13) — only for tables not yet present,
     // so monthly re-runs keep history.

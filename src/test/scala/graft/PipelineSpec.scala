@@ -187,7 +187,7 @@ class PipelineSpec extends SparkSpec {
     assert(report.status == "SUCESSO (SEM DADOS)")
     assert(report.runId.length == 8)
     assert(report.phaseSeconds.keySet ==
-      Set("bootstrap", "maintenance", "transform", "load", "repair_and_sync"))
+      Set("preconvert", "bootstrap", "maintenance", "transform", "load", "repair_and_sync"))
   }
 
   test("second month accumulates facts, dims upsert, edges reload") {

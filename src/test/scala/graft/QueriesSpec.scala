@@ -92,6 +92,38 @@ class QueriesSpec extends SparkSpec {
       .head().getLong(0) == 2L)
   }
 
+  test("recursive-CTE front door: the documented WITH RECURSIVE SQL runs at the S14 surface") {
+    val store = warehouse()
+    graft.query.Views.registerAll(store)
+    // the documented recursive shape (docs/DataModel.md:386-391) typed
+    // at the SQL surface. Note the casts: a recursive CTE's step output
+    // must type-match its anchor EXACTLY (decimal multiplication widens
+    // precision every iteration, which can't converge), same rule as PG.
+    val out = spark.sql(
+      """WITH RECURSIVE estrutura AS (
+        |  SELECT item_filho_codigo, tipo_item,
+        |         CAST(coeficiente AS double) AS coef_total
+        |  FROM vw_composicao_itens_unificados
+        |  WHERE composicao_pai_codigo = 100
+        |  UNION ALL
+        |  SELECT v.item_filho_codigo, v.tipo_item,
+        |         CAST(e.coef_total * v.coeficiente AS double)
+        |  FROM estrutura e
+        |  JOIN vw_composicao_itens_unificados v
+        |    ON v.composicao_pai_codigo = e.item_filho_codigo
+        |  WHERE e.tipo_item = 'COMPOSICAO'
+        |)
+        |SELECT item_filho_codigo, CAST(sum(coef_total) AS double) AS eff_coeff
+        |FROM estrutura GROUP BY item_filho_codigo""".stripMargin)
+      .as[(Int, Double)].collect().toMap
+    assert(out == Map(1 -> 2.5, 200 -> 1.0, 2 -> 3.0))
+    // and it agrees with the programmatic TreeExplode path
+    val prog = Queries.estrutura(store, 100)
+      .select(col("node"), col("eff_coeff").cast("double"))
+      .as[(Int, Double)].collect().toMap
+    assert(out == prog)
+  }
+
   test("item history: filtered scan, newest first") {
     val store = warehouse()
     val out = Queries.historico(store, 1, Schemas.ItemType.Insumo)
