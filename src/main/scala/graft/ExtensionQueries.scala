@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{Multimodal, Similarity, TextDedup}
+import graft.ops.{Clustering, Curation, Multimodal, Similarity, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -184,6 +184,40 @@ object ExtensionQueries {
         .agg(sum(col("vq")).as("sum_q"), count(lit(1)).as("n"))
         .orderBy(col("label"), col("pos"))),
 
+    // TF-IDF top-terms per document: (doc, term) counts joined with the
+    // vocabulary-sized document frequency (broadcast); rational smooth
+    // idf (N+1)/(df+1) — rank-isomorphic to the log variant and exactly
+    // reproducible cross-engine (single IEEE division, no libm).
+    "q37_tfidf_topterms" -> ((s, d) =>
+      TermStats.tfidfTopTerms(docsFanned(s, d), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // Deterministic stratified sampling: first 50 docs per language
+    // under (text-hash, id) order — the auditable-split primitive of a
+    // training-data pipeline (hash plays the RNG; layout-independent).
+    "q38_stratified_sample" -> ((s, d) =>
+      TermStats.stratifiedSample(docsFanned(s, d), "lang", "doc_id",
+          TextFeatures.charHash(col("text")), 50)
+        .select(col("lang"), col("doc_id"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))),
+
+    // Lloyd k-means (k=8, 2 iterations, first-k seeds): model state
+    // broadcast into one codegen'd argmax projection per iteration;
+    // quantized-long centroid updates are merge-order-exact.
+    "q39_kmeans" -> ((s, d) =>
+      Clustering.lloydAssign(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", 8, 2)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"), col("cosine"))
+        .orderBy(col("vec_id"))),
+
+    // End-to-end curation: quality gate -> exact dedup -> near-dup
+    // cluster representatives, composed from the engine's own operators.
+    "q40_curation" -> ((s, d) =>
+      Curation.curate(demoCorpus(Tables.documents(s, d)), "doc_id", "text")
+        .select(col("doc_id"), TextFeatures.charHash(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
     // Batch sessionization: the window-composition counterpart of the
     // streaming flatMapGroupsWithState sessionize — lag() flags session
     // starts, a running sum assigns session ids, then per-session aggs.
@@ -225,27 +259,31 @@ object ExtensionQueries {
   private val tokCte =
     "tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM corpus)"
 
-  /** Shared MinHash chain: corpus → trigram shingle hashes → 16-way
-    * signatures → 4 LSH bands → candidate pairs with est_jaccard
-    * (the oracle spelling of TextDedup.minhashCandidates). */
-  private lazy val minhashCtes =
-    s"""$corpusCte, $tokCte,
-       |hs AS (SELECT doc_id, list_transform(
+  /** MinHash chain over relation `src` (CTE names prefixed with `p`):
+    * trigram shingle hashes → 16-way signatures → 4 LSH bands →
+    * candidate pairs with est_jaccard in `<p>est` (the oracle spelling
+    * of TextDedup.minhashCandidates). */
+  private def minhashChain(src: String, p: String): String =
+    s"""${p}tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM $src),
+       |${p}hs AS (SELECT doc_id, list_transform(
        |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
        |    s -> ${dh("s")}) AS hashes
-       |  FROM tok WHERE len(toks) >= 3),
-       |sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
+       |  FROM ${p}tok WHERE len(toks) >= 3),
+       |${p}sig AS (SELECT doc_id, list_transform(range(0, 16), j ->
        |    list_min(list_transform(hashes, h -> ((2*j+3)*h + (5*j+7)) % 1000000007))) AS sig
-       |  FROM hs),
-       |band AS (SELECT doc_id, sig, b AS band,
+       |  FROM ${p}hs),
+       |${p}band AS (SELECT doc_id, sig, b AS band,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, b*4+1, b*4+4)),
        |      (a, x) -> (a*1000003 + x) % 1000000007) AS bucket
-       |  FROM sig, range(0, 4) t(b)),
-       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-       |  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |est AS (SELECT id_a, id_b,
+       |  FROM ${p}sig, range(0, 4) t(b)),
+       |${p}pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM ${p}band a JOIN ${p}band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |${p}est AS (SELECT id_a, id_b,
        |  CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE)/16 AS est_jaccard
-       |  FROM pairs)""".stripMargin
+       |  FROM ${p}pairs)""".stripMargin
+
+  /** The q22/q36 chain over the demo corpus (unprefixed names; `est`). */
+  private lazy val minhashCtes = s"$corpusCte,\n${minhashChain("corpus", "")}"
 
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
@@ -451,5 +489,69 @@ object ExtensionQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_ts
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "q37_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, CAST(tf*(n+1) AS DOUBLE)/(df+1) AS score
+        |  FROM tfc JOIN dfc USING (term), n),
+        |rk AS (SELECT doc_id, term, score,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk FROM sc)
+        |SELECT doc_id, term, rnk, score FROM rk WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q38_stratified_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id, ${dh("text")} AS hh FROM documents),
+         |rk AS (SELECT lang, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh ASC, doc_id ASC) AS rnk FROM h)
+         |SELECT lang, doc_id, rnk FROM rk WHERE rnk <= 50
+         |ORDER BY lang, rnk""".stripMargin,
+
+    // Two unrolled Lloyd iterations mirroring Clustering.lloydAssign:
+    // first-8 seeds; assignment argmax by (cosine desc, cid asc);
+    // centroid update = floor-quantized per-dim sums / (n·1e6), rounded
+    // to FLOAT (`list(... ORDER BY i)` rebuilds the vector in dim order).
+    "q39_kmeans" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |s1 AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS c
+         |  FROM embeddings e, c0 c),
+         |a1 AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cid ASC) AS rn
+         |  FROM s1) WHERE rn = 1),
+         |c1d AS (SELECT cid, i,
+         |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS cv
+         |  FROM a1, range(1, 65) r(i) GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list(CAST(cv AS FLOAT) ORDER BY i) AS ce FROM c1d GROUP BY cid),
+         |s2 AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.ce")} AS cosine
+         |  FROM embeddings e, c1 c),
+         |a2 AS (SELECT vec_id, cid, cosine FROM (
+         |  SELECT vec_id, cid, cosine, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid ASC) AS rn
+         |  FROM s2) WHERE rn = 1)
+         |SELECT vec_id, cid, cosine FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "q40_curation" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |qtok AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM corpus),
+         |qual AS (SELECT doc_id, text FROM qtok
+         |  WHERE len(toks) >= 5
+         |    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) >= 0.5),
+         |exact AS (SELECT min(doc_id) AS doc_id, text FROM qual GROUP BY text),
+         |${minhashChain("exact", "k")},
+         |cand AS (SELECT id_a, id_b FROM kest WHERE est_jaccard >= 0.75),
+         |und AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+         |  UNION
+         |  SELECT u.b, r.r FROM reach r JOIN und u ON u.a = r.node),
+         |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |dropped AS (SELECT node FROM lab WHERE node <> cluster_id)
+         |SELECT doc_id, ${dh("text")} AS fp FROM exact
+         |WHERE doc_id NOT IN (SELECT node FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means over an embedding column, shaped for Spark's execution
+  * model: the MODEL (k centroids) is driver-side state broadcast into a
+  * single codegen'd projection per iteration; the DATA never moves. Each
+  * iteration is (a) one narrow pass computing the argmax-cosine
+  * assignment — no crossJoin, no per-vector window — and (b) one
+  * map-side-combined aggregate of quantized per-dimension sums (k×dims
+  * rows) collected back as the next model. That collect is model state
+  * (k·dims doubles), not data — the legitimate driver-side footprint of
+  * iterative ML on a cluster, identical at sf0.01 and 100 TB.
+  *
+  * Determinism (the cross-engine contract): seeds are the first k
+  * vectors by id; assignment ties break toward the lower centroid id;
+  * centroid updates sum FLOOR-QUANTIZED values (exact integers, so
+  * partial-aggregate merge order cannot perturb them) and the mean is
+  * rounded to FLOAT — one double division and one float rounding, both
+  * IEEE-identical in any engine. Cosines are the same left-to-right
+  * double fold as [[Similarity.cosine]].
+  */
+object Clustering {
+
+  private val Quantum = 1e6
+
+  /** Driver-side twin of [[graft.functions.DotProduct.dot]] — same
+    * float→double promotion, same left-to-right accumulation, so a
+    * centroid norm computed here is bit-identical to one computed by the
+    * oracle's list fold over the same floats. */
+  private def normOf(v: Array[Float]): Double = {
+    var acc = 0.0d; var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** `iters` Lloyd iterations from the first-`k`-by-id seeds; returns
+    * (id, cid, cosine) — each vector's final centroid and similarity. */
+  def lloydAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one assignment pass")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val src = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .localCheckpoint() // scanned 2×/iteration; don't re-read the source
+
+    // seed model: the first k corpus vectors by id (fixed, like the IVF
+    // coarse quantizer — iteration-order-free and engine-neutral)
+    var centroids: Seq[(Int, Array[Float])] = src.filter(col("vec_id") < k)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+
+    def assign(): DataFrame = {
+      val normV = sqrt(Similarity.dot(col("v"), col("v")))
+      // cosines materialized as named columns FIRST, so the argmax fold
+      // below references each one once (no expression-tree blowup)
+      val withCos = src.select(
+        (col("vec_id") +: col("v") +: centroids.map { case (cid, ce) =>
+          (Similarity.dot(col("v"), lit(ce)) / (normV * lit(normOf(ce))))
+            .as(s"__c$cid")
+        }): _*)
+      // fold in ascending-cid order; strict > keeps the earlier (lower)
+      // cid on ties — the deterministic tiebreak the oracle mirrors
+      val (bestCid, bestCos) = centroids.map(_._1).sorted.tail
+        .foldLeft((lit(centroids.map(_._1).min).cast("int"),
+          col(s"__c${centroids.map(_._1).min}"))) {
+          case ((bc, bv), cid) =>
+            val c = col(s"__c$cid")
+            (when(c > bv, lit(cid)).otherwise(bc), when(c > bv, c).otherwise(bv))
+        }
+      withCos.select(col("vec_id"), col("v"),
+        bestCid.as("cid"), bestCos.as("cosine"))
+    }
+
+    var assigned = assign()
+    var it = 1
+    while (it < iters) {
+      // quantized partial sums: exact longs, mergeable in any order
+      val stats = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .select(col("cid"), col("pos"),
+          floor(col("col").cast("double") * Quantum).as("vq"))
+        .groupBy("cid", "pos")
+        .agg(sum("vq").as("sum_q"), count(lit(1)).as("n"))
+        .collect()
+      centroids = stats.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        val dims = rows.map(r => (r.getInt(1),
+          (r.getLong(2).toDouble / (r.getLong(3).toDouble * Quantum)).toFloat))
+          .sortBy(_._1).map(_._2).toArray
+        (cid, dims)
+      }.sortBy(_._1)
+      assigned = assign()
+      it += 1
+    }
+    assigned.select(col("vec_id").as(idCol), col("cid"), col("cosine"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFeatures._
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs, as one declarative program: quality gate → exact
+  * dedup (keep lowest id per text) → near-dup clustering (MinHash+LSH
+  * candidates, connected components) keeping one representative per
+  * duplicate cluster.
+  *
+  * Every stage is one of the engine's bounded-shuffle operators: the
+  * quality gate is a codegen'd filter, exact dedup shuffles on the
+  * fixed-width text hash (text rides only to disambiguate collisions),
+  * near-dup candidates come from the banded bucket join (never
+  * all-pairs), and cluster collapse is min-label propagation with
+  * checkpointed lineage — the same pieces that hold at 100 TB
+  * individually compose without any new scale hazard.
+  */
+object Curation {
+
+  /** @return the kept documents as (id, text) — quality-passing, one
+    *         representative (min id) per exact/near-duplicate group. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minTokens: Int = 5, minAlphaRatio: Double = 0.5,
+             nearDupThreshold: Double = 0.75): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = tokens(col(textCol))
+    val alphaRatio = length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
+      .cast("double") / length(col(textCol)).cast("double")
+    val qual = docs.filter(size(toks) >= minTokens && alphaRatio >= minAlphaRatio)
+
+    // exact dedup, min id per text — grouped on (hash, text) so the
+    // shuffle key is fixed-width and collisions can't merge texts
+    val exact = qual
+      .groupBy(charHash(col(textCol)).as("__h"), col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+      .localCheckpoint() // read by the candidate chain AND the final anti-join
+
+    val pairs = TextDedup.minhashCandidates(exact, idCol, textCol)
+      .filter(col("est_jaccard") >= nearDupThreshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    // non-representative members of every near-dup cluster
+    val dropped = ConnectedComponents.labels(pairs)
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node"))
+    exact.join(dropped, exact(idCol) === dropped("node"), "left_anti")
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.Clustering
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lloyd assignment: two clear clusters, lower-cid tiebreak, stable across layouts") {
+    val vecs = Seq(
+      0L -> Array(1.0f, 0.0f),   // seed cid 0
+      1L -> Array(0.0f, 1.0f),   // seed cid 1
+      2L -> Array(0.9f, 0.1f),
+      3L -> Array(0.1f, 0.9f),
+      4L -> Array(0.8f, 0.2f),
+      5L -> Array(0.5f, 0.5f))   // exactly between -> tie -> cid 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Clustering.lloydAssign(df, "vec_id", "embedding", 2, 2)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(out == Map(0L -> 0, 2L -> 0, 4L -> 0, 5L -> 0, 1L -> 1, 3L -> 1))
+    // cosine column present and sane
+    val cos = Clustering.lloydAssign(df, "vec_id", "embedding", 2, 2)
+      .select("cosine").as[Double].collect()
+    assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    // partitioning must not change the model or the assignment
+    val out2 = Clustering.lloydAssign(df.repartition(5), "vec_id", "embedding", 2, 2)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(out == out2)
+  }
+
+  test("second iteration re-assigns against updated centroids") {
+    // seed 1 = (0,1) but every non-seed vector leans x-ward; after one
+    // update centroid 0 moves toward the x-heavy mean while centroid 1
+    // keeps only its seed — the assignment stays consistent and total
+    val vecs = (2L to 20L).map(i => i -> Array(1.0f, i.toFloat / 40))
+    val df = (Seq(0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f)) ++ vecs)
+      .toDF("vec_id", "embedding")
+    val out = Clustering.lloydAssign(df, "vec_id", "embedding", 2, 2)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(out.size == 21)
+    assert(out(1L) == 1)                      // the y seed stays its own cluster
+    assert((2L to 20L).forall(out(_) == 0))   // all x-leaning vectors on cid 0
+  }
+}

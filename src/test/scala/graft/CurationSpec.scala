@@ -1,0 +1,33 @@
+package graft
+
+import graft.ops.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate: quality gate, exact dedup keep-min-id, near-dup representative only") {
+    val base = "the quick brown fox jumps over the lazy dog while birds sing in the tall green trees near the quiet river bank every morning"
+    val docs = Seq(
+      (1L, base),                    // kept: representative of {1,2,3}
+      (2L, base),                    // exact dup of 1 -> dropped
+      (3L, base + " today"),         // near-dup of 1 (1 appended token) -> dropped
+      (4L, "a b c d"),               // too few tokens -> dropped
+      (5L, "123 456 789 012 345 678"), // alpha ratio 0 -> dropped
+      (6L, "completely different text about computing machines and the history of mathematics in europe")
+    ).toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L))
+  }
+
+  test("curate: near-dup clusters keep exactly their min id") {
+    val t = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq(
+      (10L, t + " extra"),
+      (11L, t),
+      (12L, t + " extra trailing")).toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L), s"cluster must collapse to its min id, got $kept")
+  }
+}

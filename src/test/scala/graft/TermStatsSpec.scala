@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFeatures
+import graft.ops.TermStats
+
+class TermStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidf top terms: rational smooth idf, deterministic tie ranks") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val out = TermStats.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rnk")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // n=3; df: apple 1, banana 2, cherry 2; score = tf*(n+1)/(df+1)
+    assert(out == Seq(
+      (1L, "apple", 1L, 4.0),            // 2*4/2
+      (1L, "banana", 2L, 4.0 / 3),       // 1*4/3
+      (2L, "banana", 1L, 4.0 / 3),       // tie with cherry -> term asc
+      (2L, "cherry", 2L, 4.0 / 3),
+      (3L, "cherry", 1L, 4.0)))          // 3*4/3
+  }
+
+  test("stratified sample: per-stratum head under hash order, layout-independent") {
+    val rows = (1 to 40).map(i => (i.toLong, s"doc number $i", if (i % 2 == 0) "en" else "es"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val out = TermStats.stratifiedSample(docs, "lang", "doc_id",
+        TextFeatures.charHash(col("text")), 5)
+      .select("lang", "doc_id", "rnk")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out.count(_._1 == "en") == 5 && out.count(_._1 == "es") == 5)
+    assert(out.forall(_._3 <= 5))
+    // identical sample no matter how the input is partitioned
+    val out2 = TermStats.stratifiedSample(docs.repartition(7), "lang", "doc_id",
+        TextFeatures.charHash(col("text")), 5)
+      .select("lang", "doc_id", "rnk")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == out2)
+    // a stratum smaller than perStratum is kept whole
+    val tiny = TermStats.stratifiedSample(docs.filter(col("doc_id") <= 3), "lang",
+        "doc_id", TextFeatures.charHash(col("text")), 5)
+    assert(tiny.count() == 3)
+  }
+}
