@@ -30,23 +30,7 @@ object Main {
     val store = new TableStore(spark, warehouseDir)
     val report = new PipelineETL(spark, store, EngineConfig.load())
       .run(stagingDir, y.toInt, m.toInt)
-    // one-line parseable run report (O3). Escapes ALL control chars:
-    // sheet_errors carries raw exception messages, which in Spark
-    // routinely contain newlines — unescaped they'd break both JSON
-    // validity and the one-line contract.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val tables = report.recordsInserted.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errs = report.sheetErrors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val phases = report.phaseSeconds.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    println(s"""{"run_id":${q(report.runId)},"status":${q(report.status)},"message":${q(report.message)},"records_inserted":$tables,"sheet_errors":$errs,"phase_seconds":$phases}""")
+    println(RunReportJson.render(report))
     spark.stop()
     if (report.status == EngineConfig.load()("STATUS_FAILURE")) sys.exit(1)
   }

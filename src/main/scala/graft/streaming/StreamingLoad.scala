@@ -53,6 +53,26 @@ object StreamingLoad {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming exact dedup — the continuous twin of the batch X1
+    * operator: emit only the first arrival of each text, keyed by the
+    * fixed-width polynomial text hash. `dropDuplicatesWithinWatermark`
+    * keeps dedup STATE only until the watermark passes an entry — the
+    * difference between bounded and unbounded state at stream scale
+    * (plain `dropDuplicates` on a stream retains every key forever).
+    * Re-delivery of a text after the watermark horizon re-emits it; the
+    * downstream append-ignore sink absorbs that, same idempotence
+    * argument as [[fileLoadStream]].
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("__h", graft.functions.TextFeatures.charHash(col(textCol)))
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+  }
+
   // ---- custom state: sessionization (flatMapGroupsWithState) -----------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

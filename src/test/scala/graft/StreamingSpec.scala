@@ -60,6 +60,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: first arrival wins, state bounded by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingLoad.dedupStream(
+        mem.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      mem.addData(
+        (1L, "alpha", t("2025-01-01 10:00:00")),
+        (2L, "alpha", t("2025-01-01 10:00:30")), // dup within batch
+        (3L, "beta", t("2025-01-01 10:01:00")))
+      q.processAllAvailable()
+      mem.addData((4L, "alpha", t("2025-01-01 10:02:00"))) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select($"doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"only first arrivals should pass, got $ids")
+    } finally q.stop()
+  }
+
   test("sessionization with custom keyed state emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
