@@ -186,8 +186,9 @@ object ExtensionQueries {
 
     // TF-IDF top-terms per document: (doc, term) counts joined with the
     // vocabulary-sized document frequency (broadcast); rational smooth
-    // idf (N+1)/(df+1) — rank-isomorphic to the log variant and exactly
-    // reproducible cross-engine (single IEEE division, no libm).
+    // idf (N+1)/(df+1) — a documented variant chosen for exact
+    // cross-engine reproducibility (single IEEE division, no libm);
+    // weights rare terms harder than log-idf (see TermStats scaladoc).
     "q37_tfidf_topterms" -> ((s, d) =>
       TermStats.tfidfTopTerms(docsFanned(s, d), "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rnk"))),
@@ -538,7 +539,7 @@ object ExtensionQueries {
          |qtok AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM corpus),
          |qual AS (SELECT doc_id, text FROM qtok
          |  WHERE len(toks) >= 5
-         |    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |    AND CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE)
          |        / CAST(length(text) AS DOUBLE) >= 0.5),
          |exact AS (SELECT min(doc_id) AS doc_id, text FROM qual GROUP BY text),
          |${minhashChain("exact", "k")},

@@ -48,8 +48,63 @@ import scala.collection.mutable
   */
 object XlsxToCsv {
 
-  /** (sheet name, zip entry of the worksheet part) in workbook order. */
-  def sheetEntries(zf: ZipFile): Seq[(String, String)] = {
+  /** One open workbook: zip handle + workbook metadata parsed once and
+    * the shared-string table parsed lazily AT MOST once — multi-sheet
+    * conversion (the pipeline's normal case) must not re-read a ~10^5
+    * entry sst per sheet. Close when done. */
+  final class Workbook(val xlsx: Path) extends AutoCloseable {
+    private val zf = new ZipFile(xlsx.toFile)
+    /** (sheet name, worksheet zip entry) in workbook order. */
+    lazy val sheets: Seq[(String, String)] = sheetEntries(zf)
+    private lazy val sst = sharedStrings(zf)
+
+    def sheetNames: Seq[String] = sheets.map(_._1)
+
+    /** Extract one sheet as a headerless, rectangular, `sep`-separated
+      * CSV (the pre_processor contract); returns lines written. */
+    def convertSheet(sheetName: String, outCsv: Path, sep: Char = ';'): Long = {
+      val entry = sheets.collectFirst { case (n, e) if n == sheetName => e }
+        .getOrElse(throw new IllegalArgumentException(
+          s"sheet '$sheetName' not found in $xlsx (have: ${sheetNames.mkString(", ")})"))
+      val rows = withPart(zf, entry)(in => readSheetRows(in, sst))
+      writeCsv(rows, outCsv, sep)
+    }
+
+    override def close(): Unit = zf.close()
+  }
+
+  def sheetNames(xlsx: Path): Seq[String] = {
+    val wb = new Workbook(xlsx)
+    try wb.sheetNames finally wb.close()
+  }
+
+  /** One-shot single-sheet conversion (opens and closes the workbook). */
+  def convertSheet(xlsx: Path, sheetName: String, outCsv: Path, sep: Char = ';'): Long = {
+    val wb = new Workbook(xlsx)
+    try wb.convertSheet(sheetName, outCsv, sep) finally wb.close()
+  }
+
+  /** Convert every sheet whose name is in `sheets` (all sheets when
+    * empty), writing `<outDir>/<ascii sheet name>.csv` — accent-stripped
+    * so the pipeline's filename routing (`Analitico*`, S7/P9) matches
+    * the workbook's accented tab names (`Analítico`). One zip pass.
+    * Returns the written CSV paths. Mirrors `convert_excel_sheets_to_csv`. */
+  def convertAll(xlsx: Path, outDir: Path, sheets: Set[String] = Set.empty,
+                 sep: Char = ';'): Seq[Path] = {
+    Files.createDirectories(outDir)
+    val wb = new Workbook(xlsx)
+    try
+      wb.sheetNames
+        .filter(n => sheets.isEmpty || sheets.contains(n))
+        .map { n =>
+          val out = outDir.resolve(asciiName(n) + ".csv")
+          wb.convertSheet(n, out, sep)
+          out
+        }
+    finally wb.close()
+  }
+
+  private def sheetEntries(zf: ZipFile): Seq[(String, String)] = {
     val rels = withPart(zf, "xl/_rels/workbook.xml.rels")(readRels)
     val sheets = withPart(zf, "xl/workbook.xml")(readWorkbookSheets)
     sheets.map { case (name, rid) =>
@@ -60,42 +115,6 @@ object XlsxToCsv {
                   else s"xl/$target"
       name -> entry
     }
-  }
-
-  def sheetNames(xlsx: Path): Seq[String] = {
-    val zf = new ZipFile(xlsx.toFile)
-    try sheetEntries(zf).map(_._1) finally zf.close()
-  }
-
-  /** Extract one sheet as a headerless, rectangular, `sep`-separated CSV
-    * (the pre_processor contract). Returns the number of lines written. */
-  def convertSheet(xlsx: Path, sheetName: String, outCsv: Path, sep: Char = ';'): Long = {
-    val zf = new ZipFile(xlsx.toFile)
-    try {
-      val entry = sheetEntries(zf).collectFirst { case (n, e) if n == sheetName => e }
-        .getOrElse(throw new IllegalArgumentException(
-          s"sheet '$sheetName' not found in $xlsx (have: ${sheetEntries(zf).map(_._1).mkString(", ")})"))
-      val shared = sharedStrings(zf)
-      val rows = withPart(zf, entry)(in => readSheetRows(in, shared))
-      writeCsv(rows, outCsv, sep)
-    } finally zf.close()
-  }
-
-  /** Convert every sheet whose name is in `sheets` (all sheets when
-    * empty), writing `<outDir>/<ascii sheet name>.csv` — accent-stripped
-    * so the pipeline's filename routing (`Analitico*`, S7/P9) matches
-    * the workbook's accented tab names (`Analítico`). Returns the
-    * written CSV paths. Mirrors `convert_excel_sheets_to_csv`. */
-  def convertAll(xlsx: Path, outDir: Path, sheets: Set[String] = Set.empty,
-                 sep: Char = ';'): Seq[Path] = {
-    Files.createDirectories(outDir)
-    sheetNames(xlsx)
-      .filter(n => sheets.isEmpty || sheets.contains(n))
-      .map { n =>
-        val out = outDir.resolve(asciiName(n) + ".csv")
-        convertSheet(xlsx, n, out, sep)
-        out
-      }
   }
 
   /** Accent-stripped, filename-safe sheet name (case preserved:

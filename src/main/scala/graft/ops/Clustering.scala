@@ -36,7 +36,12 @@ object Clustering {
   }
 
   /** `iters` Lloyd iterations from the first-`k`-by-id seeds; returns
-    * (id, cid, cosine) — each vector's final centroid and similarity. */
+    * (id, cid, cosine) — each vector's final centroid and similarity.
+    *
+    * A centroid whose cluster empties out is DROPPED from the model for
+    * subsequent iterations (standard Lloyd behavior; the result can
+    * carry fewer than k distinct cids). Callers needing exactly k
+    * clusters should re-seed; the oracle mirrors the drop. */
   def lloydAssign(corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one assignment pass")
@@ -45,10 +50,12 @@ object Clustering {
       .localCheckpoint() // scanned 2×/iteration; don't re-read the source
 
     // seed model: the first k corpus vectors by id (fixed, like the IVF
-    // coarse quantizer — iteration-order-free and engine-neutral)
-    var centroids: Seq[(Int, Array[Float])] = src.filter(col("vec_id") < k)
-      .orderBy("vec_id")
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+    // coarse quantizer — iteration-order-free and engine-neutral).
+    // orderBy+limit, NOT `id < k`: ids need not be 0-based contiguous.
+    var centroids: Seq[(Long, Array[Float])] = src
+      .orderBy("vec_id").limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    require(centroids.nonEmpty, "lloydAssign: empty corpus, no seeds")
 
     def assign(): DataFrame = {
       val normV = sqrt(Similarity.dot(col("v"), col("v")))
@@ -62,7 +69,7 @@ object Clustering {
       // fold in ascending-cid order; strict > keeps the earlier (lower)
       // cid on ties — the deterministic tiebreak the oracle mirrors
       val (bestCid, bestCos) = centroids.map(_._1).sorted.tail
-        .foldLeft((lit(centroids.map(_._1).min).cast("int"),
+        .foldLeft((lit(centroids.map(_._1).min).cast("long"),
           col(s"__c${centroids.map(_._1).min}"))) {
           case ((bc, bv), cid) =>
             val c = col(s"__c$cid")
@@ -83,7 +90,7 @@ object Clustering {
         .groupBy("cid", "pos")
         .agg(sum("vq").as("sum_q"), count(lit(1)).as("n"))
         .collect()
-      centroids = stats.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+      centroids = stats.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
         val dims = rows.map(r => (r.getInt(1),
           (r.getLong(2).toDouble / (r.getLong(3).toDouble * Quantum)).toFloat))
           .sortBy(_._1).map(_._2).toArray

@@ -28,7 +28,11 @@ object Curation {
              nearDupThreshold: Double = 0.75): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = tokens(col(textCol))
-    val alphaRatio = length(regexp_replace(col(textCol), "[^a-zA-Z]", ""))
+    // \p{L} (any Unicode letter), NOT [a-zA-Z]: this engine's domain is
+    // Portuguese text — ASCII-only alpha would count every Ç/Ã/É against
+    // the ratio and drop legitimate accented documents. (q29's ASCII
+    // alpha_ratio is a separate REPORTED metric; this one gates.)
+    val alphaRatio = length(regexp_replace(col(textCol), "[^\\p{L}]", ""))
       .cast("double") / length(col(textCol)).cast("double")
     val qual = docs.filter(size(toks) >= minTokens && alphaRatio >= minAlphaRatio)
 

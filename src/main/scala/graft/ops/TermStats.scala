@@ -19,11 +19,14 @@ object TermStats {
   /** Top-`k` TF-IDF terms per document.
     *
     * The idf is the RATIONAL smooth variant `(N+1)/(df+1)` rather than
-    * its logarithm: one double division is computed identically (IEEE
-    * round-to-nearest) by every engine, while `ln` is only guaranteed
-    * faithful per math library — the ranking is order-isomorphic either
-    * way (ln is monotone) and the score stays bit-reproducible in the
-    * DuckDB oracle.
+    * its logarithm — a deliberate, documented variant: one double
+    * division is computed identically (IEEE round-to-nearest) by every
+    * engine, while `ln` is only guaranteed faithful per math library,
+    * so the score stays bit-reproducible in the DuckDB oracle. Note the
+    * tf·idf PRODUCT ranking is NOT identical to log-idf TF-IDF (the
+    * rational form weights rare terms more aggressively); swap the
+    * score expression for `tf * (ln((N+1)/(df+1)) + 1)` when classic
+    * ranking matters more than cross-engine bit-equality.
     *
     * Ties rank deterministically by (score desc, term asc).
     */
@@ -37,7 +40,10 @@ object TermStats {
     // n = corpus size. Both tiny relative to the corpus — the join
     // back to tf broadcasts at any realistic vocabulary.
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
+    // row count, NOT distinct-id count: matches the oracle's count(*)
+    // exactly (a duplicate-id input is the caller's bug, and silently
+    // diverging from the oracle would mask it), and skips a shuffle.
+    val n = docs.count()
     val scored = tf.join(broadcast(df_), Seq("term"))
       .withColumn("score",
         (col("tf") * (n + 1)).cast("double") / (col("df") + 1))

@@ -73,21 +73,25 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
     // into the staging dir are expanded to one `;`-CSV per sheet (accent-
     // stripped names) so the filename routing below treats workbook tabs
     // and pre-staged CSVs identically. A CSV that already exists wins —
-    // conversion never clobbers explicit input. Per-workbook failures are
-    // sheet-isolated like every other input (O2).
+    // conversion never clobbers explicit input. Failures are isolated
+    // PER SHEET (O2): a corrupt sheet part must not lose the workbook's
+    // other, readable sheets; an unreadable workbook (can't even list
+    // sheets) is isolated per file.
     phase("preconvert") {
       Option(new java.io.File(stagingDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".xlsx"))
         .sortBy(_.getName)
         .foreach { f =>
           isolated(f.getName) {
-            graft.ingest.XlsxToCsv.sheetNames(f.toPath).foreach { sheet =>
-              val out = new java.io.File(stagingDir,
-                graft.ingest.XlsxToCsv.asciiName(sheet) + ".csv")
-              if (!out.exists())
-                graft.ingest.XlsxToCsv.convertSheet(f.toPath, sheet, out.toPath,
-                  cfg("CSV_SEPARATOR").head)
-            }
+            val wb = new graft.ingest.XlsxToCsv.Workbook(f.toPath)
+            try wb.sheetNames.foreach { sheet =>
+              isolated(s"${f.getName}!$sheet") {
+                val out = new java.io.File(stagingDir,
+                  graft.ingest.XlsxToCsv.asciiName(sheet) + ".csv")
+                if (!out.exists())
+                  wb.convertSheet(sheet, out.toPath, cfg("CSV_SEPARATOR").head)
+              }
+            } finally wb.close()
           }
         }
     }

@@ -54,23 +54,33 @@ object StreamingLoad {
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
 
   /** Streaming exact dedup — the continuous twin of the batch X1
-    * operator: emit only the first arrival of each text, keyed by the
-    * fixed-width polynomial text hash. `dropDuplicatesWithinWatermark`
-    * keeps dedup STATE only until the watermark passes an entry — the
-    * difference between bounded and unbounded state at stream scale
-    * (plain `dropDuplicates` on a stream retains every key forever).
-    * Re-delivery of a text after the watermark horizon re-emits it; the
-    * downstream append-ignore sink absorbs that, same idempotence
-    * argument as [[fileLoadStream]].
+    * operator: emit only the first arrival of each text.
+    * `dropDuplicatesWithinWatermark` keeps dedup STATE only until the
+    * watermark passes an entry — the difference between bounded and
+    * unbounded state at stream scale (plain `dropDuplicates` on a
+    * stream retains every key forever). Re-delivery of a text after the
+    * watermark horizon re-emits it; the downstream append-ignore sink
+    * absorbs that, same idempotence argument as [[fileLoadStream]].
+    *
+    * The state key is (xxhash64, length, charHash) rather than the text
+    * itself: fixed-width state per entry, and two INDEPENDENT 64-bit and
+    * 30-bit hashes plus the length make a false merge (~2^-90 per pair)
+    * negligible even at stream scale — unlike the single 30-bit hash,
+    * whose birthday collisions at ~10^5 in-window texts would silently
+    * drop distinct documents (the batch path's (hash, text) grouping
+    * guards exactly this; carrying full text in streaming state is the
+    * alternative if absolute exactness outweighs state size).
     */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
                   watermarkDelay: String = "1 hour"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withWatermark(tsCol, watermarkDelay)
-      .withColumn("__h", graft.functions.TextFeatures.charHash(col(textCol)))
-      .dropDuplicatesWithinWatermark("__h")
-      .drop("__h")
+      .withColumn("__h1", xxhash64(col(textCol)))
+      .withColumn("__h2", length(col(textCol)))
+      .withColumn("__h3", graft.functions.TextFeatures.charHash(col(textCol)))
+      .dropDuplicatesWithinWatermark("__h1", "__h2", "__h3")
+      .drop("__h1", "__h2", "__h3")
   }
 
   // ---- custom state: sessionization (flatMapGroupsWithState) -----------

@@ -15,16 +15,22 @@ class ClusteringSpec extends SparkSpec {
       5L -> Array(0.5f, 0.5f))   // exactly between -> tie -> cid 0
     val df = vecs.toDF("vec_id", "embedding")
     val out = Clustering.lloydAssign(df, "vec_id", "embedding", 2, 2)
-      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
-    assert(out == Map(0L -> 0, 2L -> 0, 4L -> 0, 5L -> 0, 1L -> 1, 3L -> 1))
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 5L -> 0L, 1L -> 1L, 3L -> 1L))
     // cosine column present and sane
     val cos = Clustering.lloydAssign(df, "vec_id", "embedding", 2, 2)
       .select("cosine").as[Double].collect()
     assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
     // partitioning must not change the model or the assignment
     val out2 = Clustering.lloydAssign(df.repartition(5), "vec_id", "embedding", 2, 2)
-      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
     assert(out == out2)
+    // non-contiguous, non-zero-based ids still seed k centroids
+    val shifted = vecs.map { case (id, v) => (id * 100 + 7, v) }
+      .toDF("vec_id", "embedding")
+    val out3 = Clustering.lloydAssign(shifted, "vec_id", "embedding", 2, 2)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(out3 == out.map { case (id, cid) => (id * 100 + 7, cid * 100 + 7) })
   }
 
   test("second iteration re-assigns against updated centroids") {
@@ -35,9 +41,9 @@ class ClusteringSpec extends SparkSpec {
     val df = (Seq(0L -> Array(1.0f, 0.0f), 1L -> Array(0.0f, 1.0f)) ++ vecs)
       .toDF("vec_id", "embedding")
     val out = Clustering.lloydAssign(df, "vec_id", "embedding", 2, 2)
-      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
     assert(out.size == 21)
-    assert(out(1L) == 1)                      // the y seed stays its own cluster
-    assert((2L to 20L).forall(out(_) == 0))   // all x-leaning vectors on cid 0
+    assert(out(1L) == 1L)                     // the y seed stays its own cluster
+    assert((2L to 20L).forall(out(_) == 0L))  // all x-leaning vectors on cid 0
   }
 }

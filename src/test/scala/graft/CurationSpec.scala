@@ -20,6 +20,17 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L, 6L))
   }
 
+  test("curate: accented letters count as alphabetic in the quality gate") {
+    // ~59% Unicode-letters incl. Ç/Ã/É/Á — ASCII-only alpha counting
+    // would score it under 0.5 and silently drop a legitimate document
+    val docs = Seq(
+      (1L, "ALVENARIA DE VEDAÇÃO COM ÁGUA É ESSENCIAL À OBRA SEGUNDO OPINIÃO TÉCNICA")
+    ).toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("curate: near-dup clusters keep exactly their min id") {
     val t = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
     val docs = Seq(
