@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{Clustering, Curation, Multimodal, Similarity, TermStats, TextDedup}
+import graft.ops.{Clustering, Curation, Multimodal, Quantize, Similarity, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -212,6 +212,26 @@ object ExtensionQueries {
         .select(col("vec_id"), col("cid").cast("long").as("cid"), col("cosine"))
         .orderBy(col("vec_id"))),
 
+    // BM25 retrieval scoring against a fixed probe query (log-free
+    // Robertson idf; per-term scores floor-quantized before the per-doc
+    // sum, so the total is exact under any merge order); global top-100
+    // via sort+limit, not a one-partition window.
+    "q41_bm25" -> ((s, d) =>
+      TermStats.bm25Rank(docsFanned(s, d), "doc_id", "text",
+          Seq("join", "vector", "stream"))
+        .orderBy(col("rnk"))),
+
+    // Symmetric per-vector int8 quantization of the embedding table
+    // (the 4x-at-rest storage path); emitted per-dimension for the
+    // value-exact oracle compare.
+    "q42_int8_quantize" -> ((s, d) =>
+      Quantize.int8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("qvec")),
+          floor(col("scale") * 1e6).as("scale_q"))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").cast("long").as("q"), col("scale_q"))
+        .orderBy(col("vec_id"), col("pos"))),
+
     // End-to-end curation: quality gate -> exact dedup -> near-dup
     // cluster representatives, composed from the engine's own operators.
     "q40_curation" -> ((s, d) =>
@@ -336,15 +356,21 @@ object ExtensionQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Shingles are joined/counted as their polynomial hash (fixed-width
+    // shuffle key), mirroring TextDedup.ngramJaccardPairs: hash FIRST,
+    // then distinct — a collision merges shingles identically on both
+    // engines.
     "q24_dedup_ngram_jaccard" ->
       s"""WITH $corpusCte, $tokCte,
-         |dsh AS (SELECT unnest(list_distinct(
-         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS shingle
+         |dsh AS (SELECT unnest(list_distinct(list_transform(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |    s -> ${dh("s")}))) AS shingle
          |  FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
          |        FROM (SELECT DISTINCT text FROM corpus)) WHERE len(toks) >= 3),
          |stop AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) > $StopShingleDf),
-         |sh0 AS (SELECT doc_id, unnest(list_distinct(
-         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS shingle
+         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |    s -> ${dh("s")}))) AS shingle
          |  FROM tok WHERE len(toks) >= 3),
          |sh AS (SELECT doc_id, shingle FROM sh0
          |  WHERE shingle NOT IN (SELECT shingle FROM stop)),
@@ -533,6 +559,43 @@ object ExtensionQueries {
          |  SELECT vec_id, cid, cosine, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid ASC) AS rn
          |  FROM s2) WHERE rn = 1)
          |SELECT vec_id, cid, cosine FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // Mirrors TermStats.bm25Rank term-for-term: n = count(*), avgdl one
+    // double division, idf (n - df + 0.5)/(df + 0.5), tf part with
+    // k1=1.2 b=0.75 in the same association order, floor(score*1e6)
+    // per term summed as BIGINT per doc.
+    "q41_bm25" ->
+      """WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+        |dld AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+        |stats AS (SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE)/count(*) AS avgdl FROM dld),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dld)
+        |  WHERE term IN ('join', 'vector', 'stream') GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id,
+        |  CAST(floor(((n - df + 0.5)/(df + 0.5))
+        |    * ((tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |    * 1000000.0) AS BIGINT) AS sq
+        |  FROM tf JOIN dfc USING (term), stats),
+        |agg AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS bm25_q FROM scored GROUP BY 1),
+        |rk AS (SELECT doc_id, bm25_q,
+        |  ROW_NUMBER() OVER (ORDER BY bm25_q DESC, doc_id ASC) AS rnk FROM agg)
+        |SELECT doc_id, bm25_q, rnk FROM rk WHERE rnk <= 100
+        |ORDER BY rnk""".stripMargin,
+
+    "q42_int8_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  CASE WHEN list_max(list_transform(embedding, x -> abs(x))) > 0
+        |       THEN 127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |       ELSE 0.0 END AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, i AS pos,
+        |  CASE WHEN scale > 0
+        |       THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * scale) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS q,
+        |  CAST(floor(scale * 1000000) AS BIGINT) AS scale_q
+        |FROM s, range(1, 65) r(i)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "q40_curation" ->
       s"""WITH RECURSIVE $corpusCte,

@@ -55,6 +55,53 @@ object TermStats {
       .select(col("doc_id"), col("term"), col("rnk"), col("score"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scorer of a curation pipeline ("rank the corpus
+    * against this probe query"). Same two-shuffle shape as TF-IDF; the
+    * df side is |queryTerms| rows and broadcast.
+    *
+    * Determinism: the idf is the Robertson form WITHOUT the log
+    * (`(N - df + 0.5)/(df + 0.5)` — documented variant, same
+    * cross-engine argument as [[tfidfTopTerms]]), every division/
+    * multiplication has a fixed association order, and per-term scores
+    * are FLOOR-QUANTIZED to longs before the per-doc sum — double
+    * addition is order-sensitive, so the quantized integer sum is what
+    * makes the total exact under any partial-aggregate merge order.
+    *
+    * @return (doc_id, bm25_q, rnk): top `topK` docs by quantized score
+    *         (ties → lower doc_id), bm25_q = Σ floor(term_score·1e6).
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextFeatures.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("long").as("dl"))
+      .localCheckpoint() // read twice: corpus stats + per-term scores
+    val n = base.count()
+    val sumDl = base.agg(sum(col("dl"))).head().getLong(0)
+    val avgdl = sumDl.toDouble / n
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms.map(lit(_)): _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfPart = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    // global top-K via sort+limit (TakeOrderedAndProject: per-partition
+    // top-K then a single merge — NOT a one-partition window over the
+    // whole corpus); the rank window then runs over ≤ topK rows.
+    tf.join(broadcast(df_), Seq("term"))
+      .withColumn("__sq", floor(idf * tfPart * lit(1e6)))
+      .groupBy("doc_id").agg(sum(col("__sq")).as("bm25_q"))
+      .orderBy(col("bm25_q").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("bm25_q").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("bm25_q"), col("rnk"))
+  }
+
   /** Deterministic stratified head-sample: the first `perStratum` rows
     * of each stratum under (orderHash asc, id asc) — a reproducible
     * stand-in for per-class random sampling (the hash plays the RNG;

@@ -164,9 +164,16 @@ object TextDedup {
     val members = base.select(col("id"), col("__h"), col("__t"))
       .join(reps, Seq("__h", "__t")).select(col("id"), col("rep")).localCheckpoint()
 
+    // Shingles ride as their 30-bit polynomial hash, not the string: the
+    // self-join below shuffles on this key, and a fixed-width long beats
+    // a variable-length trigram string at any scale. A hash collision
+    // merges two shingles consistently across ALL docs (intersections
+    // and sizes alike) — the standard hashed-shingling approximation,
+    // mirrored exactly by the oracle.
     val shAll = base.join(reps.select(col("rep")), base("id") === col("rep"))
       .select(col("rep").as("id"),
-        explode(array_distinct(shingles(col("__toks"), shingleN))).as("shingle"))
+        explode(array_distinct(transform(shingles(col("__toks"), shingleN),
+          s => charHash(s)))).as("shingle"))
     // Stop-shingle exclusion. Document frequency is counted over
     // representatives = distinct texts (clone count must not inflate a
     // shingle into "ubiquitous").

@@ -25,6 +25,25 @@ class TermStatsSpec extends SparkSpec {
       (3L, "cherry", 1L, 4.0)))          // 3*4/3
   }
 
+  test("bm25: term-bearing docs ranked, quantized totals layout-independent") {
+    val docs = Seq(
+      (1L, "join join join filler filler filler filler filler"), // tf=3, long doc
+      (2L, "join vector"),                                       // two query terms, short
+      (3L, "filler filler filler"),                              // no query term
+      (4L, "vector")).toDF("doc_id", "text")
+    val out = TermStats.bm25Rank(docs, "doc_id", "text", Seq("join", "vector"), topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byDoc = out.map(r => r._1 -> r._2).toMap
+    assert(!byDoc.contains(3L), "doc without query terms must not rank")
+    assert(out.map(_._3) == (1L to out.size), "ranks are dense from 1")
+    // doc 2 hits both terms with minimal length: must beat the tf-heavy long doc
+    assert(byDoc(2L) > byDoc(1L))
+    // exact same quantized scores under different partitioning
+    val out2 = TermStats.bm25Rank(docs.repartition(5), "doc_id", "text",
+      Seq("join", "vector"), topK = 10).as[(Long, Long, Long)].collect().toSeq
+    assert(out == out2)
+  }
+
   test("stratified sample: per-stratum head under hash order, layout-independent") {
     val rows = (1 to 40).map(i => (i.toLong, s"doc number $i", if (i % 2 == 0) "en" else "es"))
     val docs = rows.toDF("doc_id", "text", "lang")
