@@ -15,7 +15,7 @@ object Plans {
   private val Keep =
     Seq("Exchange", "HashAggregate", "ObjectHashAggregate", "SortAggregate",
       "FileScan", "Join", "Window", "Expand", "Generate", "Sort ", "Scan ",
-      "Union", "LocalLimit", "GlobalLimit", "Project [", "Filter (",
+      "Union", "LocalLimit", "GlobalLimit", "TakeOrdered", "Project [", "Filter (",
       "WindowGroupLimit", "UnionLoop", "MapPartitions", "SerializeFromObject")
 
   def main(args: Array[String]): Unit = {
