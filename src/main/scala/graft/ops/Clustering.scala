@@ -35,26 +35,56 @@ object Clustering {
     math.sqrt(acc)
   }
 
-  /** `iters` Lloyd iterations from the first-`k`-by-id seeds; returns
+  /** Deterministic farthest-point (k-center / kmeans++-style) seeding:
+    * the min-id vector starts; each of the remaining k-1 rounds adds
+    * the vector LEAST similar to its nearest chosen seed (argmin of max
+    * cosine; ties → lower id). Spreads seeds across the data instead of
+    * whatever the first k ids happen to be — one Spark job per round,
+    * model state driver-side, same execution shape as [[lloydAssign]].
+    * (Deterministic stand-in for kmeans++'s random proportional draw —
+    * randomness would break the cross-engine/replay contract.)
+    */
+  def farthestPointSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int): Seq[(Long, Array[Float])] = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val src = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .localCheckpoint()
+    val first = src.orderBy("vec_id").limit(1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(first.nonEmpty, "farthestPointSeeds: empty corpus")
+    var seeds = first.toSeq
+    while (seeds.size < k) {
+      val normV = sqrt(Similarity.dot(col("v"), col("v")))
+      val maxCos = seeds.map { case (_, ce) =>
+        Similarity.dot(col("v"), lit(ce)) / (normV * lit(normOf(ce)))
+      }.reduce((a, b) => when(b > a, b).otherwise(a))
+      val next = src
+        .join(broadcast(src.sparkSession.createDataFrame(
+            seeds.map(s => Tuple1(s._1))).toDF("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("v"), maxCos.as("__mc"))
+        .orderBy(col("__mc").asc, col("vec_id").asc).limit(1)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      if (next.isEmpty) return seeds // fewer than k distinct vectors
+      seeds = seeds ++ next.toSeq
+    }
+    seeds
+  }
+
+  /** `iters` Lloyd iterations from explicit seed centroids; returns
     * (id, cid, cosine) — each vector's final centroid and similarity.
     *
     * A centroid whose cluster empties out is DROPPED from the model for
     * subsequent iterations (standard Lloyd behavior; the result can
     * carry fewer than k distinct cids). Callers needing exactly k
     * clusters should re-seed; the oracle mirrors the drop. */
-  def lloydAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int): DataFrame = {
+  def lloydAssignFrom(corpus: DataFrame, idCol: String, vecCol: String,
+                      seeds: Seq[(Long, Array[Float])], iters: Int): DataFrame = {
     require(iters >= 1, "need at least one assignment pass")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val src = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .localCheckpoint() // scanned 2×/iteration; don't re-read the source
-
-    // seed model: the first k corpus vectors by id (fixed, like the IVF
-    // coarse quantizer — iteration-order-free and engine-neutral).
-    // orderBy+limit, NOT `id < k`: ids need not be 0-based contiguous.
-    var centroids: Seq[(Long, Array[Float])] = src
-      .orderBy("vec_id").limit(k)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    var centroids: Seq[(Long, Array[Float])] = seeds
     require(centroids.nonEmpty, "lloydAssign: empty corpus, no seeds")
 
     def assign(): DataFrame = {
@@ -100,5 +130,17 @@ object Clustering {
       it += 1
     }
     assigned.select(col("vec_id").as(idCol), col("cid"), col("cosine"))
+  }
+
+  /** Lloyd from the first-`k`-by-id seeds (the fixed, engine-neutral
+    * quantizer the q39 oracle mirrors — see [[farthestPointSeeds]] for
+    * the spread-seeking alternative). */
+  def lloydAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val seeds = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .orderBy("vec_id").limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    lloydAssignFrom(corpus, idCol, vecCol, seeds, iters)
   }
 }

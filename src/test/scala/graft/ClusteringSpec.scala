@@ -33,6 +33,25 @@ class ClusteringSpec extends SparkSpec {
     assert(out3 == out.map { case (id, cid) => (id * 100 + 7, cid * 100 + 7) })
   }
 
+  test("farthest-point seeding spreads seeds instead of taking the first k ids") {
+    // ids 0-3 all point x-ward; only id 9 points y-ward. First-k seeding
+    // would pick two near-identical x seeds; farthest-point must pick
+    // the lone y vector as the second seed.
+    val df = (Seq(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.99f, 0.01f),
+      2L -> Array(0.98f, 0.02f), 3L -> Array(0.97f, 0.03f),
+      9L -> Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val seeds = Clustering.farthestPointSeeds(df, "vec_id", "embedding", 2)
+    assert(seeds.map(_._1) == Seq(0L, 9L))
+    // and Lloyd from those seeds separates the two directions
+    val out = Clustering.lloydAssignFrom(df, "vec_id", "embedding", seeds, 2)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 9L -> 9L))
+    // more seeds than distinct vectors: returns what exists, no crash
+    val tiny = Clustering.farthestPointSeeds(df.limit(2), "vec_id", "embedding", 5)
+    assert(tiny.size == 2)
+  }
+
   test("second iteration re-assigns against updated centroids") {
     // seed 1 = (0,1) but every non-seed vector leans x-ward; after one
     // update centroid 0 moves toward the x-heavy mean while centroid 1
