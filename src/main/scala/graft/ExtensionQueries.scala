@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{Clustering, Curation, Multimodal, Quantize, Similarity, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, Multimodal, Quantize, Similarity, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -258,6 +258,61 @@ object ExtensionQueries {
           sum(col("value").cast(graft.model.Schemas.money)).cast("double").as("total"),
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Benchmark decontamination: which corpus docs share any trigram
+    // with the held-out eval slice (doc_id % 50 = 0)? Eval n-gram hash
+    // set broadcast; exactly one corpus pass.
+    "q43_decontaminate" -> ((s, d) => {
+      val docs = docsFanned(s, d)
+      Contamination.ngramOverlap(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: regex detect counts + typed-placeholder redaction. The
+    // raw synthetic text carries no PII, so the corpus is salted with
+    // deterministic emails/phones (mirrored in the oracle CTE).
+    "q44_pii_scrub" -> ((s, d) => {
+      val salted = docsFanned(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))))
+      val cols = TextAnalysis.piiColumns(col("text")).map { case (n, c) => c.as(n) }
+      salted.select((col("doc_id") +: cols): _*).orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition quality signals: top-bigram share and
+    // duplicate-trigram share, ppm-quantized in integer arithmetic.
+    "q45_repetition" -> ((s, d) =>
+      TermStats.repetitionStats(docsFanned(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Deterministic train/val/test split (80/10/10 on the text#id hash).
+    "q46_dataset_split" -> ((s, d) =>
+      Curation.hashSplit(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Backward as-of join: each click ↔ the latest error by the same
+    // user at-or-before it (union + running-last window — one shuffle,
+    // no inequality-join pair fan-out). No-match sentinel: -1.
+    "q47_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      AsOfJoin.lastAtOrBefore(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts")), "user_id", "ts",
+        ev.filter(col("event_type") === "error"), "user_id", "ts",
+        "event_id", Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"),
+          coalesce(col("asof_value"), lit(-1.0d)).as("asof_value"))
+        .orderBy(col("event_id"))
     }),
   )
 

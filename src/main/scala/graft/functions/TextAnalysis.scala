@@ -59,6 +59,26 @@ object TextAnalysis {
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"),
     "n_chars" -> length(text).cast("long"))
 
+  /** PII regexes, restricted to the syntax subset Java regex and RE2
+    * (DuckDB) interpret identically — char classes, `+`/bounded
+    * quantifiers, no lookaround/backrefs — so detect counts and
+    * redaction output are bit-equal cross-engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** PII detection + redaction — the scrub pass a training-data
+    * pipeline runs before anything ships: count matches, then replace
+    * them with typed placeholders. Pure per-row projections (codegen'd
+    * regexp expressions, zero shuffles); emails are redacted before
+    * phones so overlapping matches resolve in one documented order. */
+  def piiColumns(text: Column): Seq[(String, Column)] = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    Seq(
+      "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+      "n_phones" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"),
+      "redacted" -> regexp_replace(noEmail, PhoneRe, "<PHONE>"))
+  }
+
   /** Document fingerprints: whole-text polynomial rolling hash, plus a
     * winnowing-style selected fingerprint (min hash over all `w`-token
     * windows — robust to local edits). */

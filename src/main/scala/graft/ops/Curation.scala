@@ -53,4 +53,32 @@ object Curation {
       .select(col("node"))
     exact.join(dropped, exact(idCol) === dropped("node"), "left_anti")
   }
+
+  /** Deterministic train/val/test assignment: bucket on the polynomial
+    * hash of `text#id`, cut at fixed percentiles. The hash plays the
+    * RNG — same corpus ⇒ same split on any cluster layout, re-runnable
+    * and auditable (the property a training pipeline needs; `rand()`
+    * splits are neither). Pure projection: zero shuffles, no state.
+    *
+    * Hashing text+id (not id alone) decorrelates the split from id
+    * assignment order, so time-ordered ingestion cannot leak temporal
+    * structure into the split boundaries.
+    *
+    * @param cuts ascending (name, upperBoundExclusive) percentile cuts;
+    *             the last bound must be 100.
+    * @return input columns plus (bucket, split).
+    */
+  def hashSplit(docs: DataFrame, idCol: String, textCol: String,
+                cuts: Seq[(String, Int)] =
+                  Seq("train" -> 80, "val" -> 90, "test" -> 100)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must ascend to 100")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // charHash is already non-negative (mod 1e9+7 fold), so % is safe
+    val bucket = charHash(concat(col(textCol), lit("#"), col(idCol).cast("string"))) % 100
+    val split = cuts.init.foldRight(lit(cuts.last._1): org.apache.spark.sql.Column) {
+      case ((name, ub), acc) => when(col("bucket") < ub, name).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket).withColumn("split", split)
+  }
 }

@@ -102,6 +102,45 @@ object TermStats {
       .select(col("doc_id"), col("bm25_q"), col("rnk"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    * filters): how much of a document is the same n-gram repeated?
+    * High top-bigram share or duplicate-trigram share marks boilerplate
+    * and degenerate (looping) text — a standard pretraining gate.
+    *
+    * Computed by explode + two-level aggregation, NOT a per-row O(L²)
+    * array walk: documents at corpus scale can be 100k tokens, and the
+    * (doc, gram) count path keeps per-row work linear while map-side
+    * partial aggregation collapses the fan-out before the shuffle.
+    * N-grams ride as polynomial hashes (fixed-width shuffle key).
+    *
+    * Fractions are emitted floor-quantized to parts-per-million in
+    * integer arithmetic (`x*1e6 div total`) — bit-exact on any engine,
+    * no float division in the contract.
+    *
+    * @return (doc_id, n_bigrams, top_bigram_n, top_bigram_frac_q,
+    *         n_trigrams, dup_trigram_n, dup_trigram_frac_q) for docs
+    *         with ≥ 3 tokens (both gram orders defined).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextFeatures.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 3)
+      .localCheckpoint() // read twice (bigram + trigram passes)
+    def gramCounts(n: Int) = base
+      .select(col("doc_id"), explode(transform(
+        TextFeatures.shingles(col("__toks"), n), s => TextFeatures.charHash(s))).as("__g"))
+      .groupBy(col("doc_id"), col("__g")).agg(count(lit(1)).as("c"))
+    val bi = gramCounts(2).groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    val tri = gramCounts(3).groupBy("doc_id")
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_trigram_n"))
+    bi.join(tri, Seq("doc_id"))
+      .withColumn("top_bigram_frac_q", expr("top_bigram_n * 1000000 DIV n_bigrams"))
+      .withColumn("dup_trigram_frac_q", expr("dup_trigram_n * 1000000 DIV n_trigrams"))
+  }
+
   /** Deterministic stratified head-sample: the first `perStratum` rows
     * of each stratum under (orderHash asc, id asc) — a reproducible
     * stand-in for per-class random sampling (the hash plays the RNG;
