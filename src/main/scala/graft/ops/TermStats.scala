@@ -11,8 +11,9 @@ import graft.functions.TextFeatures
   *
   * Scale shape: both are two-shuffle programs. TF-IDF is
   * (doc, term)-grouped counts joined with a term-grouped document
-  * frequency — the term side is vocabulary-sized (≪ corpus at 100 TB)
-  * and broadcastable; sampling is one window per stratum.
+  * frequency — the term side is vocabulary-sized (≪ corpus at 100 TB,
+  * but unbounded: join strategy is left to AQE, never force-broadcast);
+  * sampling is one window per stratum.
   */
 object TermStats {
 
@@ -29,22 +30,33 @@ object TermStats {
     * ranking matters more than cross-engine bit-equality.
     *
     * Ties rank deterministically by (score desc, term asc).
+    *
+    * Plan shape: ONE scan of the source. `base` (tokenized docs) is
+    * materialized and feeds both the corpus count and the (doc, term)
+    * aggregate; `tf` is materialized because it forks (its own
+    * term-aggregate joins back to it — unmaterialized, Catalyst would
+    * run the scan+explode+aggregate subtree twice). The df side is
+    * vocabulary-sized but UNBOUNDED (URLs, typos, code tokens at web
+    * scale), so it is NOT force-broadcast: AQE picks the join strategy
+    * from the observed size.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(TextFeatures.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df = docs containing the term (vocabulary-sized aggregate);
-    // n = corpus size. Both tiny relative to the corpus — the join
-    // back to tf broadcasts at any realistic vocabulary.
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextFeatures.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint() // read twice: corpus count + term explode
     // row count, NOT distinct-id count: matches the oracle's count(*)
     // exactly (a duplicate-id input is the caller's bug, and silently
-    // diverging from the oracle would mask it), and skips a shuffle.
-    val n = docs.count()
-    val scored = tf.join(broadcast(df_), Seq("term"))
+    // diverging from the oracle would mask it). Counting the checkpoint
+    // costs no second source scan.
+    val n = base.count()
+    val tf = base
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // forked: df aggregate + the join below
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, Seq("term"))
       .withColumn("score",
         (col("tf") * (n + 1)).cast("double") / (col("df") + 1))
     scored
