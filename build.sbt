@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] means driver == all 32 executors in ONE JVM: size the heap
+  // like an executor fleet, not a driver (the container has 128 GiB).
+  // 8g made the bench run out of execution memory once per-query
+  // localCheckpoint blocks accumulated — late-order queries paid for it
+  // (q40 took 24 s in-bench vs 4 s in isolation).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, Multimodal, Quantize, Similarity, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, Multimodal, Quantize, RangeJoin, Similarity, Sketches, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -327,6 +327,82 @@ object ExtensionQueries {
         .select(col("event_id"), col("user_id"),
           coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"),
           coalesce(col("asof_value"), lit(-1.0d)).as("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Inverted index with df-band scale guards: stop-terms (unbounded
+    // posting lists) and hapaxes are cut BEFORE collect_list runs.
+    "q49_inverted_index" -> ((s, d) =>
+      TermStats.invertedIndex(docsFanned(s, d), "doc_id", "text", 2, 100)
+        .orderBy(col("term"))),
+
+    // C4-style boilerplate-block removal over the duplicate-salted demo
+    // corpus: 5-token blocks occurring in > 2 distinct docs are cut,
+    // docs re-assembled from surviving blocks in order.
+    "q50_block_dedup" -> ((s, d) =>
+      TextDedup.blockBoilerplate(demoCorpus(Tables.documents(s, d)), "doc_id", "text",
+          blockTokens = 5, maxBlockDf = 2)
+        .orderBy(col("doc_id"))),
+
+    // Bigram-LM surprisal quality score (log-free, integer-quantized):
+    // the corpus is the model; low mean probability = improbable text.
+    "q51_bigram_lm" -> ((s, d) =>
+      TermStats.bigramLmScore(docsFanned(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Temperature-resampled (α = 1/2) language mixing weights + a
+    // 1000-doc sampling budget allocation, ppm-quantized integers.
+    "q52_mixture_weights" -> ((s, d) =>
+      Curation.mixtureWeights(Tables.documents(s, d), "lang", 1000L)
+        .orderBy(col("lang"))),
+
+    // Binned range join: for every error event, count + sum the same
+    // user's purchases inside the following 30 minutes — an equi-join
+    // on (user, time-bin) with a residual range filter, never an
+    // inequality-join nested loop.
+    "q53_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      RangeJoin.countInWindow(
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase"),
+        "event_id", "user_id", "ts", "value", 1800L)
+        .orderBy(col("event_id"))
+    }),
+
+    // KMV (bottom-64) distinct-trigram sketch per language, paired with
+    // the exact distinct count from the SAME one-shuffle hashed-pairs
+    // frame — estimate and ground truth, both integer-exact. (Trigrams,
+    // not tokens: the synthetic vocabulary is 31 words, which never
+    // saturates the sketch; the trigram space is in the thousands.)
+    "q54_kmv_distinct" -> ((s, d) => {
+      val docs = docsFanned(s, d)
+        .select(col("lang"), TextFeatures.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 3)
+      val hashed = docs
+        .select(col("lang"), explode(
+          TextFeatures.shingleHashes(TextFeatures.shingles(col("__toks"), 3))).as("__h"))
+        .distinct()
+        .localCheckpoint() // forked: exact count + the sketch window
+      val exact = hashed.groupBy("lang").agg(count(lit(1)).as("n_distinct"))
+      exact.join(Sketches.kmvFromHashed(hashed, "lang", "__h", 64), Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
+    // Trailing 1-hour per-user event window (range frame, not rows):
+    // the feature-engineering primitive for activity features. Counts
+    // and DECIMAL-exact sums; frame is value-determined, so the result
+    // is layout-independent.
+    "q55_rolling_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("__secs"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .withColumn("__secs", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(graft.model.Schemas.money)).over(w)
+            .cast("double").as("sum_1h"))
         .orderBy(col("event_id"))
     }),
 
@@ -796,6 +872,119 @@ object ExtensionQueries {
         |  coalesce(l_eid, CAST(-1 AS BIGINT)) AS asof_event_id,
         |  coalesce(l_val, CAST(-1.0 AS DOUBLE)) AS asof_value
         |FROM w WHERE src = 1 ORDER BY event_id""".stripMargin,
+
+    // Mirrors TermStats.invertedIndex: distinct (term, doc) pairs, df
+    // band [2, 100], postings as the comma-joined ascending id list.
+    "q49_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |g AS (SELECT term, count(*) AS df,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM td GROUP BY term)
+        |SELECT term, df, postings FROM g WHERE df BETWEEN 2 AND 100
+        |ORDER BY term""".stripMargin,
+
+    // Mirrors TextDedup.blockBoilerplate over the demo corpus:
+    // non-overlapping 5-token blocks, hashed; document frequency over
+    // DISTINCT docs; blocks with df > 2 cut; text re-joined in block
+    // order. Empty kept set → n_kept 0, kept_text ''.
+    "q50_block_dedup" ->
+      s"""WITH $corpusCte, $tokCte,
+         |blk AS (SELECT doc_id, i AS pos,
+         |    array_to_string(list_slice(toks, i, i+4), ' ') AS block
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1, 5)) AS i FROM tok
+         |        WHERE len(toks) >= 1)),
+         |hb AS (SELECT doc_id, pos, block, ${dh("block")} AS h FROM blk),
+         |boiler AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM hb)
+         |  GROUP BY h HAVING count(*) > 2),
+         |kept AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(block, ' ' ORDER BY pos) AS kept_text
+         |  FROM hb WHERE h NOT IN (SELECT h FROM boiler) GROUP BY doc_id)
+         |SELECT hb.doc_id, count(*) AS n_blocks,
+         |  CAST(coalesce(any_value(kept.n_kept), 0) AS BIGINT) AS n_kept,
+         |  coalesce(any_value(kept.kept_text), '') AS kept_text
+         |FROM hb LEFT JOIN kept ON hb.doc_id = kept.doc_id
+         |GROUP BY hb.doc_id ORDER BY hb.doc_id""".stripMargin,
+
+    // Mirrors TermStats.bigramLmScore: hashed (prefix, bigram)
+    // occurrence counts; c1/c2 corpus model; per-occurrence probability
+    // floor-quantized to ppm; per-doc mean in integer division.
+    "q51_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |occ AS (SELECT doc_id, ${dh("toks[i]")} AS h1, ${dh("toks[i] || ' ' || toks[i+1]")} AS h2
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok WHERE len(toks) >= 2)),
+         |mm AS (SELECT doc_id, h1, h2, count(*) AS cnt FROM occ GROUP BY 1, 2, 3),
+         |c1 AS (SELECT h1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM mm GROUP BY 1),
+         |c2 AS (SELECT h1, h2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM mm GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(cnt * (c2 * 1000000 // c1)) // SUM(cnt) AS BIGINT) AS mean_p_q
+         |FROM mm JOIN c2 USING (h1, h2) JOIN c1 USING (h1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.mixtureWeights (α = 1/2, budget 1000): √n is
+    // IEEE-correctly-rounded on both engines, floor-quantized BEFORE
+    // the integer normalization.
+    "q52_mixture_weights" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |q AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sq FROM g)
+        |SELECT lang, n_docs,
+        |  CAST(sq * 1000000 // SUM(sq) OVER () AS BIGINT) AS weight_ppm,
+        |  CAST(sq * 1000 // SUM(sq) OVER () AS BIGINT) AS alloc
+        |FROM q ORDER BY lang""".stripMargin,
+
+    // Mirrors RangeJoin.countInWindow (errors ← purchases, 30 min):
+    // second-truncated epoch comparison exactly as the engine's
+    // unix_timestamp bins; DECIMAL-exact value sums.
+    "q53_range_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS lsec
+        |  FROM events WHERE event_type = 'error'),
+        |r AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS rsec, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |hits AS (SELECT l.event_id, count(*) AS n_in_window,
+        |    CAST(SUM(CAST(r.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_in_window
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |    AND r.rsec >= l.lsec AND r.rsec < l.lsec + 1800
+        |  GROUP BY 1)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  coalesce(hits.n_in_window, 0) AS n_in_window,
+        |  coalesce(hits.sum_in_window, 0.0) AS sum_in_window
+        |FROM l LEFT JOIN hits USING (event_id)
+        |ORDER BY l.event_id""".stripMargin,
+
+    // Mirrors the q54 composition: one distinct (lang, trigram-hash)
+    // set feeds both the exact count and the bottom-64 KMV sketch; the
+    // rank key is the quadratic 2-universal mix (a·h²+b·h mod p) of
+    // Sketches.mix, and the estimator (k-1)·M // h(k) is pure integer
+    // arithmetic.
+    "q54_kmv_distinct" ->
+      s"""WITH tok AS (SELECT lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |g AS (SELECT lang, unnest(list_transform(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |    s -> ${dh("s")})) AS h
+         |  FROM tok WHERE len(toks) >= 3),
+         |hd AS (SELECT DISTINCT lang, h FROM g),
+         |mx AS (SELECT lang, ((48271 * ((h * h) % 1000000007)) % 1000000007
+         |    + (16807 * h) % 1000000007) % 1000000007 AS m FROM hd),
+         |ex AS (SELECT lang, count(*) AS n_distinct FROM hd GROUP BY 1),
+         |rk AS (SELECT lang, m, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY m ASC) AS r FROM mx),
+         |kv AS (SELECT lang, count(*) AS n_kept, max(m) AS hk FROM rk WHERE r <= 64 GROUP BY 1)
+         |SELECT lang, n_distinct, n_kept,
+         |  CASE WHEN n_kept < 64 THEN n_kept
+         |       ELSE CAST(63 AS BIGINT) * 1000000007 // hk END AS kmv_est
+         |FROM ex JOIN kv USING (lang) ORDER BY lang""".stripMargin,
+
+    // Mirrors the q55 range frame: per-user trailing 3600 s window over
+    // second-truncated epochs, count + DECIMAL-exact sum.
+    "q55_rolling_window" ->
+      """WITH s AS (SELECT event_id, user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY secs
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // Mirrors Clustering.farthestPointSeeds (k=3) + one lloydAssignFrom
     // pass, rounds unrolled: seed 1 = min vec_id; each next seed is the

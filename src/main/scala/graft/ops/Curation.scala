@@ -54,6 +54,37 @@ object Curation {
     exact.join(dropped, exact(idCol) === dropped("node"), "left_anti")
   }
 
+  /** Temperature-resampled mixture weights per group — the multilingual
+    * rebalancing rule (w ∝ p^α, α = 1/2 here; Conneau & Lample 2019
+    * §3.1 use α≈0.7, GPT-3/PaLM data mixtures the same family): raw
+    * group shares p are flattened toward uniform so head groups stop
+    * drowning tail groups, then a sampling budget is apportioned.
+    *
+    * Determinism contract: √n is IEEE-correctly-rounded on every
+    * engine (unlike ln/pow — this is why α is 1/2 and not 0.7), and it
+    * is floor-quantized to a long BEFORE normalization, so the
+    * normalizing total is an integer sum — exact under any aggregation
+    * order. Weights and budget allocations are emitted ppm-floored in
+    * pure integer arithmetic.
+    *
+    * Group cardinality is assumed small (languages, sources — not
+    * documents): the final normalization is a single-partition window
+    * over |groups| rows, deliberately NOT a scale path.
+    *
+    * @return (group, n_docs, weight_ppm, alloc) — alloc sums to ≤ budget.
+    */
+  def mixtureWeights(docs: DataFrame, groupCol: String, budget: Long): DataFrame = {
+    val byGroup = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__sq", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val total = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    byGroup
+      .withColumn("__tot", sum(col("__sq")).over(total))
+      .withColumn("weight_ppm", expr("__sq * 1000000 DIV __tot"))
+      .withColumn("alloc", expr(s"__sq * ${budget}L DIV __tot"))
+      .select(col(groupCol), col("n_docs"), col("weight_ppm"), col("alloc"))
+  }
+
   /** Deterministic train/val/test assignment: bucket on the polynomial
     * hash of `text#id`, cut at fixed percentiles. The hash plays the
     * RNG — same corpus ⇒ same split on any cluster layout, re-runnable

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned interval (range) join — the operator family Spark's built-in
+  * joins only express as an inequality join, which Catalyst can neither
+  * hash- nor sort-merge: `l.ts <= r.ts AND r.ts < l.ts + w` alone
+  * compiles to BroadcastNestedLoopJoin (O(|L|·|R|) comparisons), a
+  * scale-killer.
+  *
+  * The bin trick restores an equi-join: with bin width equal to the
+  * window length `w`, any right row inside `[ts, ts+w)` lives in the
+  * left row's bin or the next one. Expanding each left row to those two
+  * bins (a constant 2× fan-out) and equi-joining on (key, bin) bounds
+  * candidates by bin co-residency; the exact range predicate then
+  * filters residually. Shuffle volume is O(2|L| + |R|) on a fixed-width
+  * (key, bin) key — hot keys split further by AQE like any other
+  * equi-join skew.
+  */
+object RangeJoin {
+
+  /** For every left row, count right rows with the same `keyCol` whose
+    * `tsCol` falls in `[l.ts, l.ts + windowSec)`, and sum a right value
+    * column over the same window (exact: summed as DECIMAL(18,6), the
+    * engine-wide money type, so partial-merge order can't perturb it).
+    *
+    * @param left  (idCol, keyCol, tsCol) — one output row per input row
+    * @param right (keyCol, tsCol, valCol)
+    * @return left's id/key/ts plus (n_in_window, sum_in_window)
+    */
+  def countInWindow(left: DataFrame, right: DataFrame,
+                    idCol: String, keyCol: String, tsCol: String,
+                    valCol: String, windowSec: Long): DataFrame = {
+    require(windowSec > 0, "window must be positive")
+    val lb = left.select(col(idCol), col(keyCol), col(tsCol),
+      (unix_timestamp(col(tsCol)) / windowSec).cast("long").as("__lbin"),
+      unix_timestamp(col(tsCol)).as("__lts"))
+    // each left interval spans at most 2 bins (length w, width-w bins)
+    val probes = lb.select(col(idCol), col(keyCol), col(tsCol), col("__lts"),
+      explode(array(col("__lbin"), col("__lbin") + 1)).as("__bin"))
+    val rb = right.select(col(keyCol).as("__rkey"),
+      (unix_timestamp(col(tsCol)) / windowSec).cast("long").as("__bin"),
+      unix_timestamp(col(tsCol)).as("__rts"),
+      col(valCol).cast(graft.model.Schemas.money).as("__rval"))
+    val hits = probes
+      .join(rb, probes(keyCol) === rb("__rkey") && probes("__bin") === rb("__bin"))
+      .filter(col("__rts") >= col("__lts") && col("__rts") < col("__lts") + windowSec)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_in_window"),
+        sum(col("__rval")).cast("double").as("sum_in_window"))
+    lb.select(col(idCol), col(keyCol), col(tsCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_in_window")).na.fill(0.0, Seq("sum_in_window"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFeatures
+
+/** Mergeable distinct-count sketches for corpus statistics at 100 TB.
+  *
+  * The KMV (k-minimum-values) sketch (Bar-Yossef et al. 2002; the
+  * bottom-k variant surveyed in Beyer et al., "On synopses for
+  * distinct-value estimation under multiset operations", SIGMOD 2007)
+  * keeps the k smallest distinct hash values per group: if hashes are
+  * uniform on [0, M), the k-th smallest value h(k) estimates the
+  * distinct count as (k-1) · M / h(k). Unlike HyperLogLog it is exactly
+  * reproducible from a deterministic hash — which is what makes it
+  * DuckDB-oracle-checkable — and the per-group state (k longs) is
+  * mergeable by a min-merge, so partial aggregation works map-side.
+  *
+  * Physical shape: distinct (group, hash) pairs → per-group bottom-k
+  * via a rank window. Spark pushes the per-partition bottom-k ahead of
+  * the final window (WindowGroupLimit), so the shuffle carries at most
+  * k rows per (partition, group) — never the full distinct set.
+  */
+object Sketches {
+
+  /** Quadratic 2-universal strengthening of the polynomial hash:
+    * (a·h² + b·h) mod p. The raw polynomial fold is fine as an equality
+    * key but terrible as an ORDER STATISTIC — structured inputs
+    * (shared prefixes, numeric suffixes) land in narrow bands, and KMV
+    * reads the bottom of the range, exactly where the bands lie. The
+    * quadratic family (Carter–Wegman) spreads near-collinear inputs:
+    * consecutive h, h+δ separate by ≈ 2ahδ mod p. Not a bijection
+    * (x and −x−b/a collide), which costs the sketch nothing.
+    */
+  def mix(h: Column): Column = {
+    val p = TextFeatures.HashMod
+    ((lit(48271L) * ((h * h) % p)) % p + (lit(16807L) * h) % p) % p
+  }
+
+  /** Per-group KMV distinct estimate of `valueExpr` values.
+    *
+    * The estimate is emitted as a floor-quantized long
+    * ((k-1)·M DIV h(k) — pure integer arithmetic, bit-exact on any
+    * engine). Groups with fewer than k distinct values report their
+    * exact count (the sketch is exact below saturation).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueExpr: Column,
+                  k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    kmvFromHashed(df
+      .select(col(groupCol), TextFeatures.charHash(valueExpr).as("__h"))
+      .distinct(), // one shuffle: distinct (group, hash)
+      groupCol, "__h", k)
+  }
+
+  /** The sketch over an already-hashed, already-distinct (group, hash)
+    * frame — the seam for callers that reuse the distinct pairs for
+    * other statistics (one shuffle feeds both). Ranks by [[mix]] of the
+    * hash; a mix collision at the rank-k boundary ties on the ranked
+    * VALUE, so n_kept/h(k) — and the estimate — stay deterministic.
+    */
+  def kmvFromHashed(hashed: DataFrame, groupCol: String, hashCol: String,
+                    k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val ranked = hashed
+      .select(col(groupCol), mix(col(hashCol)).as("__mx"))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("__mx").asc)))
+    ranked
+      .filter(col("__rnk") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), max(col("__mx")).as("__hk"))
+      .select(col(groupCol),
+        col("__n").as("n_kept"),
+        when(col("__n") < k, col("__n")) // below saturation: exact
+          .otherwise(expr(s"(${k - 1} * ${TextFeatures.HashMod}L) DIV __hk"))
+          .as("kmv_est"))
+  }
+}

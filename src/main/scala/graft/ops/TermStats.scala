@@ -153,6 +153,80 @@ object TermStats {
       .withColumn("dup_trigram_frac_q", expr("dup_trigram_n * 1000000 DIV n_trigrams"))
   }
 
+  /** Inverted index (posting lists): term → document frequency + the
+    * ordered list of containing doc ids — the retrieval-side artifact a
+    * curation pipeline materializes once and probes many times.
+    *
+    * Scale guards are part of the operator, not an afterthought: the
+    * posting list of a stop-term is corpus-sized (billions of ids at
+    * 100 TB — a single unbuildable row), so terms outside
+    * [minDf, maxDf] are dropped BEFORE collect_list runs; the surviving
+    * lists are ≤ maxDf ids by construction. Postings are emitted as a
+    * comma-joined string (deterministic id order) so the row is
+    * flat-comparable across engines.
+    *
+    * Two shuffles: distinct (term, doc) pairs, then the term group.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 2, maxDf: Long = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val termDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFeatures.tokens(col(textCol)))).as("term"))
+    termDoc
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("__ids"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("term"), col("df"),
+        array_join(transform(sort_array(col("__ids")), _.cast("string")), ",")
+          .as("postings"))
+  }
+
+  /** Bigram language-model surprisal score — perplexity-style quality
+    * filtering (the CCNet/KenLM gate) without the logarithm, so the
+    * score is bit-exact across engines: the corpus itself is the model
+    * (c2 = bigram count, c1 = count of the bigram's FIRST token in
+    * non-final position, so p = c2/c1 is a proper conditional), and a
+    * document's score is the mean floor-quantized probability of its
+    * bigram occurrences — Σ floor(1e6·c2/c1) DIV n. Integer sums are
+    * merge-order-exact; low score = improbable-under-the-corpus text
+    * (the filter signal; classic log-perplexity needs only a libm swap
+    * at the final projection if ranking compatibility matters).
+    *
+    * Plan shape (the q37 lesson): the bigram explode is materialized
+    * ONCE and forks into the model counts and the per-doc scoring join;
+    * model sides are vocabulary²-bounded but unbounded in general, so
+    * join strategy is left to AQE — nothing is force-broadcast.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // (doc, prefix-hash, bigram-hash) occurrence counts. Bigrams ride as
+    // fixed-width hashes (the dedup-family convention): a collision
+    // merges two bigrams identically in the model AND the scoring pass,
+    // mirrored by the oracle.
+    val occ = docs
+      .select(col(idCol).as("doc_id"), TextFeatures.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1), i => struct(
+          TextFeatures.charHash(element_at(col("__toks"), i)).as("h1"),
+          TextFeatures.charHash(concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1))).as("h2")))).as("__b"))
+      .select(col("doc_id"), col("__b.h1").as("__h1"), col("__b.h2").as("__h2"))
+      .groupBy("doc_id", "__h1", "__h2").agg(count(lit(1)).as("m"))
+      .localCheckpoint() // forks three ways: c1 model, c2 model, scoring
+    val c1 = occ.groupBy("__h1").agg(sum(col("m")).as("c1"))
+    val c2 = occ.groupBy("__h1", "__h2").agg(sum(col("m")).as("c2"))
+    occ
+      .join(c2, Seq("__h1", "__h2"))
+      .join(c1, Seq("__h1"))
+      .withColumn("__pq", expr("m * (c2 * 1000000 DIV c1)"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("__pq")).as("__sum_pq"))
+      .withColumn("mean_p_q", expr("__sum_pq DIV n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("mean_p_q"))
+  }
+
   /** Deterministic stratified head-sample: the first `perStratum` rows
     * of each stratum under (orderHash asc, id asc) — a reproducible
     * stand-in for per-class random sampling (the hash plays the RNG;

@@ -124,6 +124,51 @@ object TextDedup {
       .distinct()
   }
 
+  /** C4-style boilerplate-block removal (Raffel et al. 2020 §2.2 applied
+    * the idea at three-sentence granularity; here the unit is a
+    * non-overlapping `blockTokens`-token block): a block whose text
+    * occurs in more than `maxBlockDf` DISTINCT documents is boilerplate
+    * (navigation chrome, license headers, templated footers) and is cut
+    * from every document; each document is re-assembled from its
+    * surviving blocks in original order.
+    *
+    * Physical shape: one explode pass produces (doc, pos, blockHash);
+    * block document-frequency is a hash-keyed aggregate (fixed-width
+    * shuffle key — the block TEXT never shuffles); the boilerplate set
+    * joins back as a left_anti. Per-row work is linear in tokens, df
+    * state is |distinct blocks| ≪ corpus tokens. A hash collision
+    * merges two blocks consistently on both engines (dedup-family
+    * convention, mirrored by the oracle).
+    *
+    * @return (doc_id, n_blocks, n_kept, kept_text); kept_text is ''
+    *         when every block was boilerplate.
+    */
+  def blockBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       blockTokens: Int = 5, maxBlockDf: Long = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val blocks = fanOut(docs)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__toks")), lit(blockTokens)), i => struct(
+          i.as("pos"),
+          concat_ws(" ", slice(col("__toks"), i, lit(blockTokens))).as("block")))).as("__b"))
+      .select(col("doc_id"), col("__b.pos").as("pos"),
+        col("__b.block").as("block"), charHash(col("__b.block")).as("__h"))
+      .localCheckpoint() // forked: df aggregate + the anti-join below
+    val boiler = blocks.select(col("doc_id"), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxBlockDf).select("__h")
+    val kept = blocks.join(boiler, Seq("__h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("block")))),
+          b => b.getField("block")), " ").as("kept_text"))
+    blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+      .join(kept, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
+  }
+
   /** Exact n-gram Jaccard for pairs sharing at least one shingle:
     * explode DISTINCT shingles → shingle-equality self-join → per-pair
     * intersection counts → |∩| / (|A|+|B|-|∩|). Returns pairs with

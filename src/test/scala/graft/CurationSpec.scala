@@ -41,4 +41,17 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(10L), s"cluster must collapse to its min id, got $kept")
   }
+
+  test("mixture weights: sqrt-flattened shares, integer-exact, budget-bounded") {
+    // 400 vs 100 docs: raw shares 80/20, sqrt-flattened 20/10 → ⅔/⅓
+    val docs = ((1 to 400).map(i => (i.toLong, "en")) ++
+      (1 to 100).map(i => (400L + i, "de"))).toDF("doc_id", "lang")
+    val out = Curation.mixtureWeights(docs, "lang", 900L)
+      .orderBy("lang").as[(String, Long, Long, Long)].collect().toSeq
+    // sq(en)=20e6, sq(de)=10e6, tot=30e6
+    assert(out == Seq(
+      ("de", 100L, 333333L, 300L),
+      ("en", 400L, 666666L, 600L)))
+    assert(out.map(_._4).sum <= 900L)
+  }
 }

@@ -64,4 +64,36 @@ class TermStatsSpec extends SparkSpec {
         "doc_id", TextFeatures.charHash(col("text")), 5)
     assert(tiny.count() == 3)
   }
+
+  test("inverted index: df band drops hapaxes and stop-terms, postings sorted") {
+    val d = Seq(
+      (3L, "alpha beta"),
+      (1L, "alpha gamma stop"),
+      (2L, "alpha stop stop"), // in-doc repeats count once (distinct)
+      (4L, "hapax")).toDF("doc_id", "text")
+    val out = TermStats.invertedIndex(d, "doc_id", "text", minDf = 2, maxDf = 2)
+      .orderBy("term").as[(String, Long, String)].collect().toSeq
+    // alpha df=3 > maxDf (stop-term analogue), beta/gamma/hapax df=1 < minDf
+    assert(out == Seq(("stop", 2L, "1,2")))
+  }
+
+  test("bigram LM score: in-model text scores high, unseen bigrams score low") {
+    // corpus: "a b" appears 3×, so after doc0's "a b a b" the model has
+    // c(a→b) dominant; "a z" in doc2 is a 1-of-n continuation
+    val d = Seq(
+      (0L, "a b a b"),
+      (1L, "a b"),
+      (2L, "a z")).toDF("doc_id", "text")
+    val out = TermStats.bigramLmScore(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // model: prefix 'a' occurs 4× (3× →b, 1× →z); prefix 'b' occurs 1× (→a)
+    // doc0 bigrams: (a,b) p=3/4, (b,a) p=1/1, (a,b) p=3/4
+    //   → (750000 + 1000000 + 750000) DIV 3 = 833333
+    // doc1: (a,b) → 750000 ; doc2: (a,z) p=1/4 → 250000
+    assert(out == Seq((0L, 3L, 833333L), (1L, 1L, 750000L), (2L, 1L, 250000L)))
+    // layout-independence: same result from a different partitioning
+    val out2 = TermStats.bigramLmScore(d.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == out2)
+  }
 }

@@ -97,4 +97,35 @@ class TextDedupSpec extends SparkSpec {
     // into one clique and reported a false 1.0.
     assert(out((1L, 2L)) == 1.0 / 3)
   }
+
+  test("block boilerplate: shared blocks cut, doc re-assembled in order") {
+    // "a b c d e" is a full 5-token block shared by 3 docs → boilerplate
+    // (df > 2); each doc keeps its unique tail; doc 4's single distinct
+    // block survives untouched.
+    val d = Seq(
+      (1L, "a b c d e unique one tail"),
+      (2L, "a b c d e unique two tail"),
+      (3L, "a b c d e unique three tail"),
+      (4L, "totally different text here now")).toDF("doc_id", "text")
+    val out = TextDedup.blockBoilerplate(d, "doc_id", "text", 5, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, "unique one tail"),
+      (2L, 2L, 1L, "unique two tail"),
+      (3L, 2L, 1L, "unique three tail"),
+      (4L, 1L, 1L, "totally different text here now")))
+  }
+
+  test("block boilerplate: fully-boilerplate doc yields empty text, not a dropped row") {
+    val d = Seq(
+      (1L, "x y z w v"),
+      (2L, "x y z w v"),
+      (3L, "x y z w v"),
+      (4L, "x y z w v keep this suffix run")).toDF("doc_id", "text")
+    val out = TextDedup.blockBoilerplate(d, "doc_id", "text", 5, 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(out.take(3).forall(r => r._3 == 0L && r._4 == ""))
+    assert(out(3) == ((4L, 2L, 1L, "keep this suffix run")))
+  }
 }
