@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, Multimodal, Quantize, RangeJoin, Similarity, Sketches, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, Multimodal, Profiler, Quantize, RangeJoin, Similarity, Sketches, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -406,6 +406,45 @@ object ExtensionQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Per-language discrete token-count quantiles (p50/p90/p99) by rank
+    // arithmetic — integer-exact, no interpolation in the contract.
+    "q56_quantile_profile" -> ((s, d) =>
+      Profiler.discreteQuantiles(
+          docsFanned(s, d).withColumn("__v",
+            size(TextFeatures.tokens(col("text"))).cast("long")),
+          "lang", col("__v"), col("doc_id"), Seq(50, 90, 99))
+        .orderBy(col("lang"), col("pct"))),
+
+    // SCD2 validity intervals from the event stream: each row opens at
+    // its ts and closes at the next row's (per user; open tail = null).
+    "q57_scd2_intervals" -> ((s, d) =>
+      graft.ops.Relational.scd2Intervals(
+          Tables.events(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"), col("ts")),
+          Seq("user_id"), col("ts"), col("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("valid_from"), col("valid_to"))
+        .orderBy(col("event_id"))),
+
+    // Embedding near-duplicate clusters: connected components over the
+    // capped sign-LSH pair graph (q25's candidates) — the embedding
+    // twin of q36's text clusters.
+    "q58_embedding_clusters" -> ((s, d) => {
+      val pairs = Similarity.nearDupPairs(embCorpus(s, d), "vec_id", "embedding", 0.99)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.ops.ConnectedComponents.labels(pairs)
+        .select(col("node").as("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Budget-driven mixture sampling: √-flattened per-language budgets
+    // (q52's weights) pick how many docs, the hash-ordered head picks
+    // which — the composed corpus-rebalancing step.
+    "q59_mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(Tables.documents(s, d), "lang", "doc_id",
+          TextFeatures.charHash(col("text")), 200L)
+        .orderBy(col("lang"), col("rnk"))),
+
     // Lloyd assignment from deterministic farthest-point (k-center)
     // seeds: min-id vector first, then argmin-of-max-cosine rounds —
     // the spread-seeking seeding, exposed end-to-end (the q39 twin pins
@@ -463,6 +502,24 @@ object ExtensionQueries {
 
   /** The q22/q36 chain over the demo corpus (unprefixed names; `est`). */
   private lazy val minhashCtes = s"$corpusCte,\n${minhashChain("corpus", "")}"
+
+  /** The q25/q58 candidate-pair chain: duplicate-salted embedding
+    * corpus → 2-band sign-LSH buckets → cap ≤ 10000 → distinct pairs
+    * (with both vectors riding for the cosine confirm). */
+  private val embPairCtes =
+    """ecorpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+      |bk AS (SELECT vec_id, embedding, b AS band,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), i ->
+      |    CASE WHEN embedding[b*8+i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+      |    (a, x) -> a + x) AS bucket
+      |  FROM ecorpus, range(0, 2) t(b)),
+      |ok AS (SELECT bk.vec_id, bk.embedding, bk.band, bk.bucket FROM bk
+      |  JOIN (SELECT band, bucket, count(*) AS n FROM bk GROUP BY 1, 2) c
+      |  USING (band, bucket) WHERE c.n <= 10000),
+      |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+      |  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
@@ -545,22 +602,24 @@ object ExtensionQueries {
     // pattern of dims [b*8+1, b*8+8]; buckets > cap are excluded; the
     // candidate set is the DISTINCT union over bands.
     "q25_embedding_neardup" ->
-      s"""WITH ecorpus AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
-         |bk AS (SELECT vec_id, embedding, b AS band,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), i ->
-         |    CASE WHEN embedding[b*8+i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
-         |    (a, x) -> a + x) AS bucket
-         |  FROM ecorpus, range(0, 2) t(b)),
-         |ok AS (SELECT bk.vec_id, bk.embedding, bk.band, bk.bucket FROM bk
-         |  JOIN (SELECT band, bucket, count(*) AS n FROM bk GROUP BY 1, 2) c
-         |  USING (band, bucket) WHERE c.n <= 10000),
-         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
-         |  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      s"""WITH $embPairCtes
          |SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
          |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.99
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q25's pair graph at the same 0.99 threshold, collapsed to
+    // connected components (min reachable id per node) — mirrors
+    // ConnectedComponents.labels over Similarity.nearDupPairs.
+    "q58_embedding_clusters" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |cand AS (SELECT id_a, id_b FROM pairs WHERE ${cosSql("va", "vb")} >= 0.99),
+         |und AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+         |  UNION
+         |  SELECT u.b, r.r FROM reach r JOIN und u ON u.a = r.node)
+         |SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
     "q26_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
@@ -985,6 +1044,43 @@ object ExtensionQueries {
         |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY secs
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // Mirrors Profiler.discreteQuantiles: rank arithmetic
+    // ceil(n·p/100) = (n·p + 99) // 100 under (value, doc_id) order —
+    // the same row is chosen by both engines, no interpolation.
+    "q56_quantile_profile" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS value
+        |  FROM documents),
+        |r AS (SELECT lang, value, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY value ASC, doc_id ASC) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM t)
+        |SELECT lang, CAST(pct AS BIGINT) AS pct, value
+        |FROM r CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+        |WHERE rnk = (n * pct + 99) // 100
+        |ORDER BY lang, pct""".stripMargin,
+
+    // Mirrors Relational.scd2Intervals over events: half-open validity
+    // intervals per user, (ts, event_id) order, open tail = NULL.
+    "q57_scd2_intervals" ->
+      """SELECT event_id, user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Mirrors Curation.mixtureSample (budget 200): q52's integer
+    // allocation per language, then the q38-style hash-ordered head of
+    // exactly `alloc` docs per language.
+    "q59_mixture_sample" ->
+      s"""WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |q AS (SELECT lang, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sq FROM g),
+         |a AS (SELECT lang, CAST(sq * 200 // SUM(sq) OVER () AS BIGINT) AS alloc FROM q),
+         |h AS (SELECT lang, doc_id, ${dh("text")} AS hh FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh ASC, doc_id ASC) AS rnk FROM h)
+         |SELECT r.lang, r.doc_id, CAST(r.rnk AS BIGINT) AS rnk, a.alloc
+         |FROM r JOIN a USING (lang) WHERE r.rnk <= a.alloc
+         |ORDER BY lang, rnk""".stripMargin,
 
     // Mirrors Clustering.farthestPointSeeds (k=3) + one lloydAssignFrom
     // pass, rounds unrolled: seed 1 = min vec_id; each next seed is the

@@ -85,6 +85,27 @@ object Curation {
       .select(col(groupCol), col("n_docs"), col("weight_ppm"), col("alloc"))
   }
 
+  /** Budget-driven mixture sampling: [[mixtureWeights]] decides how many
+    * documents each group contributes, [[graft.ops.TermStats.stratifiedSample]]'s
+    * hash-ordered head picks WHICH — composed, the full "rebalance the
+    * corpus to a token budget" step of a training-data pipeline, still
+    * deterministic end-to-end (the hash plays the RNG on both levels).
+    *
+    * The per-group allocation joins back as a broadcast (|groups| rows);
+    * the sample itself is one ranked window per group.
+    */
+  def mixtureSample(docs: DataFrame, groupCol: String, idCol: String,
+                    orderHash: org.apache.spark.sql.Column, budget: Long): DataFrame = {
+    val alloc = mixtureWeights(docs, groupCol, budget)
+      .select(col(groupCol), col("alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderHash.asc, col(idCol).asc)
+    docs.join(broadcast(alloc), Seq(groupCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= col("alloc"))
+      .select(col(groupCol), col(idCol), col("rnk"), col("alloc"))
+  }
+
   /** Deterministic train/val/test assignment: bucket on the polynomial
     * hash of `text#id`, cut at fixed percentiles. The hash plays the
     * RNG — same corpus ⇒ same split on any cluster layout, re-runnable

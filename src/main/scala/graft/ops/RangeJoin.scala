@@ -36,6 +36,7 @@ object RangeJoin {
     val lb = left.select(col(idCol), col(keyCol), col(tsCol),
       (unix_timestamp(col(tsCol)) / windowSec).cast("long").as("__lbin"),
       unix_timestamp(col(tsCol)).as("__lts"))
+      .localCheckpoint() // forked: the probe expansion + the final left join
     // each left interval spans at most 2 bins (length w, width-w bins)
     val probes = lb.select(col(idCol), col(keyCol), col(tsCol), col("__lts"),
       explode(array(col("__lbin"), col("__lbin") + 1)).as("__bin"))

@@ -67,6 +67,22 @@ object Relational {
     sides.map { case (df, tag) => df.withColumn(discriminator, lit(tag)) }
       .reduce(_ unionByName _)
 
+  /** SCD2 interval builder: turn an event/change stream into validity
+    * intervals per key — each row opens at its own timestamp and closes
+    * at the NEXT row's (half-open [from, to); the current row stays
+    * open with a null `valid_to`). The slowly-changing-dimension
+    * history table every warehouse derives from a change feed.
+    *
+    * One shuffle on the key; `lead` over (ts, tiebreak) — the tiebreak
+    * makes interval boundaries layout-independent when timestamps tie.
+    */
+  def scd2Intervals(df: DataFrame, keys: Seq[String], ts: Column,
+                    tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ts.asc, tiebreak.asc)
+    df.withColumn("valid_from", ts)
+      .withColumn("valid_to", lead(ts, 1).over(w))
+  }
+
   /** J3: left-join enrichment with template fallback for missing rows
     * (placeholder repair, etl_pipeline.py:300-336). `fallbacks` maps an
     * output column to (joined source column, fallback expression).

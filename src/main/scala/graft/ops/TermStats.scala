@@ -173,10 +173,16 @@ object TermStats {
     val termDoc = docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFeatures.tokens(col(textCol)))).as("term"))
-    termDoc
-      .groupBy("term")
-      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("__ids"))
+      .localCheckpoint() // forked: df aggregate + the banded collect below
+    // Band filter FIRST, as a counts-only aggregate: a stop-term's
+    // posting list is corpus-sized, and building it just to drop it is
+    // the scale hazard. Only surviving terms reach collect_list, so no
+    // in-flight list exceeds maxDf ids.
+    val banded = termDoc.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
+    termDoc.join(banded, Seq("term"))
+      .groupBy("term")
+      .agg(max(col("df")).as("df"), collect_list(col("doc_id")).as("__ids"))
       .select(col("term"), col("df"),
         array_join(transform(sort_array(col("__ids")), _.cast("string")), ",")
           .as("postings"))

@@ -83,6 +83,47 @@ object StreamingLoad {
       .drop("__h1", "__h2", "__h3")
   }
 
+  // ---- custom state: KMV distinct sketch (mapGroupsWithState) ----------
+
+  final case class KmvOut(group: String, n_kept: Long, kmv_est: Long)
+
+  /** Streaming KMV distinct sketch — the continuous twin of the batch
+    * X35 operator ([[graft.ops.Sketches]]): per-group state is the
+    * bottom-k set of 2-universal-mixed hashes, merged by min — bounded
+    * at k longs per group FOREVER (the whole point of a sketch as
+    * streaming state: an exact distinct-count state grows with the
+    * distinct set; this one never does). Each update-mode trigger emits
+    * the refreshed estimate for groups that saw data.
+    *
+    * Arrival order cannot perturb the result: a bottom-k set is a
+    * commutative, idempotent merge, so the post-stream sketch equals
+    * the batch sketch over the union of all batches (pinned by spec).
+    */
+  def kmvStream(rows: DataFrame, groupCol: String, valueCol: String,
+                k: Int = 64): Dataset[KmvOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val hashMod = graft.functions.TextFeatures.HashMod
+    rows
+      .select(col(groupCol).cast("string").as("g"),
+        graft.ops.Sketches.mix(
+          graft.functions.TextFeatures.charHash(col(valueCol))).as("mx"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvOut](GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+          // min-merge: union, distinct, keep the k smallest
+          val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.length < k) merged.length.toLong
+            else (k - 1).toLong * hashMod / merged.last
+          KmvOut(group, merged.length.toLong, est)
+      }
+  }
+
   // ---- custom state: sessionization (flatMapGroupsWithState) -----------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

@@ -54,4 +54,21 @@ class CurationSpec extends SparkSpec {
       ("en", 400L, 666666L, 600L)))
     assert(out.map(_._4).sum <= 900L)
   }
+
+  test("mixture sample: takes exactly alloc docs per group, layout-independent") {
+    import graft.functions.TextFeatures
+    val docs = ((1 to 400).map(i => (i.toLong, "en", s"text en $i")) ++
+      (1 to 100).map(i => (400L + i, "de", s"text de $i")))
+      .toDF("doc_id", "lang", "text")
+    val out = Curation.mixtureSample(docs, "lang", "doc_id",
+        TextFeatures.charHash(org.apache.spark.sql.functions.col("text")), 900L)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    // allocs from the weights test: en 600, de 300
+    assert(out.count(_._1 == "en") == 400) // capped by group size
+    assert(out.count(_._1 == "de") == 100)
+    val out2 = Curation.mixtureSample(docs.repartition(11), "lang", "doc_id",
+        TextFeatures.charHash(org.apache.spark.sql.functions.col("text")), 900L)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(out.toSet == out2.toSet)
+  }
 }

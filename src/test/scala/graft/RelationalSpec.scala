@@ -58,4 +58,22 @@ class RelationalSpec extends SparkSpec {
       .select("codigo", "descricao").as[(Int, String)].collect().toMap
     assert(out == Map(1 -> "real", 2 -> "DESCONHECIDO_2"))
   }
+
+  test("scd2Intervals: half-open chain per key, tie-broken, open tail null") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 10L, ts("2024-01-02 00:00:00")),
+      (3L, 10L, ts("2024-01-02 00:00:00")), // tie: event_id orders it
+      (4L, 20L, ts("2024-03-01 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Relational.scd2Intervals(df, Seq("user_id"), col("ts"), col("event_id"))
+      .select("event_id", "valid_from", "valid_to")
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00")))))
+    assert(out(2L) == ((ts("2024-01-02 00:00:00"), Some(ts("2024-01-02 00:00:00")))))
+    assert(out(3L) == ((ts("2024-01-02 00:00:00"), None))) // chain tail
+    assert(out(4L) == ((ts("2024-03-01 00:00:00"), None))) // other key
+  }
 }

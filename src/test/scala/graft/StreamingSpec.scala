@@ -101,4 +101,28 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains((7L, "2025-01-01 10:00:00", 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming KMV sketch converges to the batch sketch, state stays bottom-k") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingLoad.kmvStream(mem.toDF().toDF("g", "v"), "g", "v", k = 16)
+      .writeStream.format("memory").queryName("kmv_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // values arrive across two triggers, interleaved and duplicated
+      mem.addData((1 to 300).map(i => ("a", s"tok$i")): _*)
+      q.processAllAvailable()
+      mem.addData((150 to 500).map(i => ("a", s"tok$i")): _*)
+      q.processAllAvailable()
+      val emitted = spark.table("kmv_test").as[(String, Long, Long)].collect().toSeq
+      // the final trigger's emission is the sketch of the UNION — it
+      // must equal the batch sketch over the same values
+      val batch = graft.ops.Sketches.kmvDistinct(
+          (1 to 500).map(i => ("a", s"tok$i")).toDF("g", "v"), "g", col("v"), k = 16)
+        .as[(String, Long, Long)].head()
+      assert(emitted.contains(batch), s"stream $emitted missing batch $batch")
+      assert(emitted.forall(_._2 <= 16L)) // state capped at k throughout
+    } finally q.stop()
+  }
 }
