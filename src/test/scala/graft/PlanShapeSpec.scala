@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{RangeJoin, Sketches}
+
+/** Physical-plan regression guards: these operators' scale stories are
+  * plan properties, not just result properties — a refactor can keep
+  * results identical while silently reintroducing a nested-loop join or
+  * a full-sort window. Pin the plan.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("range join compiles to an equi-join, never a nested loop") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("id", "key", "t")
+    val right = Seq((1L, ts("2024-01-01 10:10:00"), 1.0)).toDF("key", "t", "v")
+    val plan = planOf(RangeJoin.countInWindow(left, right, "id", "key", "t", "v", 1800L))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/sort-merge equi-join:\n$plan")
+  }
+
+  test("KMV bottom-k is pushed ahead of the shuffle (WindowGroupLimit partial)") {
+    val hashed = (1 to 1000).map(i => ("g", i.toLong * 7919 % 1000000007))
+      .toDF("g", "__h").distinct()
+    val plan = planOf(Sketches.kmvFromHashed(hashed, "g", "__h", 64))
+    assert(plan.contains("WindowGroupLimit"),
+      s"bottom-k not pushed; full distinct set would shuffle:\n$plan")
+  }
+
+  test("inverted index: the df band gate joins BEFORE the posting-list collect") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
+    val plan = planOf(graft.ops.TermStats.invertedIndex(docs, "doc_id", "text", 2, 2))
+    // collect_list must sit above the band join, so its input is already
+    // band-filtered; a plan with collect_list but no join under it would
+    // mean stop-term lists get built and discarded
+    val collectAt = plan.indexOf("partial_collect_list")
+    val joinAt = plan.indexOf("Join")
+    assert(collectAt >= 0 && joinAt > collectAt,
+      s"expected band join below the partial collect:\n$plan")
+  }
+}
