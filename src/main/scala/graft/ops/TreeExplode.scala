@@ -31,7 +31,15 @@ object TreeExplode {
     *         with the summed product of edge coefficients over all paths.
     */
   def explode(edges: DataFrame, roots: DataFrame,
-              maxDepth: Int = 32): DataFrame = {
+              maxDepth: Int = 32): DataFrame =
+    explodeWithRounds(edges, roots, maxDepth)._1
+
+  /** As [[explode]], also returning the number of materialization rounds
+    * (count() driver round-trips) the BFS took — ~⌈depth/2⌉+1 with the
+    * 2-hop batching below; [[TreeExplodeSpec]] pins the bound on a chain
+    * fixture. */
+  def explodeWithRounds(edges: DataFrame, roots: DataFrame,
+                        maxDepth: Int = 32): (DataFrame, Int) = {
     val e = edges.select(col("parent"), col("child"), col("coeff"))
     // At realistic scale the edge table is dimension-sized (10^5-10^6 rows):
     // cache it once; every level joins against it. Unpersisted in the
@@ -59,6 +67,12 @@ object TreeExplode {
       // union homogeneous (RDD scans only), which sidesteps a Catalyst
       // Union constraint-rewrite bug when checkpointed and
       // non-checkpointed branches are mixed.
+      def hop(f: DataFrame): DataFrame = f.as("f")
+        .join(e.as("e"), col("f.node") === col("e.parent"))
+        .select(col("f.root").as("root"), col("e.child").as("node"),
+          (col("f.eff_coeff") * col("e.coeff")).as("eff_coeff"))
+        .groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
+
       var frontier = roots.select(col("root")).as("f")
         .join(e.as("e"), col("f.root") === col("e.parent"))
         .select(col("f.root").as("root"), col("e.child").as("node"),
@@ -66,24 +80,32 @@ object TreeExplode {
         .groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
         .localCheckpoint(eager = false)
       var n = frontier.count()
+      var rounds = 1
       var acc = frontier
       var depth = 1
+      // TWO hops per materialization round: h1 is an intermediate of
+      // h2's plan, both lazily checkpointed, so the single count() below
+      // runs ONE job that materializes both levels (sc.runJob checkpoints
+      // every marked ancestor RDD it computed). Halves the driver
+      // round-trips — the actual per-level cost at depth (r2 bench
+      // finding) — without recomputing h1 for the accumulator.
       while (n > 0 && depth < maxDepth) {
-        frontier = frontier.as("f")
-          .join(e.as("e"), col("f.node") === col("e.parent"))
-          .select(col("f.root").as("root"), col("e.child").as("node"),
-            (col("f.eff_coeff") * col("e.coeff")).as("eff_coeff"))
-          .groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
-          .localCheckpoint(eager = false)
-        n = frontier.count()
-        if (n > 0) acc = acc.unionByName(frontier)
-        depth += 1
+        val h1 = hop(frontier).localCheckpoint(eager = false)
+        val h2 = hop(h1).localCheckpoint(eager = false)
+        n = h2.count()
+        rounds += 1
+        // h1 can be non-empty when h2 is already empty — accumulate both
+        // unconditionally (an empty checkpointed frame unions harmlessly
+        // and keeps the union homogeneous: RDD scans only).
+        acc = acc.unionByName(h1).unionByName(h2)
+        frontier = h2
+        depth += 2
       }
       if (n > 0)
         throw new IllegalStateException(
           s"TreeExplode: frontier still non-empty at depth $maxDepth - cycle or overly deep graph")
-      acc.groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
-        .localCheckpoint()
+      (acc.groupBy("root", "node").agg(sum("eff_coeff").as("eff_coeff"))
+        .localCheckpoint(), rounds)
     } finally {
       cpOld match {
         case Some(v) => spark.conf.set(cpKey, v)

@@ -35,6 +35,26 @@ class PlanShapeSpec extends SparkSpec {
       s"bottom-k not pushed; full distinct set would shuffle:\n$plan")
   }
 
+  test("dedup fan-out repartitions an under-split source, NOT a pre-split one") {
+    // The dedup operators' fan-out feeds a localCheckpoint, so their
+    // final plans always start at an RDD scan — the exchange (or its
+    // absence) is only observable on the fan-out stage itself.
+    val docs = (1 to 200).map(i => (i.toLong, s"alpha beta gamma delta token$i"))
+      .toDF("doc_id", "text")
+    // Pre-split source (defaultParallelism partitions): no round-robin
+    // exchange may be injected — at 100 TB that exchange is a full extra
+    // shuffle of the corpus.
+    val preSplit = docs.repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint() // pin the partitioning as the source's own
+    val planPre = planOf(graft.ops.TextDedup.fanOut(preSplit))
+    assert(!planPre.contains("RoundRobinPartitioning"),
+      s"pre-split source still pays a round-robin fan-out exchange:\n$planPre")
+    // Single-partition source (the small-parquet case): fan-out must kick in.
+    val planOne = planOf(graft.ops.TextDedup.fanOut(docs.coalesce(1)))
+    assert(planOne.contains("RoundRobinPartitioning"),
+      s"single-partition source no longer fans out:\n$planOne")
+  }
+
   test("inverted index: the df band gate joins BEFORE the posting-list collect") {
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
     val plan = planOf(graft.ops.TermStats.invertedIndex(docs, "doc_id", "text", 2, 2))

@@ -24,6 +24,21 @@ class TreeExplodeSpec extends SparkSpec {
     assert(out == Set((1L, 10L, 1L), (2L, 20L, 2L)))
   }
 
+  test("chain fixture: materialization rounds <= depth/2 + 2 (2-hop batching)") {
+    // Depth-16 chain; per-level materialization would be 16 driver
+    // round-trips, 2-hop batching must land it in <= 10. Structural
+    // guard, variance-proof vs wall-clock.
+    val d = 16
+    val edges = (0L until d.toLong).map(i => (i, i + 1, 1L))
+      .toDF("parent", "child", "coeff")
+    val roots = Seq(0L).toDF("root")
+    val (out, rounds) = TreeExplode.explodeWithRounds(edges, roots)
+    val rows = out.as[(Long, Long, Long)].collect()
+    assert(rows.length == d)                  // nodes 1..16 reachable from 0
+    assert(rows.forall(_._3 == 1L))           // unit coefficients multiply to 1
+    assert(rounds <= d / 2 + 2, s"BFS took $rounds rounds > bound ${d / 2 + 2}")
+  }
+
   test("cycle raises instead of looping forever") {
     val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("parent", "child", "coeff")
     val roots = Seq(1L).toDF("root")
