@@ -180,10 +180,20 @@ object ExtensionQueries {
     }),
 
     // Multimodal plumbing: binary payload + per-partition batch decode
-    // ([STUB] deterministic fake decoder; real codecs slot in unchanged).
+    // (text/plain codec — deterministic code-point fold, oracle-checkable).
     "q32_multimodal_meta" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.asMediaTable(docsFanned(s, d), "doc_id", "text"))
+        .toDF().orderBy(col("doc_id"))),
+
+    // Real binary codec end-to-end: synthetic PNGs (dims are pure
+    // functions of doc_id) encoded AND header-decoded with JDK ImageIO;
+    // the oracle recomputes the decoded metadata arithmetically, so any
+    // codec-path breakage (wrong dims, wrong format, corrupt payload)
+    // hash-mismatches.
+    "q60_image_meta" -> ((s, d) =>
+      Multimodal.imageMeta(
+        Multimodal.syntheticImages(docsFanned(s, d), "doc_id"))
         .toDF().orderBy(col("doc_id"))),
 
     // Per-label centroid accumulation over embeddings (classifier
@@ -709,6 +719,13 @@ object ExtensionQueries {
          |  CAST(strlen(text)//100 + 1 AS BIGINT) AS n_frames,
          |  ${dh("text")} AS checksum
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q60_image_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+        |  'png' AS fmt
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q33_label_centroids" ->
       """SELECT label, i AS pos,

@@ -1,6 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §7.6): media as opaque BinaryType
@@ -9,11 +14,14 @@ import org.apache.spark.sql.functions._
   * mapInPandas stage: one decoder instantiation per partition, streaming
   * over rows, never a per-row UDF round-trip).
   *
-  * The DECODE step is a deterministic stub — this container has no
-  * image/audio codecs — marked [STUB]. The Spark-side contract (schema,
-  * partitioning, batch iteration, output shape) is real and tested; a
-  * production deployment swaps [[FakeDecoder]] for a codec-backed one
-  * with the same signature.
+  * Two real codecs:
+  *  - `text/plain` payloads decode as UTF-8 and hash with the engine's
+  *    polynomial code-point fold ([[TextDecoder]]) — deterministic and
+  *    DuckDB-oracle-checkable (q32);
+  *  - `image/…` payloads decode with the JDK's ImageIO ([[ImageDecoder]])
+  *    — a genuine binary codec, exercised end-to-end by q60's
+  *    encode→decode PNG round-trip whose metadata the oracle recomputes
+  *    arithmetically.
   */
 object Multimodal {
 
@@ -26,15 +34,19 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, byte_len: Long,
                                  n_frames: Long, checksum: Long)
 
-  /** [STUB] Deterministic fake decoder: "frames" are 100-byte windows,
+  /** Decoded image metadata: the prune-first columns a 100 TB image
+    * corpus filters on before anyone touches pixels. */
+  final case class ImageMeta(doc_id: Long, width: Int, height: Int,
+                             fmt: String)
+
+  /** Codec for `text/plain` payloads: "frames" are 100-byte windows,
     * "checksum" is the polynomial CODE-POINT hash (mod 1e9+7) of the
     * UTF-8-decoded payload — the same fold as
     * [[graft.functions.TextFeatures.charHash]] for ANY text, ASCII or
     * not (a byte-wise fold would silently diverge from the code-point
-    * oracle on multi-byte characters). A real decoder would decode
-    * payload bytes here instead.
+    * oracle on multi-byte characters).
     */
-  object FakeDecoder {
+  object TextDecoder {
     val HashMod = 1000000007L
     def features(r: MediaRow): MediaFeatures = {
       val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
@@ -46,6 +58,69 @@ object Multimodal {
         i += Character.charCount(cp)
       }
       MediaFeatures(r.doc_id, r.byte_len, r.byte_len / 100 + 1, h)
+    }
+  }
+
+  /** Codec for `image/…` payloads: JDK ImageIO (dependency-free). Images
+    * are single-frame; the checksum is the polynomial fold of ARGB pixel
+    * values in row-major order — deterministic across JVMs because PNG is
+    * lossless. */
+  object ImageDecoder {
+    def decode(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageIO could not decode payload")
+      img
+    }
+
+    def features(r: MediaRow): MediaFeatures = {
+      val img = decode(r.payload)
+      var h = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          h = (h * 31 + (img.getRGB(x, y) & 0xffffffffL)) % TextDecoder.HashMod
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(r.doc_id, r.byte_len, 1L, h)
+    }
+
+    /** Width/height/format without a full pixel decode: ImageIO readers
+      * parse the header only — the metadata-prune path for a 100 TB
+      * corpus where most payloads are filtered out before pixel work. */
+    def meta(docId: Long, payload: Array[Byte]): ImageMeta = {
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no ImageIO reader for payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          ImageMeta(docId, reader.getWidth(0), reader.getHeight(0),
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    /** Deterministic PNG: dims + a doc_id-seeded RGB gradient fill. */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val rgb = (((seed + x * 31 + y * 17) % 256).toInt << 16) |
+            ((((seed >> 3) + x) % 256).toInt << 8) | ((seed + y) % 256).toInt
+          img.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
   }
 
@@ -62,14 +137,41 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Synthetic PNG corpus keyed off an id column: width/height are pure
+    * functions of the id (doc_id%16+1 × doc_id%7+1) so an oracle can
+    * recompute the decoded metadata arithmetically while the Spark side
+    * goes through a REAL ImageIO encode→decode round-trip. Encoding runs
+    * per-partition (mapPartitions), the same batched shape as decode. */
+  def syntheticImages(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val png = ImageDecoder.encodePng((id % 16 + 1).toInt, (id % 7 + 1).toInt, id)
+          MediaRow(id, png, "image/png", png.length.toLong)
+        }
+      }
+  }
+
   /** The batched feature-extraction stage: mapPartitions so decoder
-    * setup cost amortizes across each partition's rows. */
+    * setup cost amortizes across each partition's rows; rows dispatch to
+    * the payload's codec by media type. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here ([STUB]: none needed)
-      rows.map(FakeDecoder.features)
+      rows.map { r =>
+        if (r.media_type.startsWith("image/")) ImageDecoder.features(r)
+        else TextDecoder.features(r)
+      }
     }
+  }
+
+  /** Header-only image metadata extraction (width/height/format). */
+  def imageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map(r => ImageDecoder.meta(r.doc_id, r.payload)))
   }
 }

@@ -70,7 +70,7 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == (0 until n by 2).map(k => (k.toLong, (k + 1).toLong)).toSet)
   }
 
-  test("multimodal: per-partition stub decode produces deterministic features") {
+  test("multimodal: per-partition text decode produces deterministic features") {
     val docs = Seq((1L, "abc"), (2L, "x" * 250)).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(
         Multimodal.asMediaTable(docs, "doc_id", "text"))
@@ -78,5 +78,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L).byte_len == 3 && out(1L).n_frames == 1)
     assert(out(1L).checksum == 96354L) // same fold as TextFeatures.charHash
     assert(out(2L).byte_len == 250 && out(2L).n_frames == 3)
+  }
+
+  test("multimodal: ImageIO PNG round-trip — header meta and pixel features") {
+    val ids = Seq(1L, 17L, 300L).toDF("doc_id")
+    val media = Multimodal.syntheticImages(ids, "doc_id")
+    // header-only decode recovers the synthesized dims and format
+    val meta = Multimodal.imageMeta(media).collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(1L, 17L, 300L)) {
+      assert(meta(id).width == (id % 16 + 1).toInt, s"width of $id")
+      assert(meta(id).height == (id % 7 + 1).toInt, s"height of $id")
+      assert(meta(id).fmt == "png")
+    }
+    // full pixel decode: single-frame, checksum equals a driver-side
+    // re-decode of the same payload (codec really ran on executors)
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(f => f.doc_id -> f).toMap
+    val rows = media.collect().map(r => r.doc_id -> r).toMap
+    for (id <- Seq(1L, 17L, 300L)) {
+      assert(feats(id).n_frames == 1L)
+      assert(feats(id).checksum == Multimodal.ImageDecoder.features(rows(id)).checksum)
+      assert(feats(id).byte_len == rows(id).payload.length.toLong)
+    }
+    // a corrupt payload fails loudly, not with a null image NPE
+    val bad = Multimodal.MediaRow(9L, Array[Byte](1, 2, 3), "image/png", 3L)
+    intercept[IllegalArgumentException](Multimodal.ImageDecoder.features(bad))
   }
 }
