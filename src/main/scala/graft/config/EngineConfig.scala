@@ -1,10 +1,18 @@
 package graft.config
 
+/** Configuration failure (the reference's `ConfigurationError`,
+  * `/root/reference/autosinapi/exceptions.py`): unreadable or malformed
+  * config files fail fast and loudly. */
+final class ConfigurationException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
 /** Layered engine configuration mirroring the reference's constant
   * namespace (`/root/reference/autosinapi/config.py:19-98`) and its
-  * override mechanism (`config.py:136-143`, `etl_pipeline.py:139-158`):
-  * defaults ++ caller overrides ++ environment (AUTOSINAPI_* vars),
-  * later layers winning. Pure Scala, no external config library.
+  * override mechanism (`config.py:136-143`, `etl_pipeline.py:139-158`,
+  * JSON file source `__init__.py:71-110` + `etl_pipeline.py:139-158`):
+  * defaults ++ config file ++ caller overrides ++ environment
+  * (AUTOSINAPI_* vars), later layers winning. JSON parsing via the
+  * Jackson that ships on Spark's classpath — no extra dependency.
   */
 final case class EngineConfig(constants: Map[String, String]) {
 
@@ -73,13 +81,54 @@ object EngineConfig {
 
   private val EnvPrefix = "AUTOSINAPI_"
 
-  /** defaults ++ overrides ++ env (env wins, `__init__.py:143-167`). */
+  /** defaults ++ file ++ overrides ++ env (env wins, `__init__.py:143-167`;
+    * the JSON file layer mirrors `etl_pipeline.py:139-158`
+    * `_load_base_config`). */
   def load(overrides: Map[String, String] = Map.empty,
-           env: Map[String, String] = sys.env): EngineConfig = {
+           env: Map[String, String] = sys.env,
+           configFile: Option[java.nio.file.Path] = None): EngineConfig = {
     val fromEnv = env.collect {
       case (k, v) if k.startsWith(EnvPrefix) => k.stripPrefix(EnvPrefix) -> v
     }
-    EngineConfig(defaults ++ overrides ++ fromEnv)
+    val fromFile = configFile.map(loadFile).getOrElse(Map.empty)
+    EngineConfig(defaults ++ fromFile ++ overrides ++ fromEnv)
+  }
+
+  /** Read a JSON config file into a flat constant map. Nested objects
+    * flatten with dots (`{"SHEET_MAP": {"ISD": "…"}}` →
+    * `SHEET_MAP.ISD`), matching this config's dotted-key convention;
+    * scalars stringify. Missing file / non-JSON / non-object payloads
+    * raise [[ConfigurationException]] exactly like the reference's
+    * `_load_base_config` (`etl_pipeline.py:139-158`). */
+  def loadFile(path: java.nio.file.Path): Map[String, String] = {
+    if (!java.nio.file.Files.exists(path))
+      throw new ConfigurationException(
+        s"Arquivo de configuração não encontrado: $path")
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(path))
+      catch {
+        case e: Exception => throw new ConfigurationException(
+          s"Erro ao decodificar o arquivo JSON de configuração: $path", e)
+      }
+    if (node == null || !node.isObject)
+      throw new ConfigurationException(
+        s"Erro ao decodificar o arquivo JSON de configuração: $path (not a JSON object)")
+    flatten(node, "")
+  }
+
+  private def flatten(node: com.fasterxml.jackson.databind.JsonNode,
+                      prefix: String): Map[String, String] = {
+    val it = node.fields()
+    val out = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      val key = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+      val v = e.getValue
+      if (v.isObject) out ++= flatten(v, key)
+      else out += key -> v.asText()
+    }
+    out.result()
   }
 
   /** Sub-map view of dotted keys, e.g. idColMap = map("ID_COL_MAP"). */

@@ -112,13 +112,19 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   /** S10: incoming wins on PK clash; `tiebreak` orders non-PK-unique
     * incoming batches. Full merge + atomic swap (read-merge-rewrite is
-    * the plain-Parquet upsert; see class doc for the at-scale variant). */
+    * the plain-Parquet upsert; see class doc for the at-scale variant).
+    *
+    * Returns the EXACT affected-row count (`database.py:270-280`
+    * `execute_non_query` rowcount parity): one per DISTINCT incoming PK
+    * — each either inserts or updates exactly one table row; in-batch
+    * PK duplicates collapse to their tiebreak survivor first. */
   def upsert(table: String, df: DataFrame,
              tiebreak: Seq[org.apache.spark.sql.Column] = Nil): Long = {
-    val incoming = align(table, df).na.drop(Schemas.primaryKeys(table))
-    val merged = Relational.upsert(read(table), incoming, Schemas.primaryKeys(table), tiebreak)
+    val pk = Schemas.primaryKeys(table)
+    val incoming = align(table, df).na.drop(pk)
+    val merged = Relational.upsert(read(table), incoming, pk, tiebreak)
     publish(table, merged)
-    incoming.count()
+    incoming.dropDuplicates(pk).count()
   }
 
   /** S11: month-level reprocessing — drop the period, insert replacement.
@@ -126,7 +132,11 @@ class TableStore(val spark: SparkSession, val root: String) {
     * PARTITION OVERWRITE: only the partitions present in the
     * replacement are rewritten, every other month's files are
     * untouched — no read-merge-rewrite of the table. Unpartitioned
-    * tables fall back to filter-out + union + atomic swap. */
+    * tables fall back to filter-out + union + atomic swap.
+    *
+    * Returns the exact INSERT-side rowcount (every incoming row is
+    * written — `execute_non_query` parity for the reference's
+    * DELETE-then-insert replace policy). */
   def replacePeriod(table: String, df: DataFrame, periodCol: String,
                     period: java.sql.Date): Long = {
     val incoming = align(table, df)

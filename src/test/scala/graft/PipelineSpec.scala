@@ -138,9 +138,16 @@ class PipelineSpec extends SparkSpec {
     // maintenance log: invalid date/code rows coerce-dropped.
     assert(store.read("manutencoes_historico").count() == 4)
 
-    // run contract (etl_pipeline.py:506-511)
-    assert(report.recordsInserted.keySet.contains("precos_insumos_mensal"))
+    // run contract (etl_pipeline.py:506-511) with EXACT affected-row
+    // counts (database.py:270-280 rowcount parity): the run starts from
+    // an empty warehouse, so each table's inserted count must equal its
+    // final size — upsert consolidation + placeholder repair included.
+    assert(report.recordsInserted("precos_insumos_mensal") == 7)
+    assert(report.recordsInserted("custos_composicoes_mensal") == 4)
     assert(report.recordsInserted("manutencoes_historico") == 4)
+    for (t <- Seq("insumos", "composicoes"))
+      assert(report.recordsInserted(t) == store.read(t).count(),
+        s"inexact inserted count for $t")
   }
 
   test("monthly re-run is idempotent (conflict policies hold)") {

@@ -50,11 +50,20 @@ class TableStoreSpec extends SparkSpec {
     val incoming = Seq((2, "B2", "KG", null: String, "ATIVO"),
       (3, "C", "UN", null: String, "ATIVO"))
       .toDF("codigo", "descricao", "unidade", "classificacao", "status")
-    store.upsert("insumos", incoming)
-    store.upsert("insumos", incoming) // re-run must not change the state
+    // exact affected-rows parity (database.py:270-280 rowcount): one per
+    // distinct incoming PK, both on first run and idempotent re-run
+    assert(store.upsert("insumos", incoming) == 2)
+    assert(store.upsert("insumos", incoming) == 2) // re-run must not change the state
     val out = store.read("insumos").select("codigo", "descricao")
       .as[(Int, String)].collect().toMap
     assert(out == Map(1 -> "A", 2 -> "B2", 3 -> "C"))
+    // in-batch PK duplicates collapse to the tiebreak survivor: 3 rows,
+    // 2 distinct PKs -> 2 affected
+    val dupBatch = Seq((4, "D1", "UN", null: String, "ATIVO"),
+      (4, "D2", "UN", null: String, "ATIVO"),
+      (5, "E", "UN", null: String, "ATIVO"))
+      .toDF("codigo", "descricao", "unidade", "classificacao", "status")
+    assert(store.upsert("insumos", dupBatch, Seq(col("descricao").asc)) == 2)
   }
 
   test("replacePeriod swaps exactly one month's slice") {
@@ -67,7 +76,8 @@ class TableStoreSpec extends SparkSpec {
     store.overwrite("precos_insumos_mensal", base)
     val repl = Seq((1, "SP", d("2025-01-01"), "NAO_DESONERADO", BigDecimal(99)))
       .toDF("insumo_codigo", "uf", "data_referencia", "regime", "preco_mediano")
-    store.replacePeriod("precos_insumos_mensal", repl, "data_referencia", d("2025-01-01"))
+    assert(store.replacePeriod("precos_insumos_mensal", repl,
+      "data_referencia", d("2025-01-01")) == 1) // exact insert-side rowcount
     val out = store.read("precos_insumos_mensal")
       .select(col("data_referencia").cast("string"), col("preco_mediano").cast("int"))
       .as[(String, Int)].collect().toMap
