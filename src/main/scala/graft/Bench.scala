@@ -20,23 +20,46 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    ExtensionQueries.clearMemos() // run-scoped memo: start fresh
-    // Sorted name order: SparkEntry.queries is a hash Map whose
-    // iteration order reshuffles whenever a query is added, silently
-    // changing which heavy query precedes which — q18's r4 "regression"
-    // was its neighbor's garbage. Sorted order keeps each query's bench
-    // context stable across rounds, so numbers are comparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolate queries from each other: name the jobs (so a regression
-      // is attributable in the event log / UI), and collect the prior
-      // query's garbage OUTSIDE this query's timed window — the r4
-      // bench billed ~48 s of array-churn GC from q37/q42 to q18, which
-      // merely ran next.
-      spark.sparkContext.setJobDescription(name)
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Single-run sf0.1 numbers cannot resolve deltas under ~2×: the
+    // r5→r6 rounds ran byte-identical code and still moved individual
+    // queries 0.36×–2.8× (q13 10.83→3.87 s, q36 10.09→4.47 s, q54
+    // 1.94→2.95 s — all machine-load noise). REPEATS>1 runs the WHOLE
+    // suite N times and reports the per-query best-of-N, stripping load
+    // spikes while keeping the one-line JSON contract; the driver's
+    // default (unset → 1) is unchanged. The repeat unit is a full suite
+    // pass — NOT per-query back-to-back reps — so each pass replicates
+    // the single-run context exactly (run-scoped memos cleared per
+    // pass, q36 still reuses q22's memoized minhash chain within one).
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
+    val passes = (1 to repeats).map { _ =>
+      ExtensionQueries.clearMemos() // run-scoped memo: start fresh
+      // Sorted name order: SparkEntry.queries is a hash Map whose
+      // iteration order reshuffles whenever a query is added, silently
+      // changing which heavy query precedes which — q18's r4
+      // "regression" was its neighbor's garbage. Sorted order keeps each
+      // query's bench context stable across rounds, so numbers are
+      // comparable.
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // isolate queries from each other: name the jobs (so a
+        // regression is attributable in the event log / UI), and collect
+        // the prior query's garbage OUTSIDE this query's timed window —
+        // the r4 bench billed ~48 s of array-churn GC from q37/q42 to
+        // q18, which merely ran next.
+        spark.sparkContext.setJobDescription(name)
+        System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    // Per-pass detail to stderr (stdout stays the driver's single JSON
+    // line) so the spread — not just the min — is recordable.
+    if (repeats > 1) passes.zipWithIndex.foreach { case (p, i) =>
+      System.err.println(s"[bench-pass ${i + 1}] " +
+        p.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    }
+    val results = passes.head.map(_._1).map { name =>
+      name -> passes.map(_.toMap.apply(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

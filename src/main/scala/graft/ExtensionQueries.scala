@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, Multimodal, Profiler, Quantize, RangeJoin, Similarity, Sketches, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, Multimodal, Packing, Profiler, Quantize, RangeJoin, Similarity, Sketches, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -466,6 +466,22 @@ object ExtensionQueries {
         .select(col("vec_id"), col("cid").cast("long").as("cid"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+
+    // Sequence packing: documents laid end-to-end in doc_id order, cut
+    // every 256 tokens — the doc→training-sequence assignment, via the
+    // two-pass distributed prefix sum (no single-partition window).
+    "q61_sequence_pack" -> ((s, d) =>
+      Packing.packSequences(Tables.documents(s, d), "doc_id",
+          size(TextFeatures.tokens(col("text"))).cast("long"), 256L)
+        .orderBy(col("seq_id"), col("doc_id"))),
+
+    // Count-min heavy hitters: 3×32 sketch (width forced small so the
+    // min-over-rows actually fights collisions) vs exact counts for
+    // tokens seen ≥ 20 times — est ≥ exact, never under.
+    "q62_countmin_tokens" -> ((s, d) =>
+      Sketches.countMinHeavyHitters(docsFanned(s, d), "text",
+          depth = 3, width = 32, minCount = 20L)
+        .orderBy(col("token"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -1122,5 +1138,39 @@ object ExtensionQueries {
          |a AS (SELECT vec_id, cid, cosine,
          |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid ASC) AS rn FROM sc)
          |SELECT vec_id, cid, cosine FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Mirrors Packing.packSequences (budget 256): global running token
+    // sum in doc_id order gives each doc's [start, end) interval; the
+    // doc lands in every sequence floor(start/256)..floor((end-1)/256),
+    // contributing the overlap. Integer arithmetic throughout (the
+    // HUGEINT window sum is cast back to BIGINT for range()).
+    "q61_sequence_pack" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, tok,
+        |    CAST(SUM(tok) OVER (ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fin
+        |  FROM c WHERE tok > 0)
+        |SELECT CAST(t.seq AS BIGINT) AS seq_id, doc_id,
+        |  CAST(least(fin, (t.seq+1)*256) - greatest(fin - tok, t.seq*256) AS BIGINT) AS n_tok
+        |FROM s, unnest(range((fin - tok)//256, (fin - 1)//256 + 1)) AS t(seq)
+        |ORDER BY seq_id, doc_id""".stripMargin,
+
+    // Mirrors Sketches.countMinHeavyHitters (3×32, minCount 20): cell
+    // counts per affine row hash, estimate = min over the token's 3
+    // cells. `tok` is the hashed expression's variable name, so dh()
+    // applies verbatim.
+    "q62_countmin_tokens" ->
+      s"""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+         |h AS (SELECT tok, ${dh("tok")} AS hh FROM t),
+         |cells AS (SELECT j, ((2*j+3)*hh + (5*j+7)) % 1000000007 % 32 AS cell, COUNT(*) AS cnt
+         |  FROM h, range(0, 3) r(j) GROUP BY 1, 2),
+         |probe AS (SELECT tok, hh, COUNT(*) AS exact_cnt FROM h GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+         |pc AS (SELECT tok, exact_cnt, j, ((2*j+3)*hh + (5*j+7)) % 1000000007 % 32 AS cell
+         |  FROM probe, range(0, 3) r(j))
+         |SELECT pc.tok AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt, CAST(MIN(c.cnt) AS BIGINT) AS cm_est
+         |FROM pc JOIN cells c USING (j, cell)
+         |GROUP BY 1, 2 ORDER BY token""".stripMargin,
   )
 }

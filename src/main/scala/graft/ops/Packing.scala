@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay the corpus's tokens end-to-end in a canonical
+  * document order and cut the stream every `budget` tokens — the
+  * document→training-sequence assignment step of an LLM data pipeline
+  * (GPT-style boundary-agnostic packing: a document that straddles a
+  * cut contributes its tokens to both neighboring sequences).
+  *
+  * The global token offset of each document is a corpus-wide running
+  * sum. The naive spelling — `Window.orderBy(id)` with no partition —
+  * funnels the whole corpus through ONE task and is exactly the
+  * single-partition window this codebase bans at 100 TB. Instead the
+  * classic two-pass distributed prefix sum:
+  *
+  *   1. range-partition by id and sort within partitions — Spark's
+  *      RangePartitioning guarantees partition p holds strictly
+  *      smaller ids than p+1, so partition order IS global order;
+  *   2. one small aggregate computes per-partition token totals; the
+  *      driver folds them into per-partition starting offsets — ONE
+  *      (int, long) pair per partition of driver state, the same
+  *      bounded-collect budget as the k-means centroid loop
+  *      ([[Clustering]]), nothing proportional to rows;
+  *   3. a per-partition window cumsum plus the broadcast offset yields
+  *      every document's exact global [start, end) token interval, and
+  *      `sequence(start div B, (end-1) div B)` explodes it onto the
+  *      training sequences it overlaps (integer arithmetic throughout —
+  *      no double division anywhere near the 2^53 cliff).
+  *
+  * The result is layout-independent: wherever the range boundaries
+  * fall, offset + local cumsum = the global cumsum over unique ids,
+  * so any partitioning of the same rows packs identically
+  * ([[PackingSpec]] pins this).
+  */
+object Packing {
+
+  /** @param docs   one row per document
+    * @param idCol  unique orderable id — packing order and tiebreak
+    * @param tokCol per-document token count (cast to long); rows with
+    *               a non-positive count carry no tokens and are dropped
+    * @param budget tokens per training sequence, > 0
+    * @return (seq_id, `idCol`, n_tok): one row per (sequence, document
+    *         contributing tokens to it), n_tok = how many of the
+    *         document's tokens land in that sequence
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokCol: Column,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Checkpointed so the totals pass and the pack pass read one
+    // materialization (and __p is frozen with it).
+    val ranged = docs
+      .select(col(idCol).as("__id"), tokCol.cast("long").as("__tok"))
+      .filter(col("__tok") > 0)
+      .repartitionByRange(col("__id"))
+      .sortWithinPartitions("__id")
+      .select(spark_partition_id().as("__p"), col("__id"), col("__tok"))
+      .localCheckpoint()
+    // Pass 1: per-partition totals → exclusive prefix = offsets.
+    val totals = ranged.groupBy("__p").agg(sum("__tok").as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offsets = totals.map { case (p, t) =>
+      val o = (p, running); running += t; o
+    }.toSeq
+    val offDf = offsets.toDF("__p", "__off")
+    // Pass 2: global interval per doc, exploded onto the sequences it
+    // overlaps. A doc spans ≤ 1 + tok/budget sequences — no blow-up.
+    val w = Window.partitionBy("__p").orderBy("__id")
+    ranged
+      .join(broadcast(offDf), Seq("__p"))
+      .withColumn("__end", col("__off") + sum("__tok").over(w))
+      .withColumn("__start", col("__end") - col("__tok"))
+      .withColumn("seq_id",
+        explode(expr(s"sequence(__start div ${budget}L, (__end - 1) div ${budget}L)")))
+      .select(col("seq_id"), col("__id").as(idCol),
+        (least(col("__end"), (col("seq_id") + 1) * budget) -
+          greatest(col("__start"), col("seq_id") * budget)).as("n_tok"))
+  }
+}

@@ -55,6 +55,70 @@ object Sketches {
       groupCol, "__h", k)
   }
 
+  /** Count-min sketch over the corpus token stream (Cormode &
+    * Muthukrishnan 2005): `depth` hash rows × `width` counter cells;
+    * every token increments one cell per row; a token's frequency
+    * estimate is the MIN of its `depth` cells — an overestimate by at
+    * most the collision mass, never an underestimate.
+    *
+    * Why it fits this engine: the whole sketch is ≤ depth·width longs
+    * no matter the corpus size, and building it is a single
+    * `groupBy(row, cell).count` — map-side combinable, so each of 1000
+    * executors ships one tiny partial matrix, not its token stream.
+    * Row hashes are the same affine-over-polyhash family as the MinHash
+    * signatures ((2j+3)·h + (5j+7) mod p), deterministic and
+    * DuckDB-reproducible.
+    *
+    * @return (j, cell, cnt) — the sketch matrix, at most depth·width rows
+    */
+  def countMinCells(docs: DataFrame, textCol: String,
+                    depth: Int = 3, width: Int = 512): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val p = TextFeatures.HashMod
+    docs
+      .select(explode(TextFeatures.tokens(col(textCol))).as("__tok"))
+      .select(TextFeatures.charHash(col("__tok")).as("__h"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"),
+          (((lit(2L * j + 3) * col("__h") + lit(5L * j + 7)) % p) % width)
+            .as("cell"))): _*)).as("__jc"))
+      .groupBy(col("__jc.j").as("j"), col("__jc.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy-hitter report: per-token count-min estimate next to the
+    * exact count (est ≥ exact always; equal when the token's cells are
+    * collision-free). The estimate side only touches the ≤ depth·width
+    * cell matrix — broadcast-sized — so the join adds no shuffle of the
+    * corpus; the exact side is the usual token groupBy, kept here
+    * because the report IS the sketch-vs-truth surface.
+    *
+    * @return (token, exact_cnt, cm_est) for tokens with exact_cnt ≥ minCount
+    */
+  def countMinHeavyHitters(docs: DataFrame, textCol: String,
+                           depth: Int = 3, width: Int = 512,
+                           minCount: Long = 1L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val p = TextFeatures.HashMod
+    val cells = countMinCells(docs, textCol, depth, width)
+    val probes = docs
+      .select(explode(TextFeatures.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("exact_cnt") >= minCount)
+      .withColumn("__h", TextFeatures.charHash(col("token")))
+      .select(col("token"), col("exact_cnt"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"),
+          (((lit(2L * j + 3) * col("__h") + lit(5L * j + 7)) % p) % width)
+            .as("cell"))): _*)).as("__jc"))
+      .select(col("token"), col("exact_cnt"),
+        col("__jc.j").as("j"), col("__jc.cell").as("cell"))
+    probes
+      .join(broadcast(cells), Seq("j", "cell"))
+      .groupBy("token", "exact_cnt")
+      .agg(min("cnt").as("cm_est"))
+      .select(col("token"), col("exact_cnt"), col("cm_est"))
+  }
+
   /** The sketch over an already-hashed, already-distinct (group, hash)
     * frame — the seam for callers that reuse the distinct pairs for
     * other statistics (one shuffle feeds both). Ranks by [[mix]] of the

@@ -55,6 +55,27 @@ class PlanShapeSpec extends SparkSpec {
       s"single-partition source no longer fans out:\n$planOne")
   }
 
+  test("sequence packing never funnels through a single-partition window") {
+    // The global running sum must be the two-pass prefix sum — a
+    // per-partition window keyed by __p plus a broadcast offset join.
+    // `Window.orderBy` with no partition key would show up here as an
+    // Exchange SinglePartition feeding the Window.
+    val docs = (1L to 500L).map(i => (i, (i % 7) + 1)).toDF("doc_id", "tok")
+    val plan = planOf(graft.ops.Packing.packSequences(docs, "doc_id", col("tok"), 64L))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing degraded to a single-partition global window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"per-partition offsets should join broadcast, not shuffle:\n$plan")
+  }
+
+  test("count-min estimate joins the broadcast cell matrix, not a shuffle") {
+    val docs = (1 to 200).map(i => (i.toLong, s"w${i % 30} w${i % 11}"))
+      .toDF("doc_id", "text")
+    val plan = planOf(Sketches.countMinHeavyHitters(docs, "text", 3, 64))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell matrix (≤ depth·width rows) must broadcast:\n$plan")
+  }
+
   test("inverted index: the df band gate joins BEFORE the posting-list collect") {
     val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
     val plan = planOf(graft.ops.TermStats.invertedIndex(docs, "doc_id", "text", 2, 2))

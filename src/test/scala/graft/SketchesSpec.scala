@@ -34,4 +34,34 @@ class SketchesSpec extends SparkSpec {
       .orderBy("g").as[(String, Long, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("count-min: wide sketch is exact, narrow one only ever OVER-estimates") {
+    val docs = (1 to 400).map(i => (i.toLong, s"alpha beta tok${i % 50}"))
+      .toDF("doc_id", "text")
+    // width 4096 ≫ 52 distinct tokens: collision-free, est == exact
+    val wide = Sketches.countMinHeavyHitters(docs, "text", 3, 4096)
+      .as[(String, Long, Long)].collect()
+    assert(wide.nonEmpty && wide.forall { case (_, ex, est) => est == ex })
+    // width 8 < 52 tokens: collisions guaranteed; min-over-rows must
+    // still never drop below truth
+    val narrow = Sketches.countMinHeavyHitters(docs, "text", 3, 8)
+      .as[(String, Long, Long)].collect()
+    assert(narrow.forall { case (_, ex, est) => est >= ex })
+    assert(narrow.exists { case (_, ex, est) => est > ex })
+  }
+
+  test("count-min cell matrix is bounded and mergeable (sum of halves = whole)") {
+    val docs = (1 to 300).map(i => (i.toLong, s"w${i % 40} w${i % 17}"))
+      .toDF("doc_id", "text")
+    val cells = Sketches.countMinCells(docs, "text", 3, 16)
+      .as[(Int, Long, Long)].collect()
+    assert(cells.length <= 3 * 16)
+    val half1 = Sketches.countMinCells(docs.filter(col("doc_id") <= 150), "text", 3, 16)
+      .as[(Int, Long, Long)].collect().map { case (j, c, n) => (j, c) -> n }.toMap
+    val half2 = Sketches.countMinCells(docs.filter(col("doc_id") > 150), "text", 3, 16)
+      .as[(Int, Long, Long)].collect().map { case (j, c, n) => (j, c) -> n }.toMap
+    val merged = (half1.keySet ++ half2.keySet).map(k =>
+      k -> (half1.getOrElse(k, 0L) + half2.getOrElse(k, 0L))).toMap
+    assert(merged == cells.map { case (j, c, n) => (j, c) -> n }.toMap)
+  }
 }
