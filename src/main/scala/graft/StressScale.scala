@@ -54,6 +54,58 @@ object StressScale {
     val rows = paths.count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[stress] tree_forest k=$k depth=$d rows=$rows rounds=$rounds $secs%.1f s")
+
+    // Dedup-family stress: 10 near-dup variants of every sf0.1 document
+    // (each copy appends one distinct token — texts all DISTINCT, so the
+    // representative collapse can't shortcut; shingles overlap heavily,
+    // so candidate generation carries real load). ~50k docs ≈ 10× the
+    // bench corpus; the claim under test is that candidate pairs stay
+    // band-bucket-bounded, not all-pairs (50k² = 2.5G pairs would hang).
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val variants = (0 until 10).map(i =>
+      docs.select((col("doc_id") * 10 + i).as("doc_id"),
+        concat(col("text"), lit(s" uniq$i")).as("text")))
+      .reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val nDocs = variants.count()
+    val t1 = System.nanoTime()
+    val mh = ops.TextDedup.minhashCandidates(variants, "doc_id", "text").count()
+    val s1 = (System.nanoTime() - t1) / 1e9
+    println(f"[stress] minhash_10x docs=$nDocs cand_pairs=$mh $s1%.1f s")
+    val t2 = System.nanoTime()
+    val nj = ops.TextDedup.ngramJaccardPairs(variants, "doc_id", "text",
+      maxShingleDf = 1000L).count()
+    val s2 = (System.nanoTime() - t2) / 1e9
+    println(f"[stress] jaccard_10x docs=$nDocs pairs=$nj $s2%.1f s")
+    // Candidate-volume diagnostic: pair rows a shingle-equality
+    // self-join emits = Σ_shingle df² — computable by aggregation alone.
+    // Compare the full shingle sets vs the rarest-first prefixes
+    // (texts here are all distinct, so the rep collapse is identity).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFeatures._
+      graft.functions.GraftFunctions.register(spark)
+      val sh = variants
+        .withColumn("__toks", tokens(col("text")))
+        .filter(size(col("__toks")) >= 3)
+        .select(col("doc_id").as("id"),
+          explode(array_distinct(transform(shingles(col("__toks"), 3),
+            s => charHash(s)))).as("shingle"))
+        .localCheckpoint()
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= 1000L).localCheckpoint()
+      val fullRows = dfreq.agg(sum(col("__df") * col("__df"))).head.getLong(0)
+      val pref = sh.join(dfreq, Seq("shingle"))
+        .withColumn("__pos", row_number().over(
+          Window.partitionBy("id").orderBy(col("__df"), col("shingle"))))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
+        .filter(col("__pos") <= col("__n") - ceil(col("__n") * 0.5 - 1e-9) + 1)
+      val prefRows = pref.groupBy("shingle").agg(count(lit(1)).as("pdf"))
+        .agg(sum(col("pdf") * col("pdf"))).head.getLong(0)
+      println(s"[stress] jaccard_diag full_join_rows=$fullRows prefix_join_rows=$prefRows")
+    }
     spark.stop()
   }
 }

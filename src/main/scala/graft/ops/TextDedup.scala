@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFeatures._
@@ -234,19 +235,58 @@ object TextDedup {
     // Stop-shingle exclusion. Document frequency is counted over
     // representatives = distinct texts (clone count must not inflate a
     // shingle into "ubiquitous").
-    val sh =
+    // Checkpointed: FIVE downstream subtrees read sh (sizes, dfreq, the
+    // prefix build, the sorted-set arrays, and via them the verify
+    // join); unmaterialized, each one would re-run the explode +
+    // stop-filter chain — including the groupBy hidden inside the
+    // anti-join — multiplicatively.
+    val sh = (
       if (maxShingleDf == Long.MaxValue) shAll
       else {
         val stop = shAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxShingleDf).select("shingle")
         shAll.join(stop, Seq("shingle"), "left_anti")
-      }
+      }).localCheckpoint()
+    // PPJoin-style prefix filter (Bayardo et al. WWW'07 all-pairs;
+    // Xiao et al. PPJoin): under ANY global total order on shingles,
+    // two sets with jaccard ≥ t share an element within the first
+    // |X| − ⌈t·|X|⌉ + 1 elements of EACH set — the globally-smallest
+    // shared shingle is preceded in X only by non-shared shingles, and
+    // there are at most |X| − |A∩B| ≤ |X| − ⌈t·|X|⌉ of those. So
+    // joining PREFIXES only is lossless. The order is (df asc, shingle
+    // asc) — rarest first — so the self-join's fan-out concentrates on
+    // LOW-df keys: Σ df² over prefix occurrences vs over full sets is
+    // the candidate-row count. Measured on the 10× near-dup stress
+    // fixture (StressScale, 50k docs, flat synthetic vocabulary —
+    // PPJoin's WORST case): 97M prefix rows vs 280M full-join rows,
+    // identical output; Zipf-distributed real text concentrates df mass
+    // in few head shingles that never enter a prefix, where the
+    // reduction is orders of magnitude. Survivors are verified EXACTLY
+    // from the full sorted shingle arrays — bit-identical jaccard to
+    // the all-shingle join, so the DuckDB oracle is untouched.
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("id").as("ra"), col("shingle"))
-      .join(sh.select(col("id").as("rb"), col("shingle")), Seq("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("__df"), col("shingle"))))
+      .join(sizes, Seq("id"))
+      // L = n − ⌈t·n⌉ + 1; the 1e-9 nudge keeps an fp-inflated ceil
+      // from SHRINKING the prefix (a larger prefix is merely slower, a
+      // smaller one drops true pairs)
+      .filter(col("__pos") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+      .select(col("id"), col("shingle"))
+      .localCheckpoint() // self-joined below: compute the window once
+    val cand = prefix.select(col("id").as("ra"), col("shingle"))
+      .join(prefix.select(col("id").as("rb"), col("shingle")), Seq("shingle"))
       .filter(col("ra") < col("rb"))
-      .groupBy("ra", "rb").agg(count(lit(1)).as("n_inter"))
-    val repPairs = inter
+      .select("ra", "rb").distinct()
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("shingle"))).as("__ss"))
+    val repPairs = cand
+      .join(sets.select(col("id").as("ra"), col("__ss").as("__sa")), Seq("ra"))
+      .join(sets.select(col("id").as("rb"), col("__ss").as("__sb")), Seq("rb"))
+      .withColumn("n_inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .join(sizes.withColumnsRenamed(Map("id" -> "ra", "n" -> "n_a")), Seq("ra"))
       .join(sizes.withColumnsRenamed(Map("id" -> "rb", "n" -> "n_b")), Seq("rb"))
       .withColumn("jaccard",

@@ -124,6 +124,43 @@ object StreamingLoad {
       }
   }
 
+  // ---- custom state: count-min sketch (mapGroupsWithState) -------------
+
+  final case class CmOut(j: Int, cell: Long, cnt: Long)
+
+  /** Streaming twin of [[graft.ops.Sketches.countMinCells]]: the
+    * depth×width counter matrix as keyed state — one LONG per (row,
+    * cell) key, ≤ depth·width keys total, so state is bounded no matter
+    * how long the stream runs. Counter addition is commutative and
+    * associative, so after any batch arrival order the matrix equals
+    * the batch sketch over the union of batches ([[StreamingSpec]] pins
+    * stream ≡ batch), and each trigger emits the updated cells — a
+    * continuously-current heavy-hitter sketch over the document feed.
+    */
+  def countMinStream(docs: DataFrame, textCol: String,
+                     depth: Int = 3, width: Int = 512): Dataset[CmOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val p = graft.functions.TextFeatures.HashMod
+    docs
+      .select(explode(graft.functions.TextFeatures.tokens(col(textCol))).as("__tok"))
+      .select(graft.functions.TextFeatures.charHash(col("__tok")).as("__h"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"),
+          (((lit(2L * j + 3) * col("__h") + lit(5L * j + 7)) % p) % width)
+            .as("cell"))): _*)).as("__jc"))
+      .select(col("__jc.j").as("j"), col("__jc.cell").as("cell"))
+      .as[(Int, Long)]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CmOut](GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[(Int, Long)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          CmOut(key._1, key._2, next)
+      }
+  }
+
   // ---- custom state: sessionization (flatMapGroupsWithState) -----------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

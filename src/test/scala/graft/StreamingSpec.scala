@@ -125,4 +125,32 @@ class StreamingSpec extends SparkSpec {
       assert(emitted.forall(_._2 <= 16L)) // state capped at k throughout
     } finally q.stop()
   }
+
+  test("streaming count-min matrix equals the batch sketch over all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingLoad.countMinStream(
+        mem.toDF().toDF("doc_id", "text"), "text", depth = 3, width = 16)
+      .writeStream.format("memory").queryName("cm_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1 to 120).map(i => (i.toLong, s"w${i % 9} w${i % 5}")): _*)
+      q.processAllAvailable()
+      mem.addData((121 to 250).map(i => (i.toLong, s"w${i % 9} w${i % 7}")): _*)
+      q.processAllAvailable()
+      // latest emission per (j, cell) must equal the batch matrix over
+      // the union of both batches (counter merge is order-free)
+      val streamed = spark.table("cm_test").as[(Int, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.map(_._3).max }
+      val batch = graft.ops.Sketches.countMinCells(
+          ((1 to 120).map(i => (i.toLong, s"w${i % 9} w${i % 5}")) ++
+           (121 to 250).map(i => (i.toLong, s"w${i % 9} w${i % 7}")))
+            .toDF("doc_id", "text"), "text", 3, 16)
+        .as[(Int, Long, Long)].collect()
+        .map { case (j, c, n) => (j, c) -> n }.toMap
+      assert(streamed == batch, s"stream matrix != batch matrix")
+      assert(streamed.size <= 3 * 16) // bounded state
+    } finally q.stop()
+  }
 }
