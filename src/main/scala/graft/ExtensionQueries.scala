@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, Multimodal, Packing, Profiler, Quantize, RangeJoin, Similarity, Sketches, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Similarity, Sketches, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -482,6 +482,19 @@ object ExtensionQueries {
       Sketches.countMinHeavyHitters(docsFanned(s, d), "text",
           depth = 3, width = 32, minCount = 20L)
         .orderBy(col("token"))),
+
+    // Integer-exact PageRank (3 iterations) over the symmetrized
+    // supplier↔part co-purchase graph — the link-centrality corpus
+    // weighting signal. Node ids are prefixed ('s'/'p') because the
+    // two key spaces overlap numerically.
+    "q63_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      val sym = li.unionByName(
+        li.select(col("dst").as("src"), col("src").as("dst")))
+      GraphRank.pageRank(sym, "src", "dst", 3).orderBy(col("node"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -1172,5 +1185,28 @@ object ExtensionQueries {
          |SELECT pc.tok AS token, CAST(exact_cnt AS BIGINT) AS exact_cnt, CAST(MIN(c.cnt) AS BIGINT) AS cm_est
          |FROM pc JOIN cells c USING (j, cell)
          |GROUP BY 1, 2 ORDER BY token""".stripMargin,
+
+    // Mirrors GraphRank.pageRank (3 iterations, scale 1e9, damping
+    // (85·x)//100, teleport (15·(S//n))//100, contributions r//deg,
+    // dangling mass leaks): iterations unrolled as identical CTEs.
+    "q63_pagerank" -> {
+      def it(prev: String): String =
+        s"""(SELECT nodes.node,
+           |    (SELECT (15 * (1000000000 // n)) // 100 FROM n) + (85 * COALESCE(c.s, 0)) // 100 AS r
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(SUM(p.r // deg.deg) AS BIGINT) AS s
+           |    FROM $prev p JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY 1) c USING (node))""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT 's'||l_suppkey AS src, 'p'||l_partkey AS dst FROM lineitem
+         |    UNION ALL SELECT 'p'||l_partkey, 's'||l_suppkey FROM lineitem)),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |n AS (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST((SELECT 1000000000 // n FROM n) AS BIGINT) AS r FROM nodes),
+         |i1 AS ${it("r0")},
+         |i2 AS ${it("i1")},
+         |i3 AS ${it("i2")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin
+    },
   )
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank (Page et al. 1999) — the centrality signal a
+  * corpus-curation pipeline uses to weight sources/documents by link
+  * structure (CommonCrawl-style harmonic/PageRank corpus weighting).
+  *
+  * All arithmetic is integer: ranks live as quantized longs at scale
+  * 10⁹, per-edge contributions are `rank DIV outdeg`, damping is
+  * `(85 · x) DIV 100`, and the teleport base is
+  * `(15 · (SCALE DIV n)) DIV 100`. Integer division loses a few
+  * quanta of mass per step — the standard price for making the result
+  * bit-identical under ANY partitioning, merge order, or engine
+  * (the DuckDB oracle runs the same unrolled arithmetic). Dangling
+  * nodes (no out-edges) simply leak their mass — documented choice,
+  * mirrored by the oracle.
+  *
+  * Dataflow per iteration: ranks ⋈ edges on src (shuffle bounded by
+  * |edges|), groupBy dst with a SUM — map-side combinable — then a
+  * left join back onto the node set so sink nodes keep the teleport
+  * base. Each iteration is localCheckpoint'ed: bounded lineage, and
+  * iteration k is computed exactly once even though k+1 reads it
+  * twice (join + base). Driver round-trips = `iters`, fixed and small
+  * — unlike the convergence loops in [[ConnectedComponents]], rank
+  * iteration count is a caller-chosen constant, so no fixpoint
+  * detection is needed.
+  */
+object GraphRank {
+
+  val Scale: Long = 1000000000L
+
+  /** @param edges directed edges (srcCol, dstCol); symmetrize upstream
+    *              for an undirected walk
+    * @param iters fixed iteration count (unrolled by the oracle)
+    * @return (node, rank_q): quantized rank per distinct node
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val base = (15L * (Scale / n)) / 100L
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_q"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = ranks
+        .join(e, ranks("node") === e("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_q div __deg").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__in"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"(85 * coalesce(__in, 0L)) div 100"))
+            .as("rank_q"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

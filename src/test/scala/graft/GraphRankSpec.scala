@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.GraphRank
+
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("symmetric 2-cycle: both nodes hold equal rank, mass nearly conserved") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = GraphRank.pageRank(edges, "src", "dst", 3)
+      .as[(String, Long)].collect().toMap
+    assert(r("a") == r("b"))
+    // no dangling nodes: only integer-division quanta leak
+    val total = r.values.sum
+    assert(total <= GraphRank.Scale && total > GraphRank.Scale * 99 / 100,
+      s"mass $total vs scale ${GraphRank.Scale}")
+  }
+
+  test("star graph: the hub out-ranks every leaf") {
+    val leaves = (1 to 8).map(i => s"leaf$i")
+    val edges = (leaves.map(l => ("hub", l)) ++ leaves.map(l => (l, "hub")))
+      .toDF("src", "dst")
+    val r = GraphRank.pageRank(edges, "src", "dst", 3)
+      .as[(String, Long)].collect().toMap
+    assert(leaves.forall(l => r("hub") > r(l)),
+      s"hub ${r("hub")} not above leaves ${leaves.map(r).max}")
+    assert(leaves.map(r).distinct.size == 1) // leaves are symmetric
+  }
+
+  test("dangling sink keeps only the teleport base; result is layout-independent") {
+    // c has no out-edges: its collected mass leaks each round, and its
+    // own rank is exactly the teleport base after any iteration.
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    val n = 3L
+    val base = (15L * (GraphRank.Scale / n)) / 100L
+    val one = GraphRank.pageRank(edges.coalesce(1), "src", "dst", 3)
+      .as[(String, Long)].collect().toMap
+    val many = GraphRank.pageRank(edges.repartition(5), "src", "dst", 3)
+      .as[(String, Long)].collect().toMap
+    assert(one == many)
+    assert(one("c") > base) // receives from a on the last hop
+    assert(one("a") > one("c")) // a gets b's full rank, c only half of a's
+  }
+}
