@@ -106,6 +106,17 @@ object StressScale {
         .agg(sum(col("pdf") * col("pdf"))).head.getLong(0)
       println(s"[stress] jaccard_diag full_join_rows=$fullRows prefix_join_rows=$prefRows")
     }
+
+    // Sequence-packing stress: 5M docs / 2.75G tokens through the
+    // two-pass distributed prefix sum — the path a single-partition
+    // window could not survive.
+    val t3 = System.nanoTime()
+    val np = ops.Packing.packSequences(
+      spark.range(5000000L).select(col("id").as("doc_id"),
+        ((col("id") % 900) + 100).as("tok")),
+      "doc_id", col("tok"), 4096L).count()
+    val s3 = (System.nanoTime() - t3) / 1e9
+    println(f"[stress] packing_5m rows=$np $s3%.1f s")
     spark.stop()
   }
 }
