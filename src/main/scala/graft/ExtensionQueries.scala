@@ -483,6 +483,18 @@ object ExtensionQueries {
           depth = 3, width = 32, minCount = 20L)
         .orderBy(col("token"))),
 
+    // Semantic decontamination: corpus embeddings vs the broadcast
+    // eval-seed set (vec_id < 20 plays the held-out benchmark) — each
+    // doc's closest seed + cosine + flag at 0.9. The embedding-space
+    // complement of q43's n-gram overlap.
+    "q64_semantic_decontaminate" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      Contamination.semanticOverlap(
+          e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // Integer-exact PageRank (3 iterations) over the symmetrized
     // supplier↔part co-purchase graph — the link-centrality corpus
     // weighting signal. Node ids are prefixed ('s'/'p') because the
@@ -1208,5 +1220,17 @@ object ExtensionQueries {
          |i3 AS ${it("i2")}
          |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin
     },
+
+    // Mirrors Contamination.semanticOverlap (threshold 0.9, seeds =
+    // vec_id < 20): argmax cosine per corpus doc, ties to the lower
+    // seed id, same left-to-right double fold as every embedding oracle.
+    "q64_semantic_decontaminate" ->
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+         |s AS (SELECT vec_id AS near_seed, embedding AS se FROM embeddings WHERE vec_id < 20),
+         |sc AS (SELECT c.vec_id, s.near_seed, ${cosSql("c.embedding", "s.se")} AS cosine FROM c, s),
+         |r AS (SELECT vec_id, near_seed, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, near_seed ASC) AS rn FROM sc)
+         |SELECT vec_id, near_seed, cosine, CAST(cosine >= 0.9 AS BIGINT) AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -33,6 +33,33 @@ object Contamination {
     *         count, how many of those appear anywhere in the eval set,
     *         and the 0/1 flag (any hit ⇒ contaminated).
     */
+  /** Embedding-space decontamination — the semantic complement of
+    * [[ngramOverlap]]: a paraphrased benchmark question shares no
+    * 13-gram with its source but sits next to it in embedding space.
+    * Same scale shape as the n-gram path: the eval side is broadcast,
+    * the corpus embedding column is scanned exactly once, and the only
+    * shuffle is the per-doc argmax aggregation on the fixed-width id.
+    *
+    * @return (`idCol`, near_seed, cosine, contaminated): each corpus
+    *         doc's closest eval seed (ties → lower seed id), the cosine,
+    *         and the 0/1 flag (cosine ≥ threshold).
+    */
+  def semanticOverlap(corpus: DataFrame, evalSet: DataFrame,
+                      idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+    val s = evalSet.select(col(idCol).as("near_seed"), col(vecCol).as("__sv"))
+    c.crossJoin(broadcast(s))
+      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__sv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("cosine").desc, col("near_seed").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("near_seed"), col("cosine"),
+        (col("cosine") >= threshold).cast("long").as("contaminated"))
+  }
+
   def ngramOverlap(corpus: DataFrame, evalSet: DataFrame,
                    idCol: String, textCol: String, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)

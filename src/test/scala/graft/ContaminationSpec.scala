@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.Contamination
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngram overlap flags docs sharing any eval n-gram, counts distinct grams") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox"
+      (2L, "totally unrelated text here"), // clean
+      (3L, "a b")                          // too short for a trigram: absent
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "quick brown fox runs away")).toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(corpus, eval, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 3L, 1L, 1L))  // 3 trigrams, 1 hit, flagged
+    assert(out(2L) == (2L, 2L, 0L, 0L)) // 4 tokens → 2 trigrams, clean
+    assert(!out.contains(3L))
+  }
+
+  test("semantic overlap: nearest seed by cosine, flag at threshold, ties to lower id") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),  // identical to seed 1 → cos 1.0
+      (11L, Array(0.0f, 1.0f, 0.0f)),  // identical to seed 2 → cos 1.0
+      (12L, Array(1.0f, 1.0f, 0.0f))   // cos √2/2 ≈ .707 to both → seed 1 by tie
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Contamination.semanticOverlap(corpus, seeds, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._2 == 1L && out(10L)._4 == 1L)
+    assert(out(11L)._2 == 2L && out(11L)._4 == 1L)
+    assert(out(12L)._2 == 1L && out(12L)._4 == 0L) // tie → lower seed; below 0.9
+    assert(math.abs(out(12L)._3 - math.sqrt(0.5)) < 1e-12)
+  }
+}
