@@ -1,0 +1,123 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ConnectedComponents, Packing, TextDedup}
+
+/** Model checks: the three trickiest operators compared against
+  * brute-force in-memory reference models on SEEDED random fixtures —
+  * the operators' clever parts (PPJoin prefix filter, two-pass prefix
+  * sum, pointer doubling) must be invisible in the results. Seeds are
+  * fixed so failures reproduce.
+  */
+class ModelCheckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Mod = 1000000007L
+  private def polyhash(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) { h = (h * 31 + s.codePointAt(i)) % Mod; i += 1 }
+    h
+  }
+
+  test("ngramJaccardPairs == brute-force model on random duplicate-heavy corpora") {
+    val rnd = new Random(20260813L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 3).foreach { trial =>
+      // duplicate-heavy: some texts repeat verbatim, lengths 0-9
+      val texts = (1 to 60).map { _ =>
+        (0 until rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (rnd.nextBoolean()) t else texts(rnd.nextInt(texts.size)))
+      }
+      val threshold = 0.4 + 0.2 * rnd.nextDouble()
+      val maxDf = 8L
+      // ---- model: per distinct text (min-id rep), distinct shingle
+      // hashes; stop-df over distinct texts; pairwise exact jaccard;
+      // expand reps to members; within-clique pairs are 1.0 when the
+      // rep keeps >= 1 shingle
+      val byText = docs.filter(_._2.split(" ").count(_.nonEmpty) >= 3)
+        .groupBy(_._2).map { case (t, ms) => (t, ms.map(_._1).min, ms.map(_._1).sorted) }.toSeq
+      val shingleSets = byText.map { case (t, rep, _) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        rep -> toks.sliding(3).map(w => polyhash(w.mkString(" "))).toSet
+      }.toMap
+      val dfCount = shingleSets.values.toSeq.flatten.groupBy(identity)
+        .map { case (sh, os) => sh -> os.size.toLong }
+      val kept = shingleSets.map { case (r, ss) => r -> ss.filter(dfCount(_) <= maxDf) }
+      val repPairs = for {
+        Seq((ra, sa), (rb, sb)) <- kept.toSeq.sortBy(_._1).combinations(2).toSeq
+        inter = (sa & sb).size
+        if sa.nonEmpty && sb.nonEmpty
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= threshold
+      } yield (ra, rb, j)
+      val members = byText.flatMap { case (_, rep, ms) => ms.map(_ -> rep) }
+      val cross = for {
+        (ra, rb, j) <- repPairs
+        a <- members.filter(_._2 == ra).map(_._1)
+        b <- members.filter(_._2 == rb).map(_._1)
+      } yield (math.min(a, b), math.max(a, b), j)
+      val within = for {
+        (_, rep, ms) <- byText if kept(rep).nonEmpty
+        Seq(a, b) <- ms.combinations(2).toSeq
+      } yield (a, b, 1.0d)
+      val model = (cross ++ within).toSet
+      // ---- operator
+      val got = TextDedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", 3, threshold, maxDf)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == model,
+        s"trial $trial t=$threshold: missing=${(model -- got).take(3)} extra=${(got -- model).take(3)}")
+    }
+  }
+
+  test("packSequences == sequential scan model on random token counts") {
+    val rnd = new Random(7L)
+    (1 to 3).foreach { trial =>
+      val docs = (1 to 200).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      val budget = 16L + rnd.nextInt(50)
+      // model: lay out in id order, cut every `budget`
+      var off = 0L
+      val model = docs.filter(_._2 > 0).sortBy(_._1).flatMap { case (id, tok) =>
+        val start = off; off += tok
+        (start / budget to (off - 1) / budget).map { seq =>
+          (seq, id, math.min(off, (seq + 1) * budget) - math.max(start, seq * budget))
+        }
+      }.toSet
+      val got = Packing.packSequences(
+          docs.toDF("doc_id", "tok").repartition(1 + rnd.nextInt(8)),
+          "doc_id", col("tok"), budget)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == model, s"trial $trial budget=$budget")
+    }
+  }
+
+  test("pointer-doubling CC == union-find model on random graphs") {
+    val rnd = new Random(99L)
+    (1 to 3).foreach { trial =>
+      val n = 80
+      val edges = (1 to 100).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find model
+      val parent = Array.tabulate(n.toLong.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val model = nodes.map { v =>
+        // min node id in the component that actually appears in edges
+        val root = find(v.toInt)
+        v -> nodes.filter(u => find(u.toInt) == root).min
+      }.toMap
+      val got = ConnectedComponents.labels(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == model, s"trial $trial")
+    }
+  }
+}
