@@ -45,14 +45,17 @@ object GraphRank {
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    // Out-degree rides WITH the edge — joined once here, not once per
+    // iteration (every loop join below already shuffles on src; no
+    // reason to re-derive the degree side each round).
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), Seq("src"))
+      .localCheckpoint(eager = false)
     val base = (15L * (Scale / n)) / 100L
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_q"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     (1 to iters).foreach { _ =>
       val contrib = ranks
-        .join(e, ranks("node") === e("src"))
-        .join(outdeg, Seq("src"))
+        .join(eDeg, ranks("node") === eDeg("src"))
         .select(col("dst").as("node"),
           expr("rank_q div __deg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__in"))
@@ -61,7 +64,14 @@ object GraphRank {
         .select(col("node"),
           (lit(base) + expr(s"(85 * coalesce(__in, 0L)) div 100"))
             .as("rank_q"))
-        .localCheckpoint()
+        // LAZY: the iteration count is fixed, so no per-round driver
+        // round-trip is needed — the caller's first action runs ONE job
+        // that materializes every marked iteration frame in sequence
+        // (sc.runJob checkpoints each marked ancestor it computes),
+        // keeping lineage bounded without per-round blocking. Same
+        // trick as TreeExplode's 2-hop batching, taken to its limit
+        // because there is no convergence test to serve.
+        .localCheckpoint(eager = false)
     }
     ranks
   }
