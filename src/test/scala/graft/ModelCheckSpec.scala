@@ -96,6 +96,68 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("minhashCandidates == signature model on random corpora") {
+    val rnd = new Random(424242L)
+    val vocab = Vector("x", "y", "z", "w", "v")
+    (1 to 3).foreach { trial =>
+      val docs = (1 to 40).map { i =>
+        (i.toLong, (0 until (3 + rnd.nextInt(8)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // model: 16 affine minima over trigram-shingle hashes, 4 bands of
+      // 4 folded with (acc*1000003 + x) mod p, pairs sharing any bucket
+      val sigs = docs.flatMap { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        if (toks.length < 3) None
+        else {
+          val hs = toks.sliding(3).map(w => polyhash(w.mkString(" "))).toSeq
+          Some(id -> (0 until 16).map(j =>
+            hs.map(h => ((2L * j + 3) * h + (5L * j + 7)) % Mod).min))
+        }
+      }
+      def buckets(sig: Seq[Long]): Seq[Long] = (0 until 4).map(b =>
+        sig.slice(b * 4, b * 4 + 4).foldLeft(0L)((a, x) => (a * 1000003L + x) % Mod))
+      val model = (for {
+        Seq((ia, sa), (ib, sb)) <- sigs.combinations(2)
+        if buckets(sa).zip(buckets(sb)).exists { case (x, y) => x == y }
+        est = (0 until 16).count(i => sa(i) == sb(i)).toDouble / 16
+      } yield (math.min(ia, ib), math.max(ia, ib), est)).toSet
+      val got = TextDedup.minhashCandidates(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == model, s"trial $trial: missing=${(model -- got).take(3)} extra=${(got -- model).take(3)}")
+    }
+  }
+
+  test("simhashPairs == tf-weighted fingerprint model (pigeonhole is lossless)") {
+    val rnd = new Random(31337L)
+    val vocab = Vector("aa", "ab", "ba", "bb")
+    (1 to 3).foreach { trial =>
+      val docs = (1 to 50).map { i =>
+        (i.toLong, (0 until rnd.nextInt(6))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      def fp(t: String): Long = {
+        val counters = new Array[Long](30)
+        t.split(" ").filter(_.nonEmpty).foreach { tok =>
+          val h = polyhash(tok)
+          (0 until 30).foreach(b =>
+            if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1)
+        }
+        (0 until 30).foldLeft(0L)((acc, b) => if (counters(b) > 0) acc | (1L << b) else acc)
+      }
+      // pigeonhole over 2 bands is lossless at hamming <= 1, so the
+      // model is simply ALL pairs within the hamming radius
+      val fps = docs.map { case (id, t) => id -> fp(t) }
+      val model = (for {
+        Seq((ia, fa), (ib, fb)) <- fps.combinations(2)
+        d = java.lang.Long.bitCount(fa ^ fb).toLong if d <= 1
+      } yield (math.min(ia, ib), math.max(ia, ib), d)).toSet
+      val got = TextDedup.simhashPairs(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == model, s"trial $trial: missing=${(model -- got).take(3)} extra=${(got -- model).take(3)}")
+    }
+  }
+
   test("pointer-doubling CC == union-find model on random graphs") {
     val rnd = new Random(99L)
     (1 to 3).foreach { trial =>
