@@ -483,6 +483,22 @@ object ExtensionQueries {
           depth = 3, width = 32, minCount = 20L)
         .orderBy(col("token"))),
 
+    // Incremental dedup: the truncated variants play a NEW daily batch
+    // deduplicated against the EXISTING corpus through the band-bucket
+    // join alone — the corpus is never self-paired (that quadratic work
+    // is historical), which is the continuously-ingested-data path.
+    "q65_incremental_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val trunc = base
+        .select(col("doc_id"), TextFeatures.tokens(col("text")).as("__toks"))
+        .filter(col("doc_id") % 5 === 0 && size(col("__toks")) >= 5)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat_ws(" ", slice(col("__toks"), lit(1),
+            floor(size(col("__toks")) * 3 / 5).cast("int"))).as("text"))
+      TextDedup.minhashCandidatesAgainst(trunc, base, "doc_id", "text")
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
+
     // Semantic decontamination: corpus embeddings vs the broadcast
     // eval-seed set (vec_id < 20 plays the held-out benchmark) — each
     // doc's closest seed + cosine + flag at 0.9. The embedding-space
@@ -1232,5 +1248,21 @@ object ExtensionQueries {
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, near_seed ASC) AS rn FROM sc)
          |SELECT vec_id, near_seed, cosine, CAST(cosine >= 0.9 AS BIGINT) AS contaminated
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Mirrors TextDedup.minhashCandidatesAgainst: the truncated-variant
+    // batch's band table joined against the corpus's band table — two
+    // instances of the standard minhash chain (prefixes n/c), no
+    // self-pairing on either side.
+    "q65_incremental_dedup" ->
+      s"""WITH trunc AS (SELECT doc_id + 20000 AS doc_id,
+         |    array_to_string(list_slice(toks, 1, CAST((len(toks)*3)//5 AS INT)), ' ') AS text
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+         |  WHERE doc_id % 5 = 0 AND len(toks) >= 5),
+         |${minhashChain("trunc", "n")},
+         |${minhashChain("documents", "c")}
+         |SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus,
+         |  CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) AS DOUBLE)/16 AS est_jaccard
+         |FROM nband a JOIN cband b ON a.band = b.band AND a.bucket = b.bucket
+         |ORDER BY id_new, id_corpus""".stripMargin,
   )
 }

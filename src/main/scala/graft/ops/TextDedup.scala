@@ -53,39 +53,69 @@ object TextDedup {
     * Docs with fewer than `shingleN` tokens carry no signature and are
     * excluded (empty shingle set has no minimum).
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = k / bands
-    // Two materialization points, both |docs|-sized and deliberate:
-    //  1. shingle hashes — otherwise the string hashing is inlined into
-    //     the k-way signature lambda and re-evaluated k times per doc;
-    //  2. signatures — otherwise the signature expression is inlined
-    //     into the band keys and est_jaccard and re-evaluated per band
-    //     row / per candidate pair (O(pairs·k·shingles) instead of
-    //     O(docs·k·shingles)).
-    // Fan out first: a small parquet source arrives as one partition,
-    // and the per-doc hashing below is the expensive stage — without the
-    // repartition it would run on a single core regardless of cluster
-    // size (interpreted HOF evaluation makes this very visible).
+  /** Banded signature frame (id, __sig, band, bucket) — the shared
+    * prefix of within-corpus and cross-corpus candidate generation.
+    * Two materialization points, both |docs|-sized and deliberate:
+    *  1. shingle hashes — otherwise the string hashing is inlined into
+    *     the k-way signature lambda and re-evaluated k times per doc;
+    *  2. signatures — otherwise the signature expression is inlined
+    *     into the band keys and est_jaccard and re-evaluated per band
+    *     row / per candidate pair (O(pairs·k·shingles) instead of
+    *     O(docs·k·shingles)).
+    * Fan out first: a small parquet source arrives as one partition,
+    * and the per-doc hashing below is the expensive stage — without the
+    * repartition it would run on a single core regardless of cluster
+    * size (interpreted HOF evaluation makes this very visible). */
+  private def bandedSigs(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, k: Int, bands: Int): DataFrame = {
     val hashed = fanOut(docs)
       .withColumn("__toks", tokens(col(textCol)))
       .filter(size(col("__toks")) >= shingleN)
       .select(col(idCol).as("id"),
         shingleHashes(shingles(col("__toks"), shingleN)).as("__h"))
       .localCheckpoint()
-    val sigOnly = hashed
+    hashed
       .select(col("id"), minhashSignature(col("__h"), k).as("__sig"))
       .localCheckpoint()
-    val sigs = sigOnly
       .select(col("id"), col("__sig"),
-        posexplode(bandValues(col("__sig"), bands, rowsPerBand)))
+        posexplode(bandValues(col("__sig"), bands, k / bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+  }
+
+  private def estJaccard(k: Int) =
+    (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
+      .cast("double") / k).as("est_jaccard")
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sigs = bandedSigs(docs, idCol, textCol, shingleN, k, bands)
     val a = sigs.select(col("band"), col("bucket"), col("id").as("id_a"), col("__sig").as("sig_a"))
     val b = sigs.select(col("band"), col("bucket"), col("id").as("id_b"), col("__sig").as("sig_b"))
     a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
-          .cast("double") / k).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), estJaccard(k))
+      .distinct()
+  }
+
+  /** Incremental dedup: candidates of NEW documents against an EXISTING
+    * corpus — the continuously-ingested-data path. The corpus side's
+    * banded signatures are exactly what a warehouse would persist as its
+    * "LSH index" table; deduplicating a daily batch then touches the
+    * corpus ONLY through the band-bucket equi-join (shuffle bounded by
+    * bucket collisions, never corpus × batch), and the corpus is never
+    * self-paired at all — that quadratic work happened once, historically.
+    *
+    * @return (id_new, id_corpus, est_jaccard), distinct
+    */
+  def minhashCandidatesAgainst(newDocs: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 3, k: Int = 16,
+                               bands: Int = 4): DataFrame = {
+    val a = bandedSigs(newDocs, idCol, textCol, shingleN, k, bands)
+      .select(col("band"), col("bucket"), col("id").as("id_new"), col("__sig").as("sig_a"))
+    val b = bandedSigs(corpus, idCol, textCol, shingleN, k, bands)
+      .select(col("band"), col("bucket"), col("id").as("id_corpus"), col("__sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .select(col("id_new"), col("id_corpus"), estJaccard(k))
       .distinct()
   }
 
