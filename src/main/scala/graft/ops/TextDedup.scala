@@ -112,11 +112,39 @@ object TextDedup {
                                bands: Int = 4): DataFrame = {
     val a = bandedSigs(newDocs, idCol, textCol, shingleN, k, bands)
       .select(col("band"), col("bucket"), col("id").as("id_new"), col("__sig").as("sig_a"))
-    val b = bandedSigs(corpus, idCol, textCol, shingleN, k, bands)
+    val b = corpusBandIndex(corpus, idCol, textCol, shingleN, k, bands)
       .select(col("band"), col("bucket"), col("id").as("id_corpus"), col("__sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .select(col("id_new"), col("id_corpus"), estJaccard(k))
       .distinct()
+  }
+
+  /** The corpus side of incremental dedup as a PERSISTABLE frame —
+    * (id, __sig, band, bucket), the "LSH index" a warehouse writes once
+    * and every future batch (or stream: [[graft.streaming.StreamingLoad
+    * .dedupAgainstCorpusStream]]) joins against. */
+  def corpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 16,
+                      bands: Int = 4): DataFrame =
+    bandedSigs(corpus, idCol, textCol, shingleN, k, bands)
+
+  /** Streaming-safe banded signatures: same math as [[corpusBandIndex]]
+    * but with NO localCheckpoint/repartition (illegal on a streaming
+    * frame). Single-consumer plans only — a batch caller with a
+    * self-join must use the checkpointed variant or pay re-evaluation. */
+  private[graft] def bandedSigsStreamSafe(docs: DataFrame, idCol: String,
+                                          textCol: String, shingleN: Int,
+                                          k: Int, bands: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(col(idCol).as("id"),
+        minhashSignature(
+          shingleHashes(shingles(col("__toks"), shingleN)), k).as("__sig"))
+      .select(col("id"), col("__sig"),
+        posexplode(bandValues(col("__sig"), bands, k / bands)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
   }
 
   /** Per-doc SimHash fingerprint (`bits` wide). */

@@ -124,6 +124,37 @@ object StreamingLoad {
       }
   }
 
+  // ---- stream-static join: incremental dedup against the LSH index -----
+
+  /** Streaming twin of [[graft.ops.TextDedup.minhashCandidatesAgainst]]:
+    * documents ARRIVE as a stream and are deduplicated against the
+    * STATIC persisted corpus band index
+    * ([[graft.ops.TextDedup.corpusBandIndex]]) via a stream-static
+    * equi-join on (band, bucket) — Spark re-plans the static side per
+    * micro-batch, no state is kept, and the corpus is never self-paired.
+    * Output mode Append; a document colliding with the same corpus doc
+    * in several bands emits that pair once per band (stateless by
+    * design — a stateful distinct would grow unboundedly on an
+    * unbounded stream; collapse downstream per micro-batch if needed,
+    * [[StreamingSpec]] compares the DISTINCT set to the batch operator).
+    */
+  def dedupAgainstCorpusStream(newDocs: DataFrame, corpusBands: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 3, k: Int = 16,
+                               bands: Int = 4): DataFrame = {
+    val a = graft.ops.TextDedup
+      .bandedSigsStreamSafe(newDocs, idCol, textCol, shingleN, k, bands)
+      .select(col("band"), col("bucket"), col("id").as("id_new"),
+        col("__sig").as("sig_a"))
+    val b = corpusBands
+      .select(col("band"), col("bucket"), col("id").as("id_corpus"),
+        col("__sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .select(col("id_new"), col("id_corpus"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          e => e)).cast("double") / k).as("est_jaccard"))
+  }
+
   // ---- custom state: count-min sketch (mapGroupsWithState) -------------
 
   final case class CmOut(j: Int, cell: Long, cnt: Long)

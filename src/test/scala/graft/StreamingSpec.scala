@@ -126,6 +126,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static incremental dedup equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = (1 to 30).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon token$i end")).toDF("doc_id", "text")
+    val bandIdx = graft.ops.TextDedup.corpusBandIndex(corpus, "doc_id", "text")
+      .cache() // the static side every micro-batch joins against
+    // new docs: truncations of corpus docs → genuine near-dup candidates
+    val newDocs = (1 to 30 by 3).map(i =>
+      (1000L + i, s"alpha beta gamma delta epsilon token$i"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingLoad.dedupAgainstCorpusStream(
+        mem.toDF().toDF("doc_id", "text"), bandIdx, "doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(newDocs.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(newDocs.drop(5): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream")
+        .as[(Long, Long, Double)].collect().toSet // per-band dups collapse here
+      val batch = graft.ops.TextDedup.minhashCandidatesAgainst(
+          newDocs.toDF("doc_id", "text"), corpus, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch.nonEmpty) // the fixture must actually produce candidates
+    } finally { q.stop(); bandIdx.unpersist() }
+  }
+
   test("streaming count-min matrix equals the batch sketch over all batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
