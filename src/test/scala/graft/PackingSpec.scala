@@ -40,4 +40,11 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sorted
     assert(out.toSeq == Seq((0L, 1L, 10L), (1L, 1L, 10L), (2L, 1L, 5L)))
   }
+
+  test("empty and all-zero inputs pack to an empty result, not an error") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "tok")
+    assert(Packing.packSequences(empty, "doc_id", col("tok"), 10L).count() == 0L)
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "tok")
+    assert(Packing.packSequences(zeros, "doc_id", col("tok"), 10L).count() == 0L)
+  }
 }
