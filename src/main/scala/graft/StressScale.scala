@@ -79,6 +79,14 @@ object StressScale {
       maxShingleDf = 1000L).count()
     val s2 = (System.nanoTime() - t2) / 1e9
     println(f"[stress] jaccard_10x docs=$nDocs pairs=$nj $s2%.1f s")
+    // Incremental path: a 5k-doc "daily batch" against the 50k corpus —
+    // candidate volume must scale with batch collisions, not corpus².
+    val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" uniqbatch")).as("text"))
+    val t4 = System.nanoTime()
+    val ni = ops.TextDedup.minhashCandidatesAgainst(batch, variants, "doc_id", "text").count()
+    val s4 = (System.nanoTime() - t4) / 1e9
+    println(f"[stress] incremental_batch5k_vs_50k cand_pairs=$ni $s4%.1f s")
     // Candidate-volume diagnostic: pair rows a shingle-equality
     // self-join emits = Σ_shingle df² — computable by aggregation alone.
     // Compare the full shingle sets vs the rarest-first prefixes
