@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Similarity, Sketches, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Similarity, Sketches, Spectral, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -482,6 +482,16 @@ object ExtensionQueries {
       Sketches.countMinHeavyHitters(docsFanned(s, d), "text",
           depth = 3, width = 32, minCount = 20L)
         .orderBy(col("token"))),
+
+    // Top-principal-direction scores: 2 integer-exact power-iteration
+    // rounds over the embedding Gram matrix — the dominant-semantic-axis
+    // signal for whitening / outlier surfacing. Driver state = dims
+    // values per round, like the centroid loops.
+    "q66_top_component" -> ((s, d) =>
+      Spectral.topComponentScores(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", 2)
+        .orderBy(col("vec_id"))),
 
     // Incremental dedup: the truncated variants play a NEW daily batch
     // deduplicated against the EXISTING corpus through the band-bucket
@@ -1264,5 +1274,23 @@ object ExtensionQueries {
          |  CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) AS DOUBLE)/16 AS est_jaccard
          |FROM nband a JOIN cband b ON a.band = b.band AND a.bucket = b.bucket
          |ORDER BY id_new, id_corpus""".stripMargin,
+
+    // Mirrors Spectral.topComponentScores (2 rounds, scale 1e6):
+    // HUGEINT column sums, v ← (w·1e6)//max|w| (`//` truncates toward
+    // zero — BigInt semantics), final score = dot with v2.
+    "q66_top_component" -> {
+      def itSql(prevV: String, n: Int): String = {
+        val from = if (n > 1) s"qe, v${n - 1}" else "qe"
+        s"""d$n AS (SELECT vec_id, q, list_reduce(list_transform(range(1, 65), i -> q[i]*$prevV), (a,b)->a+b) AS dot FROM $from),
+           |w$n AS (SELECT i, SUM(CAST(d$n.dot AS HUGEINT) * q[i]) AS w FROM d$n, range(1, 65) r(i) GROUP BY i),
+           |m$n AS (SELECT MAX(ABS(w)) AS m FROM w$n),
+           |v$n AS (SELECT list(CAST((w * 1000000) // m AS BIGINT) ORDER BY i) AS v FROM w$n, m$n)""".stripMargin
+      }
+      s"""WITH qe AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q FROM embeddings),
+         |${itSql("1000000", 1)},
+         |${itSql("v[i]", 2)}
+         |SELECT vec_id, CAST(list_reduce(list_transform(range(1, 65), i -> q[i]*v[i]), (a,b)->a+b) AS BIGINT) AS score
+         |FROM qe, v2 ORDER BY vec_id""".stripMargin
+    },
   )
 }

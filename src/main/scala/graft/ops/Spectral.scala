@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Integer-exact power iteration: per-document projection scores onto
+  * the corpus's top principal direction (the unnormalized leading
+  * eigenvector of the Gram matrix Σ eᵢeᵢᵀ) — the "dominant semantic
+  * axis" signal used for embedding whitening, outlier surfacing, and
+  * diversity-aware curation.
+  *
+  * Everything is quantized-integer so the result is bit-identical under
+  * any partitioning and reproducible by a SQL oracle:
+  *  - embedding elements floor-quantize to longs at scale 10⁶ once;
+  *  - v₀ = (10⁶, …, 10⁶); each round computes per-row dots (long — max
+  *    |dims·qe·v| ≈ 2.6·10¹⁴) and the weighted column sums
+  *    w = Σᵢ dotᵢ·qeᵢ as DECIMAL(38,0) (magnitudes ≈ 10²¹ exceed
+  *    longs; decimal sums are exact and match DuckDB HUGEINT);
+  *  - v ← (w·10⁶) div max|w|, computed on the DRIVER over exactly
+  *    `dims` values (the same bounded-state shape as the k-means
+  *    centroid loop) with BigInt division truncating toward zero —
+  *    matching DuckDB's `//` on negative operands.
+  *
+  * Dataflow per round: one pass over the corpus (dot projection +
+  * posexplode + map-side-combinable per-dimension sum). Driver state
+  * and per-round collect are `dims` values, never row-proportional.
+  */
+object Spectral {
+
+  val Scale: Long = 1000000L
+
+  /** @return (`idCol`, score): the quantized projection of each row's
+    *         embedding onto the final iterate of the power method. */
+  def topComponentScores(emb: DataFrame, idCol: String, vecCol: String,
+                         iters: Int = 2): DataFrame = {
+    require(iters >= 1, "power iteration needs at least one round")
+    val qe = emb.select(col(idCol),
+        transform(col(vecCol), x => floor(x.cast("double") * Scale).cast("long"))
+          .as("__q"))
+      .localCheckpoint()
+    val dims = qe.select(size(col("__q"))).head.getInt(0)
+    def dotWith(vArr: Array[Long]) = {
+      val vLit = array(vArr.map(lit(_)): _*)
+      aggregate(zip_with(col("__q"), vLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    var v = Array.fill(dims)(Scale)
+    (1 to iters).foreach { _ =>
+      val w = qe.select(dotWith(v).as("__dot"), posexplode(col("__q")))
+        .select(col("pos"),
+          (col("__dot").cast(DecimalType(38, 0)) * col("col")).as("__p"))
+        .groupBy("pos").agg(sum("__p").as("__w"))
+        .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+        .toMap
+      val m = w.values.map(_.abs).max
+      require(m > 0, "degenerate corpus: zero Gram matrix")
+      // BigInt / truncates toward zero — identical to DuckDB's `//`
+      v = Array.tabulate(dims)(i => ((w(i) * Scale) / m).toLong)
+    }
+    qe.select(col(idCol), dotWith(v).as("score"))
+  }
+}

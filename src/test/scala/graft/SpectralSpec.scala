@@ -1,0 +1,52 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions.col
+
+import graft.ops.Spectral
+
+class SpectralSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scores align with the dominant axis on an anisotropic cloud") {
+    // 20 vectors stretched along dim 0, noise elsewhere: the top
+    // component is (±)e0, so |score| must order by |x0|.
+    val rnd = new Random(5L)
+    val rows = (1 to 20).map { i =>
+      val x0 = (i - 10).toFloat * 2f
+      (i.toLong, Array(x0, rnd.nextFloat() * 0.1f, rnd.nextFloat() * 0.1f))
+    }
+    val out = Spectral.topComponentScores(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 2)
+      .as[(Long, Long)].collect().toMap
+    val byAxis = rows.sortBy { case (_, v) => -math.abs(v(0)) }.map(_._1)
+    val byScore = out.toSeq.sortBy { case (_, s) => -math.abs(s) }.map(_._1)
+    assert(byAxis.take(3).toSet == byScore.take(3).toSet,
+      s"top-|x0| ids ${byAxis.take(3)} vs top-|score| ids ${byScore.take(3)}")
+  }
+
+  test("bit-identical across partitionings == in-memory integer model") {
+    val rnd = new Random(77L)
+    val rows = (1 to 30).map(i =>
+      (i.toLong, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f)))
+    // model: same quantized arithmetic in plain BigInt
+    val S = 1000000L
+    val qe = rows.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * S).toLong) }
+    var vv = Array.fill(4)(BigInt(S))
+    (1 to 2).foreach { _ =>
+      val dots = qe.map { case (id, q) =>
+        id -> (0 until 4).map(i => BigInt(q(i)) * vv(i)).sum }.toMap
+      val w = (0 until 4).map(i => qe.map { case (id, q) => dots(id) * q(i) }.sum)
+      val m = w.map(_.abs).max
+      vv = w.map(x => x * S / m).toArray
+    }
+    val model = qe.map { case (id, q) =>
+      id -> (0 until 4).map(i => BigInt(q(i)) * vv(i)).sum.toLong }.toMap
+    val one = Spectral.topComponentScores(rows.toDF("vec_id", "embedding").coalesce(1),
+      "vec_id", "embedding", 2).as[(Long, Long)].collect().toMap
+    val many = Spectral.topComponentScores(rows.toDF("vec_id", "embedding").repartition(7),
+      "vec_id", "embedding", 2).as[(Long, Long)].collect().toMap
+    assert(one == model && many == model)
+  }
+}
