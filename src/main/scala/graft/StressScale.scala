@@ -115,6 +115,16 @@ object StressScale {
       println(s"[stress] jaccard_diag full_join_rows=$fullRows prefix_join_rows=$prefRows")
     }
 
+    // Power-iteration stress: 1M synthetic 64-dim embeddings, 2 rounds —
+    // per-round driver state is 64 values regardless of row count.
+    val t5 = System.nanoTime()
+    val emb = spark.range(1000000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        j => ((col("id") * j % 1997) - 998).cast("float") / 1000f).as("embedding"))
+    val ns = ops.Spectral.topComponentScores(emb, "vec_id", "embedding", 2).count()
+    val s5 = (System.nanoTime() - t5) / 1e9
+    println(f"[stress] power_iter_1m rows=$ns $s5%.1f s")
+
     // Sequence-packing stress: 5M docs / 2.75G tokens through the
     // two-pass distributed prefix sum — the path a single-partition
     // window could not survive.

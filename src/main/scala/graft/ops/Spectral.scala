@@ -47,13 +47,19 @@ object Spectral {
     }
     var v = Array.fill(dims)(Scale)
     (1 to iters).foreach { _ =>
-      val w = qe.select(dotWith(v).as("__dot"), posexplode(col("__q")))
-        .select(col("pos"),
-          (col("__dot").cast(DecimalType(38, 0)) * col("col")).as("__p"))
-        .groupBy("pos").agg(sum("__p").as("__w"))
-        .collect().map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
-        .toMap
-      val m = w.values.map(_.abs).max
+      // w as `dims` aggregate COLUMNS over the un-exploded frame: a
+      // posexplode spelling would shuffle rows×dims exploded records
+      // into the per-dimension sums; this shape keeps the row count at
+      // |corpus| and lets partial aggregation reduce each partition to
+      // one dims-wide row before any exchange.
+      val row = qe.select(col("__q"), dotWith(v).cast(DecimalType(38, 0)).as("__dot"))
+        .agg(
+          sum(col("__dot") * element_at(col("__q"), 1)).as("w0"),
+          (1 until dims).map(i =>
+            sum(col("__dot") * element_at(col("__q"), i + 1)).as(s"w$i")): _*)
+        .head()
+      val w = Array.tabulate(dims)(i => BigInt(row.getDecimal(i).toBigInteger))
+      val m = w.map(_.abs).max
       require(m > 0, "degenerate corpus: zero Gram matrix")
       // BigInt / truncates toward zero — identical to DuckDB's `//`
       v = Array.tabulate(dims)(i => ((w(i) * Scale) / m).toLong)
