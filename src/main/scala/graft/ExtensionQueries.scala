@@ -523,12 +523,15 @@ object ExtensionQueries {
 
     // Integer-exact PageRank (3 iterations) over the symmetrized
     // supplier↔part co-purchase graph — the link-centrality corpus
-    // weighting signal. Node ids are prefixed ('s'/'p') because the
-    // two key spaces overlap numerically.
+    // weighting signal. The two key spaces overlap numerically, so
+    // nodes are parity-encoded LONGS (supplier 2k, part 2k+1): every
+    // per-iteration shuffle keys on an 8-byte long instead of a
+    // variable-length string — at 100 TB the node id is the single
+    // hottest shuffle key in the operator.
     "q63_pagerank" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
-        concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
       val sym = li.unionByName(
         li.select(col("dst").as("src"), col("src").as("dst")))
       GraphRank.pageRank(sym, "src", "dst", 3).orderBy(col("node"))
@@ -1235,8 +1238,8 @@ object ExtensionQueries {
            |    SELECT e.dst AS node, CAST(SUM(p.r // deg.deg) AS BIGINT) AS s
            |    FROM $prev p JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY 1) c USING (node))""".stripMargin
       s"""WITH e AS (SELECT DISTINCT src, dst FROM (
-         |    SELECT 's'||l_suppkey AS src, 'p'||l_partkey AS dst FROM lineitem
-         |    UNION ALL SELECT 'p'||l_partkey, 's'||l_suppkey FROM lineitem)),
+         |    SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+         |    UNION ALL SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem)),
          |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
          |n AS (SELECT COUNT(*) AS n FROM nodes),
          |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
