@@ -275,10 +275,16 @@ object TextDedup {
       .filter(size(col("__toks")) >= shingleN)
       .select(col(idCol).as("id"), charHash(col(textCol)).as("__h"),
         col(textCol).as("__t"), col("__toks"))
-      .localCheckpoint()
+      // LAZY checkpoints throughout this operator: no intermediate
+      // drives control flow (unlike the CC/TreeExplode convergence
+      // loops), so the caller's single action materializes every marked
+      // frame in one job — each computed once, read by all its
+      // subtrees — instead of paying one blocking job per checkpoint.
+      .localCheckpoint(eager = false)
     val reps = base.groupBy("__h", "__t").agg(min(col("id")).as("rep"))
     val members = base.select(col("id"), col("__h"), col("__t"))
-      .join(reps, Seq("__h", "__t")).select(col("id"), col("rep")).localCheckpoint()
+      .join(reps, Seq("__h", "__t")).select(col("id"), col("rep"))
+      .localCheckpoint(eager = false)
 
     // Shingles ride as their 30-bit polynomial hash, not the string: the
     // self-join below shuffles on this key, and a fixed-width long beats
@@ -304,7 +310,7 @@ object TextDedup {
         val stop = shAll.groupBy("shingle").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxShingleDf).select("shingle")
         shAll.join(stop, Seq("shingle"), "left_anti")
-      }).localCheckpoint()
+      }).localCheckpoint(eager = false)
     // PPJoin-style prefix filter (Bayardo et al. WWW'07 all-pairs;
     // Xiao et al. PPJoin): under ANY global total order on shingles,
     // two sets with jaccard ≥ t share an element within the first
@@ -333,7 +339,7 @@ object TextDedup {
       // smaller one drops true pairs)
       .filter(col("__pos") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
       .select(col("id"), col("shingle"))
-      .localCheckpoint() // self-joined below: compute the window once
+      .localCheckpoint(eager = false) // self-joined below: computed once
     val cand = prefix.select(col("id").as("ra"), col("shingle"))
       .join(prefix.select(col("id").as("rb"), col("shingle")), Seq("shingle"))
       .filter(col("ra") < col("rb"))
