@@ -73,10 +73,10 @@ object TextDedup {
       .filter(size(col("__toks")) >= shingleN)
       .select(col(idCol).as("id"),
         shingleHashes(shingles(col("__toks"), shingleN)).as("__h"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy: one action computes the chain
     hashed
       .select(col("id"), minhashSignature(col("__h"), k).as("__sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .select(col("id"), col("__sig"),
         posexplode(bandValues(col("__sig"), bands, k / bands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
@@ -166,14 +166,15 @@ object TextDedup {
     // Materialized for the same reason as the MinHash signatures: the
     // simhash fold must be computed once per doc, not once per candidate
     // pair (it feeds both the band keys and the hamming distance).
-    val sh = simhashes(fanOut(docs), idCol, textCol, bits).localCheckpoint()
+    val sh = simhashes(fanOut(docs), idCol, textCol, bits)
+      .localCheckpoint(eager = false) // lazy: both consumers read one compute
     // Clique collapse: duplicate-heavy corpora concentrate on few
     // distinct fingerprints, so the quadratic band self-join runs over
     // DISTINCT simhash VALUES (|values| ≪ |docs|), and doc pairs are
     // recovered by two hash joins afterwards. Candidate volume drops
     // from |docs-in-bucket|² to |values-in-bucket|² — the difference
     // between 12M and 100k joined rows on clustered data.
-    val vals = sh.select("simhash").distinct().localCheckpoint()
+    val vals = sh.select("simhash").distinct().localCheckpoint(eager = false)
     val bandv = vals.select(col("simhash"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
           call_function("shiftright", col("simhash"), j * width).bitwiseAND(mask))))
