@@ -158,6 +158,29 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("integer PageRank == BigInt model on random graphs") {
+    val rnd = new Random(271828L)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val edges = (1 to 60).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val S = graft.ops.GraphRank.Scale
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(_ -> BigInt(S / nodes.size)).toMap
+      val base = BigInt(15L * (S / nodes.size) / 100L)
+      (1 to 3).foreach { _ =>
+        val in = edges.groupBy(_._2).view.mapValues(_.map { case (src, _) =>
+          r(src) / outdeg(src) }.sum).toMap
+        r = nodes.map(v => v -> (base + BigInt(85) * in.getOrElse(v, BigInt(0)) / 100)).toMap
+      }
+      val model = r.map { case (k, v) => k -> v.toLong }
+      val got = graft.ops.GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst", 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == model, s"trial $trial: ${(model.toSet -- got.toSet).take(3)}")
+    }
+  }
+
   test("pointer-doubling CC == union-find model on random graphs") {
     val rnd = new Random(99L)
     (1 to 3).foreach { trial =>
