@@ -36,7 +36,7 @@ object StressScale {
       val n = math.pow(10, exp).toLong
       val chain = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
       val t0 = System.nanoTime()
-      val (lbl, rounds) = ops.ConnectedComponents.labelsWithRounds(chain, maxIters = 64)
+      val (lbl, rounds) = ops.ConnectedComponents.labelsWithRounds(chain, maxIters = 64, localThreshold = 0)
       val nodes = lbl.count()
       val secs = (System.nanoTime() - t0) / 1e9
       val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2

@@ -36,10 +36,23 @@ object ConnectedComponents {
   def labels(edges: DataFrame, maxIters: Int = 50): DataFrame =
     labelsWithRounds(edges, maxIters)._1
 
+  /** Dedup pair graphs are usually TINY relative to the corpus that
+    * produced them (thousands of near-dup pairs from millions of docs).
+    * Below this many symmetrized edges the component labels are computed
+    * with a driver-side union-find over ONE bounded collect (≤ ~2·10⁵
+    * longs ≈ 2 MB — the same bounded-driver-state budget as the
+    * centroid loops) instead of ~⌈log₂ n⌉ distributed label rounds,
+    * each a blocking job. Larger graphs take the distributed
+    * pointer-doubling path unchanged; pass 0 to force it (the chain
+    * fixtures in [[ConnectedComponentsSpec]] and StressScale do, so the
+    * O(log n) round bound stays pinned on real executions). */
+  val LocalEdgeThreshold: Long = 100000L
+
   /** As [[labels]], also returning the number of label-update rounds run
     * (each round = exactly one Spark job / driver round-trip), so tests
     * can pin the O(log n) convergence structurally. */
-  def labelsWithRounds(edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+  def labelsWithRounds(edges: DataFrame, maxIters: Int = 50,
+                       localThreshold: Long = LocalEdgeThreshold): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpOld = spark.conf.getOption(cpKey)
@@ -50,6 +63,29 @@ object ConnectedComponents {
         .distinct()
       und.cache()
       try {
+        val isLong = und.schema("a").dataType ==
+          org.apache.spark.sql.types.LongType
+        if (isLong && und.count() <= localThreshold) {
+          // one bounded collect; min-root union-find; same output contract
+          import spark.implicits._
+          val es = und.as[(Long, Long)].collect()
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          es.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+          return (nodes.toSeq.map(v => (v, find(v))).toDF("node", "cluster_id"), 1)
+        }
         var lbl = und.select(col("a").as("node")).distinct()
           .select(col("node"), col("node").as("cluster_id"))
           .localCheckpoint()

@@ -20,7 +20,9 @@ class ConnectedComponentsSpec extends SparkSpec {
     // unlike wall-clock (VERDICT r6 performance notes).
     val n = 512
     val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
-    val (out, rounds) = ConnectedComponents.labelsWithRounds(edges)
+    // localThreshold = 0: force the DISTRIBUTED path — this guard exists
+    // to pin its round count, not the small-graph union-find's
+    val (out, rounds) = ConnectedComponents.labelsWithRounds(edges, 50, localThreshold = 0)
     val labels = out.as[(Long, Long)].collect()
     assert(labels.length == n)
     assert(labels.forall(_._2 == 0L))

@@ -200,9 +200,14 @@ class ModelCheckSpec extends SparkSpec {
         val root = find(v.toInt)
         v -> nodes.filter(u => find(u.toInt) == root).min
       }.toMap
-      val got = ConnectedComponents.labels(edges.toDF("a", "b"))
+      // both paths must match the model: the small-graph union-find
+      // (default threshold) and the distributed pointer doubling (0)
+      val local = ConnectedComponents.labels(edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
-      assert(got == model, s"trial $trial")
+      val dist = ConnectedComponents.labelsWithRounds(edges.toDF("a", "b"), 50,
+        localThreshold = 0)._1.as[(Long, Long)].collect().toMap
+      assert(local == model, s"trial $trial local")
+      assert(dist == model, s"trial $trial distributed")
     }
   }
 }
