@@ -30,7 +30,10 @@ object Bench {
     // pass — NOT per-query back-to-back reps — so each pass replicates
     // the single-run context exactly (run-scoped memos cleared per
     // pass, q36 still reuses q22's memoized minhash chain within one).
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
+    // Clamped ≥1 and non-numeric-safe: "0" or garbage must not turn the
+    // whole bench into a head-of-empty-list crash.
+    val repeats = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPEATS").flatMap(_.toIntOption).getOrElse(1))
     val passes = (1 to repeats).map { _ =>
       ExtensionQueries.clearMemos() // run-scoped memo: start fresh
       // Sorted name order: SparkEntry.queries is a hash Map whose
@@ -48,8 +51,12 @@ object Bench {
         spark.sparkContext.setJobDescription(name)
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // A failed query records a NEGATIVE sentinel, not its (fast)
+        // time-to-throw — otherwise best-of-N happily reports a flaky
+        // query's failure latency as its best pass.
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
     // Per-pass detail to stderr (stdout stays the driver's single JSON
@@ -59,7 +66,9 @@ object Bench {
         p.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     }
     val results = passes.head.map(_._1).map { name =>
-      name -> passes.map(_.toMap.apply(name)).min
+      val good = passes.map(_.toMap.apply(name)).filter(_ >= 0)
+      // every pass failed → the sentinel itself surfaces in the JSON
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -48,16 +48,23 @@ object Contamination {
                       idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
     val s = evalSet.select(col(idCol).as("near_seed"), col(vecCol).as("__sv"))
+    // Partial-aggregable argmax: MIN over the struct (−cosine, seed)
+    // picks the highest cosine with ties to the lower seed id — the
+    // exact total order of the oracle's ROW_NUMBER (cosine DESC,
+    // near_seed ASC) — but as a declarative aggregate, so map-side
+    // combining reduces each partition to |corpus| rows BEFORE the
+    // exchange. The window spelling this replaces shuffled the whole
+    // |corpus|·|eval| cross product into the partitioner.
     c.crossJoin(broadcast(s))
       .withColumn("cosine", Similarity.cosine(col("__cv"), col("__sv")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("cosine").desc, col("near_seed").asc)))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("near_seed"), col("cosine"),
-        (col("cosine") >= threshold).cast("long").as("contaminated"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("cosine")).as("__nc"), col("near_seed"),
+        col("cosine"))).as("__m"))
+      .select(col(idCol), col("__m.near_seed").as("near_seed"),
+        col("__m.cosine").as("cosine"),
+        (col("__m.cosine") >= threshold).cast("long").as("contaminated"))
   }
 
   def ngramOverlap(corpus: DataFrame, evalSet: DataFrame,

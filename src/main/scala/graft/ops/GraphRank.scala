@@ -45,6 +45,9 @@ object GraphRank {
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count()
+    // An empty edge frame would otherwise surface as a bare
+    // ArithmeticException at `Scale / n` — name the precondition.
+    require(n > 0, "pageRank needs at least one edge")
     // Out-degree rides WITH the edge — joined once here, not once per
     // iteration (every loop join below already shuffles on src; no
     // reason to re-derive the degree side each round).

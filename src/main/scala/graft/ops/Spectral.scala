@@ -39,7 +39,20 @@ object Spectral {
         transform(col(vecCol), x => floor(x.cast("double") * Scale).cast("long"))
           .as("__q"))
       .localCheckpoint()
-    val dims = qe.select(size(col("__q"))).head.getInt(0)
+    val firstRow = qe.select(size(col("__q"))).head(1)
+    require(firstRow.nonEmpty, "power iteration needs a non-empty corpus")
+    val dims = firstRow(0).getInt(0)
+    // Per-row dots accumulate in LONG: |dot| ≤ dims·max|q|·max|v| with
+    // max|v| = Scale by construction (v is renormalized to max-abs Scale
+    // each round). Pin the magnitude precondition with one cheap
+    // aggregate instead of silently overflowing into corrupt scores —
+    // at dims=64 this admits |element| up to ~1.4·10⁵ pre-quantization,
+    // far beyond any normalized embedding.
+    val maxAbsQ = qe.agg(max(aggregate(col("__q"), lit(0L),
+      (a, x) => greatest(a, abs(x))))).head.getLong(0)
+    require(maxAbsQ <= Long.MaxValue / Scale / math.max(dims, 1),
+      s"quantized embedding magnitude $maxAbsQ would overflow the " +
+        s"long dot product at dims=$dims (max ${Long.MaxValue / Scale / math.max(dims, 1)})")
     def dotWith(vArr: Array[Long]) = {
       val vLit = array(vArr.map(lit(_)): _*)
       aggregate(zip_with(col("__q"), vLit, (a, b) => a * b),

@@ -27,6 +27,14 @@ class GraphRankSpec extends SparkSpec {
     assert(leaves.map(r).distinct.size == 1) // leaves are symmetric
   }
 
+  test("empty edge frame fails with a named precondition, not a bare div-by-zero") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphRank.pageRank(empty, "src", "dst", 3)
+    }
+    assert(ex.getMessage.contains("at least one edge"))
+  }
+
   test("dangling sink keeps only the teleport base; result is layout-independent") {
     // c has no out-edges: its collected mass leaks each round, and its
     // own rank is exactly the teleport base after any iteration.

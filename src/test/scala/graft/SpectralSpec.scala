@@ -26,6 +26,23 @@ class SpectralSpec extends SparkSpec {
       s"top-|x0| ids ${byAxis.take(3)} vs top-|score| ids ${byScore.take(3)}")
   }
 
+  test("empty corpus and overflow-scale magnitudes fail with named preconditions") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Spectral.topComponentScores(empty, "vec_id", "embedding", 1)
+    }
+    assert(e1.getMessage.contains("non-empty"))
+    // |element| = 10^7 quantizes to 10^13; at dims=2 the long dot bound
+    // (Long.MaxValue / 10^6 / 2 ≈ 4.6·10^12) is exceeded → named error,
+    // not silently corrupt scores.
+    val huge = Seq((1L, Array(1e7f, -1e7f)), (2L, Array(5e6f, 5e6f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Spectral.topComponentScores(huge, "vec_id", "embedding", 1)
+    }
+    assert(e2.getMessage.contains("overflow"))
+  }
+
   test("bit-identical across partitionings == in-memory integer model") {
     val rnd = new Random(77L)
     val rows = (1 to 30).map(i =>
