@@ -10,6 +10,15 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
 import scala.collection.mutable
 
+/** A staged workbook in a format this engine recognizes but cannot
+  * parse — today that is the legacy binary `.xls` (BIFF inside a CFB
+  * container). The reference's whitelist accepts `.xls`
+  * (`/root/reference/autosinapi/config.py:24`) because pandas/xlrd can
+  * read it; this engine parses OOXML only, so the mismatch must surface
+  * as a NAMED domain error at first touch, not as a confusing zip-layer
+  * failure deep inside sheet extraction. */
+final class UnsupportedFormatException(msg: String) extends RuntimeException(msg)
+
 /** S4/S6 — dependency-free XLSX sheet extraction
   * (`/root/reference/autosinapi/core/pre_processor.py:51-84`,
   * `processor.py:171,219-222`): the reference reads SINAPI workbooks with
@@ -53,6 +62,7 @@ object XlsxToCsv {
     * conversion (the pipeline's normal case) must not re-read a ~10^5
     * entry sst per sheet. Close when done. */
   final class Workbook(val xlsx: Path) extends AutoCloseable {
+    requireNotLegacyXls(xlsx)
     private val zf = new ZipFile(xlsx.toFile)
     /** (sheet name, worksheet zip entry) in workbook order. */
     lazy val sheets: Seq[(String, String)] = sheetEntries(zf)
@@ -103,6 +113,30 @@ object XlsxToCsv {
         }
     finally wb.close()
   }
+
+  /** CFB (Compound File Binary) magic — the container every legacy
+    * binary `.xls` (BIFF8) workbook starts with. */
+  private val CfbMagic: Array[Byte] =
+    Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+
+  /** True when the file's leading bytes carry the CFB magic. */
+  def isLegacyXls(path: Path): Boolean = {
+    if (!Files.isRegularFile(path) || Files.size(path) < CfbMagic.length) return false
+    val in = Files.newInputStream(path)
+    try {
+      val head = in.readNBytes(CfbMagic.length)
+      java.util.Arrays.equals(head, CfbMagic)
+    } finally in.close()
+  }
+
+  /** Fail fast — and by NAME — on a legacy binary workbook, before the
+    * zip layer produces an undecipherable "not a zip" error. */
+  def requireNotLegacyXls(path: Path): Unit =
+    if (isLegacyXls(path))
+      throw new UnsupportedFormatException(
+        s"legacy binary Excel workbook (BIFF/.xls, CFB magic) at $path: " +
+          "this engine parses OOXML (.xlsx) only — re-save the workbook " +
+          "as .xlsx before staging")
 
   private def sheetEntries(zf: ZipFile): Seq[(String, String)] = {
     val rels = withPart(zf, "xl/_rels/workbook.xml.rels")(readRels)

@@ -166,6 +166,32 @@ class XlsxToCsvSpec extends SparkSpec {
     assert(lines(4) == ";;;;\"wide \"\"and\"\" far\"") // padding + quote escaping
   }
 
+  test("legacy binary .xls (CFB magic) fails fast with a NAMED format error") {
+    val dir = Paths.get(tmpDir("xls_legacy"))
+    val xls = dir.resolve("SINAPI_REFERENCIA_01_2025.xls")
+    // CFB header magic D0 CF 11 E0 A1 B1 1A E1 + filler: what every
+    // pre-2007 binary workbook starts with.
+    val bytes = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte) ++ Array.fill[Byte](512)(0)
+    Files.createDirectories(dir)
+    Files.write(xls, bytes)
+    // parse layer: named error, not a zip-layer failure
+    val e1 = intercept[graft.ingest.UnsupportedFormatException] {
+      XlsxToCsv.sheetNames(xls)
+    }
+    assert(e1.getMessage.contains("BIFF") && e1.getMessage.contains(".xlsx"))
+    // acquisition layer: the whitelist accepts .xls (reference parity),
+    // but the read surfaces the same named error before staging
+    val e2 = intercept[graft.ingest.UnsupportedFormatException] {
+      graft.ingest.Acquisition.readLocalFile(xls)
+    }
+    assert(e2.getMessage.contains("BIFF"))
+    // a real OOXML workbook still opens fine through the same guard
+    val wbDir = Paths.get(tmpDir("xls_guard_ok"))
+    val wb = makeWorkbook(wbDir)
+    assert(XlsxToCsv.sheetNames(wb).nonEmpty)
+  }
+
   test("end-to-end: a staging dir holding ONLY the workbook loads the warehouse") {
     val staging = Paths.get(tmpDir("xlsx_staging"))
     makeWorkbook(staging)
