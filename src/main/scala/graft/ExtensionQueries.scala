@@ -422,7 +422,7 @@ object ExtensionQueries {
       Profiler.discreteQuantiles(
           docsFanned(s, d).withColumn("__v",
             size(TextFeatures.tokens(col("text"))).cast("long")),
-          "lang", col("__v"), col("doc_id"), Seq(50, 90, 99))
+          "lang", col("__v"), Seq(50, 90, 99))
         .orderBy(col("lang"), col("pct"))),
 
     // SCD2 validity intervals from the event stream: each row opens at

@@ -14,33 +14,50 @@ import org.apache.spark.sql.functions._
   * `ceil(n·p/100)` is pure integers — the same row is chosen by any
   * engine, which makes the result oracle-checkable bit-for-bit.
   *
-  * Physical shape: ONE sort-window pass per group attaches (rank, n);
-  * the requested percentiles then explode per row (|pcts| copies) and a
-  * codegen'd filter keeps the matching ranks. No per-percentile
-  * re-aggregation, no driver-side state. Heavy groups sort once —
-  * the same cost profile as any ranked window at 100 TB.
+  * Physical shape: the rows first COMPACT to (group, value, count) —
+  * a map-side-combinable aggregate — and only that compacted frame
+  * enters the sort window, which walks cumulative counts instead of
+  * raw rows. The window's input is |distinct values| per group, not
+  * |rows|: a 10⁹-row group with 10⁴ distinct doc lengths sorts 10⁴
+  * rows in its window task. That is the standard exact-quantile
+  * compaction, and the one defense a rank window has against group
+  * skew at 100 TB (a window partition cannot be split; an aggregate's
+  * partial phase can). Requested percentiles then explode per
+  * compacted row and a codegen'd filter keeps the value whose
+  * cumulative-count interval covers the target rank — by construction
+  * the SAME value the row-level rank formula selects, so the oracle's
+  * ROW_NUMBER spelling is untouched.
   */
 object Profiler {
 
-  /** @param tieCol deterministic tiebreak for equal values (row choice
-    *               at a quantile boundary must not depend on layout).
-    * @param pcts   integer percentiles in (0, 100].
+  /** @param pcts integer percentiles in (0, 100].
     * @return (group, pct, value) — one row per group × percentile.
+    *
+    * No tiebreak column: equal values collapse into one compacted row,
+    * and the quantile contract returns the VALUE, so row identity at a
+    * boundary never escapes — rank arithmetic over cumulative counts is
+    * layout-independent by construction.
     */
   def discreteQuantiles(df: DataFrame, groupCol: String, valueCol: Column,
-                        tieCol: Column, pcts: Seq[Int]): DataFrame = {
+                        pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
       "percentiles must lie in (0, 100]")
-    val w = Window.partitionBy(groupCol).orderBy(col("value").asc, col("__tie").asc)
+    val cum = Window.partitionBy(groupCol).orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(groupCol)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    df.select(col(groupCol), valueCol.as("value"), tieCol.as("__tie"))
-      .withColumn("__rnk", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(all))
-      .select(col(groupCol), col("value"), col("__rnk"), col("__n"),
+    df.select(col(groupCol), valueCol.as("value"))
+      .groupBy(col(groupCol), col("value"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(cum))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .select(col(groupCol), col("value"), col("__c"), col("__cum"), col("__n"),
         explode(lit(pcts.toArray)).as("pct"))
-      // ceil(n·p/100) in integers: (n·p + 99) DIV 100
-      .filter(col("__rnk") === expr("(__n * pct + 99) DIV 100"))
+      // target rank r = ceil(n·p/100) = (n·p + 99) DIV 100; the chosen
+      // value is the one whose cumulative interval (__cum-__c, __cum]
+      // contains r — identical to the row the per-row rank filter picks.
+      .filter(col("__cum") >= expr("(__n * pct + 99) DIV 100") &&
+        col("__cum") - col("__c") < expr("(__n * pct + 99) DIV 100"))
       .select(col(groupCol), col("pct").cast("long").as("pct"), col("value"))
   }
 }

@@ -68,6 +68,19 @@ class PlanShapeSpec extends SparkSpec {
       s"per-partition offsets should join broadcast, not shuffle:\n$plan")
   }
 
+  test("quantile profiler compacts to (group, value, count) BELOW the window") {
+    // The rank window's defense against group skew is that its input is
+    // the compacted distinct-value frame, not raw rows: the aggregate
+    // (splittable, map-side combinable) must sit under the window
+    // (unsplittable per partition) in the physical plan.
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i % 20).toLong)).toDF("g", "v")
+    val plan = planOf(graft.ops.Profiler.discreteQuantiles(df, "g", col("v"), Seq(50, 99)))
+    val winAt = plan.indexOf("Window")
+    val aggAt = plan.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"expected a HashAggregate (count compaction) BELOW the Window:\n$plan")
+  }
+
   test("count-min estimate joins the broadcast cell matrix, not a shuffle") {
     val docs = (1 to 200).map(i => (i.toLong, s"w${i % 30} w${i % 11}"))
       .toDF("doc_id", "text")

@@ -10,27 +10,58 @@ class ProfilerSpec extends SparkSpec {
   test("discrete quantiles pick the ceil(n·p/100)-ranked row per group") {
     // group a: values 1..10 → p50 = row 5, p90 = row 9, p100 = row 10
     val df = (1 to 10).map(v => ("a", v.toLong, v.toLong)) .toDF("g", "id", "v")
-    val out = Profiler.discreteQuantiles(df, "g", col("v"), col("id"),
-        Seq(50, 90, 100))
+    val out = Profiler.discreteQuantiles(df, "g", col("v"), Seq(50, 90, 100))
       .orderBy("pct").as[(String, Long, Long)].collect().toSeq
     assert(out == Seq(("a", 50L, 5L), ("a", 90L, 9L), ("a", 100L, 10L)))
   }
 
   test("quantiles are layout-independent under value ties") {
-    // all values equal: any row satisfies the value order; the tiebreak
-    // must make the CHOSEN row (hence any carried columns) stable
+    // all values equal: the compaction collapses the tie into one row,
+    // so the chosen VALUE is stable under any partitioning
     val df = (1 to 100).map(i => (s"g${i % 2}", i.toLong, 7L)).toDF("g", "id", "v")
-    val a = Profiler.discreteQuantiles(df.repartition(3), "g", col("v"), col("id"), Seq(50))
+    val a = Profiler.discreteQuantiles(df.repartition(3), "g", col("v"), Seq(50))
       .orderBy("g").as[(String, Long, Long)].collect().toSeq
-    val b = Profiler.discreteQuantiles(df.repartition(17), "g", col("v"), col("id"), Seq(50))
+    val b = Profiler.discreteQuantiles(df.repartition(17), "g", col("v"), Seq(50))
       .orderBy("g").as[(String, Long, Long)].collect().toSeq
     assert(a == b)
     assert(a.forall(_._3 == 7L))
   }
 
+  test("duplicated values land the rank inside the right cumulative interval") {
+    // group a: 1,2,2,2,3 (n=5) → p50 rank 3 → value 2; p90 rank 5 → 3;
+    // p20 rank 1 → 1. The compacted frame has 3 rows, the answers must
+    // match the row-level rank formula exactly.
+    val df = Seq(1L, 2L, 2L, 2L, 3L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }.toDF("g", "id", "v")
+    val out = Profiler.discreteQuantiles(df, "g", col("v"), Seq(20, 50, 90))
+      .orderBy("pct").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 20L, 1L), ("a", 50L, 2L), ("a", 90L, 3L)))
+  }
+
   test("a single row answers every percentile with its own value") {
     val df = Seq(("a", 1L, 42L)).toDF("g", "id", "v")
-    val out = Profiler.discreteQuantiles(df, "g", col("v"), col("id"), Seq(1, 50, 99))
+    val out = Profiler.discreteQuantiles(df, "g", col("v"), Seq(1, 50, 99))
     assert(out.select("value").as[Long].collect().toSeq == Seq(42L, 42L, 42L))
+  }
+
+  test("matches the row-level rank formula on a random skewed fixture") {
+    val rnd = new scala.util.Random(31L)
+    val rows = (1 to 4000).map { i =>
+      // heavy duplication: ~40 distinct values across 2 groups
+      (s"g${i % 2}", i.toLong, (rnd.nextInt(40) + 1).toLong)
+    }
+    val df = rows.toDF("g", "id", "v")
+    val pcts = Seq(1, 25, 50, 75, 99, 100)
+    val got = Profiler.discreteQuantiles(df, "g", col("v"), pcts)
+      .as[(String, Long, Long)].collect().toSet
+    // brute-force model: sort each group's values, pick ceil(n·p/100)
+    val model = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(_._3).sorted
+      pcts.map { p =>
+        val r = (sorted.size.toLong * p + 99) / 100
+        (g, p.toLong, sorted((r - 1).toInt))
+      }
+    }.toSet
+    assert(got == model)
   }
 }
