@@ -87,14 +87,19 @@ object StressScale {
     val ni = ops.TextDedup.minhashCandidatesAgainst(batch, variants, "doc_id", "text").count()
     val s4 = (System.nanoTime() - t4) / 1e9
     println(f"[stress] incremental_batch5k_vs_50k cand_pairs=$ni $s4%.1f s")
-    // Candidate-volume diagnostic: pair rows a shingle-equality
-    // self-join emits = Σ_shingle df² — computable by aggregation alone.
-    // Compare the full shingle sets vs the rarest-first prefixes
-    // (texts here are all distinct, so the rep collapse is identity).
+    // Candidate-volume diagnostic: pair rows a shingle-equality join
+    // emits = Σ_shingle (df of side A × df of side B) — computable by
+    // aggregation alone. Four numbers, most→least naive: full sets
+    // self-joined (r6), basic prefixes self-joined (r7), PPJoin's
+    // asymmetric basic×mid prefixes (r8 join fan-out), and the DISTINCT
+    // candidate pairs that survive the length + positional filters (what
+    // actually reaches exact verification). Texts here are all distinct,
+    // so the representative collapse is identity.
     locally {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.TextFeatures._
       graft.functions.GraftFunctions.register(spark)
+      val t = 0.5
       val sh = variants
         .withColumn("__toks", tokens(col("text")))
         .filter(size(col("__toks")) >= 3)
@@ -102,17 +107,28 @@ object StressScale {
           explode(array_distinct(transform(shingles(col("__toks"), 3),
             s => charHash(s)))).as("shingle"))
         .localCheckpoint()
-      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      val dfAll = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= 1000L).localCheckpoint()
-      val fullRows = dfreq.agg(sum(col("__df") * col("__df"))).head.getLong(0)
-      val pref = sh.join(dfreq, Seq("shingle"))
+      val sh2 = sh.join(dfAll.select("shingle"), Seq("shingle")).localCheckpoint()
+      val fullRows = dfAll.agg(sum(col("__df") * col("__df"))).head.getLong(0)
+      val pref = sh2.join(dfAll, Seq("shingle"))
         .withColumn("__pos", row_number().over(
           Window.partitionBy("id").orderBy(col("__df"), col("shingle"))))
         .withColumn("__n", count(lit(1)).over(Window.partitionBy("id")))
-        .filter(col("__pos") <= col("__n") - ceil(col("__n") * 0.5 - 1e-9) + 1)
-      val prefRows = pref.groupBy("shingle").agg(count(lit(1)).as("pdf"))
-        .agg(sum(col("pdf") * col("pdf"))).head.getLong(0)
-      println(s"[stress] jaccard_diag full_join_rows=$fullRows prefix_join_rows=$prefRows")
+        .localCheckpoint()
+      val basic = pref.filter(col("__pos") <= col("__n") - ceil(col("__n") * t - 1e-9) + 1)
+      val mid = basic.filter(col("__pos") <=
+        col("__n") - ceil(col("__n") * (2 * t / (1 + t)) - 1e-9) + 1)
+      val pdf = basic.groupBy("shingle").agg(count(lit(1)).as("pdf"))
+      val mdf = mid.groupBy("shingle").agg(count(lit(1)).as("mdf"))
+      val prefRows = pdf.agg(sum(col("pdf") * col("pdf"))).head.getLong(0)
+      val ppRows = pdf.join(mdf, Seq("shingle"))
+        .agg(sum(col("pdf") * col("mdf"))).head.getLong(0)
+      val sizes = sh2.groupBy("id").agg(count(lit(1)).as("n"))
+      val survivors = ops.TextDedup.ppjoinCandidates(sh2, sizes, t).count()
+      println(s"[stress] jaccard_diag full_join_rows=$fullRows " +
+        s"prefix_join_rows=$prefRows ppjoin_join_rows=$ppRows " +
+        s"cand_pairs_after_filters=$survivors")
     }
 
     // Power-iteration stress: 1M synthetic 64-dim embeddings, 2 rounds —

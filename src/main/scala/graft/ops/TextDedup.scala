@@ -312,39 +312,8 @@ object TextDedup {
           .filter(col("__df") > maxShingleDf).select("shingle")
         shAll.join(stop, Seq("shingle"), "left_anti")
       }).localCheckpoint(eager = false)
-    // PPJoin-style prefix filter (Bayardo et al. WWW'07 all-pairs;
-    // Xiao et al. PPJoin): under ANY global total order on shingles,
-    // two sets with jaccard ≥ t share an element within the first
-    // |X| − ⌈t·|X|⌉ + 1 elements of EACH set — the globally-smallest
-    // shared shingle is preceded in X only by non-shared shingles, and
-    // there are at most |X| − |A∩B| ≤ |X| − ⌈t·|X|⌉ of those. So
-    // joining PREFIXES only is lossless. The order is (df asc, shingle
-    // asc) — rarest first — so the self-join's fan-out concentrates on
-    // LOW-df keys: Σ df² over prefix occurrences vs over full sets is
-    // the candidate-row count. Measured on the 10× near-dup stress
-    // fixture (StressScale, 50k docs, flat synthetic vocabulary —
-    // PPJoin's WORST case): 97M prefix rows vs 280M full-join rows,
-    // identical output; Zipf-distributed real text concentrates df mass
-    // in few head shingles that never enter a prefix, where the
-    // reduction is orders of magnitude. Survivors are verified EXACTLY
-    // from the full sorted shingle arrays — bit-identical jaccard to
-    // the all-shingle join, so the DuckDB oracle is untouched.
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    val prefix = sh.join(dfreq, Seq("shingle"))
-      .withColumn("__pos", row_number().over(
-        Window.partitionBy("id").orderBy(col("__df"), col("shingle"))))
-      .join(sizes, Seq("id"))
-      // L = n − ⌈t·n⌉ + 1; the 1e-9 nudge keeps an fp-inflated ceil
-      // from SHRINKING the prefix (a larger prefix is merely slower, a
-      // smaller one drops true pairs)
-      .filter(col("__pos") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
-      .select(col("id"), col("shingle"))
-      .localCheckpoint(eager = false) // self-joined below: computed once
-    val cand = prefix.select(col("id").as("ra"), col("shingle"))
-      .join(prefix.select(col("id").as("rb"), col("shingle")), Seq("shingle"))
-      .filter(col("ra") < col("rb"))
-      .select("ra", "rb").distinct()
+    val cand = ppjoinCandidates(sh, sizes, threshold)
     val sets = sh.groupBy("id")
       .agg(sort_array(collect_list(col("shingle"))).as("__ss"))
     val repPairs = cand
@@ -376,5 +345,85 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0d).as("jaccard"))
     cross.unionByName(within)
+  }
+
+  /** PPJoin candidate generation (Bayardo et al. WWW'07 all-pairs;
+    * Xiao et al. VLDB'08 PPJoin) — all three filters, fully
+    * declarative. Input `sh` is the stop-filtered (id, shingle) frame
+    * (one row per DISTINCT shingle per doc), `sizes` its per-id counts;
+    * output is the distinct (ra < rb) pair frame that still needs exact
+    * verification. Lossless: every pair with jaccard ≥ `threshold`
+    * survives.
+    *
+    * 1. PREFIX filter. Under ANY global total order on shingles, two
+    *    sets with jaccard ≥ t share an element within the first
+    *    |X| − ⌈t·|X|⌉ + 1 elements of each set: the globally-smallest
+    *    shared shingle is preceded in X only by non-shared shingles,
+    *    and there are at most |X| − |A∩B| ≤ |X| − ⌈t·|X|⌉ of those.
+    *    The order is (df asc, shingle asc) — rarest first — so the join
+    *    fan-out concentrates on LOW-df keys. Asymmetric prefixes cut
+    *    the fan-out further (PPJoin's indexing prefix): the pair's
+    *    SMALLER set y also satisfies |A∩B| ≥ t/(1+t)·(|x|+|y|) ≥
+    *    (2t/(1+t))·|y|, so its first shared element lies within the
+    *    shorter mid-prefix |y| − ⌈(2t/(1+t))·|y|⌉ + 1. The join is
+    *    therefore probe(basic prefix, larger side) ⋈ index(mid prefix,
+    *    smaller side), size ties broken by id — each unordered pair
+    *    meets exactly under one orientation. At t = 0.5 the mid prefix
+    *    is ~n/3 vs the basic ~n/2: join rows drop by ~⅓ before any
+    *    per-row filtering (measured on the 50k worst-case stress
+    *    fixture: 97M basic² rows → 65M basic×mid rows; survivors after
+    *    the two filters below: 20M).
+    * 2. LENGTH filter. jaccard ≥ t ⟹ |A∩B| ≥ t·(|x|+|y|−|A∩B|) and
+    *    |A∩B| ≤ min ⟹ min ≥ t·max: pairs whose sizes differ by more
+    *    than the ratio t cannot qualify, whatever their overlap.
+    * 3. POSITIONAL filter. When the pair meets at positions (px, py)
+    *    of its first shared element, the overlap is bounded by
+    *    1 + min(|x|−px, |y|−py); pairs where that bound is below the
+    *    required α = ⌈t/(1+t)·(|x|+|y|)⌉ die inside the join stage. A
+    *    true pair always survives: at its first shared element the
+    *    remaining-overlap bound is ≥ α by construction. (The filter is
+    *    applied to every meeting row and a pair survives if ANY row
+    *    passes — weaker-or-equal pruning than the paper's first-match
+    *    form, hence still lossless.)
+    *
+    * Every ceil carries a 1e-9 nudge so an fp-inflated ceil can only
+    * ENLARGE a prefix / relax a bound (merely slower), never shrink one
+    * (which would drop true pairs). Survivors are verified EXACTLY from
+    * the full sorted shingle arrays downstream — bit-identical jaccard
+    * to the all-shingle join, so the DuckDB oracle is untouched.
+    */
+  private[graft] def ppjoinCandidates(sh: DataFrame, sizes: DataFrame,
+                                      threshold: Double): DataFrame = {
+    val midFrac = 2.0 * threshold / (1.0 + threshold)
+    val alphaFrac = threshold / (1.0 + threshold)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val prefixAll = sh.join(dfreq, Seq("shingle"))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("__df"), col("shingle"))))
+      .join(sizes, Seq("id"))
+      // widest prefix either role needs; role-specific bounds below
+      .filter(col("__pos") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+      .select(col("id"), col("shingle"), col("__pos"), col("n"))
+      .localCheckpoint(eager = false) // probe + index read one compute
+    val probe = prefixAll // basic prefix: pos ≤ n − ⌈t·n⌉ + 1
+      .select(col("id").as("__xa"), col("shingle"),
+        col("__pos").as("__pa"), col("n").as("__na"))
+    val index = prefixAll // mid prefix: pos ≤ n − ⌈(2t/(1+t))·n⌉ + 1
+      .filter(col("__pos") <= col("n") - ceil(col("n") * midFrac - 1e-9) + 1)
+      .select(col("id").as("__xb"), col("shingle"),
+        col("__pos").as("__pb"), col("n").as("__nb"))
+    probe.join(index, Seq("shingle"))
+      // probe strictly larger (ties by id): each unordered pair once,
+      // in the orientation the mid-prefix derivation requires
+      .filter(col("__na") > col("__nb") ||
+        (col("__na") === col("__nb") && col("__xa") > col("__xb")))
+      // length filter: min ≥ t·max (probe is the max side here)
+      .filter(col("__nb").cast("double") >= col("__na") * threshold - 1e-9)
+      // positional filter: remaining-overlap bound ≥ α
+      .filter(lit(1L) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >=
+        ceil((col("__na") + col("__nb")) * alphaFrac - 1e-9))
+      .select(least(col("__xa"), col("__xb")).as("ra"),
+        greatest(col("__xa"), col("__xb")).as("rb"))
+      .distinct()
   }
 }
