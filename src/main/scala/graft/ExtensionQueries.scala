@@ -509,6 +509,27 @@ object ExtensionQueries {
         .orderBy(col("id_new"), col("id_corpus"))
     }),
 
+    // The COMPLETE incremental-dedup step: q65's truncated batch is
+    // doubled (ids +10000, same texts), so the arrival carries its own
+    // internal duplicates — the step must surface new-vs-corpus pairs
+    // through the persisted band index AND new-vs-new pairs within the
+    // batch, in one call (the grown index is pinned by StreamingSpec's
+    // sequential ≡ combined equivalence).
+    "q67_incremental_dedup_full" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val trunc = base
+        .select(col("doc_id"), TextFeatures.tokens(col("text")).as("__toks"))
+        .filter(col("doc_id") % 5 === 0 && size(col("__toks")) >= 5)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat_ws(" ", slice(col("__toks"), lit(1),
+            floor(size(col("__toks")) * 3 / 5).cast("int"))).as("text"))
+      val batch = trunc.unionByName(
+        trunc.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val idx = TextDedup.corpusBandIndex(base, "doc_id", "text")
+      TextDedup.incrementalDedupStep(batch, idx, "doc_id", "text")
+        .pairs.orderBy(col("pair_src"), col("id_a"), col("id_b"))
+    }),
+
     // Semantic decontamination: corpus embeddings vs the broadcast
     // eval-seed set (vec_id < 20 plays the held-out benchmark) — each
     // doc's closest seed + cosine + flag at 0.9. The embedding-space
@@ -1277,6 +1298,28 @@ object ExtensionQueries {
          |  CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) AS DOUBLE)/16 AS est_jaccard
          |FROM nband a JOIN cband b ON a.band = b.band AND a.bucket = b.bucket
          |ORDER BY id_new, id_corpus""".stripMargin,
+
+    // Mirrors TextDedup.incrementalDedupStep: the doubled truncated
+    // batch's band table joined against the corpus band table (cross,
+    // 'corpus') plus the batch chain's own self-join ('batch') — the
+    // minhashChain `nest` CTE IS the within-batch pair set.
+    "q67_incremental_dedup_full" ->
+      s"""WITH trunc AS (SELECT doc_id + 20000 AS doc_id,
+         |    array_to_string(list_slice(toks, 1, CAST((len(toks)*3)//5 AS INT)), ' ') AS text
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+         |  WHERE doc_id % 5 = 0 AND len(toks) >= 5),
+         |batch AS (SELECT doc_id, text FROM trunc
+         |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM trunc),
+         |${minhashChain("batch", "n")},
+         |${minhashChain("documents", "c")}
+         |SELECT * FROM (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) AS DOUBLE)/16 AS est_jaccard,
+         |    'corpus' AS pair_src
+         |  FROM nband a JOIN cband b ON a.band = b.band AND a.bucket = b.bucket
+         |  UNION ALL
+         |  SELECT id_a, id_b, est_jaccard, 'batch' AS pair_src FROM nest
+         |) ORDER BY pair_src, id_a, id_b""".stripMargin,
 
     // Mirrors Spectral.topComponentScores (2 rounds, scale 1e6):
     // HUGEINT column sums, v ← (w·1e6)//max|w| (`//` truncates toward

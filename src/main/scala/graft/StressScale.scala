@@ -87,6 +87,15 @@ object StressScale {
     val ni = ops.TextDedup.minhashCandidatesAgainst(batch, variants, "doc_id", "text").count()
     val s4 = (System.nanoTime() - t4) / 1e9
     println(f"[stress] incremental_batch5k_vs_50k cand_pairs=$ni $s4%.1f s")
+    // Full step against a PREBUILT (persisted-index reality) band table:
+    // cross + within-batch pairs + index growth in one call.
+    val idx = ops.TextDedup.corpusBandIndex(variants, "doc_id", "text").localCheckpoint()
+    val t6 = System.nanoTime()
+    val step = ops.TextDedup.incrementalDedupStep(batch, idx, "doc_id", "text")
+    val np6 = step.pairs.count()
+    val nidx = step.index.count()
+    val s6 = (System.nanoTime() - t6) / 1e9
+    println(f"[stress] incremental_full_step pairs=$np6 index_rows=$nidx $s6%.1f s")
     // Candidate-volume diagnostic: pair rows a shingle-equality join
     // emits = Σ_shingle (df of side A × df of side B) — computable by
     // aggregation alone. Four numbers, most→least naive: full sets

@@ -128,6 +128,57 @@ object TextDedup {
                       bands: Int = 4): DataFrame =
     bandedSigs(corpus, idCol, textCol, shingleN, k, bands)
 
+  /** The COMPLETE incremental-dedup step — everything a continuously
+    * ingesting pipeline runs per batch arrival, in one call:
+    *
+    *  (a) NEW-vs-CORPUS: the batch's band rows equi-join the persisted
+    *      index on (band, bucket) — the corpus is touched only through
+    *      bucket collisions, never re-hashed, never self-paired;
+    *  (b) NEW-vs-NEW: the batch's band rows self-join — duplicates
+    *      ARRIVING TOGETHER must not slip through just because neither
+    *      side is in the index yet;
+    *  (c) INDEX APPEND: the grown index (corpus ∪ batch band rows) to
+    *      persist for the next arrival.
+    *
+    * The batch's signatures are computed ONCE (lazy checkpoint) and
+    * feed all three outputs. Sequential-step composition is exact:
+    * step(B₂, step(B₁, I).index) finds the same orientation-normalized
+    * pair set as step(B₁ ∪ B₂, I) — a B₁×B₂ duplicate surfaces either
+    * as a within-batch pair (combined run) or as new-vs-corpus once B₁
+    * is indexed (sequential run), pinned by StreamingSpec.
+    *
+    * @param corpusIndex persisted (id, __sig, band, bucket) from
+    *                    [[corpusBandIndex]] or a prior step's `index`
+    * @return pairs (id_a, id_b, est_jaccard, pair_src) distinct —
+    *         cross pairs carry the batch doc in id_a with
+    *         pair_src='corpus'; within-batch pairs order id_a < id_b
+    *         with pair_src='batch' — and the grown index
+    */
+  final case class IncrementalDedup(pairs: DataFrame, index: DataFrame)
+
+  def incrementalDedupStep(newDocs: DataFrame, corpusIndex: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 16,
+                           bands: Int = 4): IncrementalDedup = {
+    val batchIdx = bandedSigs(newDocs, idCol, textCol, shingleN, k, bands)
+      .localCheckpoint(eager = false) // three consumers, one compute
+    val a = batchIdx.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("__sig").as("sig_a"))
+    val c = corpusIndex.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("__sig").as("sig_b"))
+    val cross = a.join(c, Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"), estJaccard(k),
+        lit("corpus").as("pair_src"))
+    val within = a.join(batchIdx.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("__sig").as("sig_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), estJaccard(k),
+        lit("batch").as("pair_src"))
+    IncrementalDedup(
+      cross.unionByName(within).distinct(),
+      corpusIndex.unionByName(batchIdx))
+  }
+
   /** Streaming-safe banded signatures: same math as [[corpusBandIndex]]
     * but with NO localCheckpoint/repartition (illegal on a streaming
     * frame). Single-consumer plans only — a batch caller with a

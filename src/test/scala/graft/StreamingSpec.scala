@@ -156,6 +156,44 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); bandIdx.unpersist() }
   }
 
+  test("incremental dedup: two sequential steps equal one combined step") {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    // corpus + two arrivals, with duplicates WITHIN b2 and ACROSS b1/b2:
+    // a cross-arrival duplicate surfaces as within-batch in the combined
+    // run but as new-vs-corpus in the sequential run (b1 indexed by
+    // then) — orientation-normalized pair sets must coincide.
+    val corpus = (1 to 20).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon token$i end")).toDF("doc_id", "text")
+    val b1 = (1 to 10).map(i =>
+      (100L + i, s"alpha beta gamma delta epsilon token$i")).toDF("doc_id", "text")
+    val b2 = ((11 to 20).map(i =>
+        (200L + i, s"alpha beta gamma delta epsilon token$i")) ++
+      Seq((301L, "alpha beta gamma delta epsilon token3"), // dup of b1's 103
+          (302L, "alpha beta gamma delta epsilon token15"))) // dup of b2's 215
+      .toDF("doc_id", "text")
+    def norm(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"), col("est_jaccard"))
+      .distinct().as[(Long, Long, Double)].collect().toSet
+    val idx0 = graft.ops.TextDedup.corpusBandIndex(corpus, "doc_id", "text")
+    val s1 = graft.ops.TextDedup.incrementalDedupStep(b1, idx0, "doc_id", "text")
+    val s2 = graft.ops.TextDedup.incrementalDedupStep(b2, s1.index, "doc_id", "text")
+    val combined = graft.ops.TextDedup.incrementalDedupStep(
+      b1.unionByName(b2), idx0, "doc_id", "text")
+    val sequential = norm(s1.pairs) ++ norm(s2.pairs)
+    assert(sequential == norm(combined.pairs),
+      s"sequential $sequential != combined ${norm(combined.pairs)}")
+    // the fixture must exercise every pair class
+    assert(s2.pairs.filter(col("pair_src") === "batch").count() > 0)
+    assert(s2.pairs.filter(col("pair_src") === "corpus").count() > 0)
+    // and the grown indexes must agree row-for-row
+    val idxSeq = s2.index.select("id", "band", "bucket")
+      .as[(Long, Int, Long)].collect().toSet
+    val idxCmb = combined.index.select("id", "band", "bucket")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(idxSeq == idxCmb)
+  }
+
   test("streaming count-min matrix equals the batch sketch over all batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
