@@ -557,6 +557,19 @@ object ExtensionQueries {
         li.select(col("dst").as("src"), col("src").as("dst")))
       GraphRank.pageRank(sym, "src", "dst", 3).orderBy(col("node"))
     }),
+
+    // Mass-conserving PageRank on the DIRECTED supplier→part graph:
+    // every part is a dangling sink, so the redistribute-to-all option
+    // carries real weight here — each iteration folds the dangling mass
+    // back as a per-node `D div n` share inside the damped term. The
+    // leak variant (q63) stays the default.
+    "q68_pagerank_redistribute" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      GraphRank.pageRank(li, "src", "dst", 3, redistributeDangling = true)
+        .orderBy(col("node"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -1261,6 +1274,31 @@ object ExtensionQueries {
       s"""WITH e AS (SELECT DISTINCT src, dst FROM (
          |    SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
          |    UNION ALL SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem)),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |n AS (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST((SELECT 1000000000 // n FROM n) AS BIGINT) AS r FROM nodes),
+         |i1 AS ${it("r0")},
+         |i2 AS ${it("i1")},
+         |i3 AS ${it("i2")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin
+    },
+
+    // Mirrors GraphRank.pageRank(redistributeDangling = true) on the
+    // DIRECTED supplier→part graph: same unrolled arithmetic as q63
+    // plus the per-iteration dangling mass D = Σ rank of nodes with no
+    // out-edges, folded in as (85 · (ins + D//n)) // 100.
+    "q68_pagerank_redistribute" -> {
+      def it(prev: String): String =
+        s"""(SELECT nodes.node,
+           |    (SELECT (15 * (1000000000 // n)) // 100 FROM n)
+           |    + (85 * (COALESCE(c.s, 0)
+           |        + (SELECT COALESCE(SUM(p.r), 0) FROM $prev p
+           |           WHERE p.node NOT IN (SELECT src FROM deg)) // (SELECT n FROM n))) // 100 AS r
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(SUM(p.r // deg.deg) AS BIGINT) AS s
+           |    FROM $prev p JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY 1) c USING (node))""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
          |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
          |n AS (SELECT COUNT(*) AS n FROM nodes),
          |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),

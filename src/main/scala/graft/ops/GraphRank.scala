@@ -34,10 +34,17 @@ object GraphRank {
   /** @param edges directed edges (srcCol, dstCol); symmetrize upstream
     *              for an undirected walk
     * @param iters fixed iteration count (unrolled by the oracle)
+    * @param redistributeDangling when true, each iteration gathers the
+    *              dangling nodes' rank mass D and hands every node its
+    *              truncated share `D div n` INSIDE the damped term —
+    *              the standard mass-conserving PageRank variant. The
+    *              default leaks dangling mass (documented r7 choice);
+    *              both spellings are mirrored by their oracles.
     * @return (node, rank_q): quantized rank per distinct node
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3): DataFrame = {
+               iters: Int = 3,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
@@ -53,6 +60,10 @@ object GraphRank {
     // reason to re-derive the degree side each round).
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), Seq("src"))
       .localCheckpoint(eager = false)
+    // Dangling set (no out-edges) — static, computed once.
+    val dangling = nodes.join(e.select(col("src")).distinct(),
+        nodes("node") === col("src"), "left_anti")
+      .localCheckpoint(eager = false)
     val base = (15L * (Scale / n)) / 100L
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_q"))
       .localCheckpoint(eager = false)
@@ -62,19 +73,33 @@ object GraphRank {
         .select(col("dst").as("node"),
           expr("rank_q div __deg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__in"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"(85 * coalesce(__in, 0L)) div 100"))
-            .as("rank_q"))
-        // LAZY: the iteration count is fixed, so no per-round driver
-        // round-trip is needed — the caller's first action runs ONE job
-        // that materializes every marked iteration frame in sequence
-        // (sc.runJob checkpoints each marked ancestor it computes),
-        // keeping lineage bounded without per-round blocking. Same
-        // trick as TreeExplode's 2-hop batching, taken to its limit
-        // because there is no convergence test to serve.
-        .localCheckpoint(eager = false)
+      val joined = nodes.join(contrib, Seq("node"), "left")
+      val next =
+        if (redistributeDangling) {
+          // D as a ONE-ROW aggregate cross-joined broadcast: the loop
+          // stays fully lazy (no per-iteration driver action), and the
+          // physical join is a 1-row broadcast, not a shuffle. Share is
+          // `D div n` per node — truncating, like every quantum here.
+          val dmass = ranks.join(dangling, Seq("node"))
+            .agg(coalesce(sum("rank_q"), lit(0L)).as("__d"))
+          joined.crossJoin(broadcast(dmass))
+            .select(col("node"),
+              (lit(base) +
+                expr(s"(85 * (coalesce(__in, 0L) + (__d div $n))) div 100"))
+                .as("rank_q"))
+        } else {
+          joined.select(col("node"),
+            (lit(base) + expr(s"(85 * coalesce(__in, 0L)) div 100"))
+              .as("rank_q"))
+        }
+      // LAZY: the iteration count is fixed, so no per-round driver
+      // round-trip is needed — the caller's first action runs ONE job
+      // that materializes every marked iteration frame in sequence
+      // (sc.runJob checkpoints each marked ancestor it computes),
+      // keeping lineage bounded without per-round blocking. Same
+      // trick as TreeExplode's 2-hop batching, taken to its limit
+      // because there is no convergence test to serve.
+      ranks = next.localCheckpoint(eager = false)
     }
     ranks
   }

@@ -27,6 +27,24 @@ class GraphRankSpec extends SparkSpec {
     assert(leaves.map(r).distinct.size == 1) // leaves are symmetric
   }
 
+  test("redistribute variant conserves dangling mass the leak variant loses") {
+    // a -> b -> c, c dangling: with redistribution, c's mass re-enters
+    // the walk each round instead of leaking — total mass stays within
+    // integer-truncation quanta of Scale, and strictly above the leak run
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val leak = GraphRank.pageRank(edges, "src", "dst", 3)
+      .as[(String, Long)].collect().toMap
+    val keep = GraphRank.pageRank(edges, "src", "dst", 3, redistributeDangling = true)
+      .as[(String, Long)].collect().toMap
+    assert(keep.values.sum > leak.values.sum)
+    assert(keep.values.sum > GraphRank.Scale * 97 / 100,
+      s"mass ${keep.values.sum} vs scale ${GraphRank.Scale}")
+    // layout-independence holds for the variant too
+    val keep7 = GraphRank.pageRank(edges.repartition(7), "src", "dst", 3,
+      redistributeDangling = true).as[(String, Long)].collect().toMap
+    assert(keep == keep7)
+  }
+
   test("empty edge frame fails with a named precondition, not a bare div-by-zero") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     val ex = intercept[IllegalArgumentException] {

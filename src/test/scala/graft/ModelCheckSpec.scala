@@ -178,6 +178,22 @@ class ModelCheckSpec extends SparkSpec {
       val got = graft.ops.GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst", 3)
         .as[(Long, Long)].collect().toMap
       assert(got == model, s"trial $trial: ${(model.toSet -- got.toSet).take(3)}")
+
+      // redistribute-to-all variant: same arithmetic + per-iteration
+      // dangling mass D folded in as (85 · (ins + D div n)) div 100
+      var r2 = nodes.map(_ -> BigInt(S / nodes.size)).toMap
+      (1 to 3).foreach { _ =>
+        val in = edges.groupBy(_._2).view.mapValues(_.map { case (src, _) =>
+          r2(src) / outdeg(src) }.sum).toMap
+        val d = nodes.filterNot(outdeg.contains).map(r2).sum
+        r2 = nodes.map(v => v ->
+          (base + BigInt(85) * (in.getOrElse(v, BigInt(0)) + d / nodes.size) / 100)).toMap
+      }
+      val model2 = r2.map { case (k, v) => k -> v.toLong }
+      val got2 = graft.ops.GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst", 3,
+          redistributeDangling = true)
+        .as[(Long, Long)].collect().toMap
+      assert(got2 == model2, s"trial $trial redistribute: ${(model2.toSet -- got2.toSet).take(3)}")
     }
   }
 
