@@ -150,6 +150,33 @@ object StressScale {
     val s5 = (System.nanoTime() - t5) / 1e9
     println(f"[stress] power_iter_1m rows=$ns $s5%.1f s")
 
+    // Dims-axis stress (VERDICT r7): the one untested scale dimension.
+    // Spectral emits one aggregate COLUMN per dimension — at 1024 dims
+    // that is a 1024-column aggregate whose codegen behavior must be
+    // measured, not assumed. Clustering (posexplode keyed (cid,pos))
+    // and Similarity (single fold expression) are dims-agnostic by
+    // construction but get timed at the same points for the record.
+    Seq(64, 256, 1024).foreach { dims =>
+      val rows = if (dims >= 1024) 50000L else 200000L
+      val embD = spark.range(rows).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(dims)),
+            // divide as double, store as FLOAT (a float/float division
+            // promotes to double and would silently make array<double>)
+            j => (((col("id") * j % 1997) - 998).cast("double") / 1000d)
+              .cast("float")).as("embedding"))
+        .localCheckpoint() // isolate generation cost from operator cost
+      val tp = System.nanoTime()
+      val np2 = ops.Spectral.topComponentScores(embD, "vec_id", "embedding", 2).count()
+      println(f"[stress] power_iter dims=$dims rows=$np2 ${(System.nanoTime() - tp) / 1e9}%.1f s")
+      val tk = System.nanoTime()
+      val nk = ops.Clustering.lloydAssign(embD, "vec_id", "embedding", 8, 2).count()
+      println(f"[stress] kmeans dims=$dims rows=$nk ${(System.nanoTime() - tk) / 1e9}%.1f s")
+      val tq = System.nanoTime()
+      val nq = ops.Similarity.bruteForceTopK(embD,
+        embD.filter(col("vec_id") < 16), "vec_id", "embedding", 10).count()
+      println(f"[stress] knn_brute dims=$dims rows=$nq ${(System.nanoTime() - tq) / 1e9}%.1f s")
+    }
+
     // Sequence-packing stress: 5M docs / 2.75G tokens through the
     // two-pass distributed prefix sum — the path a single-partition
     // window could not survive.

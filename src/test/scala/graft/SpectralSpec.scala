@@ -43,6 +43,31 @@ class SpectralSpec extends SparkSpec {
     assert(e2.getMessage.contains("overflow"))
   }
 
+  test("high-dims exploded aggregate == in-memory integer model (same math)") {
+    // dims above WideAggLimit take the posexplode spelling — it must
+    // produce the IDENTICAL integer result as the wide-column path and
+    // the plain BigInt model.
+    val dims = Spectral.WideAggLimit + 28
+    val rnd = new Random(41L)
+    val rows = (1 to 25).map(i =>
+      (i.toLong, Array.fill(dims)((rnd.nextFloat() - 0.5f) * 2f)))
+    val S = 1000000L
+    val qe = rows.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * S).toLong) }
+    var vv = Array.fill(dims)(BigInt(S))
+    (1 to 2).foreach { _ =>
+      val dots = qe.map { case (id, q) =>
+        id -> (0 until dims).map(i => BigInt(q(i)) * vv(i)).sum }.toMap
+      val w = (0 until dims).map(i => qe.map { case (id, q) => dots(id) * q(i) }.sum)
+      val m = w.map(_.abs).max
+      vv = w.map(x => x * S / m).toArray
+    }
+    val model = qe.map { case (id, q) =>
+      id -> (0 until dims).map(i => BigInt(q(i)) * vv(i)).sum.toLong }.toMap
+    val got = Spectral.topComponentScores(rows.toDF("vec_id", "embedding").repartition(5),
+      "vec_id", "embedding", 2).as[(Long, Long)].collect().toMap
+    assert(got == model)
+  }
+
   test("bit-identical across partitionings == in-memory integer model") {
     val rnd = new Random(77L)
     val rows = (1 to 30).map(i =>
