@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only golden run at sf1-equivalent volume (VERDICT r7 task 8):
+  * the driver ships sf0.001/0.01/0.1 only, so this synthesizes a 10×
+  * corpus from sf0.1 — ten FK-CONSISTENT shifted copies (every key
+  * column in copy i moves by i·offset, so joins stay valid within a
+  * copy and never cross copies) — runs EVERY SparkEntry query against
+  * it, and diffs the final (post-AQE) join-operator histogram against
+  * the same query at sf0.1. The point is not the wall numbers (those
+  * are recorded anyway) but the PLAN FLIPS: a dimension frame crossing
+  * spark.sql.autoBroadcastJoinThreshold between scales is exactly the
+  * class of size-dependent regression sf0.1 cannot see.
+  *
+  * region/nation stay unscaled (TPC-H semantics: fixed dimensions).
+  * Output lands under /tmp (testdata is read-only); results are
+  * recorded in BASELINE.md, clearly self-measured.
+  *
+  * Usage: runMain graft.GoldenScale [outDir] [copies]
+  */
+object GoldenScale {
+
+  /** key-column shifts per table; copy i adds i·shift to each column */
+  private val KeyShifts: Map[String, Map[String, Long]] = Map(
+    "region" -> Map.empty, // unscaled
+    "nation" -> Map.empty, // unscaled
+    "customer" -> Map("c_custkey" -> 1000000L),
+    "supplier" -> Map("s_suppkey" -> 1000000L),
+    "part" -> Map("p_partkey" -> 1000000L),
+    "orders" -> Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L),
+    "lineitem" -> Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
+      "l_suppkey" -> 1000000L),
+    "events" -> Map("event_id" -> 10000000L, "user_id" -> 1000000L),
+    "documents" -> Map("doc_id" -> 1000000L),
+    "embeddings" -> Map("vec_id" -> 1000000L))
+
+  def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
+                  copies: Int): Unit = {
+    KeyShifts.foreach { case (table, shifts) =>
+      val src = spark.read.parquet(s"$srcDir/$table.parquet")
+      val scaled =
+        if (shifts.isEmpty) src
+        else (0 until copies).map { i =>
+          shifts.foldLeft(src) { case (df, (k, off)) =>
+            df.withColumn(k, col(k) + lit(i * off))
+          }
+        }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      println(s"[golden] built $table: ${spark.read.parquet(s"$outDir/$table.parquet").count()} rows")
+    }
+  }
+
+  /** histogram of the plan features that flip with input size */
+  private def joinShape(df: DataFrame): Map[String, Int] = {
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(op => op -> plan.sliding(op.length).count(_ == op)).toMap
+      .filter(_._2 > 0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
+      buildScaled(spark, "/root/testdata/sf0.1", outDir, copies)
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    var failures = 0
+    names.foreach { name =>
+      spark.sparkContext.setJobDescription(s"golden:$name")
+      ExtensionQueries.clearMemos()
+      val fn = SparkEntry.queries(name)
+      // small-scale plan for the diff (cheap: sf0.1)
+      val shapeSmall =
+        try { val d = fn(spark, "/root/testdata/sf0.1"); d.count(); joinShape(d) }
+        catch { case _: Throwable => Map.empty[String, Int] }
+      ExtensionQueries.clearMemos()
+      System.gc()
+      val t0 = System.nanoTime()
+      val res =
+        try {
+          val d = fn(spark, outDir)
+          val n = d.count()
+          Right((n, joinShape(d)))
+        } catch { case e: Throwable => Left(e) }
+      val secs = (System.nanoTime() - t0) / 1e9
+      res match {
+        case Right((n, shapeBig)) =>
+          val flip = if (shapeBig == shapeSmall) "" else
+            s" PLAN-FLIP sf0.1=$shapeSmall sf1=$shapeBig"
+          println(f"[golden] $name rows=$n $secs%.1f s$flip")
+        case Left(e) =>
+          failures += 1
+          println(s"[golden] $name FAILED: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    }
+    println(s"[golden] done: ${names.size - failures}/${names.size} queries green at 10x sf0.1")
+    spark.stop()
+  }
+}
