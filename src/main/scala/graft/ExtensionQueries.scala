@@ -425,6 +425,30 @@ object ExtensionQueries {
           "lang", col("__v"), Seq(50, 90, 99))
         .orderBy(col("lang"), col("pct"))),
 
+    // Mergeable histogram-sketch quantiles: the SCALE path next to
+    // q56's exact quantiles — state is |occupied bins| per group (a
+    // constant chosen up front), counters merge under any partitioning
+    // or stream trigger, and the answer brackets the true quantile
+    // within one bin.
+    "q69_histogram_quantiles" -> ((s, d) =>
+      Profiler.histogramQuantiles(
+          docsFanned(s, d).withColumn("__v",
+            size(TextFeatures.tokens(col("text"))).cast("long")),
+          "lang", col("__v"), Seq(50, 90, 99), 16L)
+        .orderBy(col("lang"), col("pct"))),
+
+    // Near-dup corpus MATERIALIZATION: the kept corpus after minhash
+    // clustering at est ≥ 0.75 — one canonical (min-id) doc per
+    // cluster survives; the corpus itself never shuffles (single
+    // anti-join against the small non-canonical member set).
+    "q70_deduped_corpus" -> ((s, d) =>
+      TextDedup.dedupedCorpus(
+          demoCorpus(Tables.documents(s, d))
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", 0.75)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // SCD2 validity intervals from the event stream: each row opens at
     // its ts and closes at the next row's (per user; open tail = null).
     "q57_scd2_intervals" -> ((s, d) =>
@@ -1181,6 +1205,34 @@ object ExtensionQueries {
         |FROM r CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
         |WHERE rnk = (n * pct + 99) // 100
         |ORDER BY lang, pct""".stripMargin,
+
+    // Mirrors Profiler.histogramQuantiles (binWidth 16): truncating
+    // integer binning, cumulative-interval rank walk over bins.
+    "q69_histogram_quantiles" ->
+      """WITH t AS (SELECT lang, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS v FROM documents),
+        |cells AS (SELECT lang, v // 16 AS bin, COUNT(*) AS cnt FROM t GROUP BY 1,2),
+        |r AS (SELECT lang, bin, cnt,
+        |   SUM(cnt) OVER (PARTITION BY lang ORDER BY bin ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   SUM(cnt) OVER (PARTITION BY lang) AS n FROM cells)
+        |SELECT lang, CAST(pct AS BIGINT) AS pct, CAST(bin*16 AS BIGINT) AS bin_lo, CAST(bin*16+15 AS BIGINT) AS bin_hi
+        |FROM r CROSS JOIN (SELECT unnest([50,90,99]) AS pct) p
+        |WHERE cum >= (n*pct+99)//100 AND cum - cnt < (n*pct+99)//100
+        |ORDER BY lang, pct""".stripMargin,
+
+    // Mirrors TextDedup.dedupedCorpus (threshold 0.75): q36's recursive
+    // component labels, then corpus minus non-canonical members.
+    "q70_deduped_corpus" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.75),
+         |und AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+         |  UNION
+         |  SELECT u.b, r.r FROM reach r JOIN und u ON u.a = r.node),
+         |lbl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM corpus
+         |WHERE doc_id NOT IN (SELECT node FROM lbl WHERE node <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Mirrors Relational.scd2Intervals over events: half-open validity
     // intervals per user, (ts, event_id) order, open tail = NULL.

@@ -60,4 +60,61 @@ object Profiler {
         col("__cum") - col("__c") < expr("(__n * pct + 99) DIV 100"))
       .select(col(groupCol), col("pct").cast("long").as("pct"), col("value"))
   }
+
+  /** Histogram cells (group, bin, cnt) at fixed `binWidth` — the
+    * MERGEABLE quantile state. Counters add under any partitioning,
+    * batch order, or stream trigger (a plain streaming groupBy carries
+    * them as bounded state), and state is |occupied bins| per group —
+    * bounded by value-range/binWidth, independent of row count. This is
+    * the sketch-path complement of [[discreteQuantiles]]: exact
+    * quantiles compact to |distinct values|; the histogram caps state at
+    * a constant chosen up front, the only shape that survives a stream
+    * or a merge tree of 10⁵ partitions. Bin = value DIV binWidth
+    * (truncation toward zero, identical in Spark / DuckDB / BigInt);
+    * intended for the non-negative metrics a corpus audit profiles
+    * (lengths, counts) — the [bin_lo, bin_hi] bracket is exact for
+    * v ≥ 0.
+    */
+  def histogramCells(df: DataFrame, groupCol: String, valueCol: Column,
+                     binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    df.select(col(groupCol), valueCol.as("__v"))
+      .select(col(groupCol), expr(s"__v DIV $binWidth").as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Approximate quantiles from histogram cells: the same
+    * cumulative-interval rank walk as [[discreteQuantiles]], but over
+    * bins — the answer brackets the true quantile within one bin
+    * ([bin_lo, bin_hi], width = binWidth). Split so a persisted or
+    * streaming cell state reads through the identical path as batch.
+    *
+    * @return (group, pct, bin_lo, bin_hi) — one row per group × pct.
+    */
+  def histogramQuantilesFromCells(cells: DataFrame, groupCol: String,
+                                  pcts: Seq[Int], binWidth: Long): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      "percentiles must lie in (0, 100]")
+    val cum = Window.partitionBy(groupCol).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("__n", sum(col("cnt")).over(all))
+      .select(col(groupCol), col("bin"), col("cnt"), col("__cum"), col("__n"),
+        explode(lit(pcts.toArray)).as("pct"))
+      .filter(col("__cum") >= expr("(__n * pct + 99) DIV 100") &&
+        col("__cum") - col("cnt") < expr("(__n * pct + 99) DIV 100"))
+      .select(col(groupCol), col("pct").cast("long").as("pct"),
+        (col("bin") * binWidth).as("bin_lo"),
+        (col("bin") * binWidth + binWidth - 1).as("bin_hi"))
+  }
+
+  /** One-call batch spelling: cells + rank walk. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: Column,
+                         pcts: Seq[Int], binWidth: Long): DataFrame =
+    histogramQuantilesFromCells(
+      histogramCells(df, groupCol, valueCol, binWidth), groupCol, pcts, binWidth)
 }

@@ -398,6 +398,28 @@ object TextDedup {
     cross.unionByName(within)
   }
 
+  /** The KEPT corpus after near-dup clustering — the materialization a
+    * pipeline actually writes out: cluster the minhash pair graph
+    * (est_jaccard ≥ `threshold`) with connected components and keep one
+    * canonical document per cluster (the min id, which IS the cluster
+    * label), dropping every other member. Documents in no cluster pass
+    * through untouched, so the operator is a single anti-join against
+    * the (small) non-canonical member set — the corpus itself never
+    * shuffles.
+    */
+  def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double,
+                    shingleN: Int = 3, k: Int = 16,
+                    bands: Int = 4): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, shingleN, k, bands)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val drop = ConnectedComponents.labels(pairs)
+      .filter(col("node") =!= col("cluster_id")) // min id stays
+      .select(col("node").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** PPJoin candidate generation (Bayardo et al. WWW'07 all-pairs;
     * Xiao et al. VLDB'08 PPJoin) — all three filters, fully
     * declarative. Input `sh` is the stop-filtered (id, shingle) frame

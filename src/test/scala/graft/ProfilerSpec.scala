@@ -44,6 +44,40 @@ class ProfilerSpec extends SparkSpec {
     assert(out.select("value").as[Long].collect().toSeq == Seq(42L, 42L, 42L))
   }
 
+  test("histogram quantiles bracket the exact quantile within one bin") {
+    val rnd = new scala.util.Random(57L)
+    val rows = (1 to 3000).map(i => (s"g${i % 2}", (rnd.nextInt(500)).toLong))
+    val df = rows.toDF("g", "v")
+    val w = 16L
+    val pcts = Seq(25, 50, 90, 99)
+    val got = Profiler.histogramQuantiles(df, "g", col("v"), pcts, w)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 2 * pcts.size)
+    // model: exact quantile must land inside the reported bracket, and
+    // the bracket must be the exact quantile's own bin
+    val byG = rows.groupBy(_._1)
+    got.foreach { case (g, p, lo, hi) =>
+      assert(hi - lo == w - 1)
+      val sorted = byG(g).map(_._2).sorted
+      val r = (sorted.size.toLong * p + 99) / 100
+      val exact = sorted((r - 1).toInt)
+      assert(exact >= lo && exact <= hi,
+        s"$g p$p: exact $exact outside [$lo,$hi]")
+    }
+  }
+
+  test("histogram cells merge: halves unioned equal the whole (mergeable state)") {
+    val rows = (1 to 1000).map(i => ("g", (i % 97).toLong))
+    val (h1, h2) = rows.splitAt(500)
+    val whole = Profiler.histogramCells(rows.toDF("g", "v"), "g", col("v"), 8L)
+      .as[(String, Long, Long)].collect().toSet
+    val merged = Profiler.histogramCells(h1.toDF("g", "v"), "g", col("v"), 8L)
+      .unionByName(Profiler.histogramCells(h2.toDF("g", "v"), "g", col("v"), 8L))
+      .groupBy("g", "bin").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("matches the row-level rank formula on a random skewed fixture") {
     val rnd = new scala.util.Random(31L)
     val rows = (1 to 4000).map { i =>

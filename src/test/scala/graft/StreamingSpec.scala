@@ -156,6 +156,36 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); bandIdx.unpersist() }
   }
 
+  test("streaming histogram cells equal the batch cells over all triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[(String, Long)]
+    // histogramCells is a plain select + keyed count — stream-safe as
+    // is; state is |occupied bins| per group, the operator's design
+    // claim, and Update mode re-emits cells as they grow.
+    val q = graft.ops.Profiler.histogramCells(
+        mem.toDF().toDF("g", "v"), "g", col("v"), 8L)
+      .writeStream.format("memory").queryName("hist_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1 to 400).map(i => ("a", (i % 61).toLong)): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 300).map(i => ("b", (i % 23).toLong)) ++
+        (1 to 100).map(i => ("a", (i % 61).toLong)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hist_test").as[(String, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.map(_._3).max }
+      val batch = graft.ops.Profiler.histogramCells(
+          ((1 to 400).map(i => ("a", (i % 61).toLong)) ++
+           (1 to 300).map(i => ("b", (i % 23).toLong)) ++
+           (1 to 100).map(i => ("a", (i % 61).toLong))).toDF("g", "v"),
+          "g", col("v"), 8L)
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("incremental dedup: two sequential steps equal one combined step") {
     import org.apache.spark.sql.functions.{col, greatest, least}
     // corpus + two arrivals, with duplicates WITHIN b2 and ACROSS b1/b2:

@@ -98,6 +98,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == 1.0 / 3)
   }
 
+  test("deduped corpus keeps the min-id canonical per cluster, uniques pass through") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),  // exact clone of 1
+      (7L, "alpha beta gamma delta epsilon zeta"),  // exact clone of 1
+      (3L, "one two three four five six seven"),
+      (4L, "totally unrelated content goes here now")).toDF("doc_id", "text")
+    val kept = TextDedup.dedupedCorpus(docs, "doc_id", "text", 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"kept $kept")
+  }
+
   test("block boilerplate: shared blocks cut, doc re-assembled in order") {
     // "a b c d e" is a full 5-token block shared by 3 docs → boilerplate
     // (df > 2); each doc keeps its unique tail; doc 4's single distinct
