@@ -196,6 +196,25 @@ object ExtensionQueries {
         Multimodal.syntheticImages(docsFanned(s, d), "doc_id"))
         .toDF().orderBy(col("doc_id"))),
 
+    // Multimodal RESIZE: real ImageIO decode → deterministic
+    // nearest-neighbor 8×8 thumbnail → ARGB raster checksum. The
+    // oracle recomputes the resized raster from the synthetic gradient
+    // arithmetic alone, so any codec or scaling defect hash-mismatches.
+    "q71_image_resize" -> ((s, d) =>
+      Multimodal.resizedChecksums(
+          Multimodal.syntheticImages(docsFanned(s, d), "doc_id"), 8, 8)
+        .toDF().select(col("doc_id"), col("checksum"))
+        .orderBy(col("doc_id"))),
+
+    // Multimodal FRAME-SAMPLE: every 3rd 100-code-point frame per
+    // payload (the keyframe access pattern; text payloads stand in for
+    // the codec — the batching/indexing/sampling plumbing is the real
+    // part).
+    "q72_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+          Multimodal.asMediaTable(docsFanned(s, d), "doc_id", "text"), 3)
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))),
+
     // Per-label centroid accumulation over embeddings (classifier
     // prototypes): posexplode -> per-(label, dim) sums. Values are
     // quantized (floor(v*1e6) as long) so the partial-aggregate merge
@@ -860,6 +879,30 @@ object ExtensionQueries {
         |  CAST(doc_id % 7 + 1 AS INTEGER) AS height,
         |  'png' AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.resizedChecksums (8×8 nearest-neighbor): the
+    // resized raster recomputed from the gradient arithmetic — source
+    // pixel (x·w DIV 8, y·h DIV 8), ARGB fold in row-major order.
+    "q71_image_resize" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64), i ->
+        |    4278190080
+        |    + (((doc_id + ((i%8)*(doc_id%16+1)//8)*31 + ((i//8)*(doc_id%7+1)//8)*17) % 256) << 16)
+        |    + ((((doc_id >> 3) + (i%8)*(doc_id%16+1)//8) % 256) << 8)
+        |    + ((doc_id + (i//8)*(doc_id%7+1)//8) % 256)
+        |  )), (a, x) -> (a*31 + x) % 1000000007) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.frameSample (every 3rd 100-code-point frame):
+    // correlated range over ceil(len/100), code-point substring, the
+    // engine's polynomial fold per frame.
+    "q72_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, i AS frame_idx,
+         |    substring(text, CAST(i*100+1 AS INT), 100) AS fr
+         |  FROM documents, unnest(range(0, CAST((length(text)+99)//100 AS BIGINT))) t(i)
+         |  WHERE i % 3 = 0)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, ${dh("fr")} AS frame_hash
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q33_label_centroids" ->
       """SELECT label, i AS pos,

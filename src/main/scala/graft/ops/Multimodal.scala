@@ -104,6 +104,29 @@ object Multimodal {
       } finally iis.close()
     }
 
+    /** Deterministic nearest-neighbor resize: target pixel (x, y) reads
+      * source pixel (x·sw DIV tw, y·sh DIV th) — integer arithmetic
+      * only, so the result is bit-identical on any JVM/platform (a
+      * Graphics2D interpolated scale is not) and an oracle can recompute
+      * the resized raster arithmetically. Nearest-neighbor is also what
+      * a thumbnail-for-dedup stage wants: pixel values survive verbatim
+      * for hashing. */
+    def resizeNearest(img: BufferedImage, tw: Int, th: Int): BufferedImage = {
+      require(tw > 0 && th > 0, "resize target must be positive")
+      val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        val sy = y * img.getHeight / th
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, img.getRGB(x * img.getWidth / tw, sy))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Deterministic PNG: dims + a doc_id-seeded RGB gradient fill. */
     def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
@@ -173,5 +196,65 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(rows => rows.map(r => ImageDecoder.meta(r.doc_id, r.payload)))
+  }
+
+  /** The RESIZE stage: decode → nearest-neighbor scale to (tw, th) →
+    * ARGB checksum of the resized raster. Batched per partition like
+    * every codec stage; fully deterministic (integer source-pixel
+    * selection, lossless PNG), so the q71 oracle recomputes the resized
+    * raster's fold from the synthetic gradient arithmetic alone — any
+    * codec or scaling defect hash-mismatches. */
+  def resizedChecksums(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageDecoder.resizeNearest(ImageDecoder.decode(r.payload), tw, th)
+        var h = 0L
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            h = (h * 31 + (img.getRGB(x, y) & 0xffffffffL)) % TextDecoder.HashMod
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(r.doc_id, r.byte_len, 1L, h)
+      }
+    }
+  }
+
+  final case class FrameSample(doc_id: Long, frame_idx: Long, frame_hash: Long)
+
+  /** The FRAME-SAMPLE stage: media payloads split into fixed-size
+    * frames, keeping every `everyK`-th — the video-keyframe access
+    * pattern over the container's real codec surface (no video library
+    * exists in this environment, so `text/plain` media stand in: a
+    * frame is a 100-CODE-POINT window, matching the oracle's
+    * code-point `substring`; the Spark-side plumbing — per-partition
+    * batching, frame indexing, sampled emission — is exactly what a
+    * real keyframe extractor plugs into). Empty payloads emit no
+    * frames. */
+  def frameSample(media: Dataset[MediaRow], everyK: Int,
+                  frameLen: Int = 100): Dataset[FrameSample] = {
+    require(everyK >= 1 && frameLen >= 1, "frame sampling needs positive k and frame length")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints().toArray
+        val nFrames = (cps.length + frameLen - 1) / frameLen
+        (0 until nFrames).iterator
+          .filter(_ % everyK == 0)
+          .map { i =>
+            val frame = cps.slice(i * frameLen, math.min((i + 1) * frameLen, cps.length))
+            var h = 0L
+            frame.foreach(cp => h = (h * 31 + cp) % TextDecoder.HashMod)
+            FrameSample(r.doc_id, i.toLong, h)
+          }
+      }
+    }
   }
 }

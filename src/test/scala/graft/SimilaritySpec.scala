@@ -104,4 +104,43 @@ class SimilaritySpec extends SparkSpec {
     val bad = Multimodal.MediaRow(9L, Array[Byte](1, 2, 3), "image/png", 3L)
     intercept[IllegalArgumentException](Multimodal.ImageDecoder.features(bad))
   }
+
+  test("multimodal resize: nearest-neighbor picks exact source pixels, any scale") {
+    // 4x2 source with distinct pixels; upscale to 8x8 and downscale to
+    // 2x1 — target (x,y) must read source (x*sw/tw, y*sh/th) verbatim
+    val src = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) src.setRGB(x, y, (y * 4 + x) * 1000)
+    val up = Multimodal.ImageDecoder.resizeNearest(src, 8, 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((up.getRGB(x, y) & 0xffffff) == ((y * 2 / 8) * 4 + (x * 4 / 8)) * 1000)
+    val down = Multimodal.ImageDecoder.resizeNearest(src, 2, 1)
+    assert((down.getRGB(0, 0) & 0xffffff) == 0 && (down.getRGB(1, 0) & 0xffffff) == 2000)
+    // executor path: checksum of the resized raster is deterministic
+    // across partitionings
+    val ids = Seq(3L, 44L, 123L).toDF("doc_id")
+    val a = Multimodal.resizedChecksums(Multimodal.syntheticImages(ids.coalesce(1), "doc_id"), 8, 8)
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    val b = Multimodal.resizedChecksums(Multimodal.syntheticImages(ids.repartition(3), "doc_id"), 8, 8)
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    assert(a == b && a.values.toSet.size == 3)
+  }
+
+  test("multimodal frame-sample keeps every k-th code-point frame; empty emits none") {
+    val docs = Seq(
+      (1L, "a" * 250),  // frames 0,1,2 -> keep 0, 2
+      (2L, "xyz"),      // one frame -> keep 0
+      (3L, "")          // no frames
+    ).toDF("doc_id", "text")
+    val out = Multimodal.frameSample(
+        Multimodal.asMediaTable(docs, "doc_id", "text"), 2)
+      .collect().map(f => (f.doc_id, f.frame_idx)).toSet
+    assert(out == Set((1L, 0L), (1L, 2L), (2L, 0L)))
+    // frame hash is the code-point fold of the frame text
+    val h = Multimodal.frameSample(
+        Multimodal.asMediaTable(docs.filter(col("doc_id") === 2), "doc_id", "text"), 1)
+      .collect().head.frame_hash
+    var expect = 0L
+    "xyz".foreach(c => expect = (expect * 31 + c.toLong) % 1000000007L)
+    assert(h == expect)
+  }
 }
