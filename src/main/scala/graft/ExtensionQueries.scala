@@ -215,6 +215,14 @@ object ExtensionQueries {
           Multimodal.asMediaTable(docsFanned(s, d), "doc_id", "text"), 3)
         .toDF().orderBy(col("doc_id"), col("frame_idx"))),
 
+    // Multimodal AUDIO: real javax.sound RIFF/WAVE parse of synthetic
+    // PCM16 payloads — format, frame count, and the unsigned-16 sample
+    // fold, all recomputed arithmetically by the oracle.
+    "q73_audio_meta" -> ((s, d) =>
+      Multimodal.audioMeta(
+          Multimodal.syntheticAudio(docsFanned(s, d), "doc_id"))
+        .toDF().orderBy(col("doc_id"))),
+
     // Per-label centroid accumulation over embeddings (classifier
     // prototypes): posexplode -> per-(label, dim) sums. Values are
     // quantized (floor(v*1e6) as long) so the partial-aggregate merge
@@ -903,6 +911,18 @@ object ExtensionQueries {
          |  WHERE i % 3 = 0)
          |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, ${dh("fr")} AS frame_hash
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Mirrors Multimodal.audioMeta: PCM16LE mono at 8 kHz, n_samples =
+    // doc_id%50+10, u16 sample (doc_id·31 + i·7) mod 65536, polynomial
+    // fold.
+    "q73_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS n_channels,
+        |  CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    range(0, doc_id % 50 + 10), i -> (doc_id*31 + i*7) % 65536)),
+        |    (a,x) -> (a*31+x) % 1000000007) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q33_label_centroids" ->
       """SELECT label, i AS pos,

@@ -198,6 +198,31 @@ object Multimodal {
     media.mapPartitions(rows => rows.map(r => ImageDecoder.meta(r.doc_id, r.payload)))
   }
 
+  /** Synthetic WAV corpus keyed off an id column: sample count is a
+    * pure function of the id (doc_id%50 + 10 at 8 kHz mono) so an
+    * oracle recomputes the decoded metadata and sample checksum
+    * arithmetically while the Spark side goes through a REAL
+    * javax.sound RIFF/WAVE parse. */
+  def syntheticAudio(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val wav = AudioCodec.encodeWav((id % 50 + 10).toInt, 8000, id)
+          MediaRow(id, wav, "audio/wav", wav.length.toLong)
+        }
+      }
+  }
+
+  /** The audio decode stage: per-partition AudioSystem parse + PCM
+    * checksum, same batched shape as every codec stage. */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(rows => rows.map(r => AudioCodec.meta(r.doc_id, r.payload)))
+  }
+
   /** The RESIZE stage: decode → nearest-neighbor scale to (tw, th) →
     * ARGB checksum of the resized raster. Batched per partition like
     * every codec stage; fully deterministic (integer source-pixel
@@ -226,6 +251,62 @@ object Multimodal {
   }
 
   final case class FrameSample(doc_id: Long, frame_idx: Long, frame_hash: Long)
+
+  /** Decoded audio metadata + content checksum: the prune/verify
+    * columns of an audio corpus. */
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, n_channels: Int,
+                             n_samples: Long, checksum: Long)
+
+  /** Codec for `audio/…` payloads: JDK javax.sound.sampled — a genuine
+    * audio container parse (RIFF/WAVE header → format + frame count →
+    * PCM stream), the audio twin of [[ImageDecoder]]. PCM is lossless,
+    * so sample checksums are deterministic across JVMs. */
+  object AudioCodec {
+    /** Canonical 44-byte PCM16LE mono WAV holding `nSamples`
+      * deterministic seed-derived samples (u16 value
+      * (seed·31 + i·7) mod 65536, little-endian). */
+    def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      val dataLen = nSamples * 2
+      out.write("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      w32(36 + dataLen)
+      out.write("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      w32(16); w16(1); w16(1); w32(sampleRate); w32(sampleRate * 2); w16(2); w16(16)
+      out.write("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      w32(dataLen)
+      var i = 0
+      while (i < nSamples) {
+        w16(((seed * 31 + i.toLong * 7) % 65536).toInt)
+        i += 1
+      }
+      out.toByteArray
+    }
+
+    /** Parse + decode through AudioSystem (format, frame count, PCM
+      * bytes), folding the unsigned 16-bit samples with the engine's
+      * polynomial hash. */
+    def meta(docId: Long, payload: Array[Byte]): AudioMeta = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        var h = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val u16 = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+          h = (h * 31 + u16) % TextDecoder.HashMod
+          i += 2
+        }
+        AudioMeta(docId, fmt.getSampleRate.toInt, fmt.getChannels,
+          in.getFrameLength, h)
+      } finally in.close()
+    }
+  }
 
   /** The FRAME-SAMPLE stage: media payloads split into fixed-size
     * frames, keeping every `everyK`-th — the video-keyframe access

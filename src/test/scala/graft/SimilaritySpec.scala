@@ -125,6 +125,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a.values.toSet.size == 3)
   }
 
+  test("multimodal audio: javax.sound WAV round-trip recovers format, frames, samples") {
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val metas = Multimodal.audioMeta(Multimodal.syntheticAudio(ids, "doc_id"))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(0L, 7L, 123L)) {
+      val m = metas(id)
+      assert(m.sample_rate == 8000 && m.n_channels == 1)
+      assert(m.n_samples == id % 50 + 10)
+      // driver-side model of the u16 sample fold
+      var h = 0L
+      (0L until (id % 50 + 10)).foreach(i =>
+        h = (h * 31 + (id * 31 + i * 7) % 65536) % 1000000007L)
+      assert(m.checksum == h, s"checksum of $id")
+    }
+    // a corrupt payload fails loudly (unsupported audio), not silently
+    intercept[Exception](Multimodal.AudioCodec.meta(9L, Array[Byte](1, 2, 3, 4)))
+  }
+
   test("multimodal frame-sample keeps every k-th code-point frame; empty emits none") {
     val docs = Seq(
       (1L, "a" * 250),  // frames 0,1,2 -> keep 0, 2
