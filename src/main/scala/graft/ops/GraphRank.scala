@@ -67,7 +67,7 @@ object GraphRank {
     val base = (15L * (Scale / n)) / 100L
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_q"))
       .localCheckpoint(eager = false)
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { it =>
       val contrib = ranks
         .join(eDeg, ranks("node") === eDeg("src"))
         .select(col("dst").as("node"),
@@ -92,15 +92,26 @@ object GraphRank {
             (lit(base) + expr(s"(85 * coalesce(__in, 0L)) div 100"))
               .as("rank_q"))
         }
-      // LAZY: the iteration count is fixed, so no per-round driver
-      // round-trip is needed — the caller's first action runs ONE job
-      // that materializes every marked iteration frame in sequence
-      // (sc.runJob checkpoints each marked ancestor it computes),
-      // keeping lineage bounded without per-round blocking. Same
-      // trick as TreeExplode's 2-hop batching, taken to its limit
-      // because there is no convergence test to serve.
-      ranks = next.localCheckpoint(eager = false)
+      // LAZY checkpoints, and only every CheckpointEvery-th iteration:
+      // a checkpoint bounds lineage but REPLACES the frame with a bare
+      // RDD scan whose partitioning Catalyst no longer knows, so every
+      // checkpointed round re-exchanges both join sides. Between
+      // checkpoints the optimizer sees the whole chain — the
+      // groupBy(node) output's hashpartitioning flows into the next
+      // round's joins and exchanges get reused. With the typical
+      // fixed iters (3), the loop runs checkpoint-free; a caller
+      // asking for 50 rounds still gets bounded lineage. The final
+      // frame is always marked so callers inherit bounded lineage.
+      ranks =
+        if (it % CheckpointEvery == 0 || it == iters)
+          next.localCheckpoint(eager = false)
+        else next
     }
     ranks
   }
+
+  /** Checkpoint cadence inside the rank loop: high enough that short
+    * fixed-iteration runs stay checkpoint-free (partitioning-aware),
+    * low enough that long runs keep bounded lineage. */
+  val CheckpointEvery: Int = 8
 }
