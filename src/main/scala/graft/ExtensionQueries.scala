@@ -41,11 +41,12 @@ object ExtensionQueries {
   }
 
   /** documents with the native functions registered and the (single
-    * parquet file) source fanned out for compute-heavy per-doc stages. */
-  private def docsFanned(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
-  }
+    * parquet file) source fanned out for compute-heavy per-doc stages —
+    * CONDITIONALLY, via the same guard as the dedup operators: a
+    * well-partitioned 100 TB source must not pay a corpus-wide
+    * round-robin shuffle just to enter a per-doc projection. */
+  private def docsFanned(s: SparkSession, d: String): DataFrame =
+    TextDedup.fanOut(Tables.documents(s, d))
 
   private def embCorpus(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))

@@ -100,8 +100,14 @@ object GoldenScale {
       val secs = (System.nanoTime() - t0) / 1e9
       res match {
         case Right((n, shapeBig)) =>
+          // flipping INTO a nested loop / cartesian at scale is a
+          // failure, not a curiosity — a broadcast→shuffle flip is AQE
+          // doing its job and only gets reported
+          val intoNested = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+            .exists(op => shapeBig.getOrElse(op, 0) > shapeSmall.getOrElse(op, 0))
+          if (intoNested) failures += 1
           val flip = if (shapeBig == shapeSmall) "" else
-            s" PLAN-FLIP sf0.1=$shapeSmall sf1=$shapeBig"
+            s"${if (intoNested) " NESTED-LOOP-FLIP" else " PLAN-FLIP"} sf0.1=$shapeSmall sf1=$shapeBig"
           println(f"[golden] $name rows=$n $secs%.1f s$flip")
         case Left(e) =>
           failures += 1
@@ -111,5 +117,6 @@ object GoldenScale {
     }
     println(s"[golden] done: ${names.size - failures}/${names.size} queries green at 10x sf0.1")
     spark.stop()
+    if (failures > 0) sys.exit(1)
   }
 }
