@@ -224,6 +224,20 @@ object ExtensionQueries {
           Multimodal.syntheticAudio(docsFanned(s, d), "doc_id"))
         .toDF().orderBy(col("doc_id"))),
 
+    // Cross-corpus overlap from KMV sketches: three constructed corpora
+    // with controlled overlap (doc_id % 2/3/5), pairwise Jaccard
+    // estimated from pooled bottom-64 sketches alone — no
+    // corpus-vs-corpus join ever happens.
+    "q74_corpus_overlap" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      def part(m: Int, g: String) = base.filter(col("doc_id") % m === 0)
+        .select(lit(g).as("corpus"), col("text"))
+      Sketches.kmvPairwiseJaccard(
+          part(2, "a").unionByName(part(3, "b")).unionByName(part(5, "c")),
+          "corpus", col("text"), 64)
+        .orderBy(col("g_a"), col("g_b"))
+    }),
+
     // Per-label centroid accumulation over embeddings (classifier
     // prototypes): posexplode -> per-(label, dim) sums. Values are
     // quantized (floor(v*1e6) as long) so the partial-aggregate merge
@@ -924,6 +938,33 @@ object ExtensionQueries {
         |    range(0, doc_id % 50 + 10), i -> (doc_id*31 + i*7) % 65536)),
         |    (a,x) -> (a*31+x) % 1000000007) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Sketches.kmvPairwiseJaccard (k=64): per-corpus bottom-64
+    // mixed-hash sets, pooled bottom-64 per pair, membership probes,
+    // ppm-quantized estimate.
+    "q74_corpus_overlap" ->
+      s"""WITH corp AS (
+         |  SELECT 'a' AS g, text FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT 'b', text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT 'c', text FROM documents WHERE doc_id % 5 = 0),
+         |hd AS (SELECT DISTINCT g, ${dh("text")} AS h FROM corp),
+         |mxs AS (SELECT DISTINCT g, ((48271 * ((h * h) % 1000000007)) % 1000000007
+         |    + (16807 * h) % 1000000007) % 1000000007 AS m FROM hd),
+         |sk AS (SELECT g, m FROM (SELECT g, m, ROW_NUMBER() OVER (PARTITION BY g ORDER BY m ASC) AS r FROM mxs) WHERE r <= 64),
+         |pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b WHERE a.g < b.g),
+         |pooled0 AS (
+         |  SELECT DISTINCT g_a, g_b, m FROM (
+         |    SELECT p.g_a, p.g_b, s.m FROM pairs p JOIN sk s ON s.g = p.g_a
+         |    UNION ALL SELECT p.g_a, p.g_b, s.m FROM pairs p JOIN sk s ON s.g = p.g_b)),
+         |pooled AS (SELECT g_a, g_b, m FROM (
+         |  SELECT g_a, g_b, m, ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY m ASC) AS r FROM pooled0) WHERE r <= 64)
+         |SELECT p.g_a, p.g_b, COUNT(*) AS n_pool,
+         |  CAST(SUM(CASE WHEN a.m IS NOT NULL AND b.m IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  CAST(SUM(CASE WHEN a.m IS NOT NULL AND b.m IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS jaccard_ppm
+         |FROM pooled p
+         |LEFT JOIN sk a ON a.g = p.g_a AND a.m = p.m
+         |LEFT JOIN sk b ON b.g = p.g_b AND b.m = p.m
+         |GROUP BY 1, 2 ORDER BY g_a, g_b""".stripMargin,
 
     "q33_label_centroids" ->
       """SELECT label, i AS pos,

@@ -119,6 +119,61 @@ object Sketches {
       .select(col("token"), col("exact_cnt"), col("cm_est"))
   }
 
+  /** Pairwise corpus-overlap estimation from KMV sketches (Beyer et
+    * al. SIGMOD 2007 §4, multiset-operation synopses): for every pair
+    * of groups, pool the two bottom-k sketches, re-take the bottom-k of
+    * the pooled DISTINCT values, and estimate Jaccard as the fraction
+    * of pooled values present in BOTH sketches. The corpus is touched
+    * exactly once (the distinct (group, hash) shuffle); everything
+    * pairwise happens on k-row frames — |groups|²·k rows at worst —
+    * which is what makes "how much do these 50 corpora overlap"
+    * answerable at 100 TB without a single corpus-vs-corpus join.
+    *
+    * Integer-exact: the estimate is quantized ppm
+    * (n_common·10⁶ DIV n_pool). Mix collisions collapse to one pooled
+    * value identically on both engines (the sketch is a SET of mixed
+    * values).
+    *
+    * @return (g_a < g_b, n_pool, n_common, jaccard_ppm) per group pair
+    */
+  def kmvPairwiseJaccard(df: DataFrame, groupCol: String, valueExpr: Column,
+                         k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sk = df
+      .select(col(groupCol).as("g"), TextFeatures.charHash(valueExpr).as("__h"))
+      .distinct()
+      .select(col("g"), mix(col("__h")).as("__mx"))
+      .distinct() // sketch is a SET of mixed values
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy("g").orderBy(col("__mx").asc)))
+      .filter(col("__rnk") <= k)
+      .select(col("g"), col("__mx"))
+      .localCheckpoint(eager = false) // read by pairs, pool, both probes
+    val groups = sk.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(groups.select(col("g").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val pooled = pairs.join(sk.select(col("g").as("g_a"), col("__mx")), Seq("g_a"))
+      .unionByName(
+        pairs.join(sk.select(col("g").as("g_b"), col("__mx")), Seq("g_b"))
+          .select(col("g_a"), col("g_b"), col("__mx")))
+      .distinct()
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy("g_a", "g_b").orderBy(col("__mx").asc)))
+      .filter(col("__rnk") <= k)
+    pooled
+      .join(sk.select(col("g").as("g_a"), col("__mx"), lit(1L).as("__ina")),
+        Seq("g_a", "__mx"), "left")
+      .join(sk.select(col("g").as("g_b"), col("__mx"), lit(1L).as("__inb")),
+        Seq("g_b", "__mx"), "left")
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_pool"),
+        sum(coalesce(col("__ina"), lit(0L)) * coalesce(col("__inb"), lit(0L)))
+          .as("n_common"))
+      .withColumn("jaccard_ppm", expr("n_common * 1000000 DIV n_pool"))
+  }
+
   /** The sketch over an already-hashed, already-distinct (group, hash)
     * frame — the seam for callers that reuse the distinct pairs for
     * other statistics (one shuffle feeds both). Ranks by [[mix]] of the

@@ -50,6 +50,27 @@ class SketchesSpec extends SparkSpec {
     assert(narrow.exists { case (_, ex, est) => est > ex })
   }
 
+  test("pairwise KMV jaccard: exact below saturation, near truth above") {
+    // BELOW saturation (< k distinct per corpus) the pooled sketch IS
+    // the full union, so the estimate must be the exact jaccard.
+    val small = ((1 to 30).map(i => ("x", s"v$i")) ++
+      (11 to 40).map(i => ("y", s"v$i"))).toDF("g", "v")
+    val exact = Sketches.kmvPairwiseJaccard(small, "g", col("v"), k = 64)
+      .as[(String, String, Long, Long, Long)].collect()
+    // |x∩y| = 20 (v11..v30), |x∪y| = 40 → 500000 ppm exactly
+    assert(exact.toSeq == Seq(("x", "y", 40L, 20L, 500000L)))
+    // ABOVE saturation: overlapping ranges with true jaccard 1/3; the
+    // k=64 estimate must land within the sketch's error bar (~3/√k)
+    val big = ((1 to 2000).map(i => ("x", s"v$i")) ++
+      (1001 to 3000).map(i => ("y", s"v$i"))).toDF("g", "v")
+    val est = Sketches.kmvPairwiseJaccard(big, "g", col("v"), k = 64)
+      .as[(String, String, Long, Long, Long)].collect().head
+    assert(est._3 == 64L)
+    val ppm = est._5
+    assert(math.abs(ppm - 333333L) < 375000L * 3 / 8, // 3/√64 = 0.375
+      s"estimate $ppm ppm too far from 333333")
+  }
+
   test("count-min cell matrix is bounded and mergeable (sum of halves = whole)") {
     val docs = (1 to 300).map(i => (i.toLong, s"w${i % 40} w${i % 17}"))
       .toDF("doc_id", "text")
