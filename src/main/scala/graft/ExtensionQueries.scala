@@ -28,16 +28,22 @@ object ExtensionQueries {
   private val StopShingleDf = 100L
 
   // ---- Spark-side corpus construction (mirrors the corpus CTE) ---------
+
+  /** The near-dup "daily batch": 60%-prefix truncations of every 5th
+    * doc, shifted to ids +20000 — ONE spelling shared by demoCorpus,
+    * q65, and q67 (each oracle mirrors it as its `trunc` CTE; a change
+    * here must change those CTEs too). */
+  private def truncDocs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TextFeatures.tokens(col("text")).as("__toks"))
+    .filter(col("doc_id") % 5 === 0 && size(col("__toks")) >= 5)
+    .select((col("doc_id") + 20000).as("doc_id"),
+      concat_ws(" ", slice(col("__toks"), lit(1),
+        floor(size(col("__toks")) * 3 / 5).cast("int"))).as("text"))
+
   private def demoCorpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val clones = base.select((col("doc_id") + 10000).as("doc_id"), col("text"))
-    val trunc = docs
-      .select(col("doc_id"), TextFeatures.tokens(col("text")).as("__toks"))
-      .filter(col("doc_id") % 5 === 0 && size(col("__toks")) >= 5)
-      .select((col("doc_id") + 20000).as("doc_id"),
-        concat_ws(" ", slice(col("__toks"), lit(1),
-          floor(size(col("__toks")) * 3 / 5).cast("int"))).as("text"))
-    base.unionByName(clones).unionByName(trunc)
+    base.unionByName(clones).unionByName(truncDocs(docs))
   }
 
   /** documents with the native functions registered and the (single
@@ -571,13 +577,7 @@ object ExtensionQueries {
     // is historical), which is the continuously-ingested-data path.
     "q65_incremental_dedup" -> ((s, d) => {
       val base = Tables.documents(s, d)
-      val trunc = base
-        .select(col("doc_id"), TextFeatures.tokens(col("text")).as("__toks"))
-        .filter(col("doc_id") % 5 === 0 && size(col("__toks")) >= 5)
-        .select((col("doc_id") + 20000).as("doc_id"),
-          concat_ws(" ", slice(col("__toks"), lit(1),
-            floor(size(col("__toks")) * 3 / 5).cast("int"))).as("text"))
-      TextDedup.minhashCandidatesAgainst(trunc, base, "doc_id", "text")
+      TextDedup.minhashCandidatesAgainst(truncDocs(base), base, "doc_id", "text")
         .orderBy(col("id_new"), col("id_corpus"))
     }),
 
@@ -589,12 +589,7 @@ object ExtensionQueries {
     // sequential ≡ combined equivalence).
     "q67_incremental_dedup_full" -> ((s, d) => {
       val base = Tables.documents(s, d)
-      val trunc = base
-        .select(col("doc_id"), TextFeatures.tokens(col("text")).as("__toks"))
-        .filter(col("doc_id") % 5 === 0 && size(col("__toks")) >= 5)
-        .select((col("doc_id") + 20000).as("doc_id"),
-          concat_ws(" ", slice(col("__toks"), lit(1),
-            floor(size(col("__toks")) * 3 / 5).cast("int"))).as("text"))
+      val trunc = truncDocs(base)
       val batch = trunc.unionByName(
         trunc.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       val idx = TextDedup.corpusBandIndex(base, "doc_id", "text")

@@ -50,6 +50,18 @@ object GoldenScale {
       scaled.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
       println(s"[golden] built $table: ${spark.read.parquet(s"$outDir/$table.parquet").count()} rows")
     }
+    // written LAST: its presence (with a matching copies value) is the
+    // only thing that lets a later run skip the rebuild — an
+    // interrupted or differently-parameterized build never passes
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "_GOLDEN_META"),
+      s"copies=$copies\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def upToDate(outDir: String, copies: Int): Boolean = {
+    val meta = java.nio.file.Paths.get(outDir, "_GOLDEN_META")
+    java.nio.file.Files.exists(meta) &&
+      new String(java.nio.file.Files.readAllBytes(meta),
+        java.nio.charset.StandardCharsets.UTF_8).trim == s"copies=$copies"
   }
 
   /** histogram of the plan features that flip with input size */
@@ -75,7 +87,7 @@ object GoldenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
+    if (!upToDate(outDir, copies))
       buildScaled(spark, "/root/testdata/sf0.1", outDir, copies)
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -57,11 +57,17 @@ object Contamination {
     // combining reduces each partition to |corpus| rows BEFORE the
     // exchange. The window spelling this replaces shuffled the whole
     // |corpus|·|eval| cross product into the partitioner.
+    // NULL-cosine guard: a zero-norm vector makes cosine NULL, and a
+    // bare struct-min would sort that NULL FIRST (asc-nulls-first) —
+    // inverting the window/oracle's desc-NULLS-LAST. Coalescing the
+    // sort key to +MaxValue keeps degenerate seeds from ever winning
+    // while all-NULL rows still resolve to the lowest seed id, exactly
+    // as ROW_NUMBER(cosine DESC, near_seed ASC) does.
     c.crossJoin(broadcast(s))
       .withColumn("cosine", Similarity.cosine(col("__cv"), col("__sv")))
       .groupBy(col(idCol))
-      .agg(min(struct((-col("cosine")).as("__nc"), col("near_seed"),
-        col("cosine"))).as("__m"))
+      .agg(min(struct(coalesce(-col("cosine"), lit(Double.MaxValue)).as("__nc"),
+        col("near_seed"), col("cosine"))).as("__m"))
       .select(col(idCol), col("__m.near_seed").as("near_seed"),
         col("__m.cosine").as("cosine"),
         (col("__m.cosine") >= threshold).cast("long").as("contaminated"))

@@ -102,8 +102,11 @@ object GraphRank {
       // fixed iters (3), the loop runs checkpoint-free; a caller
       // asking for 50 rounds still gets bounded lineage. The final
       // frame is always marked so callers inherit bounded lineage.
+      // The redistribute variant reads ranks TWICE per round (contrib
+      // + dangling mass), so an unmarked chain would DOUBLE per
+      // iteration — that branch checkpoints every round, like r7.
       ranks =
-        if (it % CheckpointEvery == 0 || it == iters)
+        if (redistributeDangling || it % CheckpointEvery == 0 || it == iters)
           next.localCheckpoint(eager = false)
         else next
     }

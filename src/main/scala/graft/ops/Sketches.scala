@@ -135,6 +135,13 @@ object Sketches {
     * values).
     *
     * @return (g_a < g_b, n_pool, n_common, jaccard_ppm) per group pair
+    *
+    * NOTE the deliberate semantic split with [[kmvFromHashed]]: that
+    * estimator ranks the MULTISET of mixed values (collision ties keep
+    * n_kept/h(k) well-defined for the distinct-count formula), while
+    * this one dedups to a SET first (pool membership is set algebra).
+    * A change to [[mix]] or the tie handling must be checked against
+    * BOTH paths — they share the hash family on purpose.
     */
   def kmvPairwiseJaccard(df: DataFrame, groupCol: String, valueExpr: Column,
                          k: Int = 64): DataFrame = {

@@ -36,4 +36,24 @@ class ContaminationSpec extends SparkSpec {
     assert(out(12L)._2 == 1L && out(12L)._4 == 0L) // tie → lower seed; below 0.9
     assert(math.abs(out(12L)._3 - math.sqrt(0.5)) < 1e-12)
   }
+
+  test("semantic overlap: a zero-norm seed (NULL cosine) never wins the argmax") {
+    // Under ANSI (the Spark 4 default) a zero-norm vector makes the
+    // whole query throw at the division — loud either way. Under
+    // non-ANSI sessions cosine silently becomes NULL, and the
+    // struct-min argmax must sort it LAST (the window/oracle's
+    // desc-NULLS-LAST), not first — that ordering is what this pins.
+    val corpus = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val seeds = Seq(
+      (1L, Array(0.0f, 0.0f)),  // degenerate: cosine NULL
+      (2L, Array(1.0f, 0.0f))   // true nearest
+    ).toDF("vec_id", "embedding")
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val out = Contamination.semanticOverlap(corpus, seeds, "vec_id", "embedding", 0.9)
+        .as[(Long, Long, Double, Long)].collect()
+      assert(out.toSeq == Seq((10L, 2L, 1.0, 1L)), out.toSeq.toString)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+  }
 }
