@@ -230,6 +230,15 @@ object ExtensionQueries {
           Multimodal.syntheticAudio(docsFanned(s, d), "doc_id"))
         .toDF().orderBy(col("doc_id"))),
 
+    // Deterministic weighted systematic sampling: documents selected
+    // proportional to token count (one expected pick per 1000 tokens of
+    // stream), via the same two-pass distributed prefix sum as q61 —
+    // no randomness, no single-partition window.
+    "q75_weighted_sample" -> ((s, d) =>
+      Curation.weightedSystematicSample(Tables.documents(s, d), "doc_id",
+          size(TextFeatures.tokens(col("text"))).cast("long"), 1000L)
+        .orderBy(col("doc_id"))),
+
     // Cross-corpus overlap from KMV sketches: three constructed corpora
     // with controlled overlap (doc_id % 2/3/5), pairwise Jaccard
     // estimated from pooled bottom-64 sketches alone — no
@@ -933,6 +942,20 @@ object ExtensionQueries {
         |    range(0, doc_id % 50 + 10), i -> (doc_id*31 + i*7) % 65536)),
         |    (a,x) -> (a*31+x) % 1000000007) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.weightedSystematicSample (step 1000): inclusive
+    // running token sum in doc_id order, select rows whose weight
+    // interval crosses a step multiple, n_hits = crossings.
+    "q75_weighted_sample" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w,
+        |    CAST(SUM(w) OVER (ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+        |  FROM c WHERE w > 0)
+        |SELECT doc_id, w AS weight, CAST(cend//1000 - (cend-w)//1000 AS BIGINT) AS n_hits
+        |FROM s WHERE cend//1000 > (cend-w)//1000 ORDER BY doc_id""".stripMargin,
 
     // Mirrors Sketches.kmvPairwiseJaccard (k=64): per-corpus bottom-64
     // mixed-hash sets, pooled bottom-64 per pair, membership probes,

@@ -133,4 +133,29 @@ object Curation {
     }
     docs.withColumn("bucket", bucket).withColumn("split", split)
   }
+
+  /** Deterministic weighted (probability-proportional-to-size)
+    * systematic sampling: lay the row weights end-to-end in `idCol`
+    * order and select every row whose weight interval crosses a
+    * multiple of `step` — one expected selection per `step` units of
+    * total weight, heavy rows certain to appear (a row with
+    * weight ≥ step crosses at least one boundary and reports multiple
+    * hits), all without randomness, so the sample is reproducible on
+    * any engine and any layout. The running weight is
+    * [[Packing.runningTotals]]' two-pass distributed prefix sum — no
+    * single-partition window, bounded driver state.
+    *
+    * @return (`idCol`, weight, n_hits) for selected rows, where n_hits
+    *         = how many step boundaries the row's interval crosses
+    */
+  def weightedSystematicSample(df: DataFrame, idCol: String,
+                               weightCol: org.apache.spark.sql.Column,
+                               step: Long): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    Packing.runningTotals(df, idCol, weightCol)
+      .withColumn("n_hits",
+        expr(s"__end div ${step}L") - expr(s"(__end - __val) div ${step}L"))
+      .filter(col("n_hits") > 0)
+      .select(col("__id").as(idCol), col("__val").as("weight"), col("n_hits"))
+  }
 }

@@ -49,36 +49,53 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, tokCol: Column,
                     budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // A doc spans ≤ 1 + tok/budget sequences — no blow-up.
+    runningTotals(docs, idCol, tokCol)
+      .withColumn("__start", col("__end") - col("__val"))
+      .withColumn("seq_id",
+        explode(expr(s"sequence(__start div ${budget}L, (__end - 1) div ${budget}L)")))
+      .select(col("seq_id"), col("__id").as(idCol),
+        (least(col("__end"), (col("seq_id") + 1) * budget) -
+          greatest(col("__start"), col("seq_id") * budget)).as("n_tok"))
+  }
+
+  /** The shared two-pass distributed prefix sum: every row's INCLUSIVE
+    * global running total of `valCol` in `idCol` order, with no
+    * single-partition window anywhere. Rows with non-positive values
+    * carry nothing and are dropped. Packing cuts this stream into
+    * sequences; weighted systematic sampling
+    * ([[Curation.weightedSystematicSample]]) probes it for step
+    * crossings — one machinery, two operators.
+    *
+    * @return (__id, __val, __end): value and inclusive running sum,
+    *         layout-independent
+    */
+  private[graft] def runningTotals(docs: DataFrame, idCol: String,
+                                   valCol: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // Checkpointed so the totals pass and the pack pass read one
+    // Checkpointed so the totals pass and the probe pass read one
     // materialization (and __p is frozen with it).
     val ranged = docs
-      .select(col(idCol).as("__id"), tokCol.cast("long").as("__tok"))
-      .filter(col("__tok") > 0)
+      .select(col(idCol).as("__id"), valCol.cast("long").as("__val"))
+      .filter(col("__val") > 0)
       .repartitionByRange(col("__id"))
       .sortWithinPartitions("__id")
-      .select(spark_partition_id().as("__p"), col("__id"), col("__tok"))
+      .select(spark_partition_id().as("__p"), col("__id"), col("__val"))
       .localCheckpoint()
     // Pass 1: per-partition totals → exclusive prefix = offsets.
-    val totals = ranged.groupBy("__p").agg(sum("__tok").as("__t"))
+    val totals = ranged.groupBy("__p").agg(sum("__val").as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var running = 0L
     val offsets = totals.map { case (p, t) =>
       val o = (p, running); running += t; o
     }.toSeq
     val offDf = offsets.toDF("__p", "__off")
-    // Pass 2: global interval per doc, exploded onto the sequences it
-    // overlaps. A doc spans ≤ 1 + tok/budget sequences — no blow-up.
+    // Pass 2: broadcast offsets + per-partition window cumsum.
     val w = Window.partitionBy("__p").orderBy("__id")
     ranged
       .join(broadcast(offDf), Seq("__p"))
-      .withColumn("__end", col("__off") + sum("__tok").over(w))
-      .withColumn("__start", col("__end") - col("__tok"))
-      .withColumn("seq_id",
-        explode(expr(s"sequence(__start div ${budget}L, (__end - 1) div ${budget}L)")))
-      .select(col("seq_id"), col("__id").as(idCol),
-        (least(col("__end"), (col("seq_id") + 1) * budget) -
-          greatest(col("__start"), col("seq_id") * budget)).as("n_tok"))
+      .withColumn("__end", col("__off") + sum("__val").over(w))
+      .select(col("__id"), col("__val"), col("__end"))
   }
 }

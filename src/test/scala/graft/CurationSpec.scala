@@ -55,6 +55,36 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._4).sum <= 900L)
   }
 
+  test("weighted systematic sample == sequential-scan model, layout-independent") {
+    val rnd = new scala.util.Random(83L)
+    val rows = (1 to 500).map(i => (i.toLong, (rnd.nextInt(40) + 1).toLong))
+    val df = rows.toDF("doc_id", "w")
+    val step = 100L
+    val got = Curation.weightedSystematicSample(df, "doc_id",
+        org.apache.spark.sql.functions.col("w"), step)
+      .as[(Long, Long, Long)].collect().toSet
+    // model: sequential cumulative walk
+    var cum = 0L
+    val model = rows.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      val hits = cum / step - before / step
+      if (hits > 0) Some((id, w, hits)) else None
+    }.toSet
+    assert(got == model)
+    // expected-rate sanity: ~ totalWeight/step selections
+    assert(math.abs(model.size - cum / step) <= model.count(_._3 > 1) + 1)
+    val got2 = Curation.weightedSystematicSample(df.repartition(13), "doc_id",
+        org.apache.spark.sql.functions.col("w"), step)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == model)
+    // a row heavier than the step is ALWAYS selected, with multiplicity
+    val heavy = (rows :+ (1000L, 350L)).toDF("doc_id", "w")
+    val h = Curation.weightedSystematicSample(heavy, "doc_id",
+        org.apache.spark.sql.functions.col("w"), step)
+      .as[(Long, Long, Long)].collect().find(_._1 == 1000L)
+    assert(h.exists(_._3 >= 3))
+  }
+
   test("mixture sample: takes exactly alloc docs per group, layout-independent") {
     import graft.functions.TextFeatures
     val docs = ((1 to 400).map(i => (i.toLong, "en", s"text en $i")) ++
