@@ -239,6 +239,16 @@ object ExtensionQueries {
           size(TextFeatures.tokens(col("text"))).cast("long"), 1000L)
         .orderBy(col("doc_id"))),
 
+    // Distribution drift between per-language corpora: ppm-quantized
+    // L1 distance of token-count histograms — the snapshot-vs-snapshot
+    // drift monitor, all pairwise work on |groups|·|bins| rows.
+    "q76_histogram_drift" -> ((s, d) =>
+      Profiler.histogramDriftPpm(
+          docsFanned(s, d).withColumn("__v",
+            size(TextFeatures.tokens(col("text"))).cast("long")),
+          "lang", col("__v"), 16L)
+        .orderBy(col("g_a"), col("g_b"))),
+
     // Cross-corpus overlap from KMV sketches: three constructed corpora
     // with controlled overlap (doc_id % 2/3/5), pairwise Jaccard
     // estimated from pooled bottom-64 sketches alone — no
@@ -956,6 +966,26 @@ object ExtensionQueries {
         |  FROM c WHERE w > 0)
         |SELECT doc_id, w AS weight, CAST(cend//1000 - (cend-w)//1000 AS BIGINT) AS n_hits
         |FROM s WHERE cend//1000 > (cend-w)//1000 ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Profiler.histogramDriftPpm (binWidth 16): ppm shares per
+    // (lang, bin), pooled bins per pair, absolute-difference sum.
+    "q76_histogram_drift" ->
+      """WITH c AS (SELECT lang AS g,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) // 16 AS bin
+        |  FROM documents),
+        |cells AS (SELECT g, bin, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+        |tot AS (SELECT g, SUM(cnt) AS n FROM cells GROUP BY 1),
+        |norm AS (SELECT g, bin, CAST(cnt * 1000000 // n AS BIGINT) AS share FROM cells JOIN tot USING (g)),
+        |pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM (SELECT DISTINCT g FROM norm) a, (SELECT DISTINCT g FROM norm) b WHERE a.g < b.g),
+        |pooled AS (SELECT DISTINCT g_a, g_b, bin FROM (
+        |  SELECT p.g_a, p.g_b, n.bin FROM pairs p JOIN norm n ON n.g = p.g_a
+        |  UNION ALL SELECT p.g_a, p.g_b, n.bin FROM pairs p JOIN norm n ON n.g = p.g_b))
+        |SELECT p.g_a, p.g_b,
+        |  CAST(SUM(ABS(COALESCE(a.share, 0) - COALESCE(b.share, 0))) AS BIGINT) AS l1_ppm
+        |FROM pooled p
+        |LEFT JOIN norm a ON a.g = p.g_a AND a.bin = p.bin
+        |LEFT JOIN norm b ON b.g = p.g_b AND b.bin = p.bin
+        |GROUP BY 1, 2 ORDER BY g_a, g_b""".stripMargin,
 
     // Mirrors Sketches.kmvPairwiseJaccard (k=64): per-corpus bottom-64
     // mixed-hash sets, pooled bottom-64 per pair, membership probes,

@@ -117,4 +117,50 @@ object Profiler {
                          pcts: Seq[Int], binWidth: Long): DataFrame =
     histogramQuantilesFromCells(
       histogramCells(df, groupCol, valueCol, binWidth), groupCol, pcts, binWidth)
+
+  /** Pairwise distribution drift between groups, as the L1 distance of
+    * their normalized value histograms — the drift/PSI-style monitor a
+    * pipeline runs between corpus snapshots, sources, or shards
+    * ("did the length distribution move?"). Shares are ppm-quantized
+    * integers (cnt·10⁶ DIV n), so the statistic is bit-exact on any
+    * engine; l1_ppm ranges 0 (identical histograms) to 2,000,000
+    * (disjoint supports).
+    *
+    * Physical shape: ONE pass over the rows builds the cells (the same
+    * mergeable counters as [[histogramCells]]); everything pairwise
+    * runs on |groups|·|occupied bins| rows — comparing 50 snapshots
+    * never rescans a corpus.
+    *
+    * @return (g_a < g_b, l1_ppm) per group pair
+    */
+  def histogramDriftPpm(df: DataFrame, groupCol: String, valueCol: Column,
+                        binWidth: Long): DataFrame = {
+    // cells computed ONCE: the totals aggregate and the share
+    // projection both read the checkpointed frame
+    val cells = histogramCells(df, groupCol, valueCol, binWidth)
+      .withColumnRenamed(groupCol, "g")
+      .localCheckpoint(eager = false)
+    val norm = cells
+      .join(cells.groupBy("g").agg(sum(col("cnt")).as("__n")), Seq("g"))
+      .select(col("g"), col("bin"),
+        expr("cnt * 1000000 DIV __n").as("share"))
+      .localCheckpoint(eager = false) // pairs, pooled bins, both probes
+    val groups = norm.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(groups.select(col("g").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val pooled = pairs.join(norm.select(col("g").as("g_a"), col("bin")), Seq("g_a"))
+      .unionByName(
+        pairs.join(norm.select(col("g").as("g_b"), col("bin")), Seq("g_b"))
+          .select(col("g_a"), col("g_b"), col("bin")))
+      .distinct()
+    pooled
+      .join(norm.select(col("g").as("g_a"), col("bin"), col("share").as("__sa")),
+        Seq("g_a", "bin"), "left")
+      .join(norm.select(col("g").as("g_b"), col("bin"), col("share").as("__sb")),
+        Seq("g_b", "bin"), "left")
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(sum(abs(coalesce(col("__sa"), lit(0L)) - coalesce(col("__sb"), lit(0L))))
+        .as("l1_ppm"))
+  }
 }

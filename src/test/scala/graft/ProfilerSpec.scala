@@ -78,6 +78,38 @@ class ProfilerSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("histogram drift: 0 for identical groups, 2e6 for disjoint, symmetric model") {
+    // identical distributions → every share matches → 0
+    val same = ((1 to 200).map(i => ("a", (i % 50).toLong)) ++
+      (1 to 200).map(i => ("b", (i % 50).toLong))).toDF("g", "v")
+    val d0 = Profiler.histogramDriftPpm(same, "g", col("v"), 8L)
+      .as[(String, String, Long)].collect()
+    assert(d0.toSeq == Seq(("a", "b", 0L)))
+    // disjoint supports → Σ shares_a + Σ shares_b ≈ 2e6 (floor-div slack)
+    val disj = ((1 to 100).map(i => ("a", (i % 20).toLong)) ++
+      (1 to 100).map(i => ("b", 1000L + (i % 20)))).toDF("g", "v")
+    val d2 = Profiler.histogramDriftPpm(disj, "g", col("v"), 8L)
+      .as[(String, String, Long)].collect().head._3
+    assert(d2 > 1990000L && d2 <= 2000000L, s"disjoint drift $d2")
+    // random fixture vs in-memory model
+    val rnd = new scala.util.Random(19L)
+    val rows = (1 to 600).map(i =>
+      (s"g${i % 3}", (rnd.nextInt(if (i % 3 == 0) 100 else 60)).toLong))
+    val got = Profiler.histogramDriftPpm(rows.toDF("g", "v"), "g", col("v"), 8L)
+      .as[(String, String, Long)].collect().toSet
+    val cells = rows.groupBy(r => (r._1, r._2 / 8)).view.mapValues(_.size.toLong).toMap
+    val ns = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def share(g: String, bin: Long) =
+      cells.get((g, bin)).map(_ * 1000000L / ns(g)).getOrElse(0L)
+    val gs = ns.keys.toSeq.sorted
+    val model = (for {
+      i <- gs.indices; j <- (i + 1) until gs.size
+      bins = cells.keys.collect { case (g, b) if g == gs(i) || g == gs(j) => b }.toSet
+    } yield (gs(i), gs(j),
+      bins.toSeq.map(b => math.abs(share(gs(i), b) - share(gs(j), b))).sum)).toSet
+    assert(got == model)
+  }
+
   test("matches the row-level rank formula on a random skewed fixture") {
     val rnd = new scala.util.Random(31L)
     val rows = (1 to 4000).map { i =>
