@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Clustering, Contamination, Curation, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Similarity, Sketches, Spectral, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, BpeTrainer, Clustering, Contamination, Curation, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Similarity, Sketches, Spectral, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -229,6 +229,16 @@ object ExtensionQueries {
       Multimodal.audioMeta(
           Multimodal.syntheticAudio(docsFanned(s, d), "doc_id"))
         .toDF().orderBy(col("doc_id"))),
+
+    // BPE merge-table training (3 rounds): the tokenizer-training step
+    // — corpus collapses once to its word-frequency vocab, each round
+    // is one pair-count aggregate + a TakeOrdered argmax, merges apply
+    // as the greedy-leftmost fold. Driver state = the merge table.
+    "q77_bpe_merges" -> ((s, d) =>
+      BpeTrainer.trainMerges(docsFanned(s, d), "text", 3)
+        .select(col("rnk"), col("left").as("merge_left"),
+          col("right").as("merge_right"), col("freq"))
+        .orderBy(col("rnk"))),
 
     // Deterministic weighted systematic sampling: documents selected
     // proportional to token count (one expected pick per 1000 tokens of
@@ -952,6 +962,43 @@ object ExtensionQueries {
         |    range(0, doc_id % 50 + 10), i -> (doc_id*31 + i*7) % 65536)),
         |    (a,x) -> (a*31+x) % 1000000007) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors BpeTrainer.trainMerges (3 rounds): word-frequency vocab,
+    // per-round pair counts with (f DESC, l, r) argmax, and the
+    // greedy-leftmost merge replayed as a recursive per-word fold.
+    "q77_bpe_merges" -> {
+      def fold(name: String, prev: String, m: String): String =
+        s"""$name(wid, i, acc) AS (
+           |  SELECT wid, 1, [syms[1]] FROM $prev
+           |  UNION ALL
+           |  SELECT f.wid, f.i + 1,
+           |    CASE WHEN f.acc[-1] = (SELECT l FROM $m) AND w.syms[f.i+1] = (SELECT r FROM $m)
+           |      THEN list_append(f.acc[1:len(f.acc)-1], (SELECT l || r FROM $m))
+           |      ELSE list_append(f.acc, w.syms[f.i+1]) END
+           |  FROM $name f JOIN $prev w USING (wid) WHERE f.i < len(w.syms))""".stripMargin
+      def pairs(name: String, src: String): String =
+        s"""$name AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(n) AS f
+           |  FROM $src, unnest(range(1, len(syms))) t(i) WHERE len(syms) >= 2 GROUP BY 1, 2)""".stripMargin
+      s"""WITH RECURSIVE
+         |vocab AS (SELECT t AS w, COUNT(*) AS n FROM (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents) GROUP BY 1),
+         |w0 AS (SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid,
+         |  list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms, n FROM vocab),
+         |${pairs("p1", "w0")},
+         |m1 AS (SELECT l, r, f FROM p1 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |${fold("f1", "w0", "m1")},
+         |w1 AS (SELECT f.wid, f.acc AS syms, w.n FROM f1 f JOIN w0 w USING (wid) WHERE f.i = len(w.syms)),
+         |${pairs("p2", "w1")},
+         |m2 AS (SELECT l, r, f FROM p2 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |${fold("f2", "w1", "m2")},
+         |w2 AS (SELECT f.wid, f.acc AS syms, w.n FROM f2 f JOIN w1 w USING (wid) WHERE f.i = len(w.syms)),
+         |${pairs("p3", "w2")},
+         |m3 AS (SELECT l, r, f FROM p3 ORDER BY f DESC, l ASC, r ASC LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rnk, l AS merge_left, r AS merge_right, CAST(f AS BIGINT) AS freq FROM m1
+         |UNION ALL SELECT 2, l, r, CAST(f AS BIGINT) FROM m2
+         |UNION ALL SELECT 3, l, r, CAST(f AS BIGINT) FROM m3
+         |ORDER BY rnk""".stripMargin
+    },
 
     // Mirrors Curation.weightedSystematicSample (step 1000): inclusive
     // running token sum in doc_id order, select rows whose weight
