@@ -240,6 +240,19 @@ object ExtensionQueries {
           col("right").as("merge_right"), col("freq"))
         .orderBy(col("rnk"))),
 
+    // BPE segmentation: train 3 merges, then APPLY them to the corpus
+    // vocabulary in training order — the tokenizer's full
+    // train-then-segment cycle, all vocab-bounded after the one corpus
+    // collapse.
+    "q78_bpe_segment" -> ((s, d) => {
+      val docs = docsFanned(s, d)
+      val table = BpeTrainer.trainMerges(docs, "text", 3)
+        .orderBy(col("rnk")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrainer.applyMerges(docs, "text", table)
+        .orderBy(col("word"))
+    }),
+
     // Deterministic weighted systematic sampling: documents selected
     // proportional to token count (one expected pick per 1000 tokens of
     // stream), via the same two-pass distributed prefix sum as q61 —
@@ -998,6 +1011,43 @@ object ExtensionQueries {
          |UNION ALL SELECT 2, l, r, CAST(f AS BIGINT) FROM m2
          |UNION ALL SELECT 3, l, r, CAST(f AS BIGINT) FROM m3
          |ORDER BY rnk""".stripMargin
+    },
+
+    // Mirrors BpeTrainer.trainMerges + applyMerges: q77's chain plus a
+    // third fold, emitting each vocab word's final segmentation.
+    "q78_bpe_segment" -> {
+      def fold(name: String, prev: String, m: String): String =
+        s"""$name(wid, i, acc) AS (
+           |  SELECT wid, 1, [syms[1]] FROM $prev
+           |  UNION ALL
+           |  SELECT f.wid, f.i + 1,
+           |    CASE WHEN f.acc[-1] = (SELECT l FROM $m) AND w.syms[f.i+1] = (SELECT r FROM $m)
+           |      THEN list_append(f.acc[1:len(f.acc)-1], (SELECT l || r FROM $m))
+           |      ELSE list_append(f.acc, w.syms[f.i+1]) END
+           |  FROM $name f JOIN $prev w USING (wid) WHERE f.i < len(w.syms))""".stripMargin
+      def pairs(name: String, src: String): String =
+        s"""$name AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(n) AS f
+           |  FROM $src, unnest(range(1, len(syms))) t(i) WHERE len(syms) >= 2 GROUP BY 1, 2)""".stripMargin
+      s"""WITH RECURSIVE
+         |vocab AS (SELECT t AS w, COUNT(*) AS n FROM (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents) GROUP BY 1),
+         |w0 AS (SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid, w,
+         |  list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms, n FROM vocab),
+         |${pairs("p1", "w0")},
+         |m1 AS (SELECT l, r, f FROM p1 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |${fold("f1", "w0", "m1")},
+         |w1 AS (SELECT f.wid, f.acc AS syms, w.n FROM f1 f JOIN w0 w USING (wid) WHERE f.i = len(w.syms)),
+         |${pairs("p2", "w1")},
+         |m2 AS (SELECT l, r, f FROM p2 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |${fold("f2", "w1", "m2")},
+         |w2 AS (SELECT f.wid, f.acc AS syms, w.n FROM f2 f JOIN w1 w USING (wid) WHERE f.i = len(w.syms)),
+         |${pairs("p3", "w2")},
+         |m3 AS (SELECT l, r, f FROM p3 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |${fold("f3", "w2", "m3")},
+         |w3 AS (SELECT f.wid, f.acc AS syms, w.n FROM f3 f JOIN w2 w USING (wid) WHERE f.i = len(w.syms))
+         |SELECT w0.w AS word, CAST(w3.n AS BIGINT) AS n, CAST(len(w3.syms) AS BIGINT) AS n_syms,
+         |  array_to_string(w3.syms, ' ') AS segmented
+         |FROM w3 JOIN w0 USING (wid) ORDER BY word""".stripMargin
     },
 
     // Mirrors Curation.weightedSystematicSample (step 1000): inclusive

@@ -84,4 +84,37 @@ object BpeTrainer {
     import spark.implicits._
     merges.toSeq.toDF("rnk", "left", "right", "freq")
   }
+
+  /** Apply an ORDERED merge table to the corpus vocabulary — the
+    * tokenizer's segmentation step. Each merge replays the same
+    * greedy-leftmost fold as training, in training order (BPE's
+    * apply-time contract); the whole application is `merges.size`
+    * chained codegen-able fold expressions over the |vocab|-sized
+    * frame — the corpus itself is touched only by the initial
+    * word-count collapse.
+    *
+    * @return (word, n, n_syms, segmented): per distinct word, its
+    *         corpus frequency, symbol count after all merges, and the
+    *         space-joined segmentation
+    */
+  def applyMerges(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val vocab = docs
+      .select(explode(TextFeatures.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("word"), col("n"), split(col("word"), "").as("__syms"))
+    val segmented = merges.foldLeft(vocab) { case (df, (l, r)) =>
+      val m = l + r
+      df.withColumn("__syms",
+        aggregate(col("__syms"), array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(s)))))
+    }
+    segmented.select(col("word"), col("n"),
+      size(col("__syms")).cast("long").as("n_syms"),
+      array_join(col("__syms"), " ").as("segmented"))
+  }
 }

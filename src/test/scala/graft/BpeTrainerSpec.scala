@@ -69,6 +69,37 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  test("applyMerges segments with trained merges in order, layout-independent") {
+    val docs = Seq((1L, "aaab aaab aaab ab ab abc")).toDF("doc_id", "text")
+    val table = BpeTrainer.trainMerges(docs, "text", 2)
+      .orderBy("rnk").as[(Long, String, String, Long)].collect()
+      .map(t => (t._2, t._3)).toSeq
+    val seg = BpeTrainer.applyMerges(docs.repartition(3), "text", table)
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // merge 1 = (a,a) f=7... then round 2 over merged words; whatever
+    // the table, apply must equal the training run's own end state:
+    // replay the model
+    val m = model(Seq("aaab", "aaab", "aaab", "ab", "ab", "abc"), 2)
+    assert(table == m.map(t => (t._2, t._3)))
+    // greedy fold: "aaab" under (a,a) then next merge
+    var words = Seq("aaab", "aaab", "aaab", "ab", "ab", "abc")
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, n) => (w.map(_.toString).toVector, n, w) }.toVector
+    m.foreach { case (_, l, r, _) =>
+      words = words.map { case (syms, n, w) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (acc.nonEmpty && acc.last == l && s == r) acc(acc.length - 1) = l + r
+          else acc += s
+        }
+        (acc.toVector, n, w)
+      }
+    }
+    words.foreach { case (syms, n, w) =>
+      assert(seg(w) == ((w, n, syms.size.toLong, syms.mkString(" "))), s"word $w")
+    }
+  }
+
   test("training stops early when no pair remains") {
     val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text") // all 1-char words
     val got = BpeTrainer.trainMerges(docs, "text", 5).collect()
