@@ -253,6 +253,35 @@ object ExtensionQueries {
         .orderBy(col("word"))
     }),
 
+    // Span-level exact dedup (Lee et al. arXiv:2107.06499): duplicated
+    // 5-token windows across DISTINCT docs, overlapping spans merged by
+    // a running-max interval sweep into exact covered-token counts.
+    // Corpus = documents ∪ 60%-prefix truncations (no clones, so
+    // coverage is PARTIAL and the merge is actually exercised).
+    "q79_span_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.dupSpanCoverage(
+          docs.select(col("doc_id"), col("text")).unionByName(truncDocs(docs)),
+          "doc_id", "text", windowTokens = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (MOSS, SIGMOD'03): per-window min-hash
+    // selection with rightmost tie-break over 8-char grams, window 4 —
+    // expected fingerprint density 2/(w+1). One explode + one per-doc
+    // window function; no self-join.
+    "q80_winnow_fingerprints" -> ((s, d) =>
+      TextDedup.winnowFingerprints(docsFanned(s, d), "doc_id", "text",
+          k = 8, w = 4)
+        .orderBy(col("doc_id"))),
+
+    // PMI collocations: top-50 most associated adjacent token pairs by
+    // the exact ppm-quantized lift ratio c_ab·U²/(c_a·c_b·N) — log-free
+    // (monotone), DECIMAL(38,0)-exact, vocab-bounded aggregates only.
+    "q81_pmi_collocations" -> ((s, d) =>
+      TermStats.pmiCollocations(docsFanned(s, d), "doc_id", "text",
+        minCount = 5, topK = 50)),
+
     // Deterministic weighted systematic sampling: documents selected
     // proportional to token count (one expected pick per 1000 tokens of
     // stream), via the same two-pass distributed prefix sum as q61 —
@@ -1049,6 +1078,69 @@ object ExtensionQueries {
          |  array_to_string(w3.syms, ' ') AS segmented
          |FROM w3 JOIN w0 USING (wid) ORDER BY word""".stripMargin
     },
+
+    // Mirrors TextDedup.dupSpanCoverage over documents ∪ truncations:
+    // 5-token sliding window hashes, df over DISTINCT docs > 1 marks
+    // duplicated spans, running-max interval sweep merges overlaps.
+    "q79_span_dedup" ->
+      s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 20000 AS doc_id,
+         |   array_to_string(list_slice(toks, 1, CAST((len(toks)*3)//5 AS INT)), ' ') AS text
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+         |  WHERE doc_id % 5 = 0 AND len(toks) >= 5),
+         |$tokCte,
+         |win AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, i AS pos,
+         |    ${dh("array_to_string(list_slice(toks, i, i+4), ' ')")} AS h
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM tok WHERE len(toks) >= 5)),
+         |duph AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win) GROUP BY h HAVING count(*) > 1),
+         |sweep AS (SELECT doc_id, n_tokens, pos,
+         |    max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM win WHERE h IN (SELECT h FROM duph))
+         |SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_dup_windows,
+         |  CAST(SUM(greatest(0, pos + 5 - greatest(coalesce(prev_end, pos), pos))) AS BIGINT) AS covered_tokens
+         |FROM sweep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextDedup.winnowFingerprints (k=8, w=4): encoded-key
+    // window max = min gram hash with rightmost tie-break; fingerprint
+    // set folded order-free as Σ (h·pos mod P).
+    "q80_winnow_fingerprints" ->
+      s"""WITH g AS (SELECT doc_id, CAST(length(text) - 7 AS BIGINT) AS n_grams, i AS pos,
+         |    ${dh("text[i : i+7]")} AS h
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+         |        FROM documents WHERE length(text) >= 11 AND length(text) < 2097152)),
+         |k AS (SELECT doc_id, n_grams, pos, (1000000007 - h) * 2097152 + pos AS key FROM g),
+         |s AS (SELECT doc_id, n_grams, pos,
+         |    max(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey FROM k),
+         |f AS (SELECT DISTINCT doc_id, n_grams, selkey % 2097152 AS sel_pos,
+         |    1000000007 - selkey // 2097152 AS sel_h
+         |  FROM s WHERE pos <= n_grams - 3)
+         |SELECT doc_id, any_value(n_grams) AS n_grams, CAST(count(*) AS BIGINT) AS n_fps,
+         |  CAST(SUM((sel_h * sel_pos) % 1000000007) AS BIGINT) AS fp_checksum
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TermStats.pmiCollocations: HUGEINT ≙ DECIMAL(38,0) exact
+    // lift ratio, same truncating division, same (lift DESC, bigram)
+    // total order.
+    "q81_pmi_collocations" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS t FROM tok),
+        |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
+        |tot AS (SELECT CAST(count(*) AS HUGEINT) AS u FROM uni),
+        |big AS (SELECT toks[i] AS a, toks[i+1] AS b
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok WHERE len(toks) >= 2)),
+        |c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM big GROUP BY a, b),
+        |ntot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM big)
+        |SELECT a || ' ' || b AS bigram, c_ab,
+        |  CAST((CAST(c_ab AS HUGEINT) * u * u * 1000000) // (CAST(ca.c AS HUGEINT) * cb.c * n) AS BIGINT) AS lift_ppm
+        |FROM c2 JOIN c1 ca ON ca.t = c2.a JOIN c1 cb ON cb.t = c2.b
+        |CROSS JOIN tot CROSS JOIN ntot
+        |WHERE c_ab >= 5
+        |ORDER BY lift_ppm DESC, bigram ASC LIMIT 50""".stripMargin,
 
     // Mirrors Curation.weightedSystematicSample (step 1000): inclusive
     // running token sum in doc_id order, select rows whose weight

@@ -233,6 +233,64 @@ object TermStats {
       .select(col("doc_id"), col("n_bigrams"), col("mean_p_q"))
   }
 
+  /** PMI collocations (Church & Hanks 1990): the corpus's most
+    * associated adjacent token pairs. PMI = log of the lift ratio
+    * c_ab·U² / (c_a·c_b·N) (c = occurrence counts, U/N = total
+    * unigram/bigram occurrences); log is monotone, so ranking by the
+    * EXACT ppm-quantized ratio — one DECIMAL(38,0) multiply chain, one
+    * truncating division, no floats — yields the identical ordering
+    * with none of log's cross-engine drift. Magnitude: the numerator is
+    * c_ab·U²·10⁶ ≤ U³·10⁶, inside DECIMAL(38,0) up to U ≈ 10¹⁰ token
+    * occurrences per corpus slice (enforced; a 100 TB corpus computes
+    * PMI per shard/source slice at that bound, which is also where a
+    * single global vocabulary stops making sense).
+    *
+    * Physical shape: unigram and bigram counts are vocab-bounded
+    * aggregates off one occurrence pass; the score join is c2 ⋈ c1 ⋈ c1
+    * on token keys (AQE broadcasts the smaller sides); the scalar U/N
+    * totals ride in via a broadcast cross join; top-K lands in
+    * TakeOrderedAndProject. Surface bigrams (not hashes) travel — the
+    * output is human-readable collocations, and the aggregate keys are
+    * vocabulary-sized, not corpus-sized.
+    *
+    * @return top `topK` rows (bigram, c_ab, lift_ppm) with c_ab ≥
+    *         `minCount`, ordered by (lift_ppm DESC, bigram ASC).
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextFeatures.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint() // forked: unigram and bigram occurrence passes
+    val uni = toks.select(explode(col("__toks")).as("t"))
+    val c1 = uni.groupBy("t").agg(count(lit(1)).as("c"))
+    val uTot = uni.agg(count(lit(1)).cast("decimal(38,0)").as("u"))
+    val big = toks.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1), i => struct(
+          element_at(col("__toks"), i).as("a"),
+          element_at(col("__toks"), i + 1).as("b")))).as("__b"))
+      .select(col("__b.a").as("a"), col("__b.b").as("b"))
+    val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val nTot = big.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    c2.filter(col("c_ab") >= minCount)
+      .join(c1.withColumnRenamed("t", "a").withColumnRenamed("c", "c_a"), Seq("a"))
+      .join(c1.withColumnRenamed("t", "b").withColumnRenamed("c", "c_b"), Seq("b"))
+      .crossJoin(broadcast(uTot)).crossJoin(broadcast(nTot))
+      // The magnitude guard rides the (vocab-bounded) scored rows — no
+      // extra corpus pass, fails loudly the moment the bound is crossed.
+      .withColumn("lift_ppm",
+        when(col("u") > lit(10000000000L).cast("decimal(38,0)"), raise_error(lit(
+          "PMI magnitude bound: compute per corpus slice below 1e10 token occurrences")))
+        .otherwise(expr(
+          "CAST((CAST(c_ab AS decimal(38,0)) * u * u * 1000000) DIV " +
+            "(CAST(c_a AS decimal(38,0)) * c_b * n) AS BIGINT)")))
+      .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
+        col("c_ab"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram").asc)
+      .limit(topK)
+  }
+
   /** Deterministic stratified head-sample: the first `perStratum` rows
     * of each stratum under (orderHash asc, id asc) — a reproducible
     * stand-in for per-class random sampling (the hash plays the RNG;

@@ -292,6 +292,118 @@ object TextDedup {
       .na.fill(0L, Seq("n_kept")).na.fill("", Seq("kept_text"))
   }
 
+  /** Exact duplicated-substring-span coverage (the span-level exact
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — cf. the reference's row-level
+    * keep-first dedup at processor.py:61, which this generalizes below
+    * the document grain): every sliding `windowTokens`-token window is
+    * hashed; a window whose hash occurs in MORE THAN ONE DISTINCT
+    * document marks the duplicated span [pos, pos+L); overlapping spans
+    * merge via a running-max interval sweep, giving the exact number of
+    * tokens covered by at least one cross-document duplicate — the
+    * "how much of this document is copied" signal a span-removal pass
+    * acts on.
+    *
+    * Physical shape: one explode pass emits (doc, pos, windowHash) —
+    * sliding windows are |tokens|-bounded (one start per token), NOT
+    * quadratic; span df is a hash-keyed aggregate (fixed-width key, the
+    * window text never shuffles); duplicated windows join back by
+    * left_semi; the interval sweep is one per-doc window function over
+    * only the DUPLICATED windows (usually a small fraction of the
+    * corpus). Driver state: none. A hash collision merges two windows
+    * consistently on both engines (dedup-family convention, mirrored by
+    * the oracle).
+    *
+    * @return (doc_id, n_tokens, n_dup_windows, covered_tokens) for
+    *         docs with at least one duplicated window.
+    */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int = 5): DataFrame = {
+    require(windowTokens >= 1, "span window must be at least one token")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val wins = fanOut(docs)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= windowTokens)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        explode(transform(
+          sequence(lit(1), size(col("__toks")) - lit(windowTokens - 1)), i => struct(
+            i.as("pos"),
+            charHash(concat_ws(" ", slice(col("__toks"), i, lit(windowTokens)))).as("h")))).as("__w"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("__w.pos").as("pos"), col("__w.h").as("__h"))
+      .localCheckpoint() // forked: df aggregate + the semi-join below
+    val dupHashes = wins.select(col("doc_id"), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1).select("__h")
+    // Interval sweep: covered(i) = pos_i + L − max(prev_end, pos_i),
+    // clamped at 0 — the classic merge of sorted overlapping intervals
+    // as a running max, no per-group collect.
+    val sweep = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    wins.join(dupHashes, Seq("__h"), "left_semi")
+      .withColumn("__prevEnd", max(col("pos") + lit(windowTokens)).over(sweep))
+      .withColumn("__cov", greatest(lit(0),
+        col("pos") + lit(windowTokens) -
+          greatest(coalesce(col("__prevEnd"), col("pos")), col("pos"))))
+      .groupBy("doc_id")
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_dup_windows"),
+        sum(col("__cov")).cast("long").as("covered_tokens"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS local-similarity fingerprint; generalizes q31's single
+    * global-min digest in TextAnalysis.fingerprintColumns): hash every
+    * `k`-char gram, then in every window of `w` consecutive gram hashes
+    * select the MINIMUM, breaking ties by the RIGHTMOST position
+    * (robust winnowing); the distinct selected (hash, pos) pairs are
+    * the document's fingerprints, with expected density 2/(w+1) and the
+    * guarantee that any shared substring of length ≥ k+w−1 yields a
+    * shared fingerprint.
+    *
+    * The min-with-rightmost-tie-break inside a sliding frame is ONE
+    * window max over the encoded key (MaxH − h)·2²¹ + pos — largest key
+    * ⟺ smallest hash, ties ⟺ largest pos — so the whole operator is an
+    * explode + a per-doc window function + a distinct: no self-join, no
+    * per-group collect, shuffle ∝ grams (∝ chars). The key fits a long
+    * (MaxH·2²¹ ≈ 2.1·10¹⁵) for documents up to 2²¹ chars — enforced by
+    * a filter, matching the oracle (a 2 MB+ single document belongs in
+    * chunked ingestion, not a fingerprint pass).
+    *
+    * @return (doc_id, n_grams, n_fps, fp_checksum) — fp_checksum folds
+    *         the fingerprint SET as Σ (h·pos mod P), order-free.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowing needs k >= 1 and w >= 1")
+    val M = 1L << 21 // position encoder radix AND max doc length
+    val P = 1000000007L
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = fanOut(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= k + w - 1 && length(col("__t")) < M)
+      .select(col("doc_id"),
+        (length(col("__t")) - lit(k - 1)).cast("long").as("n_grams"),
+        explode(transform(
+          sequence(lit(1), length(col("__t")) - lit(k - 1)), i => struct(
+            i.as("pos"),
+            charHash(col("__t").substr(i, lit(k))).as("h")))).as("__g"))
+      .select(col("doc_id"), col("n_grams"), col("__g.pos").as("pos"),
+        ((lit(P) - col("__g.h")) * lit(M) + col("__g.pos")).as("__key"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("__selKey", max(col("__key")).over(frame))
+      .filter(col("pos") <= col("n_grams") - lit(w - 1)) // full windows only
+      .select(col("doc_id"), col("n_grams"),
+        (col("__selKey") % M).as("sel_pos"),
+        (lit(P) - expr(s"__selKey div $M")).as("sel_h"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(first(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fps"),
+        sum(pmod(col("sel_h") * col("sel_pos"), lit(P))).as("fp_checksum"))
+  }
+
   /** Exact n-gram Jaccard for pairs sharing at least one shingle:
     * explode DISTINCT shingles → shingle-equality self-join → per-pair
     * intersection counts → |∩| / (|A|+|B|-|∩|). Returns pairs with

@@ -96,4 +96,27 @@ class TermStatsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
     assert(out == out2)
   }
+
+  test("PMI collocations: exact ppm lift, (lift DESC, bigram ASC) ties") {
+    // tokens: x,y,x,y,x,z → c(x)=3 c(y)=2 c(z)=1, U=6
+    // bigrams: (x,y)×2 (y,x)×1 (x,z)×1 → N=4
+    // lift(x y) = 2·36·10⁶ / (3·2·4) = 3_000_000
+    // lift(x z) = 1·36·10⁶ / (3·1·4) = 3_000_000  (tie → bigram ASC)
+    // lift(y x) = 1·36·10⁶ / (2·3·4) = 1_500_000
+    val d = Seq((1L, "x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    val out = TermStats.pmiCollocations(d, "doc_id", "text", minCount = 1, topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("x y", 2L, 3000000L), ("x z", 1L, 3000000L), ("y x", 1L, 1500000L)))
+  }
+
+  test("PMI collocations: minCount prunes, topK truncates after the sort") {
+    val d = Seq((1L, "x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    val pruned = TermStats.pmiCollocations(d, "doc_id", "text", minCount = 2, topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(pruned == Seq(("x y", 2L, 3000000L)))
+    val topped = TermStats.pmiCollocations(d, "doc_id", "text", minCount = 1, topK = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(topped.map(_._1) == Seq("x y", "x z"))
+  }
 }

@@ -140,4 +140,71 @@ class TextDedupSpec extends SparkSpec {
     assert(out.take(3).forall(r => r._3 == 0L && r._4 == ""))
     assert(out(3) == ((4L, 2L, 1L, "keep this suffix run")))
   }
+
+  test("span dedup: cross-doc duplicated window covers exactly its tokens") {
+    // d1 and d2 share the single 5-token window "a b c d e"; d3 shares
+    // nothing and must be absent from the output.
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val out = TextDedup.dupSpanCoverage(d, "doc_id", "text", windowTokens = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 8L, 1L, 5L), (2L, 8L, 1L, 5L)))
+  }
+
+  test("span dedup: overlapping spans merge to the exact covered count") {
+    // Exact clones: every window duplicated; spans [1,6),[2,7),[3,8)
+    // merge into one 7-token interval, not 15 double-counted tokens.
+    val d = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = TextDedup.dupSpanCoverage(d, "doc_id", "text", windowTokens = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 7L, 3L, 7L), (2L, 7L, 3L, 7L)))
+  }
+
+  test("span dedup: a window repeated within ONE doc is not a duplicate") {
+    val d = Seq(
+      (1L, "a b c d e x x a b c d e"),
+      (2L, "totally different tokens over here now")).toDF("doc_id", "text")
+    assert(TextDedup.dupSpanCoverage(d, "doc_id", "text", 5).isEmpty)
+  }
+
+  test("winnowing == brute-force robust-winnow model on seeded fixtures") {
+    val rnd = new scala.util.Random(20260813L)
+    val Mod = 1000000007L
+    val M = 1L << 21
+    def polyhash(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) { h = (h * 31 + s.charAt(i)) % Mod; i += 1 }
+      h
+    }
+    // Small alphabet → repeated 8-grams → the rightmost tie-break and
+    // the distinct fold are genuinely exercised.
+    val docs = (1L to 6L).map { id =>
+      val n = 40 + rnd.nextInt(160)
+      (id, (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val (k, w) = (8, 4)
+    val expected = docs.flatMap { case (id, t) =>
+      val nGrams = t.length - k + 1
+      if (nGrams < w) None else {
+        val hs = (1 to nGrams).map(p => (p.toLong, polyhash(t.substring(p - 1, p - 1 + k))))
+        val sel = (1 to nGrams - w + 1).map { p =>
+          hs.slice(p - 1, p - 1 + w).maxBy { case (pos, h) => (Mod - h) * M + pos }
+        }.distinct
+        val cks = sel.map { case (pos, h) => (h * pos) % Mod }.sum
+        Some((id, nGrams.toLong, sel.size.toLong, cks))
+      }
+    }
+    val out = TextDedup.winnowFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == expected)
+    // Winnowing's density guarantee: ≥ 1 fingerprint per window span,
+    // ≤ one per window start.
+    out.zip(expected).foreach { case ((_, nGrams, nFps, _), _) =>
+      assert(nFps >= (nGrams - w + 1 + w - 1) / w && nFps <= nGrams - w + 1)
+    }
+  }
 }
