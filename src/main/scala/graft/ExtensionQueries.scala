@@ -282,6 +282,14 @@ object ExtensionQueries {
       TermStats.pmiCollocations(docsFanned(s, d), "doc_id", "text",
         minCount = 5, topK = 50)),
 
+    // Context-window chunking (packing's dual): 64-token windows at
+    // stride 48 — every token covered, 16 tokens of overlap for
+    // retrieval context. Pure explode, zero shuffle before the sort.
+    "q82_doc_chunking" -> ((s, d) =>
+      Packing.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Deterministic weighted systematic sampling: documents selected
     // proportional to token count (one expected pick per 1000 tokens of
     // stream), via the same two-pass distributed prefix sum as q61 —
@@ -1141,6 +1149,21 @@ object ExtensionQueries {
         |CROSS JOIN tot CROSS JOIN ntot
         |WHERE c_ab >= 5
         |ORDER BY lift_ppm DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    // Mirrors Packing.chunkDocuments (chunk 64, stride 48): window
+    // starts at 1 + 48k for k in [0, (n-1)//48], final chunk short.
+    "q82_doc_chunking" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, k,
+         |    array_to_string(list_slice(toks, k*48 + 1, k*48 + 64), ' ') AS chunk
+         |  FROM tok, unnest(range(0, (len(toks) - 1)//48 + 1)) AS t(k)
+         |  WHERE len(toks) >= 1)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  CAST(k*48 + 1 AS BIGINT) AS start_tok,
+         |  CAST(least(64, n - k*48) AS BIGINT) AS n_tok,
+         |  ${dh("chunk")} AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Mirrors Curation.weightedSystematicSample (step 1000): inclusive
     // running token sum in doc_id order, select rows whose weight

@@ -59,6 +59,49 @@ object Packing {
           greatest(col("__start"), col("seq_id") * budget)).as("n_tok"))
   }
 
+  /** Context-window chunking — packing's dual: where [[packSequences]]
+    * concatenates documents into fixed token budgets, chunking SPLITS
+    * each document into fixed-size windows with a stride-controlled
+    * overlap (the RAG / long-context ingestion cut: stride < chunk
+    * keeps every token covered and gives retrieval `chunk − stride`
+    * tokens of cross-boundary context).
+    *
+    * Purely per-row: one explode over `1 + (n−1) div stride` window
+    * starts — no shuffle at all beyond the caller's ordering, no
+    * driver state, chunk count linear in tokens. The chunk hash is the
+    * same code-point polynomial as every dedup hash, so chunk-level
+    * dedup composes directly (hash-equal chunks across docs = shared
+    * boilerplate at chunk grain).
+    *
+    * @param chunkTokens window size in tokens, ≥ 1
+    * @param stride      window start step, 1 ≤ stride ≤ chunkTokens
+    * @return (`idCol`, chunk_id, start_tok, n_tok, chunk_hash): one row
+    *         per chunk; chunk_id counts from 0 within each doc;
+    *         start_tok is 1-based; the final chunk may be short
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol), graft.functions.TextFeatures.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), size(col("__toks")).as("__n"),
+        explode(transform(
+          sequence(lit(0), expr(s"(size(__toks) - 1) div $stride")), k => struct(
+            k.cast("long").as("chunk_id"),
+            (k * stride + 1).cast("long").as("start_tok"),
+            least(lit(chunkTokens), size(col("__toks")) - k * stride)
+              .cast("long").as("n_tok"),
+            graft.functions.TextFeatures.charHash(concat_ws(" ",
+              slice(col("__toks"), k * stride + 1, lit(chunkTokens))))
+              .as("chunk_hash")))).as("__c"))
+      .select(col(idCol), col("__c.chunk_id"), col("__c.start_tok"),
+        col("__c.n_tok"), col("__c.chunk_hash"))
+  }
+
   /** The shared two-pass distributed prefix sum: every row's INCLUSIVE
     * global running total of `valCol` in `idCol` order, with no
     * single-partition window anywhere. Rows with non-positive values

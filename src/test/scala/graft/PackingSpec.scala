@@ -47,4 +47,38 @@ class PackingSpec extends SparkSpec {
     val zeros = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "tok")
     assert(Packing.packSequences(zeros, "doc_id", col("tok"), 10L).count() == 0L)
   }
+
+  test("chunking: stride windows cover every token, final chunk short") {
+    // 10 tokens, chunk 4, stride 3 → starts 1,4,7,10; last chunk 1 tok
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, "doc_id", "text", 4, 3)
+      .select("chunk_id", "start_tok", "n_tok")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((0L, 1L, 4L), (1L, 4L, 4L), (2L, 7L, 4L), (3L, 10L, 1L)))
+  }
+
+  test("chunking: stride == chunk partitions exactly, hashes match text") {
+    val docs = Seq((1L, "a b c d"), (2L, "c d")).toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, "doc_id", "text", 2, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    // doc 1 → chunks "a b", "c d"; doc 2 → chunk "c d". No overlap,
+    // full coverage; doc 1's second chunk and doc 2's chunk are the
+    // same text so chunk-grain dedup must see equal hashes.
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((1L, 0L, 1L, 2L), (1L, 1L, 3L, 2L), (2L, 0L, 1L, 2L)))
+    assert(out(1)._5 == out(2)._5)
+    assert(out(0)._5 != out(1)._5)
+  }
+
+  test("chunking: empty text yields no chunks; bad stride rejected") {
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(Packing.chunkDocuments(docs, "doc_id", "text", 4, 2).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Packing.chunkDocuments(docs, "doc_id", "text", 4, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.chunkDocuments(docs, "doc_id", "text", 0, 1)
+    }
+  }
 }
