@@ -290,6 +290,21 @@ object ExtensionQueries {
           chunkTokens = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Heaps-law vocabulary growth: per-doc new-type counts (one
+    // map-side-combinable min on token) + the multi-column two-pass
+    // prefix sum — the (cum_tokens, vocab_size) curve in doc order.
+    "q83_vocab_growth" -> ((s, d) =>
+      TermStats.vocabularyGrowth(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Deterministic ±1 random projection (JL / SRP): 64-dim embeddings
+    // onto 16 pseudo-random hyperplanes, sign bits packed per vector.
+    // Pure per-row integer arithmetic — zero shuffle before the sort.
+    "q84_random_projection" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), "vec_id",
+          "embedding", dims = 64, outDims = 16)
+        .orderBy(col("vec_id"), col("pos"))),
+
     // Deterministic weighted systematic sampling: documents selected
     // proportional to token count (one expected pick per 1000 tokens of
     // stream), via the same two-pass distributed prefix sum as q61 —
@@ -1164,6 +1179,38 @@ object ExtensionQueries {
          |  CAST(least(64, n - k*48) AS BIGINT) AS n_tok,
          |  ${dh("chunk")} AS chunk_hash
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Mirrors TermStats.vocabularyGrowth: first occurrence = min doc_id
+    // per token; running totals of tokens and new types in doc order.
+    "q83_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+        |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM tok WHERE len(toks) >= 1),
+        |f AS (SELECT t, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) >= 1) GROUP BY t),
+        |nt AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS new_types FROM f GROUP BY 1)
+        |SELECT d.doc_id, d.n_tok, COALESCE(nt.new_types, 0) AS new_types,
+        |  CAST(SUM(d.n_tok) OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY d.doc_id) AS BIGINT) AS vocab_size
+        |FROM d LEFT JOIN nt USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Similarity.randomProject (dims 64, outDims 16, scale 1e6):
+    // plane(j,d) = ±1 from bit 16 of the LCG at flat index j*64+d; all
+    // arithmetic integer after the one quantizing multiply.
+    "q84_random_projection" ->
+      """WITH qe AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q FROM embeddings),
+        |pr AS (SELECT vec_id, list_transform(range(0, 16), j ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64), d ->
+        |      (CASE WHEN (((j*64 + d) * 1103515245 + 12345) // 65536) % 2 = 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) * q[d+1])),
+        |      (a, b) -> a + b)) AS projs
+        |  FROM qe),
+        |sg AS (SELECT vec_id, projs,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), j ->
+        |      CASE WHEN projs[j+1] > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a + b) AS srp_sig
+        |  FROM pr)
+        |SELECT vec_id, srp_sig, CAST(j AS BIGINT) AS pos, projs[j+1] AS proj
+        |FROM sg, range(0, 16) r(j)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     // Mirrors Curation.weightedSystematicSample (step 1000): inclusive
     // running token sum in doc_id order, select rows whose weight

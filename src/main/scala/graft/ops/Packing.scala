@@ -108,37 +108,64 @@ object Packing {
     * carry nothing and are dropped. Packing cuts this stream into
     * sequences; weighted systematic sampling
     * ([[Curation.weightedSystematicSample]]) probes it for step
-    * crossings — one machinery, two operators.
+    * crossings; [[TermStats.vocabularyGrowth]] runs the multi-column
+    * core — one machinery, three operators.
     *
     * @return (__id, __val, __end): value and inclusive running sum,
     *         layout-independent
     */
   private[graft] def runningTotals(docs: DataFrame, idCol: String,
-                                   valCol: Column): DataFrame = {
+                                   valCol: Column): DataFrame =
+    runningTotalsMulti(
+      docs.select(col(idCol).as("__id"), valCol.cast("long").as("__val"))
+        .filter(col("__val") > 0),
+      "__id", Seq("__val"))
+      .select(col("__id"), col("__val"), col("__val_cum").as("__end"))
+
+  /** Multi-column core of the two-pass prefix sum: the inclusive
+    * running total of EVERY column in `valCols` (already cast to long
+    * by the caller), all in `idCol` order, sharing one range
+    * partitioning, one materialization, and one offsets broadcast.
+    * Driver state is #partitions × #columns longs — bounded.
+    *
+    * @return (__id, valCols..., valCols_cum...): each `c` keeps its
+    *         value and gains `c_cum`, layout-independent
+    */
+  private[graft] def runningTotalsMulti(docs: DataFrame, idCol: String,
+                                        valCols: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // Checkpointed so the totals pass and the probe pass read one
+    // Checkpointed so the totals pass and the cumsum pass read one
     // materialization (and __p is frozen with it).
     val ranged = docs
-      .select(col(idCol).as("__id"), valCol.cast("long").as("__val"))
-      .filter(col("__val") > 0)
+      .select((col(idCol).as("__id") +:
+        valCols.map(c => col(c).cast("long").as(c))): _*)
       .repartitionByRange(col("__id"))
       .sortWithinPartitions("__id")
-      .select(spark_partition_id().as("__p"), col("__id"), col("__val"))
+      .select((spark_partition_id().as("__p") +:
+        ("__id" +: valCols).map(col)): _*)
       .localCheckpoint()
     // Pass 1: per-partition totals → exclusive prefix = offsets.
-    val totals = ranged.groupBy("__p").agg(sum("__val").as("__t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var running = 0L
-    val offsets = totals.map { case (p, t) =>
-      val o = (p, running); running += t; o
+    val aggs = valCols.map(c => sum(col(c)).as(c))
+    val totals = ranged.groupBy("__p").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), valCols.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val running = Array.fill(valCols.size)(0L)
+    val offsets = totals.map { case (p, ts) =>
+      val o = (p, running.toSeq)
+      ts.zipWithIndex.foreach { case (t, i) => running(i) += t }
+      o
     }.toSeq
-    val offDf = offsets.toDF("__p", "__off")
-    // Pass 2: broadcast offsets + per-partition window cumsum.
+    val offDf = offsets.map { case (p, os) => (p, os) }
+      .toDF("__p", "__offs")
+    // Pass 2: broadcast offsets + per-partition window cumsums.
     val w = Window.partitionBy("__p").orderBy("__id")
-    ranged
-      .join(broadcast(offDf), Seq("__p"))
-      .withColumn("__end", col("__off") + sum("__val").over(w))
-      .select(col("__id"), col("__val"), col("__end"))
+    valCols.zipWithIndex.foldLeft(
+      ranged.join(broadcast(offDf), Seq("__p"))) { case (df, (c, i)) =>
+        df.withColumn(s"${c}_cum",
+          col("__offs").getItem(i) + sum(col(c)).over(w))
+    }.select((col("__id") +: (valCols.map(col) ++
+      valCols.map(c => col(s"${c}_cum")))): _*)
   }
 }

@@ -167,4 +167,60 @@ object Similarity {
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+
+  /** Deterministic ±1 random projection (Achlioptas 2003's database-
+    * friendly JL variant, sign-random-projection when only the bit
+    * pattern is kept): project each embedding onto `outDims` pseudo-
+    * random ±1 hyperplanes. Unlike [[signBucketAt]]'s axis-aligned
+    * planes, every projection mixes ALL input dimensions, so the output
+    * preserves pairwise geometry (JL) instead of sampling coordinates —
+    * the right reduction when downstream kNN must run at a fraction of
+    * the input width.
+    *
+    * Engine-neutral by construction: embeddings are floor-quantized to
+    * longs (scale 1e6) and the plane entry for flat index i = j·dims+d
+    * is +1 iff bit 16 of the LCG value i·1103515245 + 12345 is 0 — the
+    * multiplier is odd, so bit 16 cycles through a balanced ±1 pattern
+    * with period 2¹⁷; everything after the one float multiply is exact
+    * integer arithmetic a SQL oracle reproduces verbatim. |proj| ≤
+    * dims · 1e6 · max|x|, so any |x| < 1e11/dims is overflow-safe —
+    * far beyond normalized-embedding magnitudes.
+    *
+    * Pure per-row projection: no shuffle, no driver state, the plane
+    * matrix never materializes (it is arithmetic on the flat index).
+    *
+    * @param dims    input width (vectors shorter than `dims` read as 0
+    *                beyond their length)
+    * @param outDims projected width, 1..62 (the signature packs one bit
+    *                per plane into a long)
+    * @return (`idCol`, srp_sig, pos, proj): one row per (vector, plane);
+    *         `proj` is the quantized projection onto plane `pos`,
+    *         `srp_sig` packs the `outDims` sign bits
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dims: Int, outDims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(outDims >= 1 && outDims <= 62,
+      s"outDims must be in [1, 62], got $outDims")
+    def planeSign(i: Column): Column = {
+      val lcg = i.cast("long") * 1103515245L + 12345L
+      when(call_function("shiftright", lcg, lit(16)) % 2 === 0, lit(1L))
+        .otherwise(lit(-1L))
+    }
+    val quantized = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e6).cast("long"))
+    val projs = transform(sequence(lit(0), lit(outDims - 1)), j =>
+      aggregate(sequence(lit(0), lit(dims - 1)), lit(0L), (acc, d) =>
+        acc + planeSign(j * dims + d) *
+          coalesce(try_element_at(col("__q"), d + 1), lit(0L))))
+    df.select(col(idCol), quantized.as("__q"))
+      .select(col(idCol), projs.as("__pr"))
+      .select(col(idCol),
+        aggregate(sequence(lit(0), lit(outDims - 1)), lit(0L), (acc, j) =>
+          acc + when(try_element_at(col("__pr"), j + 1) > 0,
+            call_function("shiftleft", lit(1L), j)).otherwise(0L)).as("srp_sig"),
+        posexplode(col("__pr")))
+      .select(col(idCol), col("srp_sig"), col("pos").cast("long").as("pos"),
+        col("col").as("proj"))
+  }
 }

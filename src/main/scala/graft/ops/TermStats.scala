@@ -310,4 +310,41 @@ object TermStats {
       .filter(col("rnk") <= perStratum)
       .drop("__h")
   }
+
+  /** Heaps-law vocabulary-growth profile: stream the corpus in `idCol`
+    * order and report, per document, the token count, the count of NEW
+    * types (tokens whose global first occurrence is this document), and
+    * the inclusive running totals of both — the (cum_tokens, vocab_size)
+    * pairs ARE the empirical V(n) curve whose log-log slope is Heaps' β,
+    * the standard check that a corpus keeps contributing vocabulary (a
+    * flattening curve means the crawl is exhausting its domain).
+    *
+    * Scale shape: "first occurrence" is one min-aggregate on token —
+    * map-side combinable, with `array_distinct` deduplicating per doc
+    * BEFORE the shuffle so at most |types per doc| rows travel, not
+    * |tokens|; the running totals are [[Packing.runningTotalsMulti]]'s
+    * two-pass distributed prefix sum (driver state = #partitions × 2
+    * longs, no single-partition window). Documents with zero tokens are
+    * excluded (they move neither total).
+    *
+    * @return (`idCol`, n_tok, new_types, cum_tokens, vocab_size), one
+    *         row per non-empty document, in `idCol` order
+    */
+  def vocabularyGrowth(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextFeatures.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+    val perDoc = toks.select(col(idCol), size(col("__toks")).cast("long").as("n_tok"))
+    val newTypes = toks
+      .select(col(idCol), explode(array_distinct(col("__toks"))).as("__t"))
+      .groupBy("__t").agg(min(col(idCol)).as("__first"))
+      .groupBy("__first").agg(count(lit(1)).as("new_types"))
+    val joined = perDoc
+      .join(newTypes, perDoc(idCol) === newTypes("__first"), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    Packing.runningTotalsMulti(joined, idCol, Seq("n_tok", "new_types"))
+      .select(col("__id").as(idCol), col("n_tok"), col("new_types"),
+        col("n_tok_cum").as("cum_tokens"), col("new_types_cum").as("vocab_size"))
+  }
 }

@@ -161,4 +161,42 @@ class SimilaritySpec extends SparkSpec {
     "xyz".foreach(c => expect = (expect * 31 + c.toLong) % 1000000007L)
     assert(h == expect)
   }
+
+  test("random projection matches an in-memory ±1 LCG model") {
+    graft.functions.GraftFunctions.register(spark)
+    val dims = 4
+    val out = Similarity.randomProject(vecs, "vec_id", "embedding", dims, 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> (r._4, r._2)).toMap
+    def sign(i: Long): Long =
+      if (((i * 1103515245L + 12345L) >> 16) % 2 == 0) 1L else -1L
+    val raw = Map(1L -> Array(1.0f, 0f, 0f, 0f), 2L -> Array(1.0f, 0f, 0f, 0f),
+      3L -> Array(0.9f, 0.1f, 0f, 0f), 4L -> Array(0f, 0f, 0f, 1.0f),
+      5L -> Array(-1.0f, 0f, 0f, 0f))
+    for ((id, v) <- raw; j <- 0 until 3) {
+      val q = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val p = (0 until dims).map(d => sign(j.toLong * dims + d) * q(d)).sum
+      val sig = (0 until 3).map(jj => if ((0 until dims)
+        .map(d => sign(jj.toLong * dims + d) * q(d)).sum > 0) 1L << jj else 0L).sum
+      assert(out((id, j.toLong)) == (p, sig), s"vec $id plane $j")
+    }
+    // identical vectors share signatures; opposite vectors negate projs
+    assert(out((1L, 0L)) == out((2L, 0L)))
+    assert(out((5L, 0L))._1 == -out((1L, 0L))._1)
+  }
+
+  test("random projection: short vectors read 0 past their end; bad outDims rejected") {
+    graft.functions.GraftFunctions.register(spark)
+    val short = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+    // dims=4 but only 1 element: planes see (q, 0, 0, 0)
+    val p = Similarity.randomProject(short, "vec_id", "embedding", 4, 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._3 -> r._4).toMap
+    def sign(i: Long): Long =
+      if (((i * 1103515245L + 12345L) >> 16) % 2 == 0) 1L else -1L
+    assert(p(0L) == sign(0) * 1000000L && p(1L) == sign(4) * 1000000L)
+    intercept[IllegalArgumentException](
+      Similarity.randomProject(short, "vec_id", "embedding", 4, 63))
+    intercept[IllegalArgumentException](
+      Similarity.randomProject(short, "vec_id", "embedding", 0, 8))
+  }
 }

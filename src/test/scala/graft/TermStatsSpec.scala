@@ -119,4 +119,37 @@ class TermStatsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(topped.map(_._1) == Seq("x y", "x z"))
   }
+
+  test("vocabulary growth: new types credit the first doc, totals accumulate") {
+    // doc 1: a b a   → 3 tok, 2 new (a, b)
+    // doc 2: b c     → 2 tok, 1 new (c)
+    // doc 3: (empty) → excluded
+    // doc 4: a d d   → 3 tok, 1 new (d); no new tokens in doc 5
+    val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "  "), (4L, "a d d"),
+      (5L, "c a")).toDF("doc_id", "text")
+    val out = TermStats.vocabularyGrowth(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 3L, 2L),
+      (2L, 2L, 1L, 5L, 3L),
+      (4L, 3L, 1L, 8L, 4L),
+      (5L, 2L, 0L, 10L, 4L)))
+  }
+
+  test("vocabulary growth is layout-independent") {
+    val d = (1L to 200L).map(i => (i, s"w${i % 7} w${i % 31} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val a = TermStats.vocabularyGrowth(d.coalesce(1), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val b = TermStats.vocabularyGrowth(d.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    // the final vocab_size is the corpus's distinct-type count
+    assert(a.last._5 == 31L)
+    // running totals are monotone and consistent with the per-doc columns
+    a.sliding(2).foreach { case Seq(p, n) =>
+      assert(n._4 == p._4 + n._2 && n._5 == p._5 + n._3)
+      case _ => ()
+    }
+  }
 }
