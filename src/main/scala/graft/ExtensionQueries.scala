@@ -305,6 +305,14 @@ object ExtensionQueries {
           "embedding", dims = 64, outDims = 16)
         .orderBy(col("vec_id"), col("pos"))),
 
+    // Source-level quality gate (CCNet/RefinedWeb): ppm-integer source
+    // scores from per-doc alpha + stopword ratios; whole sources below
+    // the bar drop, survivors keep their source's score.
+    "q85_source_quality_gate" -> ((s, d) =>
+      Curation.sourceQualityFilter(Tables.documents(s, d), "doc_id", "text",
+          "source", minScorePpm = 440000L)
+        .orderBy(col("doc_id"))),
+
     // Deterministic weighted systematic sampling: documents selected
     // proportional to token count (one expected pick per 1000 tokens of
     // stream), via the same two-pass distributed prefix sum as q61 —
@@ -1211,6 +1219,25 @@ object ExtensionQueries {
         |SELECT vec_id, srp_sig, CAST(j AS BIGINT) AS pos, projs[j+1] AS proj
         |FROM sg, range(0, 16) r(j)
         |ORDER BY vec_id, pos""".stripMargin,
+
+    // Mirrors Curation.sourceQualityFilter (threshold 440000 ppm):
+    // truncating integer arithmetic end-to-end, so the per-source mean
+    // is layout-independent in both engines.
+    "q85_source_quality_gate" -> {
+      val allStop = TextFeatures.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH tok AS (SELECT doc_id, source, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents WHERE length(text) >= 1),
+         |sc AS (SELECT doc_id, source,
+         |    ((length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000) // length(text)
+         |     + (len(list_filter(toks, t -> list_contains($allStop, t))) * 1000000) // len(toks)) // 2 AS score_ppm
+         |  FROM tok WHERE len(toks) >= 1),
+         |src AS (SELECT source, CAST(SUM(score_ppm) // count(*) AS BIGINT) AS src_score_ppm
+         |  FROM sc GROUP BY source),
+         |keep AS (SELECT source, src_score_ppm FROM src WHERE src_score_ppm >= 440000)
+         |SELECT sc.doc_id, sc.source, keep.src_score_ppm
+         |FROM sc JOIN keep USING (source) ORDER BY doc_id""".stripMargin
+    },
 
     // Mirrors Curation.weightedSystematicSample (step 1000): inclusive
     // running token sum in doc_id order, select rows whose weight

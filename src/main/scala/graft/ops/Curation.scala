@@ -158,4 +158,53 @@ object Curation {
       .filter(col("n_hits") > 0)
       .select(col("__id").as(idCol), col("__val").as("weight"), col("n_hits"))
   }
+
+  /** Source-level quality gate (the CCNet/RefinedWeb move): score every
+    * SOURCE by its documents' aggregate quality and drop whole sources
+    * below the bar — low-grade domains are removed even when individual
+    * pages sneak past per-document filters, and the decision is
+    * auditable at the source grain.
+    *
+    * The score is integer-exact end-to-end: per doc,
+    * `(alpha_ppm + stop_ppm) div 2` where alpha_ppm =
+    * alpha_chars·1e6 div chars and stop_ppm = stopword_hits·1e6 div
+    * tokens (the [a-zA-Z] alphabet and the all-language stopword list
+    * of [[graft.functions.TextAnalysis.qualityColumns]]); per source,
+    * the truncating mean `sum div count`. No float ever aggregates, so
+    * the result is layout- and engine-independent. Documents with no
+    * tokens or no characters are dropped by the gate itself (they
+    * cannot be scored and carry no signal).
+    *
+    * Scale shape: one per-doc projection, one map-side-combinable
+    * (sum, count) aggregate on source, and the verdict joins back on
+    * the source key — |sources| ≪ |docs| but unbounded (web domains),
+    * so the join strategy is left to AQE, never force-broadcast.
+    *
+    * @return (`idCol`, `sourceCol`, src_score_ppm) for documents of
+    *         sources scoring ≥ `minScorePpm`
+    */
+  def sourceQualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, minScorePpm: Long): DataFrame = {
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val scored = docs
+      .select(col(idCol), col(sourceCol), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1 && length(col("__text")) >= 1)
+      .select(col(idCol), col(sourceCol),
+        length(regexp_replace(col("__text"), "[^a-zA-Z]", ""))
+          .cast("long").as("__alpha"),
+        length(col("__text")).cast("long").as("__chars"),
+        stopwordHits(col("__toks"), allStop).cast("long").as("__stop"),
+        size(col("__toks")).cast("long").as("__ntok"))
+      .withColumn("__score_ppm", expr(
+        "((__alpha * 1000000 div __chars) + (__stop * 1000000 div __ntok)) div 2"))
+    val bySource = scored.groupBy(sourceCol)
+      .agg(sum(col("__score_ppm")).as("__sum"), count(lit(1)).as("__n"))
+      .withColumn("src_score_ppm", expr("__sum div __n"))
+      .filter(col("src_score_ppm") >= minScorePpm)
+      .select(col(sourceCol), col("src_score_ppm"))
+    scored.select(col(idCol), col(sourceCol))
+      .join(bySource, Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("src_score_ppm"))
+  }
 }

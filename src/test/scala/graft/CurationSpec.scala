@@ -101,4 +101,24 @@ class CurationSpec extends SparkSpec {
       .select("lang", "doc_id").as[(String, Long)].collect()
     assert(out.toSet == out2.toSet)
   }
+
+  test("source quality gate: whole sources drop; truncating ppm means are exact") {
+    // good: "the data" → alpha 7/8 = 875000 ppm, stop 1/2 = 500000 →
+    //   doc score (875000+500000)/2 = 687500; both docs identical → src 687500
+    // bad: "12 34 !!" → alpha 0, stop 0 → score 0; with "a1 b2" →
+    //   alpha 2/5 = 400000, stop 0 → 200000; src mean (0+200000)/2 = 100000
+    // empty doc in good must be EXCLUDED, not scored as 0
+    val docs = Seq(
+      (1L, "good", "the data"), (2L, "good", "the data"), (3L, "good", "  "),
+      (4L, "bad", "12 34 !!"), (5L, "bad", "a1 b2")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.sourceQualityFilter(docs, "doc_id", "text", "source", 400000L)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, "good", 687500L), (2L, "good", 687500L)))
+    // threshold above every source → empty, below → all scored docs
+    assert(Curation.sourceQualityFilter(docs, "doc_id", "text", "source", 700000L)
+      .count() == 0L)
+    assert(Curation.sourceQualityFilter(docs, "doc_id", "text", "source", 0L)
+      .count() == 4L)
+  }
 }
