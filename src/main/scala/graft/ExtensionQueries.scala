@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, BpeTrainer, Clustering, Contamination, Curation, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Similarity, Sketches, Spectral, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Relational, Similarity, Sketches, Spectral, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -739,6 +739,63 @@ object ExtensionQueries {
       GraphRank.pageRank(li, "src", "dst", 3, redistributeDangling = true)
         .orderBy(col("node"))
     }),
+
+    // Snapshot CDC diff: last month's corpus vs this month's (every 7th
+    // doc dropped, every 5th survivor revised, every 11th re-ingested
+    // under a new id) → the insert/delete/update changelog. One
+    // full-outer join on the key, output |changes| not |table|.
+    "q86_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val news = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      Relational.snapshotDiff(docs, news, Seq("doc_id"), Seq("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Edit-distance similarity join (fuzzy near-key matching): 30-char
+    // doc prefixes plus one-deletion mutants, all pairs within 2 edits
+    // via the lossless rare-q-gram prefix signature + exact confirm.
+    "q87_edit_join" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("s"))
+      val mut = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(substring(col("s"), 1, 10), expr("substring(s, 12)")).as("s"))
+      FuzzyJoin.editDistanceJoin(base.unionByName(mut), "doc_id", "s",
+          maxDist = 2, q = 2, minLen = 12)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // HyperLogLog-family register table: per-event-type distinct-user
+    // sketch state (64 byte-sized maxima per group, mergeable under any
+    // order) — the fixed-size COUNT DISTINCT next to q54's KMV.
+    "q88_hll_registers" -> ((s, d) =>
+      Sketches.hllRegisters(Tables.events(s, d), "event_type",
+          col("user_id").cast("string"), p = 6)
+        .orderBy(col("event_type"), col("bucket"))),
+
+    // Bloom-pruned semi join: pull every document whose text fingerprint
+    // is on the (doc_id % 13) blocklist — the bitmap probe kills
+    // non-matches inside the scan, only candidates shuffle, the real
+    // join removes false positives. Result ≡ plain semi join.
+    "q89_bloom_prune" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      BloomPrune.prunedSemiJoin(docs,
+          docs.filter(col("doc_id") % 13 === 0), col("text"), col("text"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // One-pass ANALYZE-style column profile of the orders table:
+    // non-null count, exact NDV, lexicographic min/max of the canonical
+    // string form — one scan, one tiny-key aggregate.
+    "q90_column_profile" -> ((s, d) =>
+      Profiler.columnProfile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -1873,5 +1930,87 @@ object ExtensionQueries {
          |SELECT vec_id, CAST(list_reduce(list_transform(range(1, 65), i -> q[i]*v[i]), (a,b)->a+b) AS BIGINT) AS score
          |FROM qe, v2 ORDER BY vec_id""".stripMargin
     },
+
+    // Mirrors Relational.snapshotDiff over the constructed old/new
+    // snapshots: full-outer classification, unchanged keys dropped,
+    // IS DISTINCT FROM = Spark's null-safe <=> negated.
+    "q86_snapshot_diff" ->
+      """WITH olds AS (SELECT doc_id, text FROM documents),
+        |news AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    o.text AS old_text, n.text AS new_text,
+        |    o.doc_id IS NOT NULL AS inold, n.doc_id IS NOT NULL AS innew
+        |  FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN NOT inold THEN 'insert'
+        |       WHEN NOT innew THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  old_text, new_text
+        |FROM j
+        |WHERE NOT inold OR NOT innew OR old_text IS DISTINCT FROM new_text
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors FuzzyJoin.editDistanceJoin's CONTRACT (all pairs within
+    // maxDist=2 among length>=12 strings) as the brute-force
+    // length-filtered join — the prefix signature is a lossless
+    // optimization, so the pair sets agree exactly.
+    "q87_edit_join" ->
+      """WITH base AS (SELECT doc_id, substring(text, 1, 30) AS s FROM documents),
+        |mut AS (SELECT doc_id + 40000 AS doc_id,
+        |    substring(s, 1, 10) || substring(s, 12) AS s
+        |  FROM base WHERE doc_id % 3 = 0),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |f AS (SELECT * FROM c WHERE length(s) >= 12)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM f a JOIN f b
+        |  ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors Sketches.hllRegisters (p=6, MaxRho=30): bucket = mix % 64,
+    // rho = trailing zeros of (mix // 64) + 1 via the pure-integer
+    // bit_count((r & -r) - 1) spelling, register = per-bucket max.
+    "q88_hll_registers" -> {
+      val vh = dh("CAST(user_id AS VARCHAR)")
+      s"""WITH h0 AS (SELECT event_type, $vh AS h FROM events),
+         |mx AS (SELECT event_type,
+         |    ((48271 * ((h * h) % 1000000007)) % 1000000007
+         |     + (16807 * h) % 1000000007) % 1000000007 AS m FROM h0),
+         |b AS (SELECT event_type, m % 64 AS bucket, m // 64 AS r FROM mx),
+         |rho AS (SELECT event_type, bucket,
+         |    CASE WHEN r = 0 THEN 30
+         |         ELSE least(30, bit_count((r & -r) - 1) + 1) END AS rho
+         |  FROM b)
+         |SELECT event_type, bucket, CAST(max(rho) AS BIGINT) AS register
+         |FROM rho GROUP BY event_type, bucket
+         |ORDER BY event_type, bucket""".stripMargin
+    },
+
+    // Mirrors BloomPrune.prunedSemiJoin's CONTRACT: the bloom pass is
+    // pure pruning (no false negatives; positives re-checked by the
+    // join), so the result is the plain fingerprint semi join.
+    "q89_bloom_prune" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${dh("text")} IN
+         |  (SELECT ${dh("text")} FROM documents WHERE doc_id % 13 = 0)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Profiler.columnProfile over orders: canonical-string
+    // values, count/NDV/lexicographic min-max per column.
+    "q90_column_profile" ->
+      """WITH u AS (
+        |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
+        |SELECT col_name, count(v) AS n_nonnull, count(DISTINCT v) AS n_distinct,
+        |  min(v) AS min_str, max(v) AS max_str
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
   )
 }

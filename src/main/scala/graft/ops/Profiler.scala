@@ -163,4 +163,38 @@ object Profiler {
       .agg(sum(abs(coalesce(col("__sa"), lit(0L)) - coalesce(col("__sb"), lit(0L))))
         .as("l1_ppm"))
   }
+
+  /** X68: one-pass column profiler — the ANALYZE-style statistics sweep
+    * (per-column non-null count, exact NDV, lexicographic min/max over
+    * the canonical string form) every ingestion run should record. The
+    * reference's run report counts rows per table (database.py's
+    * execute-and-count); this is the per-COLUMN generalization a
+    * warehouse needs for optimizer stats and drift baselines.
+    *
+    * Contract: values profile as their canonical strings (BIGINT →
+    * decimal digits, identical in Spark and DuckDB), so min/max are
+    * LEXICOGRAPHIC — documented, deterministic, and type-agnostic
+    * (one schema for every column type). The exact-NDV aggregate is
+    * the expensive honest choice (count_distinct expands each row once
+    * per column); the bounded-state alternative at extreme scale is
+    * [[Sketches.hllRegisters]] per column.
+    *
+    * Shape: ONE scan of the table — the explode fans each row into
+    * |cols| (column, value) pairs inside codegen (no shuffle until the
+    * aggregate), then a single groupBy on the tiny column-name key.
+    *
+    * @return (col_name, n_nonnull, n_distinct, min_str, max_str)
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val pairs = cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v")))
+    df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(count(col("v")).as("n_nonnull"),
+        count_distinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_str"),
+        max(col("v")).as("max_str"))
+  }
 }

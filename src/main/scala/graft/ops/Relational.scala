@@ -95,4 +95,37 @@ object Relational {
       df.withColumn(out, coalesce(src, fb))
     }
   }
+
+  /** X64: snapshot CDC diff — the monthly-refresh changelog. Given two
+    * snapshots of the same keyed table (the reference refreshes its
+    * whole catalog each month — downloader.py's period loop — so "what
+    * changed since last month" is the natural incremental product),
+    * emit one row per changed key, classified `insert` / `delete` /
+    * `update`, with the old and new images of every compared column.
+    *
+    * Shape at scale: ONE full-outer sort-merge join on the key — each
+    * side shuffles exactly once, no window, no driver state. Unchanged
+    * keys (the overwhelming majority of a monthly refresh) are dropped
+    * by a post-join filter, so the output is |changes|, not |table|.
+    * Null-safe comparison (`<=>`) keeps NULL→value and value→NULL
+    * transitions classified as updates, not unchanged.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compare: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compare.nonEmpty, "snapshotDiff needs at least one compared column")
+    val l = oldSnap.select(keys.map(col) ++
+      compare.map(c => col(c).as(s"old_$c")) :+ lit(1L).as("__inold"): _*)
+    val r = newSnap.select(keys.map(col) ++
+      compare.map(c => col(c).as(s"new_$c")) :+ lit(1L).as("__innew"): _*)
+    l.join(r, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__inold").isNull, lit("insert"))
+          .when(col("__innew").isNull, lit("delete"))
+          .when(compare.map(c => col(s"old_$c") <=> col(s"new_$c"))
+            .reduce(_ && _), lit("unchanged"))
+          .otherwise(lit("update")))
+      .filter(col("change_type") =!= "unchanged")
+      .drop("__inold", "__innew")
+  }
 }

@@ -204,4 +204,67 @@ object Sketches {
           .otherwise(expr(s"(${k - 1} * ${TextFeatures.HashMod}L) DIV __hk"))
           .as("kmv_est"))
   }
+
+  /** X66: HyperLogLog-family register table — the fixed-size mergeable
+    * distinct sketch next to KMV. Where KMV keeps the bottom-k hash
+    * VALUES (state k longs, exact below saturation), the register
+    * sketch keeps, per group, 2^p byte-sized maxima (state 2^p
+    * SMALL ints regardless of cardinality) and estimates from their
+    * distribution — the shape every production engine (Druid, Presto,
+    * BigQuery) ships for streaming COUNT DISTINCT.
+    *
+    * Register definition (deterministic, engine-neutral): for each
+    * value, h = mix(polyhash(v)); bucket = h mod 2^p; r = h div 2^p;
+    * rho = (trailing zeros of r) + 1, or [[MaxRho]] when r = 0 — the
+    * Flajolet–Martin bit-pattern observable. Register(bucket) =
+    * MAX(rho) — map-side combinable, mergeable across executors,
+    * batches, and streams under any order.
+    *
+    * Trailing zeros spell as bit_count((r & -r) - 1) — pure integer
+    * ops, identical in Spark and DuckDB, no floating point anywhere.
+    *
+    * @return (`groupCol`, bucket, register) — at most 2^p rows per group
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueExpr: Column,
+                   p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 14, "hllRegisters needs 2 <= p <= 14")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val m = 1L << p
+    val h = mix(TextFeatures.charHash(valueExpr))
+    val r = (h / m).cast("long")
+    val rho = when(r === 0L, lit(MaxRho.toLong))
+      .otherwise(least(lit(MaxRho.toLong),
+        bit_count(r.bitwiseAND(-r) - 1).cast("long") + 1L))
+    df.select(col(groupCol), (h % m).as("bucket"), rho.as("__rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("__rho")).as("register"))
+  }
+
+  /** Upper bound on a register value: mix() < 2^30, so after the p-bit
+    * bucket split at most 30 significant bits remain. */
+  val MaxRho: Int = 30
+
+  /** Integer-exact estimate from a register table: the harmonic-mean
+    * HLL formula with every division a floor DIV. A register's 2^-M
+    * weight is the INTEGER 2^(MaxRho − M) on the 2^MaxRho scale
+    * (M ≤ MaxRho by construction), so the harmonic sum — and the
+    * estimate — is bit-identical on any engine and any merge order;
+    * alpha = 0.709 (m = 64) enters as the rational 709/1000. Empty
+    * buckets contribute 2^0 = full weight, as in the original
+    * estimator. Worst-case numerator 709·m²·2^MaxRho ≈ 3.1e15 at
+    * p = 6 — comfortably inside a long.
+    *
+    * @return (`groupCol`, n_occupied, est) — one row per group
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String, p: Int = 6): DataFrame = {
+    val m = 1L << p
+    val full = 1L << MaxRho
+    registers
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_occupied"),
+        sum(expr(s"shiftleft(1L, cast($MaxRho - register AS int))")).as("__s"))
+      .select(col(groupCol), col("n_occupied"),
+        expr(s"(709 * $m * $m * ${full}L) DIV " +
+          s"(1000 * (__s + ($m - n_occupied) * ${full}L))").as("est"))
+  }
 }

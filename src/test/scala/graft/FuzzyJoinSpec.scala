@@ -1,0 +1,93 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.FuzzyJoin
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Textbook DP Levenshtein — the in-memory reference model. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("finds single-edit mutants (substitute, insert, delete)") {
+    val base = "abcdefghijklmn" // 14 chars
+    val docs = Seq(
+      (1L, base),
+      (2L, base.updated(5, 'X')), // substitution
+      (3L, base.take(7) + "Q" + base.drop(7)), // insertion
+      (4L, base.take(3) + base.drop(4)), // deletion
+      (5L, "zyxwvutsrqponm") // unrelated
+    ).toDF("id", "s")
+    val got = FuzzyJoin.editDistanceJoin(docs, "id", "s", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val expPairs = for {
+      a <- 1L to 5L; b <- (a + 1) to 5L
+      d = lev(Seq(base, base.updated(5, 'X'), base.take(7) + "Q" + base.drop(7),
+        base.take(3) + base.drop(4), "zyxwvutsrqponm")(a.toInt - 1),
+        Seq(base, base.updated(5, 'X'), base.take(7) + "Q" + base.drop(7),
+          base.take(3) + base.drop(4), "zyxwvutsrqponm")(b.toInt - 1))
+      if d <= 2
+    } yield (a, b, d.toLong)
+    assert(got == expPairs.toSet)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 1L)) &&
+      got.contains((1L, 4L, 1L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("strings below minLen are excluded from both sides") {
+    val docs = Seq((1L, "short"), (2L, "short"), (3L, "longenoughstring"),
+      (4L, "longenoughstrinX")).toDF("id", "s")
+    val got = FuzzyJoin.editDistanceJoin(docs, "id", "s", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((3L, 4L, 1L)))
+  }
+
+  test("rejects parameterizations whose count bound collapses") {
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoin(Seq((1L, "x")).toDF("id", "s"),
+        "id", "s", maxDist = 3, q = 3, minLen = 10)
+    }
+  }
+
+  test("== brute-force model on random mutation-heavy corpora") {
+    val rnd = new Random(20260814L)
+    val alphabet = "abcde" // small: forces repeated grams + accidental matches
+    (1 to 3).foreach { trial =>
+      val bases = (0 until 25).map { _ =>
+        (0 until (12 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(5))).mkString
+      }
+      val mutants = bases.zipWithIndex.collect {
+        case (s, i) if i % 2 == 0 =>
+          val p = rnd.nextInt(s.length)
+          rnd.nextInt(3) match {
+            case 0 => s.updated(p, alphabet(rnd.nextInt(5))) // sub
+            case 1 => s.take(p) + alphabet(rnd.nextInt(5)) + s.drop(p) // ins
+            case _ => s.take(p) + s.drop(p + 1) // del
+          }
+      }
+      val all = (bases ++ mutants).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = all.toDF("id", "s")
+      val got = FuzzyJoin.editDistanceJoin(df, "id", "s", maxDist = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val kept = all.filter(_._2.length >= 12)
+      val model = (for {
+        (ia, sa) <- kept; (ib, sb) <- kept
+        if ia < ib
+        d = lev(sa, sb)
+        if d <= 2
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == model, s"trial $trial: got ${got.size} vs model ${model.size}")
+    }
+  }
+}

@@ -130,4 +130,20 @@ class ProfilerSpec extends SparkSpec {
     }.toSet
     assert(got == model)
   }
+
+  test("columnProfile: counts, NDV, lexicographic min/max, nulls excluded") {
+    val df = Seq(
+      (1L, Some("b"), Some(10L)),
+      (2L, Some("a"), None),
+      (3L, None, Some(9L)),
+      (4L, Some("a"), Some(100L))
+    ).toDF("id", "name", "qty")
+    val out = Profiler.columnProfile(df, Seq("id", "name", "qty"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("id") == ((4L, 4L, "1", "4")))
+    assert(out("name") == ((3L, 2L, "a", "b")))
+    // lexicographic contract: "10" < "100" < "9" as strings
+    assert(out("qty") == ((3L, 3L, "10", "9")))
+  }
 }

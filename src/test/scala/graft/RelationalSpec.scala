@@ -76,4 +76,27 @@ class RelationalSpec extends SparkSpec {
     assert(out(3L) == ((ts("2024-01-02 00:00:00"), None))) // chain tail
     assert(out(4L) == ((ts("2024-03-01 00:00:00"), None))) // other key
   }
+
+  test("snapshotDiff: insert/delete/update classified, unchanged dropped") {
+    val olds = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val news = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("k", "v")
+    val out = Relational.snapshotDiff(olds, news, Seq("k"), Seq("v"))
+      .select("k", "change_type", "old_v", "new_v")
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> (("delete", Some("a"), None)),
+      3L -> (("update", Some("c"), Some("c2"))),
+      4L -> (("insert", None, Some("d")))))
+  }
+
+  test("snapshotDiff: NULL<->value transitions are updates, NULL==NULL is unchanged") {
+    val olds = Seq((1L, Option.empty[String]), (2L, Some("x")), (3L, Option.empty[String]))
+      .toDF("k", "v")
+    val news = Seq((1L, Some("now")), (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("k", "v")
+    val out = Relational.snapshotDiff(olds, news, Seq("k"), Seq("v"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "update", 2L -> "update")) // 3 = unchanged, dropped
+  }
 }

@@ -85,4 +85,36 @@ class SketchesSpec extends SparkSpec {
       k -> (half1.getOrElse(k, 0L) + half2.getOrElse(k, 0L))).toMap
     assert(merged == cells.map { case (j, c, n) => (j, c) -> n }.toMap)
   }
+
+  test("HLL registers: bounded, deterministic, mergeable (max of halves = whole)") {
+    val df = (1 to 3000).map(i => (s"g${i % 2}", s"user${i % 700}")).toDF("g", "v")
+    val whole = Sketches.hllRegisters(df, "g", col("v"), p = 6)
+      .as[(String, Long, Long)].collect()
+    assert(whole.length <= 2 * 64)
+    assert(whole.forall { case (_, b, r) => b >= 0 && b < 64 && r >= 1 && r <= 30 })
+    // determinism across partitionings
+    val re = Sketches.hllRegisters(df.repartition(13), "g", col("v"), p = 6)
+      .as[(String, Long, Long)].collect()
+    assert(whole.toSet == re.toSet)
+    // merge = elementwise max of the halves' registers
+    val h1 = Sketches.hllRegisters(df.limit(1500), "g", col("v"), p = 6)
+      .as[(String, Long, Long)].collect().map { case (g, b, r) => (g, b) -> r }.toMap
+    val h2 = Sketches.hllRegisters(df.except(df.limit(1500)), "g", col("v"), p = 6)
+      .as[(String, Long, Long)].collect().map { case (g, b, r) => (g, b) -> r }.toMap
+    val merged = (h1.keySet ++ h2.keySet).map(k =>
+      k -> math.max(h1.getOrElse(k, 0L), h2.getOrElse(k, 0L))).toMap
+    assert(merged == whole.map { case (g, b, r) => (g, b) -> r }.toMap)
+  }
+
+  test("HLL estimate lands within the ~1.04/sqrt(m) band") {
+    val n = 20000
+    val df = (1 to n).map(i => ("g", s"item$i")).toDF("g", "v")
+    val regs = Sketches.hllRegisters(df, "g", col("v"), p = 6)
+    val (_, occ, est) = Sketches.hllEstimate(regs, "g", p = 6)
+      .as[(String, Long, Long)].head()
+    assert(occ == 64L) // all buckets hit at 20k >> 64
+    // 1.04/sqrt(64) = 13% standard error; allow 3 sigma + bias slack
+    assert(math.abs(est.toDouble / n - 1.0) < 0.45,
+      s"HLL estimate $est too far from $n")
+  }
 }
