@@ -789,6 +789,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Integer-exact HLL estimate off the q88 registers: harmonic-mean
+    // formula with 2^-M weights as integers on the 2^30 scale, alpha as
+    // the rational 709/1000 — bit-identical on any engine/merge order.
+    "q91_hll_estimate" -> ((s, d) =>
+      Sketches.hllEstimate(
+          Sketches.hllRegisters(Tables.events(s, d), "event_type",
+            col("user_id").cast("string"), p = 6),
+          "event_type", p = 6)
+        .orderBy(col("event_type"))),
+
     // One-pass ANALYZE-style column profile of the orders table:
     // non-null count, exact NDV, lexicographic min/max of the canonical
     // string form — one scan, one tiny-key aggregate.
@@ -2000,6 +2010,29 @@ object ExtensionQueries {
          |WHERE ${dh("text")} IN
          |  (SELECT ${dh("text")} FROM documents WHERE doc_id % 13 = 0)
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Sketches.hllEstimate over the q88 registers: integer
+    // harmonic sum on the 2^30 scale, floor-DIV estimate.
+    "q91_hll_estimate" -> {
+      val vh = dh("CAST(user_id AS VARCHAR)")
+      s"""WITH h0 AS (SELECT event_type, $vh AS h FROM events),
+         |mx AS (SELECT event_type,
+         |    ((48271 * ((h * h) % 1000000007)) % 1000000007
+         |     + (16807 * h) % 1000000007) % 1000000007 AS m FROM h0),
+         |b AS (SELECT event_type, m % 64 AS bucket, m // 64 AS r FROM mx),
+         |rho AS (SELECT event_type, bucket,
+         |    CASE WHEN r = 0 THEN 30
+         |         ELSE least(30, bit_count((r & -r) - 1) + 1) END AS rho
+         |  FROM b),
+         |regs AS (SELECT event_type, bucket, max(rho) AS register
+         |  FROM rho GROUP BY event_type, bucket)
+         |SELECT event_type, count(*) AS n_occupied,
+         |  CAST((709 * 64 * 64 * CAST(1073741824 AS BIGINT)) //
+         |    (1000 * (SUM(CAST(1 AS BIGINT) << (30 - register))
+         |             + (64 - count(*)) * CAST(1073741824 AS BIGINT)))
+         |    AS BIGINT) AS est
+         |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
 
     // Mirrors Profiler.columnProfile over orders: canonical-string
     // values, count/NDV/lexicographic min-max per column.

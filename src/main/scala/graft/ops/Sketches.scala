@@ -226,7 +226,17 @@ object Sketches {
     * @return (`groupCol`, bucket, register) — at most 2^p rows per group
     */
   def hllRegisters(df: DataFrame, groupCol: String, valueExpr: Column,
-                   p: Int = 6): DataFrame = {
+                   p: Int = 6): DataFrame =
+    hllRhoRows(df, groupCol, valueExpr, p)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("__rho")).as("register"))
+
+  /** The per-value (group, bucket, rho) projection shared by the batch
+    * register aggregate and the streaming twin. The bucket split
+    * divides by 2^p, so the double-typed `/` is exact (mantissa of a
+    * sub-2^30 hash shifts, nothing rounds) before the floor cast. */
+  private[graft] def hllRhoRows(df: DataFrame, groupCol: String,
+                                valueExpr: Column, p: Int): DataFrame = {
     require(p >= 2 && p <= 14, "hllRegisters needs 2 <= p <= 14")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val m = 1L << p
@@ -236,8 +246,6 @@ object Sketches {
       .otherwise(least(lit(MaxRho.toLong),
         bit_count(r.bitwiseAND(-r) - 1).cast("long") + 1L))
     df.select(col(groupCol), (h % m).as("bucket"), rho.as("__rho"))
-      .groupBy(col(groupCol), col("bucket"))
-      .agg(max(col("__rho")).as("register"))
   }
 
   /** Upper bound on a register value: mix() < 2^30, so after the p-bit

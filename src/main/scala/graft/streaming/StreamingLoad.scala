@@ -192,6 +192,36 @@ object StreamingLoad {
       }
   }
 
+  final case class HllOut(group: String, bucket: Long, register: Long)
+
+  /** Streaming twin of [[graft.ops.Sketches.hllRegisters]]: the
+    * register maxima as keyed state — ONE long per occupied (group,
+    * bucket), capped at 2^p entries per group whatever the stream's
+    * cardinality (the whole point of the register sketch). Max-merge
+    * is commutative and idempotent, so the post-stream registers equal
+    * the batch registers over the union of all batches under any
+    * arrival order or trigger boundary (pinned by spec).
+    */
+  def hllStream(rows: DataFrame, groupCol: String, valueCol: String,
+                p: Int = 6): Dataset[HllOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    graft.ops.Sketches
+      .hllRhoRows(rows.select(col(groupCol).cast("string").as("g"),
+        col(valueCol)), "g", col(valueCol), p)
+      .as[(String, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[Long, HllOut](GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          val next = math.max(state.getOption.getOrElse(0L),
+            rows.map(_._3).max)
+          state.update(next)
+          HllOut(key._1, key._2, next)
+      }
+  }
+
   // ---- custom state: sessionization (flatMapGroupsWithState) -----------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

@@ -126,6 +126,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers converge to the batch registers across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingLoad.hllStream(mem.toDF().toDF("g", "v"), "g", "v", p = 6)
+      .writeStream.format("memory").queryName("hll_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1 to 400).map(i => ("a", s"user$i")): _*)
+      q.processAllAvailable()
+      mem.addData((200 to 900).map(i => ("a", s"user$i")): _*)
+      q.processAllAvailable()
+      // last emission per bucket = register over the union of batches
+      val finalRegs = spark.table("hll_test")
+        .groupBy($"group", $"bucket")
+        .agg(org.apache.spark.sql.functions.max($"register").as("register"))
+        .as[(String, Long, Long)].collect().toSet
+      val batch = graft.ops.Sketches.hllRegisters(
+          (1 to 900).map(i => ("a", s"user$i")).toDF("g", "v"), "g", col("v"), p = 6)
+        .as[(String, Long, Long)].collect().toSet
+      assert(finalRegs == batch)
+      assert(finalRegs.size <= 64) // state bounded at 2^p per group
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup equals the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
