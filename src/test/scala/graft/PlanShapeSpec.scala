@@ -100,4 +100,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(collectAt >= 0 && joinAt > collectAt,
       s"expected band join below the partial collect:\n$plan")
   }
+
+  test("edit-distance join never degrades to a nested loop or cross join") {
+    val docs = (1 to 60).map(i => (i.toLong, s"abcdefghijkl${i % 7}"))
+      .toDF("id", "s")
+    val plan = planOf(graft.ops.FuzzyJoin.editDistanceJoin(docs, "id", "s", 2))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"edit-distance join degraded to all-pairs:\n$plan")
+  }
+
+  test("bloom probe reaches the scan as a data filter (pre-exchange kill)") {
+    // The probe must be a pushable filter on the big side's scan — not a
+    // post-shuffle Filter node — so non-matches die inside codegen
+    // before any exchange. element_at on the bitmap literal appearing in
+    // the scan's DataFilters is the evidence.
+    val dir = tmpDir("bloom_scan")
+    (1 to 500).map(i => (i.toLong, s"key$i")).toDF("id", "k")
+      .write.mode("overwrite").parquet(dir)
+    val big = spark.read.parquet(dir)
+    val keys = Seq("key7", "key99").toDF("bk")
+    val plan = planOf(graft.ops.BloomPrune.prunedSemiJoin(
+      big, keys, col("k"), col("bk")))
+    val scanAt = plan.indexOf("FileScan")
+    assert(scanAt >= 0 && plan.substring(scanAt).take(400).contains("element_at"),
+      s"bitmap probe not pushed into the scan:\n$plan")
+  }
 }
