@@ -806,6 +806,39 @@ object ExtensionQueries {
       Profiler.columnProfile(Tables.orders(s, d),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy(col("col_name"))),
+
+    // Zipf rank-frequency profile: top-100 corpus terms, deterministic
+    // (count DESC, token ASC) rank via TakeOrderedAndProject — the
+    // crawl-health curve, never a full sort.
+    "q92_zipf_profile" -> ((s, d) =>
+      TermStats.zipfProfile(docsFanned(s, d), "text", topK = 100)
+        .orderBy(col("rnk"))),
+
+    // Corpus-level n-gram novelty: ppm of each doc's distinct trigrams
+    // occurring nowhere else — the template-mass gate; hashes shuffle,
+    // text never does.
+    "q93_ngram_novelty" -> ((s, d) =>
+      TermStats.ngramNovelty(docsFanned(s, d), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))),
+
+    // Token-balanced contiguous shard assignment (8 shards) on the
+    // shared two-pass prefix sum — reproducible "equal tokens per
+    // output file" manifests, no single-partition window.
+    "q94_shard_assign" -> ((s, d) =>
+      Curation.assignShards(Tables.documents(s, d), "doc_id",
+          size(TextFeatures.tokens(col("text"))).cast("long"), nShards = 8)
+        .orderBy(col("doc_id"))),
+
+    // Language-ID confusion matrix: labeled lang × predicted lang
+    // counts — the eval surface over X8's classifier (one projection,
+    // one tiny-key aggregate).
+    "q95_langid_confusion" -> ((s, d) =>
+      docsFanned(s, d)
+        .select(col("lang"),
+          TextAnalysis.langId(TextFeatures.tokens(col("text"))).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2033,6 +2066,66 @@ object ExtensionQueries {
          |    AS BIGINT) AS est
          |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    // Mirrors TermStats.zipfProfile: token counts ranked by
+    // (cnt DESC, tok ASC), top 100.
+    "q92_zipf_profile" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |r AS (SELECT tok, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT tok, cnt, rnk FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+
+    // Mirrors TermStats.ngramNovelty (n=3): distinct trigram hashes per
+    // doc (q54's shingle spelling), df over docs, unique = df 1.
+    "q93_ngram_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |      list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |      s -> ${dh("s")})) AS h
+         |  FROM tok WHERE len(toks) >= 3)),
+         |df AS (SELECT h, count(*) AS dfc FROM g GROUP BY h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST((sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+         |FROM g JOIN df USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.assignShards (8 shards): inclusive prefix sum in
+    // doc order, shard = interval-start * 8 DIV total.
+    "q94_shard_assign" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w,
+        |    CAST(SUM(w) OVER (ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+        |  FROM c WHERE w > 0),
+        |t AS (SELECT MAX(cend) AS total FROM s)
+        |SELECT doc_id, w AS weight,
+        |  CAST(((cend - w) * 8) // total AS BIGINT) AS shard
+        |FROM s, t ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the q95 confusion matrix: q28's langid CASE, then
+    // (lang, pred_lang) counts.
+    "q95_langid_confusion" ->
+      s"""WITH tok AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  len(list_filter(toks, t -> list_contains(${stopList("de")}, t))) AS h_de,
+         |  len(list_filter(toks, t -> list_contains(${stopList("en")}, t))) AS h_en,
+         |  len(list_filter(toks, t -> list_contains(${stopList("es")}, t))) AS h_es,
+         |  len(list_filter(toks, t -> list_contains(${stopList("fr")}, t))) AS h_fr
+         | FROM tok),
+         |p AS (SELECT lang, CASE
+         |  WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |  WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |  WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_en AND h_es >= h_fr THEN 'es'
+         |  WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+         |  ELSE 'und' END AS pred_lang
+         | FROM h)
+         |SELECT lang, pred_lang, count(*) AS n
+         |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
     // Mirrors Profiler.columnProfile over orders: canonical-string
     // values, count/NDV/lexicographic min-max per column.

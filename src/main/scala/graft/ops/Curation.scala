@@ -207,4 +207,33 @@ object Curation {
       .join(bySource, Seq(sourceCol))
       .select(col(idCol), col(sourceCol), col("src_score_ppm"))
   }
+
+  /** X71: token-balanced shard assignment — split the corpus into
+    * `nShards` CONTIGUOUS (in id order) output shards whose total
+    * weights differ by at most one document's weight: shard =
+    * (interval_start · nShards) div total, each document claimed by
+    * the shard its weight interval starts in. The writer-side
+    * counterpart of [[weightedSystematicSample]]: training shards,
+    * tar archives, and eval splits all want "equal TOKENS per file",
+    * not equal documents, and a deterministic assignment makes shard
+    * manifests reproducible across runs.
+    *
+    * Scale shape: the same two-pass distributed prefix sum as packing
+    * (range partition → bounded per-partition offsets → local window),
+    * plus one 1-row total broadcast — no single-partition window, no
+    * driver-side corpus state.
+    *
+    * @return (`idCol`, weight, shard), shard in [0, nShards)
+    */
+  def assignShards(df: DataFrame, idCol: String,
+                   weightCol: org.apache.spark.sql.Column,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val totals = Packing.runningTotals(df, idCol, weightCol)
+      .localCheckpoint(eager = false) // total agg + projection share it
+    val total = totals.agg(max(col("__end")).as("__total"))
+    totals.crossJoin(broadcast(total))
+      .select(col("__id").as(idCol), col("__val").as("weight"),
+        expr(s"((__end - __val) * ${nShards}L) div __total").as("shard"))
+  }
 }

@@ -347,4 +347,58 @@ object TermStats {
       .select(col("__id").as(idCol), col("n_tok"), col("new_types"),
         col("n_tok_cum").as("cum_tokens"), col("new_types_cum").as("vocab_size"))
   }
+
+  /** X69: Zipf rank-frequency profile — the top-`topK` corpus terms
+    * with their deterministic rank under (count DESC, token ASC). The
+    * rank-frequency curve is the one-glance tokenizer/crawl health
+    * check (a Zipf slope far from −1 means boilerplate or template
+    * flooding).
+    *
+    * Scale shape: one map-side-combinable token count (vocab-bounded
+    * output), then a global sort+limit — Spark compiles that to
+    * TakeOrderedAndProject (per-partition top-K, K-row driver merge),
+    * NEVER a full sort. The rank window runs over the K collected
+    * rows only.
+    *
+    * @return (tok, cnt, rnk), rnk 1-based
+    */
+  def zipfProfile(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "zipfProfile needs topK >= 1")
+    docs
+      .select(explode(TextFeatures.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(topK)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+  }
+
+  /** X70: n-gram novelty — per document, the ppm fraction of its
+    * DISTINCT word n-grams that occur in no other document. The
+    * corpus-level complement of [[repetitionStats]]' within-doc view:
+    * low novelty = boilerplate/template mass even when each doc is
+    * internally non-repetitive; the metric RefinedWeb-style pipelines
+    * gate on before paying for near-dedup.
+    *
+    * Scale shape: one explode to (doc, gramHash) distinct pairs, a
+    * gram-keyed df count (text never shuffles — hashes only), and a
+    * doc-keyed count-up; all three aggregates map-side combinable.
+    *
+    * @return (`idCol`, n_grams, n_unique, novelty_ppm) — docs with
+    *         fewer than n tokens are absent (no grams to score)
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n >= 1, "ngramNovelty needs n >= 1")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol), explode(array_distinct(TextFeatures.shingleHashes(
+        TextFeatures.shingles(TextFeatures.tokens(col(textCol)), n)))).as("__g"))
+    val gramDf = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    grams.join(gramDf, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_ppm", expr("n_unique * 1000000 DIV n_grams"))
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Curation
 
 class CurationSpec extends SparkSpec {
@@ -120,5 +122,26 @@ class CurationSpec extends SparkSpec {
       .count() == 0L)
     assert(Curation.sourceQualityFilter(docs, "doc_id", "text", "source", 0L)
       .count() == 4L)
+  }
+
+  test("assignShards: contiguous, balanced within one max weight, layout-independent") {
+    val rnd = new scala.util.Random(42L)
+    val docs = (1 to 500).map(i => (i.toLong, (rnd.nextInt(90) + 10).toLong))
+      .toDF("doc_id", "w")
+    val out = Curation.assignShards(docs, "doc_id", col("w"), nShards = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._3).distinct.sorted == (0L to 7L)) // all shards used
+    // contiguity: shard ids are non-decreasing in doc order
+    assert(out.map(_._3) == out.map(_._3).sorted)
+    // balance: every shard within one max doc weight of total/8
+    val totals = out.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val ideal = out.map(_._2).sum / 8.0
+    val maxW = out.map(_._2).max
+    totals.values.foreach(t => assert(math.abs(t - ideal) <= maxW,
+      s"shard total $t vs ideal $ideal exceeds max weight $maxW"))
+    // layout independence
+    val re = Curation.assignShards(docs.repartition(11), "doc_id", col("w"), 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re == out)
   }
 }

@@ -152,4 +152,27 @@ class TermStatsSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("zipfProfile: deterministic ranks, ties broken by token, topK enforced") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a d d d")).toDF("doc_id", "text")
+    // counts: a=3, b=3, d=3, c=1 → rank order a, b, d, c
+    val out = TermStats.zipfProfile(docs, "text", topK = 3)
+      .as[(String, Long, Long)].collect().sortBy(_._3).toSeq
+    assert(out == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("d", 3L, 3L)))
+  }
+
+  test("ngramNovelty: shared grams score low, unique docs score 1e6") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // shares all grams with doc 2
+      (2L, "alpha beta gamma delta"),
+      (3L, "wholly original text here"), // all grams unique
+      (4L, "two toks") // < 3 tokens: absent
+    ).toDF("doc_id", "text")
+    val out = TermStats.ngramNovelty(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((1L, 2L, 0L, 0L)))
+    assert(out(2L) == ((2L, 2L, 0L, 0L)))
+    assert(out(3L) == ((3L, 2L, 2L, 1000000L)))
+  }
 }
