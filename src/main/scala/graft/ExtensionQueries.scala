@@ -839,6 +839,53 @@ object ExtensionQueries {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))),
+
+    // Semi-structured extraction: JSON props field pulled inside the
+    // scan projection (no UDF), then per-type stats — the
+    // event-payload analytics path.
+    "q96_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // Degree-ordered triangle count on the supplier co-supply graph
+    // (suppliers sharing a part) — wedges built only at each edge's
+    // low-degree end, so hub nodes never fan out quadratically.
+    "q97_triangles" -> ((s, d) => {
+      val sp = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      val edges = sp.as("x").join(sp.as("y"),
+          col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+        .select(col("x.s").as("src"), col("y.s").as("dst"))
+      GraphRank.triangleCount(edges, "src", "dst")
+    }),
+
+    // Reciprocal-rank fusion of the BM25 lexical top-100 and the dense
+    // cosine top-100 against query vector 0 — hybrid retrieval, every
+    // fusion stage on O(lists·K) rows.
+    "q98_rrf_fusion" -> ((s, d) => {
+      val lex = TermStats.bm25Rank(docsFanned(s, d), "doc_id", "text",
+          Seq("join", "vector", "stream"))
+        .select(col("doc_id"), col("rnk"))
+      val e = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", 100)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
+      TermStats.rrfFuse(Seq(lex, dense), "doc_id").orderBy(col("rnk"))
+    }),
+
+    // Integer CDF calibration of per-language token counts: each
+    // distinct length's strictly-below share in ppm — the
+    // score-normalization step, compacted below the window (q56's
+    // skew discipline).
+    "q99_cdf_calibration" -> ((s, d) =>
+      Profiler.cdfPpm(docsFanned(s, d), "lang",
+          size(TextFeatures.tokens(col("text"))).cast("long"))
+        .orderBy(col("lang"), col("v"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2138,5 +2185,71 @@ object ExtensionQueries {
         |SELECT col_name, count(v) AS n_nonnull, count(DISTINCT v) AS n_distinct,
         |  min(v) AS min_str, max(v) AS max_str
         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // JSON props field extracted in the scan projection, per-type stats.
+    "q96_json_extract" ->
+      """WITH t AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Triangle count on the supplier co-supply graph: orientation-free
+    // a<b<c enumeration over the normalized distinct edge set — exact,
+    // and exactly what the degree-ordered wedge builder computes.
+    "q97_triangles" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+        |  FROM sp x JOIN sp y ON x.p = y.p AND x.s < y.s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
+
+    // RRF fusion of the q41 BM25 lexical top-100 and dense cosine
+    // top-100 vs query vector 0; contribution 1e6 DIV (60 + rnk).
+    "q98_rrf_fusion" ->
+      s"""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |dld AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+         |stats AS (SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE)/count(*) AS avgdl FROM dld),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dld)
+         |  WHERE term IN ('join', 'vector', 'stream') GROUP BY 1, 2, 3),
+         |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT doc_id,
+         |  CAST(floor(((n - df + 0.5)/(df + 0.5))
+         |    * ((tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+         |    * 1000000.0) AS BIGINT) AS sq
+         |  FROM tf JOIN dfc USING (term), stats),
+         |bagg AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS bm25_q FROM scored GROUP BY 1),
+         |lex AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY bm25_q DESC, doc_id ASC) AS rnk FROM bagg)
+         |  WHERE rnk <= 100),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT vec_id AS doc_id, ${cosSql("qe", "embedding")} AS cosine
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |dense AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rnk FROM sc)
+         |  WHERE rnk <= 100),
+         |u AS (SELECT doc_id, 1000000 // (60 + rnk) AS c FROM lex
+         |  UNION ALL SELECT doc_id, 1000000 // (60 + rnk) FROM dense),
+         |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_q,
+         |  count(*) AS n_lists FROM u GROUP BY 1),
+         |fused AS (SELECT doc_id, rrf_q, n_lists,
+         |  ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS rnk FROM agg)
+         |SELECT doc_id, rrf_q, n_lists, rnk FROM fused WHERE rnk <= 100
+         |ORDER BY rnk""".stripMargin,
+
+    // Integer CDF calibration: per-lang token-count distribution
+    // compacted to (lang, v, cnt), strictly-below cumulative ppm.
+    "q99_cdf_calibration" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v
+        |  FROM documents),
+        |c AS (SELECT lang, v, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |n AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS nn FROM c GROUP BY 1),
+        |cum AS (SELECT lang, v, cnt,
+        |  CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cm FROM c)
+        |SELECT lang, v, cnt, ((cm - cnt) * 1000000) // nn AS cdf_ppm
+        |FROM cum JOIN n USING (lang) ORDER BY lang, v""".stripMargin,
   )
 }

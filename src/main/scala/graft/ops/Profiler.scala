@@ -185,6 +185,32 @@ object Profiler {
     *
     * @return (col_name, n_nonnull, n_distinct, min_str, max_str)
     */
+  /** X73: integer CDF calibration — per group, each distinct value's
+    * strictly-below cumulative share in ppm. The score-normalization
+    * step before mixing heterogeneous quality signals (a raw BM25
+    * score and a cosine live on different scales; their per-group CDF
+    * positions are comparable), and the per-language length-percentile
+    * gate in one.
+    *
+    * Skew-robust by the q56 discipline: the corpus compacts to
+    * (group, value, count) BEFORE the window, so the window input is
+    * |distinct values| per group, not |rows| — one hot group costs a
+    * bounded task. The ppm is a floor DIV: engine- and
+    * layout-independent.
+    *
+    * @return (`groupCol`, v, cnt, cdf_ppm), cdf_ppm in [0, 1e6)
+    */
+  def cdfPpm(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val counts = df.select(col(groupCol), valueCol.cast("long").as("v"))
+      .groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(groupCol).orderBy(col("v"))
+    counts
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .join(counts.groupBy(groupCol).agg(sum(col("cnt")).as("__n")), Seq(groupCol))
+      .select(col(groupCol), col("v"), col("cnt"),
+        expr("((__cum - cnt) * 1000000) DIV __n").as("cdf_ppm"))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val pairs = cols.map(c =>

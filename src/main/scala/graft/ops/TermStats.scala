@@ -373,6 +373,35 @@ object TermStats {
         .over(Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
   }
 
+  /** X74: reciprocal-rank fusion (Cormack et al. SIGIR'09) — the
+    * standard hybrid-retrieval merge of a lexical ranking ([[bm25Rank]])
+    * and a dense ranking (cosine kNN), or any number of (id, rnk)
+    * lists. Contribution of rank r is the floor-quantized integer
+    * 1e6 div (k + r), so the fused score is exact under any merge
+    * order; items missing from a list simply contribute nothing
+    * (union semantics, the paper's convention).
+    *
+    * Shape: inputs are already top-K lists (≤ K rows each), so every
+    * stage — union, sum, sort+limit, final rank window — runs on
+    * O(lists·K) rows. The heavy lifting happened inside the rankers.
+    *
+    * @param rankings (`idCol`, rnk) frames, rnk 1-based
+    * @return (`idCol`, rrf_q, n_lists, rnk)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              kRrf: Int = 60, topK: Int = 100): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings
+      .map(_.select(col(idCol), expr(s"1000000 DIV (${kRrf}L + rnk)").as("__c")))
+      .reduce(_ unionByName _)
+    contribs
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_q"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_q").desc, col(idCol).asc).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf_q").desc, col(idCol).asc)).cast("long"))
+  }
+
   /** X70: n-gram novelty — per document, the ppm fraction of its
     * DISTINCT word n-grams that occur in no other document. The
     * corpus-level complement of [[repetitionStats]]' within-doc view:

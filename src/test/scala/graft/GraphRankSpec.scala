@@ -53,6 +53,43 @@ class GraphRankSpec extends SparkSpec {
     assert(ex.getMessage.contains("at least one edge"))
   }
 
+  test("triangleCount: K4 has 4, a star has 0, duplicates and reversals collapse") {
+    import org.apache.spark.sql.functions.col
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a != b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst") // both orientations + all pairs: must dedup to C(4,2)=6 edges
+    assert(GraphRank.triangleCount(k4, "src", "dst").head().getLong(0) == 4L)
+    val star = (1 to 8).map(i => (0L, i.toLong)).toDF("src", "dst")
+    assert(GraphRank.triangleCount(star, "src", "dst").head().getLong(0) == 0L)
+    // self-loops are dropped, not counted into degrees
+    val loops = Seq((1L, 1L), (1L, 2L), (2L, 3L), (1L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    assert(GraphRank.triangleCount(loops, "src", "dst").head().getLong(0) == 1L)
+    // layout independence: the orientation is a total order, not partition luck
+    assert(GraphRank.triangleCount(k4.repartition(7), "src", "dst")
+      .head().getLong(0) == 4L)
+  }
+
+  test("triangleCount: hub-heavy graph matches the brute-force model") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 300).map { _ =>
+      // skew: node 0 in ~1/3 of edges — exercises the degree orientation
+      val a = if (rnd.nextInt(3) == 0) 0 else rnd.nextInt(40)
+      val b = rnd.nextInt(40)
+      (a.toLong, b.toLong)
+    }.toDF("src", "dst")
+    val got = GraphRank.triangleCount(edges, "src", "dst").head().getLong(0)
+    val und = edges.as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val brute = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      if und((nodes(i), nodes(j))) && und((nodes(i), nodes(k))) && und((nodes(j), nodes(k)))
+    } yield 1).size
+    assert(got == brute.toLong, s"spark $got vs brute $brute")
+  }
+
   test("dangling sink keeps only the teleport base; result is layout-independent") {
     // c has no out-edges: its collected mass leaks each round, and its
     // own rank is exactly the teleport base after any iteration.

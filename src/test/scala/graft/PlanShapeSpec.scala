@@ -125,4 +125,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanAt >= 0 && plan.substring(scanAt).take(400).contains("element_at"),
       s"bitmap probe not pushed into the scan:\n$plan")
   }
+
+  test("triangle count stays on equi-joins; no nested loop anywhere") {
+    // The degree orientation makes every stage an equi-join on node
+    // ids; a refactor that loses the struct-orientation trick would
+    // fall back to a theta-join (u < v as the only predicate) and
+    // compile a nested loop. Pin it.
+    val edges = (1 to 200).map(i => ((i % 20).toLong, (i % 31).toLong))
+      .toDF("src", "dst")
+    val plan = planOf(graft.ops.GraphRank.triangleCount(edges, "src", "dst"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"triangle count degraded to all-pairs:\n$plan")
+  }
+
+  test("cdfPpm compacts to (group, value, count) BELOW the rank window") {
+    // Same skew discipline as discreteQuantiles: the window's input
+    // must be the compacted distinct-value frame.
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i % 20).toLong)).toDF("g", "v")
+    val plan = planOf(graft.ops.Profiler.cdfPpm(df, "g", col("v")))
+    val winAt = plan.indexOf("Window")
+    val aggAt = plan.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"expected the count compaction BELOW the Window:\n$plan")
+  }
 }

@@ -131,6 +131,22 @@ class ProfilerSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("cdfPpm: strictly-below cumulative share, per group, floor ppm") {
+    val df = Seq(
+      ("en", 10L), ("en", 10L), ("en", 20L), ("en", 30L),
+      ("fr", 5L), ("fr", 7L)
+    ).toDF("lang", "len")
+    val out = Profiler.cdfPpm(df, "lang", col("len"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    // en: n=4 → 10:0 below (0), 20:2 below (500000), 30:3 below (750000)
+    // fr: n=2 → 5:0, 7:1 below (500000)
+    assert(out == Set(
+      ("en", 10L, 2L, 0L), ("en", 20L, 1L, 500000L), ("en", 30L, 1L, 750000L),
+      ("fr", 5L, 1L, 0L), ("fr", 7L, 1L, 500000L)))
+    // the compaction invariant: one output row per (group, distinct value)
+    assert(Profiler.cdfPpm(df, "lang", col("len")).count() == 5L)
+  }
+
   test("columnProfile: counts, NDV, lexicographic min/max, nulls excluded") {
     val df = Seq(
       (1L, Some("b"), Some(10L)),

@@ -161,6 +161,32 @@ class TermStatsSpec extends SparkSpec {
     assert(out == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("d", 3L, 3L)))
   }
 
+  test("rrfFuse: exact integer contributions, union semantics, deterministic ties") {
+    def c(r: Long) = 1000000L / (60L + r)
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rnk")
+    val den = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rnk")
+    val out = TermStats.rrfFuse(Seq(lex, den), "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 20 in both lists: c(2)+c(1); 10/30/40 single-list
+    val expScore = Map(10L -> c(1), 20L -> (c(2) + c(1)), 30L -> c(3), 40L -> c(2))
+    assert(out.map(r => r._1 -> r._2).toMap == expScore)
+    assert(out.map(r => r._1 -> r._3).toMap ==
+      Map(10L -> 1L, 20L -> 2L, 30L -> 1L, 40L -> 1L))
+    // fused rank: 20 first (two contributions), then 10; 30 vs 40 tie
+    // (both c=16129... no: c(3)=15873, c(2)=16129) → 40 above 30
+    assert(out.sortBy(_._4).map(_._1) == Seq(20L, 10L, 40L, 30L))
+    // topK truncates the fused list, not the inputs
+    val top2 = TermStats.rrfFuse(Seq(lex, den), "doc_id", topK = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(top2.sortBy(_._4).map(_._1) == Seq(20L, 10L))
+    // equal-score tie breaks by ascending id
+    val t1 = Seq((5L, 1L), (3L, 1L)).toDF("doc_id", "rnk")
+    val tied = TermStats.rrfFuse(Seq(t1.filter(col("doc_id") === 5),
+        t1.filter(col("doc_id") === 3)), "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+    assert(tied.map(_._1) == Seq(3L, 5L))
+  }
+
   test("ngramNovelty: shared grams score low, unique docs score 1e6") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), // shares all grams with doc 2
