@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Relational, Similarity, Sketches, Spectral, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Relational, Similarity, Sketches, Spectral, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -886,6 +886,53 @@ object ExtensionQueries {
       Profiler.cdfPpm(docsFanned(s, d), "lang",
           size(TextFeatures.tokens(col("text"))).cast("long"))
         .orderBy(col("lang"), col("v"))),
+
+    // Weighted label propagation (2 synchronous rounds) on the part
+    // co-purchase graph — weight = distinct orders sharing the pair;
+    // argmax per node is window-free (struct-min), shuffle ∝ edges.
+    "q100_label_propagation" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ew = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count_distinct(col("x.l_orderkey")).as("w"))
+      GraphRank.labelPropagation(ew, "a", "b", "w", rounds = 2)
+        .orderBy(col("n"))
+    }),
+
+    // 3 peel rounds toward the 80-core of the part co-purchase graph —
+    // survivors with their final-round degree; the edge set only
+    // shrinks, so every round is cheaper than the last.
+    "q101_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      GraphRank.kCorePeel(e, "a", "b", k = 80, rounds = 3).orderBy(col("n"))
+    }),
+
+    // signup → click (≤6h) → purchase (≤6h) first-touch funnel: each
+    // stage a scan-pushed type filter + user-keyed join, no windows.
+    "q102_funnel" -> ((s, d) =>
+      Behavior.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"), windowHours = 6)
+        .orderBy(col("step"))),
+
+    // Day-grain purchase retention triangle: cohort = first purchase
+    // day, cells = distinct active users per (cohort, offset).
+    "q103_cohort_retention" -> ((s, d) =>
+      Behavior.cohortRetention(Tables.events(s, d), "user_id", "ts",
+          "event_type", "purchase")
+        .orderBy(col("cohort_day"), col("day_offset"))),
+
+    // Integer-exact OLS slope (ppm) of daily event counts per type —
+    // the volume-trend monitor; two map-side-combinable aggregates.
+    "q104_trend_slope" -> ((s, d) =>
+      Behavior.trendSlopePpm(Tables.events(s, d), "event_type",
+          datediff(to_date(col("ts")), lit("1970-01-01")))
+        .orderBy(col("event_type"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2251,5 +2298,98 @@ object ExtensionQueries {
         |  CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cm FROM c)
         |SELECT lang, v, cnt, ((cm - cnt) * 1000000) // nn AS cdf_ppm
         |FROM cum JOIN n USING (lang) ORDER BY lang, v""".stripMargin,
+
+    // Weighted LPA, 2 unrolled synchronous rounds; argmax via
+    // ROW_NUMBER (tw DESC, lbl ASC) ≡ the engine's struct-min.
+    "q100_label_propagation" ->
+      """WITH ew AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |  CAST(count(DISTINCT x.l_orderkey) AS BIGINT) AS w
+        |  FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT a AS n, b AS m, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+        |l0 AS (SELECT DISTINCT n, n AS lbl FROM sym),
+        |g1 AS (SELECT s.n, l.lbl, CAST(SUM(s.w) AS BIGINT) AS tw
+        |  FROM sym s JOIN l0 l ON s.m = l.n GROUP BY 1, 2),
+        |l1 AS (SELECT n, lbl FROM (SELECT n, lbl,
+        |  ROW_NUMBER() OVER (PARTITION BY n ORDER BY tw DESC, lbl ASC) AS r
+        |  FROM g1) WHERE r = 1),
+        |g2 AS (SELECT s.n, l.lbl, CAST(SUM(s.w) AS BIGINT) AS tw
+        |  FROM sym s JOIN l1 l ON s.m = l.n GROUP BY 1, 2),
+        |l2 AS (SELECT n, lbl FROM (SELECT n, lbl,
+        |  ROW_NUMBER() OVER (PARTITION BY n ORDER BY tw DESC, lbl ASC) AS r
+        |  FROM g2) WHERE r = 1)
+        |SELECT n, lbl FROM l2 ORDER BY n""".stripMargin,
+
+    // 3 unrolled peel rounds at k=80: degrees over the surviving edge
+    // set, survivors filter both endpoints.
+    "q101_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |d1 AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |s1 AS (SELECT n FROM d1 WHERE deg >= 80),
+        |e1 AS (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT n FROM s1) AND b IN (SELECT n FROM s1)),
+        |d2 AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |s2 AS (SELECT n FROM d2 WHERE deg >= 80),
+        |e2 AS (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT n FROM s2) AND b IN (SELECT n FROM s2)),
+        |d3 AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1)
+        |SELECT n, deg FROM d3 WHERE deg >= 80 ORDER BY n""".stripMargin,
+
+    // First-touch funnel, 6h windows, each stage anchored at the
+    // user's earliest qualifying event of the previous stage.
+    "q102_funnel" ->
+      """WITH a AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |b AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN a ON e.user_id = a.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > a.t
+        |    AND e.ts <= a.t + INTERVAL 6 HOUR GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN b ON e.user_id = b.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > b.t
+        |    AND e.ts <= b.t + INTERVAL 6 HOUR GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |    (SELECT count(*) FROM a) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM b)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM c))
+        |ORDER BY step""".stripMargin,
+
+    // Purchase-day cohort retention: epoch-day integers (UTC), offset
+    // = active day − first day, distinct users per cell.
+    "q103_cohort_retention" ->
+      """WITH p AS (SELECT user_id,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM p GROUP BY 1),
+        |act AS (SELECT DISTINCT p.user_id, f.cohort_day,
+        |  p.d - f.cohort_day AS day_offset
+        |  FROM p JOIN f ON p.user_id = f.user_id)
+        |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Per-type OLS slope of daily counts in ppm; sign-split truncating
+    // division so // and Spark's DIV agree on negative slopes.
+    "q104_trend_slope" ->
+      """WITH dc AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |  CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM dc GROUP BY 1),
+        |sl AS (SELECT event_type, n, n*sxy - sx*sy AS num,
+        |  n*sxx - sx*sx AS den FROM s)
+        |SELECT event_type, n AS n_points,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    WHEN num >= 0 THEN (num * 1000000) // den
+        |    ELSE -((-num * 1000000) // den) END AS BIGINT) AS slope_ppm
+        |FROM sl ORDER BY event_type""".stripMargin,
   )
 }

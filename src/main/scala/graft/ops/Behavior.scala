@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral / longitudinal analytics over an event stream table —
+  * the engagement-measurement surface a data platform runs next to its
+  * corpus pipeline (reference keeps per-run event logs but has no
+  * longitudinal queries; beyond-reference, SURVEY §7.6).
+  *
+  * Scale discipline shared by all three operators: every stage is
+  * either a scan-pushed filter, an equi-join on the user key, or a
+  * map-side-combinable aggregate on a tiny key — no windows, no
+  * driver-side state, no cross joins. Dates are compared as epoch-day
+  * integers (UTC session) so results are engine- and layout-portable.
+  */
+object Behavior {
+
+  /** Ordered conversion funnel: how many users performed `steps(0)`,
+    * then `steps(1)` within `windowHours` AFTER their first qualifying
+    * `steps(0)`, and so on — each stage anchored at the user's EARLIEST
+    * qualifying event of the previous stage (the classic product-funnel
+    * semantics: first touch, strict ordering, bounded window).
+    *
+    * Dataflow: stage i is one scan with the event-type filter pushed to
+    * parquet, equi-joined on the user key against the (user, anchor-ts)
+    * frame of stage i−1 with the time window as a residual predicate,
+    * then a min-ts aggregate — map-side combinable, shuffle bounded by
+    * the stage's own matching events. Each stage frame is
+    * localCheckpoint'ed (lazily) because stage i+1 AND the stage's own
+    * count both read it.
+    *
+    * @return one row per stage: (step 1-based, event_type, n_users) —
+    *         n_users is monotonically non-increasing by construction.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String], windowHours: Int): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowHours >= 1, "funnel window must be at least one hour")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      col(tsCol).as("ts"))
+    var reached = ev.filter(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("ts")).as("rts"))
+      .localCheckpoint(eager = false)
+    def stageCount(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    val counts = scala.collection.mutable.ArrayBuffer(
+      stageCount(1, steps.head, reached))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      reached = ev.filter(col("t") === st).as("e")
+        .join(reached.as("r"), col("e.u") === col("r.u") &&
+          col("e.ts") > col("r.rts") &&
+          col("e.ts") <= col("r.rts") + expr(s"INTERVAL $windowHours HOURS"))
+        .groupBy(col("e.u").as("u")).agg(min(col("e.ts")).as("rts"))
+        .localCheckpoint(eager = false)
+      counts += stageCount(i + 2, st, reached)
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention triangle at day grain: users are cohorted by the
+    * epoch day of their FIRST `eventType` event, activity is any later
+    * `eventType` day, and each (cohort_day, day_offset) cell counts the
+    * distinct users from that cohort active at that offset.
+    *
+    * One filtered pass builds (user, epoch_day); the first-day frame is
+    * a min aggregate on the user key; the join back is user-keyed; the
+    * distinct + count shuffles only (user, cohort, offset) triples of
+    * ACTIVE days — at 100 TB the cell grid is |cohorts|·|offsets|,
+    * independent of event volume.
+    *
+    * @return (cohort_day, day_offset, n_users); offset 0 row of each
+    *         cohort is its size.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, eventType: String): DataFrame = {
+    val p = events.filter(col(typeCol) === eventType)
+      .select(col(userCol).as("u"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long").as("d"))
+      .localCheckpoint(eager = false) // read twice: first-day + activity
+    val f = p.groupBy(col("u")).agg(min(col("d")).as("cohort_day"))
+    p.join(f, Seq("u"))
+      .select(col("u"), col("cohort_day"),
+        (col("d") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-group ordinary-least-squares trend of row counts against an
+    * integer x (e.g. epoch day): slope in ppm, integer-exact.
+    *
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over the (x, count)
+    * points of each group; emitted as
+    * `sign(num) · ((|num| · 10⁶) div den)` so the truncating integer
+    * division is identical in Spark (`DIV`, truncates toward zero on
+    * the non-negative operand) and DuckDB (`//`). A degenerate group
+    * (all points at one x) yields slope 0 rather than a division error.
+    *
+    * Two aggregates, both map-side combinable: (group, x) counts, then
+    * per-group moment sums. Long arithmetic is exact while
+    * |num| ≤ 9.2·10¹² (×10⁶ headroom under Long.MaxValue) — epoch-day
+    * x (~2·10⁴) admits per-cell counts up to ~10⁷ at n=365 points;
+    * beyond that, re-base x to days-since-window-start before calling.
+    *
+    * @return (groupCol, n_points, slope_ppm)
+    */
+  def trendSlopePpm(df: DataFrame, groupCol: String, xExpr: Column): DataFrame = {
+    val dc = df.select(col(groupCol), xExpr.cast("long").as("x"))
+      .groupBy(col(groupCol), col("x")).agg(count(lit(1)).as("y"))
+    dc.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_points"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"), sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col(groupCol), col("n_points"),
+        (col("n_points") * col("__sxy") - col("__sx") * col("__sy")).as("__num"),
+        (col("n_points") * col("__sxx") - col("__sx") * col("__sx")).as("__den"))
+      .select(col(groupCol), col("n_points"),
+        when(col("__den") === 0, lit(0L))
+          .when(col("__num") >= 0, expr("(__num * 1000000) DIV __den"))
+          .otherwise(-expr("((-__num) * 1000000) DIV __den"))
+          .as("slope_ppm"))
+  }
+}

@@ -137,6 +137,90 @@ object GraphRank {
     *
     * @return one row: (n_triangles)
     */
+  /** Synchronous weighted label propagation (Raghavan et al. 2007),
+    * a FIXED number of rounds — the community-detection step a corpus
+    * pipeline runs on its co-occurrence graphs where connected
+    * components (X17) are too coarse: each round every node adopts the
+    * label carrying the greatest incident edge weight, ties to the
+    * smaller label. Deterministic by construction (no random visit
+    * order), so the unrolled DuckDB oracle reproduces it exactly.
+    *
+    * Per round: labels (node-keyed) equi-join the symmetrized edge
+    * list on the neighbor end, then TWO map-side-combinable
+    * aggregates — (node, label) weight sums, then the per-node argmax
+    * as a struct-min on (−weight, label) (q64's window-free argmax
+    * discipline). Shuffle per round is bounded by 2·|edges|; rounds
+    * are caller-fixed, each localCheckpoint'ed to truncate lineage.
+    *
+    * @param wCol positive integer edge weight
+    * @return (n, lbl) for every node with at least one edge
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "label propagation needs at least one round")
+    val ew = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+      col(wCol).cast("long").as("w"))
+    val sym = ew.select(col("a").as("n"), col("b").as("m"), col("w"))
+      .unionByName(ew.select(col("b").as("n"), col("a").as("m"), col("w")))
+      .localCheckpoint(eager = false) // read every round
+    var labels = sym.select(col("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+      .localCheckpoint(eager = false)
+    (1 to rounds).foreach { _ =>
+      labels = sym.join(labels.select(col("n").as("m"), col("lbl")), Seq("m"))
+        .groupBy(col("n"), col("lbl")).agg(sum(col("w")).as("__tw"))
+        .groupBy(col("n"))
+        .agg(min(struct((-col("__tw")).as("__nw"), col("lbl"))).as("__m"))
+        .select(col("n"), col("__m.lbl").as("lbl"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
+  /** `rounds` synchronous peel steps toward the k-core: each step
+    * drops every node whose degree in the surviving subgraph is below
+    * k, together with its edges. With a fixed round count this is the
+    * BOUNDED approximation the unrolled oracle can mirror (converged
+    * iff a round removes nothing); the exact k-core is its fixpoint.
+    * The densest-region extractor for co-occurrence graphs — and the
+    * standard pre-filter before the quadratic-ish graph analytics
+    * (triangles, community detection) since it only ever SHRINKS the
+    * edge set.
+    *
+    * Per round: one map-side-combinable degree aggregate (each edge
+    * explodes to its two endpoints) and two left-semi joins keyed on
+    * the endpoints — shuffle bounded by the CURRENT |edges|, which is
+    * non-increasing. Zero driver state; fixed rounds, each
+    * localCheckpoint'ed.
+    *
+    * @return (n, deg): survivors of the final round with their degree
+    *         in the round's input subgraph (≥ k)
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, "kCorePeel needs k >= 1")
+    require(rounds >= 1, "kCorePeel needs at least one round")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var out: DataFrame = null
+    (1 to rounds).foreach { r =>
+      val surv = e.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint(eager = false)
+      out = surv
+      if (r < rounds)
+        e = e.join(surv.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(surv.select(col("n").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(eager = false)
+    }
+    out.select(col("n"), col("deg"))
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e0 = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Behavior
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: strict order, earliest-anchor windows, monotone counts") {
+    val ev = Seq(
+      // u1 converts fully inside both 6h windows
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 02:00:00")),
+      (1L, "purchase", ts("2024-01-01 05:00:00")),
+      // u2 clicks AFTER the 6h window → stops at stage 1
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-01 07:00:00")),
+      (2L, "purchase", ts("2024-01-01 08:00:00")),
+      // u3 clicks BEFORE signing up → the click doesn't count
+      (3L, "click", ts("2024-01-01 00:00:00")),
+      (3L, "signup", ts("2024-01-01 01:00:00")),
+      // u4 anchors at the EARLIEST in-window click (01:00), so the
+      // 08:00 purchase misses that window even though a later click
+      // (03:00) would have admitted it — first-touch semantics
+      (4L, "signup", ts("2024-01-01 00:00:00")),
+      (4L, "click", ts("2024-01-01 01:00:00")),
+      (4L, "click", ts("2024-01-01 03:00:00")),
+      (4L, "purchase", ts("2024-01-01 08:00:00")),
+      // u5 never signs up
+      (5L, "purchase", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnel(ev, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"), windowHours = 6)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "signup", 4L), (2L, "click", 2L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("funnel counts are layout-independent") {
+    val rnd = new scala.util.Random(3)
+    val ev = Seq.fill(400) {
+      (rnd.nextInt(20).toLong,
+        Seq("signup", "click", "purchase")(rnd.nextInt(3)),
+        new Timestamp(1704067200000L + rnd.nextInt(86400 * 10) * 1000L))
+    }.toDF("user_id", "event_type", "ts")
+    val one = Behavior.funnel(ev.coalesce(1), "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"), 12).as[(Long, String, Long)].collect().toSet
+    val many = Behavior.funnel(ev.repartition(7), "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"), 12).as[(Long, String, Long)].collect().toSet
+    assert(one == many)
+  }
+
+  test("cohort retention: day-grain cells, offset 0 is the cohort size") {
+    val ev = Seq(
+      (1L, "purchase", ts("2024-01-01 10:00:00")), // cohort d0
+      (1L, "purchase", ts("2024-01-03 10:00:00")), // offset 2
+      (1L, "purchase", ts("2024-01-03 11:00:00")), // same day → one cell
+      (2L, "purchase", ts("2024-01-01 23:59:59")), // cohort d0
+      (2L, "purchase", ts("2024-01-02 00:00:01")), // offset 1
+      (3L, "purchase", ts("2024-01-02 05:00:00")), // cohort d1
+      (3L, "view", ts("2024-01-05 05:00:00"))      // wrong type → ignored
+    ).toDF("user_id", "event_type", "ts")
+    val d0 = 19723L // epoch day of 2024-01-01
+    val got = Behavior.cohortRetention(ev, "user_id", "ts", "event_type", "purchase")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((d0, 0L, 2L), (d0, 1L, 1L), (d0, 2L, 1L), (d0 + 1, 0L, 1L)))
+  }
+
+  test("trend slope: exact ppm on linear counts, sign-split, den=0 guard") {
+    def rows(g: String, x: Long, n: Int) = Seq.fill(n)((g, x))
+    val df = (
+      rows("up", 100, 1) ++ rows("up", 101, 3) ++ rows("up", 102, 5) ++ // +2/day
+      rows("down", 100, 5) ++ rows("down", 101, 3) ++ rows("down", 102, 1) ++ // -2/day
+      rows("flat", 100, 4) ++ // single x → den = 0
+      rows("frac", 100, 1) ++ rows("frac", 101, 2) ++ rows("frac", 102, 4) // 1.5/day
+    ).toDF("g", "x")
+    val got = Behavior.trendSlopePpm(df, "g", col("x"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("up") == ((3L, 2000000L)))
+    assert(got("down") == ((3L, -2000000L)))
+    assert(got("flat") == ((1L, 0L)))
+    assert(got("frac") == ((3L, 1500000L)))
+  }
+
+  test("trend slope truncates toward zero on both signs") {
+    def rows(g: String, x: Long, n: Int) = Seq.fill(n)((g, x))
+    // slope 1/3: x = 0,1,2,3 with y = 1,1,1,2 → num/den = 3/10?  compute:
+    // n=4 sx=6 sy=5 sxy=9 sxx=14 → num=4*9-30=6, den=4*14-36=20 → 0.3
+    val df = (rows("p", 0, 1) ++ rows("p", 1, 1) ++ rows("p", 2, 1) ++ rows("p", 3, 2) ++
+      rows("n", 0, 2) ++ rows("n", 1, 1) ++ rows("n", 2, 1) ++ rows("n", 3, 1)
+    ).toDF("g", "x")
+    val got = Behavior.trendSlopePpm(df, "g", col("x"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got("p") == 300000L)
+    assert(got("n") == -300000L)
+  }
+}

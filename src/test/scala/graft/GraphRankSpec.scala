@@ -104,4 +104,83 @@ class GraphRankSpec extends SparkSpec {
     assert(one("c") > base) // receives from a on the last hop
     assert(one("a") > one("c")) // a gets b's full rank, c only half of a's
   }
+
+  test("label propagation: strong communities keep their min label across a weak bridge") {
+    // two triangles with internal weight 10, bridged by weight 1:
+    // after 2 rounds each triangle is uniformly labeled with its min id
+    val t1 = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L))
+    val t2 = Seq((4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L))
+    val edges = (t1 ++ t2 :+ ((3L, 4L, 1L))).toDF("a", "b", "w")
+    val got = GraphRank.labelPropagation(edges, "a", "b", "w", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(got).distinct == Seq(1L))
+    assert(Seq(4L, 5L, 6L).map(got).distinct == Seq(4L))
+  }
+
+  test("label propagation matches the brute-force synchronous model, any layout") {
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(300) {
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, (rnd.nextInt(5) + 1).toLong)
+    }.filter { case (a, b, _) => a != b }
+    // mirror the operator's input contract: one row per undirected pair
+    val byPair = raw.groupBy { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+      .map { case ((a, b), ws) => (a, b, ws.map(_._3).sum) }.toSeq
+    val edges = byPair.toDF("a", "b", "w")
+    def brute(rounds: Int): Map[Long, Long] = {
+      val sym = byPair.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+      (1 to rounds).foreach { _ =>
+        lbl = sym.groupBy(_._1).map { case (n, inc) =>
+          val byLbl = inc.groupBy(e => lbl(e._2)).map { case (l, es) => (l, es.map(_._3).sum) }
+          n -> byLbl.toSeq.minBy { case (l, tw) => (-tw, l) }._1
+        }
+      }
+      lbl
+    }
+    Seq(1, 2, 3).foreach { r =>
+      val got = GraphRank.labelPropagation(edges.repartition(7), "a", "b", "w", rounds = r)
+        .as[(Long, Long)].collect().toMap
+      assert(got == brute(r), s"rounds=$r")
+    }
+  }
+
+  test("kCorePeel: pendant is peeled, the 4-clique survives at k=3") {
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (clique :+ ((1L, 5L))).toDF("a", "b")
+    val got = GraphRank.kCorePeel(edges, "a", "b", k = 3, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 1 drops node 5 (deg 1); round 2 degrees: the bare clique
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCorePeel matches brute-force peeling and converges on a fixpoint") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(250) {
+      (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong)
+    }.toDF("a", "b")
+    val und = edges.as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    def brute(k: Int, rounds: Int): Map[Long, Long] = {
+      var e = und
+      var deg = Map.empty[Long, Long]
+      (1 to rounds).foreach { r =>
+        deg = e.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+          .filter(_._2 >= k)
+        if (r < rounds)
+          e = e.filter { case (a, b) => deg.contains(a) && deg.contains(b) }
+      }
+      deg
+    }
+    Seq((6, 1), (6, 2), (6, 4)).foreach { case (k, r) =>
+      val got = GraphRank.kCorePeel(edges.repartition(5), "a", "b", k, r)
+        .as[(Long, Long)].collect().toMap
+      assert(got == brute(k, r), s"k=$k rounds=$r")
+    }
+    // fixpoint: once a round removes nothing, more rounds are identity
+    val a = GraphRank.kCorePeel(edges, "a", "b", 6, 8).as[(Long, Long)].collect().toMap
+    val b = GraphRank.kCorePeel(edges, "a", "b", 6, 9).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }
