@@ -933,6 +933,41 @@ object ExtensionQueries {
       Behavior.trendSlopePpm(Tables.events(s, d), "event_type",
           datediff(to_date(col("ts")), lit("1970-01-01")))
         .orderBy(col("event_type"))),
+
+    // Asymmetric containment: the 60%-prefix truncations are (near-)
+    // fully contained in their source docs even though their Jaccard
+    // is ~0.6 — the quote/subset detector at the 80% ppm threshold.
+    "q105_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.containmentPairs(docs, truncDocs(docs), "doc_id",
+          "text", shingleN = 3, minContainPpm = 800000L,
+          maxShingleDf = StopShingleDf)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Entity resolution end-to-end: q87's edit-distance pair graph
+    // collapsed to connected components — near-key variants cluster
+    // under one canonical (min) entity id.
+    "q106_entity_clusters" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("s"))
+      val mut = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(substring(col("s"), 1, 10), expr("substring(s, 12)")).as("s"))
+      val pairs = FuzzyJoin.editDistanceJoin(base.unionByName(mut), "doc_id",
+        "s", maxDist = 2, q = 2, minLen = 12)
+      graft.ops.ConnectedComponents.labels(
+          pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+        .select(col("node").as("doc_id"), col("cluster_id").as("entity_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Greedy max-cover selection of the 5 most trigram-diverse docs —
+    // each round an anti-join + TakeOrdered argmax, ties to smaller id.
+    "q107_max_cover" -> ((s, d) =>
+      Curation.maxCoverSelect(Tables.documents(s, d), "doc_id", "text",
+          rounds = 5, shingleN = 3)
+        .orderBy(col("rnk"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2391,5 +2426,81 @@ object ExtensionQueries {
         |    WHEN num >= 0 THEN (num * 1000000) // den
         |    ELSE -((-num * 1000000) // den) END AS BIGINT) AS slope_ppm
         |FROM sl ORDER BY event_type""".stripMargin,
+
+    // Mirrors Contamination.containmentPairs: per-doc distinct trigram
+    // shingle hashes, corpus-df stop cap applied to both sides AND the
+    // denominator, truncating ppm quotient.
+    "q105_containment" ->
+      s"""WITH trunc AS (SELECT doc_id + 20000 AS doc_id,
+         |    array_to_string(list_slice(toks, 1, CAST((len(toks)*3)//5 AS INT)), ' ') AS text
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+         |  WHERE doc_id % 5 = 0 AND len(toks) >= 5),
+         |csh AS (SELECT doc_id AS id_b, unnest(list_distinct(list_transform(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |    s -> ${dh("s")}))) AS shingle
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+         |  WHERE len(toks) >= 3),
+         |esh AS (SELECT doc_id AS id_a, unnest(list_distinct(list_transform(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |    s -> ${dh("s")}))) AS shingle
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM trunc)
+         |  WHERE len(toks) >= 3),
+         |stop AS (SELECT shingle FROM csh GROUP BY 1 HAVING count(*) > $StopShingleDf),
+         |ck AS (SELECT * FROM csh WHERE shingle NOT IN (SELECT shingle FROM stop)),
+         |ek AS (SELECT * FROM esh WHERE shingle NOT IN (SELECT shingle FROM stop)),
+         |sizes AS (SELECT id_a, CAST(count(*) AS BIGINT) AS n_a FROM ek GROUP BY 1),
+         |inter AS (SELECT e.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM ek e JOIN ck c ON e.shingle = c.shingle GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_inter, n_a,
+         |  (n_inter * 1000000) // n_a AS contain_ppm
+         |FROM inter JOIN sizes USING (id_a)
+         |WHERE (n_inter * 1000000) // n_a >= 800000
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q87's edit-distance pair graph, collapsed by the q36 recursive
+    // min-reachable-id closure.
+    "q106_entity_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, substring(text, 1, 30) AS s FROM documents),
+        |mut AS (SELECT doc_id + 40000 AS doc_id,
+        |    substring(s, 1, 10) || substring(s, 12) AS s
+        |  FROM base WHERE doc_id % 3 = 0),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |f AS (SELECT * FROM c WHERE length(s) >= 12),
+        |pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM f a JOIN f b
+        |  ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2
+        |  WHERE levenshtein(a.s, b.s) <= 2),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pair UNION SELECT id_b, id_a FROM pair),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+        |  UNION
+        |  SELECT u.b, r.r FROM reach r JOIN und u ON u.a = r.node)
+        |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS entity_id
+        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // 5 unrolled greedy max-cover rounds: gains over uncovered tokens,
+    // argmax (gain DESC, doc_id ASC), covered set grows by the pick.
+    "q107_max_cover" -> {
+      def round(i: Int): String =
+        s"""g$i AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+           |  FROM tok WHERE token NOT IN (SELECT token FROM c${i - 1})
+           |  GROUP BY 1),
+           |p$i AS (SELECT CAST($i AS BIGINT) AS rnk, doc_id, gain FROM g$i
+           |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+           |c$i AS (SELECT token FROM c${i - 1}
+           |  UNION SELECT t.token FROM tok t JOIN p$i USING (doc_id))""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')))) AS token
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+         |  WHERE len(toks) >= 3),
+         |c0 AS (SELECT CAST(NULL AS VARCHAR) AS token WHERE 1 = 0),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT rnk, doc_id, gain FROM p1
+         |UNION ALL SELECT rnk, doc_id, gain FROM p2
+         |UNION ALL SELECT rnk, doc_id, gain FROM p3
+         |UNION ALL SELECT rnk, doc_id, gain FROM p4
+         |UNION ALL SELECT rnk, doc_id, gain FROM p5
+         |ORDER BY rnk""".stripMargin
+    },
   )
 }

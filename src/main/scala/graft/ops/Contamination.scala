@@ -89,4 +89,50 @@ object Contamination {
         sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
       .withColumn("contaminated", (col("n_hits") > 0).cast("long"))
   }
+
+  /** Asymmetric shingle CONTAINMENT of each eval document inside corpus
+    * documents: |S_A ∩ S_B| / |S_A| in ppm for eval doc A and corpus
+    * doc B — the quote/subset detector symmetric Jaccard (X4) misses:
+    * a benchmark question embedded verbatim in a 10× longer page has
+    * Jaccard ≈ 0.1 but containment ≈ 1.0.
+    *
+    * Candidates come from the shingle-hash equi-join only (never
+    * |eval|·|corpus|), with the q24 stop-shingle cap on CORPUS document
+    * frequency bounding the hot-key fan-out; capped shingles leave BOTH
+    * sides and the denominator, so the score is "containment over
+    * non-ubiquitous shingles" — deterministic, mirrored by the oracle.
+    * The ppm quotient is a truncating integer DIV on non-negative
+    * operands (engine-identical).
+    *
+    * @return (id_a eval, id_b corpus, n_inter, n_a, contain_ppm) with
+    *         contain_ppm ≥ `minContainPpm`
+    */
+  def containmentPairs(corpus: DataFrame, evalSet: DataFrame,
+                       idCol: String, textCol: String, shingleN: Int,
+                       minContainPpm: Long, maxShingleDf: Long): DataFrame = {
+    require(shingleN >= 1, "containmentPairs needs shingleN >= 1")
+    require(maxShingleDf >= 1, "containmentPairs needs maxShingleDf >= 1")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def sh(df: DataFrame, out: String): DataFrame = df
+      .select(col(idCol).as(out), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(col(out), explode(array_distinct(transform(
+        shingles(col("__toks"), shingleN), s => charHash(s)))).as("shingle"))
+    // corpus shingles feed BOTH the df cap and the join — one compute
+    val corpSh = sh(corpus, "id_b").localCheckpoint(eager = false)
+    val stop = corpSh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf).select(col("shingle"))
+      .localCheckpoint(eager = false) // probed by both sides
+    val evalKept = sh(evalSet, "id_a")
+      .join(stop, Seq("shingle"), "left_anti")
+      .localCheckpoint(eager = false) // sizes + intersection share it
+    val sizes = evalKept.groupBy(col("id_a")).agg(count(lit(1)).as("n_a"))
+    evalKept.join(corpSh.join(stop, Seq("shingle"), "left_anti"), Seq("shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes, Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
+        expr("(n_inter * 1000000) DIV n_a").as("contain_ppm"))
+      .filter(col("contain_ppm") >= minContainPpm)
+  }
 }

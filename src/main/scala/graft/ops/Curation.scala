@@ -236,4 +236,60 @@ object Curation {
       .select(col("__id").as(idCol), col("__val").as("weight"),
         expr(s"((__end - __val) * ${nShards}L) div __total").as("shard"))
   }
+
+  /** Greedy maximum-coverage subset selection: pick `rounds` documents,
+    * each maximizing the number of NOT-yet-covered distinct tokens
+    * (ties → smaller id) — the classic (1−1/e)-approximate submodular
+    * selector for "most diverse K docs" seed-set curation (Nemhauser
+    * et al. 1978).
+    *
+    * Each round is one anti-join of the (doc, token) pairs against the
+    * covered-token set plus a map-side-combinable per-doc count; the
+    * argmax compiles to TakeOrderedAndProject (per-partition top-1,
+    * 1-row driver merge). Driver state per round: one (id, gain) row
+    * plus the lazily-checkpointed covered-token frame — vocab-bounded,
+    * never corpus-bounded. Rounds are caller-fixed; selection stops
+    * early if the corpus is exhausted (every token covered).
+    *
+    * @return (rnk 1-based, `idCol`, gain) in selection order
+    */
+  def maxCoverSelect(docs: DataFrame, idCol: String, textCol: String,
+                     rounds: Int, shingleN: Int = 1): DataFrame = {
+    require(rounds >= 1, "maxCoverSelect needs at least one round")
+    require(shingleN >= 1, "maxCoverSelect needs shingleN >= 1")
+    val spark = docs.sparkSession
+    // coverage universe: distinct n-token shingles (n=1 → tokens) — on
+    // a tiny-vocabulary corpus unigram coverage saturates in one pick,
+    // so callers choose the grain that matches their diversity signal
+    val units =
+      if (shingleN == 1) tokens(col(textCol))
+      else shingles(tokens(col(textCol)), shingleN)
+    val tok = docs.select(col(idCol).as("__id"),
+        explode(array_distinct(units)).as("token"))
+      .localCheckpoint(eager = false) // read every round
+    var covered: DataFrame = null
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var exhausted = false
+    (1 to rounds).foreach { r =>
+      if (!exhausted) {
+        val remaining =
+          if (covered == null) tok
+          else tok.join(covered, Seq("token"), "left_anti")
+        val top = remaining.groupBy(col("__id"))
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("__id").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val id = top(0).getLong(0)
+          picked += ((r.toLong, id, top(0).getLong(1)))
+          val newCov = tok.filter(col("__id") === id).select(col("token"))
+          covered = (if (covered == null) newCov else covered.unionByName(newCov))
+            .distinct().localCheckpoint(eager = false)
+        }
+      }
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rnk", idCol, "gain")
+  }
 }

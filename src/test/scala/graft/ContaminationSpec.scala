@@ -56,4 +56,40 @@ class ContaminationSpec extends SparkSpec {
       assert(out.toSeq == Seq((10L, 2L, 1.0, 1L)), out.toSeq.toString)
     } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
   }
+
+  test("containmentPairs: full quote scores 1e6, partial overlap exact, threshold prunes") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),          // shingles: abc bcd cde def efg fgh (6)
+      (2L, "x y z w v u")               // unrelated
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c d e"),               // abc bcd cde — all 3 in doc 1 → 1e6
+      (11L, "c d e q r s"),             // cde deq eqr qrs — 1 of 4 in doc 1 → 250000
+      (12L, "p q r")                    // none anywhere → no row
+    ).toDF("doc_id", "text")
+    val got = Contamination.containmentPairs(corpus, eval, "doc_id", "text",
+        shingleN = 3, minContainPpm = 0L, maxShingleDf = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 3L, 3L, 1000000L), (11L, 1L, 1L, 4L, 250000L)))
+    // threshold prunes the partial pair
+    val thr = Contamination.containmentPairs(corpus, eval, "doc_id", "text",
+        shingleN = 3, minContainPpm = 800000L, maxShingleDf = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(thr == Set((10L, 1L, 3L, 3L, 1000000L)))
+  }
+
+  test("containmentPairs: stop-shingle cap drops ubiquitous shingles from the denominator") {
+    // "s t u" appears in every corpus doc → df 3 > cap 2; eval doc 20's
+    // only remaining shingle is "m n o", found in doc 3 → 1e6 over the
+    // 1-element denominator
+    val corpus = Seq(
+      (1L, "s t u a a a"), (2L, "s t u b b b"), (3L, "s t u m n o")
+    ).toDF("doc_id", "text")
+    val eval = Seq((20L, "s t u"), (21L, "m n o")).toDF("doc_id", "text")
+    val got = Contamination.containmentPairs(corpus, eval, "doc_id", "text",
+        shingleN = 3, minContainPpm = 0L, maxShingleDf = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc 20 has NO surviving shingles → absent entirely; doc 21 → doc 3
+    assert(got == Set((21L, 3L, 1L, 1L, 1000000L)))
+  }
 }

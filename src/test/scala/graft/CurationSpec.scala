@@ -144,4 +144,39 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(re == out)
   }
+
+  test("maxCoverSelect matches the brute-force greedy model, ties to smaller id") {
+    val rnd = new scala.util.Random(19)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (1L to 40L).map { id =>
+      (id, (0 until rnd.nextInt(8) + 2).map(_ => vocab(rnd.nextInt(30))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def brute(rounds: Int): Seq[(Long, Long, Long)] = {
+      val sets = docs.as[(Long, String)].collect()
+        .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+      var covered = Set.empty[String]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      (1 to rounds).foreach { r =>
+        val gains = sets.map { case (id, s) => id -> (s -- covered).size.toLong }
+          .filter(_._2 > 0)
+        if (gains.nonEmpty) {
+          val (id, g) = gains.toSeq.minBy { case (i, g) => (-g, i) }
+          out += ((r.toLong, id, g)); covered ++= sets(id)
+        }
+      }
+      out.toSeq
+    }
+    val got = Curation.maxCoverSelect(docs.repartition(7), "doc_id", "text", rounds = 6)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == brute(6))
+  }
+
+  test("maxCoverSelect stops early when the universe is exhausted") {
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "a c")).toDF("doc_id", "text")
+    val got = Curation.maxCoverSelect(docs, "doc_id", "text", rounds = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // pick 1: doc 1 (gain 2, min id among 2-gain docs); pick 2: doc 2
+    // covers c (gain 1); then nothing remains — 2 rows, not 5
+    assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
+  }
 }
