@@ -968,6 +968,45 @@ object ExtensionQueries {
       Curation.maxCoverSelect(Tables.documents(s, d), "doc_id", "text",
           rounds = 5, shingleN = 3)
         .orderBy(col("rnk"))),
+
+    // Tukey fences on per-language token counts: division-free
+    // tenths-scaled 1.5×IQR comparison over the q56-compacted frame.
+    "q108_iqr_outliers" -> ((s, d) =>
+      Profiler.iqrOutlierFences(docsFanned(s, d), "lang",
+          size(TextFeatures.tokens(col("text"))).cast("long"))
+        .orderBy(col("lang"))),
+
+    // Markov transition matrix of the event stream: one user-keyed
+    // shuffle into the lag window, then tiny state-pair aggregates.
+    "q109_markov_transitions" -> ((s, d) =>
+      Behavior.transitionMatrixPpm(Tables.events(s, d), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // Random-walk-with-restart proximity to the %50 supplier seeds on
+    // the directed supplier→part graph — q63's seeded twin.
+    "q110_personalized_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 50 === 0)
+        .select((col("s_suppkey") * 2).as("seed"))
+      GraphRank.personalizedPageRank(li, "src", "dst", seeds, "seed", 3)
+        .orderBy(col("node"))
+    }),
+
+    // Interval overlap join: signup vs purchase 2h activity windows
+    // per user — binned equi-join candidates, positional pair dedup.
+    "q111_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def iv(t: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("ts_end"))
+      RangeJoin.overlapJoin(iv("signup"), iv("purchase"), "event_id",
+          "event_id", "user_id", "ts_start", "ts_end", binSec = 3600L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2502,5 +2541,81 @@ object ExtensionQueries {
          |UNION ALL SELECT rnk, doc_id, gain FROM p5
          |ORDER BY rnk""".stripMargin
     },
+
+    // Tukey fences: quartiles by the same ceil(n·p/100) rank walk as
+    // q56/q99, fences as the tenths-scaled division-free comparison.
+    "q108_iqr_outliers" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v
+        |  FROM documents),
+        |c AS (SELECT lang, v, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, v, cnt,
+        |  CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cm,
+        |  CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS nn FROM c),
+        |q AS (SELECT lang,
+        |  MIN(CASE WHEN cm >= (nn*25+99)//100 AND cm-cnt < (nn*25+99)//100 THEN v END) AS q1,
+        |  MIN(CASE WHEN cm >= (nn*75+99)//100 AND cm-cnt < (nn*75+99)//100 THEN v END) AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT c.lang, q1, q3, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN v*10 < q1*10 - 15*(q3-q1) THEN cnt ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN v*10 > q3*10 + 15*(q3-q1) THEN cnt ELSE 0 END) AS BIGINT) AS n_above
+        |FROM c JOIN q ON c.lang = q.lang GROUP BY 1, 2, 3
+        |ORDER BY c.lang""".stripMargin,
+
+    // Markov transitions: LAG under the same total (ts, event_id)
+    // order, row-normalized floor-ppm probabilities.
+    "q109_markov_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS to_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |t AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS tt FROM t GROUP BY 1)
+        |SELECT from_type, to_type, n_trans, (n_trans * 1000000) // tt AS prob_ppm
+        |FROM t JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Personalized PageRank: q63's unrolled arithmetic with the
+    // teleport term gated on seed membership (seeds ∩ nodes, div nS).
+    "q110_personalized_pagerank" -> {
+      def it(prev: String): String =
+        s"""(SELECT nodes.node,
+           |    (CASE WHEN nodes.node IN (SELECT node FROM seeds)
+           |      THEN (SELECT (15 * (1000000000 // ns)) // 100 FROM ns) ELSE 0 END)
+           |    + (85 * COALESCE(c.s, 0)) // 100 AS r
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(SUM(p.r // deg.deg) AS BIGINT) AS s
+           |    FROM $prev p JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY 1) c USING (node))""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |seeds AS (SELECT node FROM nodes
+         |  WHERE node IN (SELECT s_suppkey * 2 FROM supplier WHERE s_suppkey % 50 = 0)),
+         |ns AS (SELECT COUNT(*) AS ns FROM seeds),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CASE WHEN node IN (SELECT node FROM seeds)
+         |  THEN (SELECT 1000000000 // ns FROM ns) ELSE 0 END AS r FROM nodes),
+         |i1 AS ${it("r0")},
+         |i2 AS ${it("i1")},
+         |i3 AS ${it("i2")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin
+    },
+
+    // Interval overlap: the oracle spells the join directly as the
+    // inequality predicate (fine at oracle scale); second-truncated
+    // epochs match the engine's unix_timestamp bins.
+    "q111_interval_overlap" ->
+      """WITH a AS (SELECT event_id AS id_a, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS e
+        |  FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT event_id AS id_b, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT id_a, id_b, user_id,
+        |  CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_sec
+        |FROM a JOIN b USING (user_id)
+        |WHERE a.s < b.e AND b.s < a.e
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

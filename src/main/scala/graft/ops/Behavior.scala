@@ -123,4 +123,47 @@ object Behavior {
           .otherwise(-expr("((-__num) * 1000000) DIV __den"))
           .as("slope_ppm"))
   }
+
+  /** X84: first-order Markov transition matrix over per-user event
+    * sequences — the behavioral fingerprint (which action follows
+    * which) that powers next-step prediction baselines, bot detection
+    * (improbable transition chains), and sequence-model training data
+    * QA. Probabilities are row-normalized per source state, ppm floor
+    * DIV — engine-exact.
+    *
+    * Ordering is total: events sort by (ts, `tieCol`) within each user,
+    * so ties at one timestamp can never flip pairs between layouts —
+    * the same determinism rule every window in the repo follows.
+    *
+    * Dataflow: ONE shuffle of the event stream on the user key feeds
+    * the lag window (a user's history is a bounded partition task —
+    * the X14 sessionization shape); transitions then collapse onto the
+    * tiny (from, to) state-pair key with map-side partial aggregation,
+    * and the row totals join on |states| rows. Event volume never
+    * shuffles twice.
+    *
+    * @return (from_type, to_type, n_trans, prob_ppm)
+    */
+  def transitionMatrixPpm(events: DataFrame, userCol: String,
+                          typeCol: String, tsCol: String,
+                          tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__ts").asc, col("__tie").asc)
+    val trans = events
+      .select(col(userCol).as("__u"), col(typeCol).as("to_type"),
+        col(tsCol).as("__ts"), col(tieCol).as("__tie"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    // row totals as a window over the ALREADY-AGGREGATED pair frame
+    // (≤ |states|² rows): a totals self-join would re-run the whole
+    // event-volume lag window for its second branch — the plan guard
+    // pins the event stream to exactly one exchange.
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    trans
+      .withColumn("__tot", sum(col("n_trans")).over(wTot))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("(n_trans * 1000000) DIV __tot").as("prob_ppm"))
+  }
 }

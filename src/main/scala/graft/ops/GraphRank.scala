@@ -118,6 +118,72 @@ object GraphRank {
     * low enough that long runs keep bounded lineage. */
   val CheckpointEvery: Int = 8
 
+  /** X85: personalized PageRank — random-walk-with-restart proximity
+    * to a SEED set (Haveliwala WWW'02): the teleport mass lands only on
+    * the seeds, so ranks measure closeness to them rather than global
+    * centrality. The similar-item / related-entity expansion primitive
+    * (seed = one supplier's parts → ranked neighborhood), and the
+    * seeded variant of [[pageRank]] with identical integer arithmetic:
+    * quantized ranks on the 10⁹ scale, truncating DIV everywhere,
+    * bit-identical under any partitioning.
+    *
+    * Init: rank = Scale div nS on each seed, 0 elsewhere; per round:
+    * rank = seed·(15·(Scale div nS)) div 100 + (85·in) div 100. Seeds
+    * outside the graph's node set are ignored (nS counts the
+    * intersection, mirrored by the oracle); dangling mass leaks, like
+    * the default [[pageRank]] spelling.
+    *
+    * Scale shape shared with [[pageRank]]: out-degree pre-joined once,
+    * per-round shuffle bounded by |edges|, map-side-combinable sums,
+    * fully lazy loop with the same checkpoint cadence. The seed flag
+    * rides on the node frame (computed once), never re-derived.
+    *
+    * @return (node, rank_q) for every node of the graph
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 3): DataFrame = {
+    require(iters >= 1, "personalized PageRank needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    // flag computed ONCE and checkpointed: every round's base term and
+    // the init both read it (an unmarked join would recompute the seed
+    // intersection per iteration)
+    val flagged = nodes.join(
+        seeds.select(col(seedCol).as("node")).distinct()
+          .withColumn("__s", lit(1L)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__seed"))
+      .localCheckpoint()
+    val nS = flagged.agg(sum(col("__seed"))).head.getLong(0)
+    require(nS > 0,
+      "personalized PageRank needs at least one seed present in the graph")
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), Seq("src"))
+      .localCheckpoint(eager = false)
+    val base = (15L * (Scale / nS)) / 100L
+    var ranks = flagged
+      .select(col("node"), (col("__seed") * lit(Scale / nS)).as("rank_q"))
+      .localCheckpoint(eager = false)
+    (1 to iters).foreach { it =>
+      val contrib = ranks
+        .join(eDeg, ranks("node") === eDeg("src"))
+        .select(col("dst").as("node"), expr("rank_q div __deg").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__in"))
+      val next = flagged.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("__seed") * lit(base) +
+            expr("(85 * coalesce(__in, 0L)) div 100")).as("rank_q"))
+      ranks =
+        if (it % CheckpointEvery == 0 || it == iters)
+          next.localCheckpoint(eager = false)
+        else next
+    }
+    ranks
+  }
+
   /** X72: triangle counting via the degree-ordered node iterator
     * (Suri & Vassilvitskii WWW'11; the MapReduce-era standard) — the
     * clustering-coefficient numerator, and the graph-health signal

@@ -211,6 +211,64 @@ object Profiler {
         expr("((__cum - cnt) * 1000000) DIV __n").as("cdf_ppm"))
   }
 
+  /** X83: per-group Tukey/IQR outlier fences — the robust-range audit a
+    * curation run uses to winsorize or flag per-language length tails
+    * (mean/stddev fences break under the heavy-tailed distributions a
+    * web corpus actually has; quartile fences don't).
+    *
+    * Integer-exact and division-free: quartiles come from the same
+    * ceil(n·p/100) rank arithmetic as [[discreteQuantiles]] (p = 25,
+    * 75), and the classic `q1 − k·IQR` fence with k = multTenths/10 is
+    * evaluated as the equivalent tenths-scaled comparison
+    * `10·v < 10·q1 − multTenths·(q3−q1)` — no division, no rounding
+    * convention to mirror, bit-identical on any engine.
+    *
+    * Skew-robust by the q56 discipline: the corpus compacts ONCE to
+    * (group, value, count) and that frame feeds BOTH the quantile walk
+    * and the fence counting — the window input and the flag aggregate
+    * are |distinct values| per group, never |rows|.
+    *
+    * @param multTenths fence multiplier in tenths (15 = the textbook
+    *                   1.5×IQR)
+    * @return (group, q1, q3, n_rows, n_below, n_above)
+    */
+  def iqrOutlierFences(df: DataFrame, groupCol: String, valueCol: Column,
+                       multTenths: Long = 15L): DataFrame = {
+    require(multTenths >= 0, "fence multiplier must be non-negative")
+    val counts = df.select(col(groupCol), valueCol.cast("long").as("v"))
+      .groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // quantile walk + fence count share it
+    val cum = Window.partitionBy(groupCol).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quartiles = counts
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("__n", sum(col("cnt")).over(all))
+      .select(col(groupCol), col("v"), col("cnt"), col("__cum"), col("__n"),
+        explode(lit(Array(25L, 75L))).as("pct"))
+      .filter(col("__cum") >= expr("(__n * pct + 99) DIV 100") &&
+        col("__cum") - col("cnt") < expr("(__n * pct + 99) DIV 100"))
+      // the rank filter keeps exactly one compacted row per (group,
+      // pct); min() merely extracts it into the pivoted shape
+      .groupBy(col(groupCol))
+      .agg(min(when(col("pct") === 25, col("v"))).as("q1"),
+        min(when(col("pct") === 75, col("v"))).as("q3"))
+    // |groups|-sized quartile frame joins back onto the compacted
+    // counts (AQE broadcasts it); flags aggregate over distinct values
+    counts.join(quartiles, Seq(groupCol))
+      .groupBy(col(groupCol), col("q1"), col("q3"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("v") * 10 < col("q1") * 10
+            - lit(multTenths) * (col("q3") - col("q1")), col("cnt"))
+          .otherwise(lit(0L))).as("n_below"),
+        sum(when(col("v") * 10 > col("q3") * 10
+            + lit(multTenths) * (col("q3") - col("q1")), col("cnt"))
+          .otherwise(lit(0L))).as("n_above"))
+      .select(col(groupCol), col("q1"), col("q3"), col("n_rows"),
+        col("n_below"), col("n_above"))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val pairs = cols.map(c =>

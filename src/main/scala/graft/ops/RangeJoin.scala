@@ -54,4 +54,49 @@ object RangeJoin {
       .join(hits, Seq(idCol), "left")
       .na.fill(0L, Seq("n_in_window")).na.fill(0.0, Seq("sum_in_window"))
   }
+
+  /** X86: interval×interval overlap join — all (left, right) pairs with
+    * the same key whose half-open second intervals [start, end)
+    * intersect, with the exact overlap length. The session-vs-session /
+    * maintenance-window-vs-outage temporal join; the naive spelling is
+    * the same nested-loop scale-killer as [[countInWindow]]'s.
+    *
+    * Same bin trick, generalized: every interval explodes to the bins
+    * it covers (fan-out = ⌈len/binSec⌉ per row — the caller's bin width
+    * trades fan-out against candidate volume), candidates equi-join on
+    * (key, bin), the exact predicate filters residually. The pair
+    * DEDUP is positional, not a `distinct`: a pair sharing k bins is
+    * emitted only in the FIRST shared bin — the one holding the
+    * overlap's start, `floor(max(s_a, s_b) / binSec)`, which both
+    * sides cover by construction — so no shuffle-wide dedup runs.
+    * Floor-DIV binning assumes non-negative epochs (the engine-wide
+    * timestamp precondition).
+    *
+    * Empty intervals (end ≤ start) match nothing and are dropped at
+    * the scan. Overlap length uses the half-open convention:
+    * `least(e_a, e_b) − greatest(s_a, s_b)` > 0 always.
+    *
+    * @return (id_a, id_b, `keyCol`, overlap_sec)
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  leftIdCol: String, rightIdCol: String, keyCol: String,
+                  startCol: String, endCol: String, binSec: Long): DataFrame = {
+    require(binSec > 0, "bin width must be positive")
+    def prep(df: DataFrame, idCol: String, out: String): DataFrame = df
+      .select(col(idCol).as(out), col(keyCol).as("__k"),
+        unix_timestamp(col(startCol)).as(s"__s_$out"),
+        unix_timestamp(col(endCol)).as(s"__e_$out"))
+      .filter(col(s"__e_$out") > col(s"__s_$out"))
+      .withColumn("__bin", explode(sequence(
+        expr(s"__s_$out DIV $binSec"), expr(s"(__e_$out - 1) DIV $binSec"))))
+    prep(left, leftIdCol, "id_a")
+      .join(prep(right, rightIdCol, "id_b"), Seq("__k", "__bin"))
+      .filter(col("__s_id_a") < col("__e_id_b") &&
+        col("__s_id_b") < col("__e_id_a") &&
+        col("__bin") === greatest(expr(s"__s_id_a DIV $binSec"),
+          expr(s"__s_id_b DIV $binSec")))
+      .select(col("id_a"), col("id_b"), col("__k").as(keyCol),
+        (least(col("__e_id_a"), col("__e_id_b")) -
+          greatest(col("__s_id_a"), col("__s_id_b"))).as("overlap_sec"))
+  }
 }

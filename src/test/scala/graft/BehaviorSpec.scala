@@ -99,4 +99,62 @@ class BehaviorSpec extends SparkSpec {
     assert(got("p") == 300000L)
     assert(got("n") == -300000L)
   }
+
+  test("transition matrix: hand-checked counts and ppm rows") {
+    // user 1: a→b→a→c ; user 2: a→b ; transitions:
+    // a→b ×2, b→a ×1, a→c ×1 → from a: b=500000ppm, c=250000… wait,
+    // a has 3 outgoing (a→b, a→b, a→c) → b 666666, c 333333; b→a 1000000.
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+      (2L, 5L, "a"), (2L, 6L, "b")
+    ).map { case (u, t, ty) =>
+      (u, new java.sql.Timestamp(t * 1000), ty, t)
+    }.toDF("user_id", "ts", "event_type", "event_id")
+    val got = Behavior.transitionMatrixPpm(df, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 2L, 666666L), ("a", "c", 1L, 333333L),
+      ("b", "a", 1L, 1000000L)))
+  }
+
+  test("transition matrix: tie timestamps resolve by the tiebreak column") {
+    // both events at ts=1: order is event_id 10 then 20 → x→y, never y→x
+    val df = Seq(
+      (1L, 1L, "x", 10L), (1L, 1L, "y", 20L)
+    ).map { case (u, t, ty, id) =>
+      (u, new java.sql.Timestamp(t * 1000), ty, id)
+    }.toDF("user_id", "ts", "event_type", "event_id")
+    val got = Behavior.transitionMatrixPpm(df, "user_id", "event_type",
+        "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("x", "y", 1L, 1000000L)))
+  }
+
+  test("transition matrix is layout-independent") {
+    val rnd = new scala.util.Random(109L)
+    val rows = (1 to 3000).map { i =>
+      (rnd.nextInt(40).toLong, new java.sql.Timestamp(rnd.nextInt(1000) * 1000L),
+        s"t${rnd.nextInt(5)}", i.toLong)
+    }
+    val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+    val a = Behavior.transitionMatrixPpm(df.repartition(3), "user_id",
+        "event_type", "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    val b = Behavior.transitionMatrixPpm(df.repartition(13), "user_id",
+        "event_type", "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(a == b)
+    // brute-force model: per user, (ts, event_id)-sorted consecutive
+    // pairs; counts per state pair; floor-ppm over the from-state total
+    val model = rows.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._2.getTime, e._4)).map(_._3)
+        .sliding(2).collect { case Seq(f, t) => (f, t) }
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val totals = model.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val expect = model.map { case ((f, t), n) =>
+      (f, t, n, n * 1000000L / totals(f))
+    }.toSet
+    assert(a == expect)
+  }
 }

@@ -194,6 +194,29 @@ class ModelCheckSpec extends SparkSpec {
           redistributeDangling = true)
         .as[(Long, Long)].collect().toMap
       assert(got2 == model2, s"trial $trial redistribute: ${(model2.toSet -- got2.toSet).take(3)}")
+
+      // personalized variant: teleport mass only on the seed set
+      // (every 4th node, intersected with the graph); same quanta
+      val seeds = nodes.filter(_ % 4 == 0)
+      if (seeds.nonEmpty) {
+        val baseS = BigInt(15L * (S / seeds.size) / 100L)
+        var r3 = nodes.map(v =>
+          v -> (if (seeds.contains(v)) BigInt(S / seeds.size) else BigInt(0))).toMap
+        (1 to 3).foreach { _ =>
+          val in = edges.groupBy(_._2).view.mapValues(_.map { case (src, _) =>
+            r3(src) / outdeg(src) }.sum).toMap
+          r3 = nodes.map(v => v ->
+            ((if (seeds.contains(v)) baseS else BigInt(0)) +
+              BigInt(85) * in.getOrElse(v, BigInt(0)) / 100)).toMap
+        }
+        val model3 = r3.map { case (k, v) => k -> v.toLong }
+        // seed frame includes ids OUTSIDE the graph: they must not count
+        val seedDf = (seeds ++ Seq(9999L)).toDF("seed")
+        val got3 = graft.ops.GraphRank.personalizedPageRank(
+            edges.toDF("src", "dst"), "src", "dst", seedDf, "seed", 3)
+          .as[(Long, Long)].collect().toMap
+        assert(got3 == model3, s"trial $trial personalized: ${(model3.toSet -- got3.toSet).take(3)}")
+      }
     }
   }
 

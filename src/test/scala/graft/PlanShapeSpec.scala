@@ -148,4 +148,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(winAt >= 0 && aggAt > winAt,
       s"expected the count compaction BELOW the Window:\n$plan")
   }
+
+  test("iqrOutlierFences compacts BELOW the window; fences join broadcast") {
+    // q56 discipline again: both the quantile walk and the fence count
+    // must read the compacted frame, and the |groups|-row quartile
+    // frame must come back as a broadcast, not a shuffle.
+    val df = (1 to 500).map(i => (s"g${i % 3}", (i % 20).toLong)).toDF("g", "v")
+    val plan = planOf(graft.ops.Profiler.iqrOutlierFences(df, "g", col("v")))
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0, s"expected the quantile rank Window:\n$plan")
+    // the (group, value, count) compaction is checkpointed so both
+    // consumers share ONE computation — the window's subtree must
+    // bottom out at that compacted scan, not at a raw-row scan
+    val below = plan.substring(winAt)
+    assert(below.contains("Scan ExistingRDD") && !below.contains("LocalTableScan"),
+      s"window must read the checkpointed compaction, not raw rows:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quartile frame (|groups| rows) must broadcast:\n$plan")
+  }
+
+  test("transition matrix shuffles the event volume exactly once") {
+    // The event stream enters exactly ONE user-keyed exchange (the lag
+    // window); normalization is a window over the tiny state-pair
+    // frame — a totals self-join would re-run the event-volume window
+    // for its second branch (2× scan + 2× shuffle).
+    val df = (1 to 500).map(i =>
+      (i.toLong % 20, new java.sql.Timestamp(i * 1000L), s"t${i % 4}", i.toLong))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val plan = planOf(graft.ops.Behavior.transitionMatrixPpm(
+      df, "user_id", "event_type", "ts", "event_id"))
+    val userExchanges = "Exchange hashpartitioning\\(__u".r.findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected exactly ONE event-volume exchange, got $userExchanges:\n$plan")
+  }
+
+  test("overlapJoin compiles to an equi-join, never a nested loop") {
+    import java.sql.Timestamp
+    def df(id: String) = (1 to 50).map(i =>
+      (i.toLong, i.toLong % 5, new Timestamp(i * 60000L), new Timestamp(i * 60000L + 120000L)))
+      .toDF(id, "key", "s", "e")
+    val plan = planOf(RangeJoin.overlapJoin(df("lid"), df("rid"),
+      "lid", "rid", "key", "s", "e", 60L))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"interval overlap degraded to a non-equi join:\n$plan")
+    assert(plan.contains("Join") || plan.contains("join"),
+      s"expected an equi-join on (key, bin):\n$plan")
+  }
 }

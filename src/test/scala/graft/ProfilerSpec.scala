@@ -162,4 +162,43 @@ class ProfilerSpec extends SparkSpec {
     // lexicographic contract: "10" < "100" < "9" as strings
     assert(out("qty") == ((3L, 3L, "10", "9")))
   }
+
+  test("iqrOutlierFences: hand-checked quartiles and fence counts") {
+    // group a: 1..8 plus 100 (n=9) → q1 = rank ceil(9·25/100)=3 → 3,
+    // q3 = rank ceil(9·75/100)=7 → 7; IQR = 4, fences (k=1.5):
+    // lo = 3 − 6 = −3, hi = 7 + 6 = 13 → only 100 is above.
+    val df = ((1L to 8L) :+ 100L).map(v => ("a", v)).toDF("g", "v")
+    val out = Profiler.iqrOutlierFences(df, "g", col("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L, 7L, 9L, 0L, 1L)))
+  }
+
+  test("iqrOutlierFences matches a brute-force model across groups") {
+    val rnd = new scala.util.Random(83L)
+    val rows = (1 to 2000).map { i =>
+      val heavy = if (rnd.nextInt(50) == 0) rnd.nextInt(5000).toLong else 0L
+      (s"g${i % 3}", rnd.nextInt(200).toLong + heavy)
+    }
+    val got = Profiler.iqrOutlierFences(rows.toDF("g", "v"), "g", col("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val model = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.size.toLong
+      def q(p: Long) = sorted((((n * p + 99) / 100) - 1).toInt)
+      val (q1, q3) = (q(25), q(75))
+      val below = sorted.count(v => 10 * v < 10 * q1 - 15 * (q3 - q1)).toLong
+      val above = sorted.count(v => 10 * v > 10 * q3 + 15 * (q3 - q1)).toLong
+      (g, q1, q3, n, below, above)
+    }.toSet
+    assert(got == model)
+  }
+
+  test("iqrOutlierFences is layout-independent") {
+    val df = (1 to 500).map(i => (s"g${i % 2}", (i * i % 97).toLong)).toDF("g", "v")
+    val a = Profiler.iqrOutlierFences(df.repartition(3), "g", col("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val b = Profiler.iqrOutlierFences(df.repartition(17), "g", col("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
 }

@@ -53,4 +53,59 @@ class RangeJoinSpec extends SparkSpec {
       .select("n_in_window", "sum_in_window").as[(Long, Double)].head()
     assert(out == ((3L, 7.0)))
   }
+
+  test("overlapJoin: hand-checked overlaps, half-open ends don't touch") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, 1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")),
+      (3L, 2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("lid", "key", "s", "e")
+    val right = Seq(
+      // overlaps left 1 by 30 min; touches left 2's start EXACTLY → no
+      (10L, 1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00")),
+      // key 2: contained in left 3
+      (11L, 2L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:20:00")),
+      // key mismatch with everything
+      (12L, 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("rid", "key", "s", "e")
+    val out = RangeJoin.overlapJoin(left, right, "lid", "rid", "key",
+        "s", "e", binSec = 3600L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L, 1L, 1800L), (3L, 11L, 2L, 300L)))
+  }
+
+  test("overlapJoin: pairs sharing many bins are emitted exactly once") {
+    // both intervals span 5 one-minute bins together; the positional
+    // dedup must emit one row, with the full overlap length
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")))
+      .toDF("lid", "key", "s", "e")
+    val right = Seq((2L, 1L, ts("2024-01-01 10:01:00"), ts("2024-01-01 10:04:00")))
+      .toDF("rid", "key", "s", "e")
+    val out = RangeJoin.overlapJoin(left, right, "lid", "rid", "key",
+        "s", "e", binSec = 60L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L, 180L)))
+  }
+
+  test("overlapJoin matches the brute-force inequality join") {
+    val rnd = new scala.util.Random(111L)
+    def mk(n: Int) = (1 to n).map { i =>
+      val s = rnd.nextInt(86400).toLong
+      (i.toLong, rnd.nextInt(5).toLong, s, s + 1 + rnd.nextInt(7200))
+    }
+    val lrows = mk(120)
+    val rrows = mk(150)
+    def df(rows: Seq[(Long, Long, Long, Long)], id: String) = rows.map {
+      case (i, k, s, e) => (i, k, new Timestamp(s * 1000), new Timestamp(e * 1000))
+    }.toDF(id, "key", "s", "e")
+    val got = RangeJoin.overlapJoin(df(lrows, "lid"), df(rrows, "rid"),
+        "lid", "rid", "key", "s", "e", binSec = 1800L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val model = (for {
+      (la, lk, ls, le) <- lrows
+      (ra, rk, rs, re) <- rrows
+      if lk == rk && ls < re && rs < le
+    } yield (la, ra, lk, math.min(le, re) - math.max(ls, rs))).toSet
+    assert(got == model)
+  }
 }
