@@ -1007,6 +1007,43 @@ object ExtensionQueries {
           "event_id", "user_id", "ts_start", "ts_end", binSec = 3600L)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // Pivot long→wide — the inverse of the reference's signature
+    // unpivot (q09): EXPLICIT value list, so the plan is one aggregate
+    // with no driver-side distinct scan of the pivot column.
+    "q112_pivot_attrs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "attr", "val")
+        .groupBy(col("p_partkey"))
+        .pivot("attr", Seq("size", "retailprice"))
+        .agg(max(col("val")))
+        .orderBy(col("p_partkey"))),
+
+    // ROLLUP subtotal grid over the q02 revenue join — the Expand-based
+    // multi-grain aggregate; grouping_id disambiguates subtotal rows,
+    // names coalesce to 'ALL' so no NULL ever reaches the compare.
+    "q113_rollup_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val m = graft.model.Schemas.money
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(m) *
+            (lit(1).cast(m) - col("l_discount").cast(m)))
+          .cast("double").as("revenue"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("revenue"), col("gid"))
+        .orderBy(col("gid"), col("r_name"), col("n_name"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2617,5 +2654,32 @@ object ExtensionQueries {
         |FROM a JOIN b USING (user_id)
         |WHERE a.s < b.e AND b.s < a.e
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Pivot: the q09 long form folded back wide with MAX-per-attr
+    // (each (key, attr) holds exactly one value).
+    "q112_pivot_attrs" ->
+      """WITH long AS (
+        | SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        | UNION ALL
+        | SELECT p_partkey, 'retailprice', p_retailprice FROM part)
+        |SELECT p_partkey,
+        |  MAX(CASE WHEN attr = 'size' THEN val END) AS size,
+        |  MAX(CASE WHEN attr = 'retailprice' THEN val END) AS retailprice
+        |FROM long GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ROLLUP: GROUPING() bitmask matches Spark's grouping_id (first
+    // argument = most significant bit).
+    "q113_rollup_revenue" ->
+      """SELECT COALESCE(r_name, 'ALL') AS r_name,
+        |  COALESCE(n_name, 'ALL') AS n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name, n_name""".stripMargin,
   )
 }

@@ -280,4 +280,41 @@ object StreamingLoad {
           }
       }
   }
+
+  // ---- custom state: Markov transitions (flatMapGroupsWithState) -------
+
+  final case class TransEvent(user_id: Long, ts: Timestamp,
+                              event_type: String, event_id: Long)
+  final case class LastEvent(ts: Long, tie: Long, typ: String)
+  final case class TransOut(from_type: String, to_type: String)
+
+  /** Streaming twin of `Behavior.transitionMatrixPpm`'s transition
+    * extraction: per-user LAST-EVENT state (one small case class per
+    * key, O(1) — no event buffer), each trigger emitting the (from, to)
+    * pairs its new events introduce, INCLUDING the cross-batch pair
+    * connecting the stored last event to the batch's first. Within a
+    * batch events sort by the same total (ts, event_id) order as the
+    * batch window, so two sequential batches emit exactly the pairs of
+    * the combined batch whenever batches arrive in per-user ts order —
+    * the append contract every twin in this file assumes (spec-pinned).
+    * Counts → ppm normalization is a plain aggregation over the emitted
+    * pairs, streaming-safe as-is.
+    */
+  def transitionsStream(events: Dataset[TransEvent]): Dataset[TransOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[TransEvent], state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val types = state.getOption.map(_.typ).toSeq ++ sorted.map(_.event_type)
+          sorted.lastOption.foreach(e =>
+            state.update(LastEvent(e.ts.getTime, e.event_id, e.event_type)))
+          types.sliding(2).collect {
+            case Seq(f, t) => TransOut(f, t)
+          }.toList.iterator
+      }
+  }
 }

@@ -102,6 +102,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions equal the batch lag window across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import StreamingLoad.TransEvent
+    val evs = (1 to 60).map { i =>
+      TransEvent(i.toLong % 5, new Timestamp(1700000000000L + i * 60000L),
+        s"t${i % 3}", i.toLong)
+    }
+    val mem = MemoryStream[TransEvent]
+    val q = StreamingLoad.transitionsStream(mem.toDS())
+      .writeStream.format("memory").queryName("trans_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // per-user ts-ordered arrival, split mid-stream: the cross-batch
+      // transition (last event of batch 1 → first of batch 2 per user)
+      // must still be emitted exactly once
+      mem.addData(evs.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(25): _*)
+      q.processAllAvailable()
+      val stream = spark.table("trans_test")
+        .groupBy("from_type", "to_type").count()
+        .as[(String, String, Long)].collect().toSet
+      val batch = graft.ops.Behavior.transitionMatrixPpm(
+          evs.toDF(), "user_id", "event_type", "ts", "event_id")
+        .select(col("from_type"), col("to_type"), col("n_trans"))
+        .as[(String, String, Long)].collect().toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch converges to the batch sketch, state stays bottom-k") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
