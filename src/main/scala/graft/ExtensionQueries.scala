@@ -1044,6 +1044,22 @@ object ExtensionQueries {
           col("revenue"), col("gid"))
         .orderBy(col("gid"), col("r_name"), col("n_name"))
     }),
+
+    // Positional phrase query — the inverted index's read path: token
+    // (not substring) semantics, postings-bounded equi-join chain.
+    "q114_phrase_match" -> ((s, d) =>
+      TermStats.phraseMatch(docsFanned(s, d), "doc_id", "text",
+          Seq("sort", "merge"))
+        .orderBy(col("doc_id"))),
+
+    // HITS hubs/authorities (2 rounds) on the supplier→part graph —
+    // integer-exact with per-round max-renormalization.
+    "q115_hits" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      GraphRank.hits(li, "src", "dst", 2).orderBy(col("node"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2681,5 +2697,40 @@ object ExtensionQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY gid, r_name, n_name""".stripMargin,
+
+    // Phrase match: 1-based token positions via a lateral range, the
+    // occurrence chain as a positional self-join.
+    "q114_phrase_match" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+        |t AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS w
+        |  FROM tok, unnest(range(1, len(toks)+1)) r(i)),
+        |m AS (SELECT a.doc_id, a.pos AS strt FROM t a JOIN t b
+        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.w = 'sort' AND b.w = 'merge')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  MIN(strt) AS first_pos
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // HITS: 2 unrolled rounds; each half-round renormalizes by its max
+    // via a scalar subquery, COALESCE(0) for nodes without the role.
+    "q115_hits" -> {
+      def half(src: String, prevV: String, prevCol: String,
+               gatherOn: String, outTbl: String, outCol: String): String =
+        s"""${outTbl}r AS (SELECT e.$gatherOn AS node, CAST(SUM(p.$prevCol) AS BIGINT) AS v
+           |  FROM e JOIN $prevV p ON e.${if (gatherOn == "dst") "src" else "dst"} = p.node GROUP BY 1),
+           |$outTbl AS (SELECT n.node,
+           |  COALESCE((r.v * 1000000) // (SELECT MAX(v) FROM ${outTbl}r), 0) AS $outCol
+           |  FROM nodes n LEFT JOIN ${outTbl}r r ON n.node = r.node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |${half("e", "h0", "h", "dst", "a1", "a")},
+         |${half("e", "a1", "a", "src", "h1", "h")},
+         |${half("e", "h1", "h", "dst", "a2", "a")},
+         |${half("e", "a2", "a", "src", "h2", "h")}
+         |SELECT n.node, CAST(h2.h AS BIGINT) AS hub_q, CAST(a2.a AS BIGINT) AS auth_q
+         |FROM nodes n JOIN h2 ON n.node = h2.node JOIN a2 ON n.node = a2.node
+         |ORDER BY n.node""".stripMargin
+    },
   )
 }

@@ -184,6 +184,61 @@ object GraphRank {
     ranks
   }
 
+  /** X88: HITS hubs & authorities (Kleinberg JACM'99) — the directed
+    * complement of PageRank for bipartite-ish link structures: a good
+    * HUB points at good authorities, a good AUTHORITY is pointed at by
+    * good hubs. The crawl-seeding / link-spam signal where a single
+    * centrality can't separate the two roles.
+    *
+    * Integer-exact: scores live on the 10⁶ scale and each half-round
+    * renormalizes by the vector's max (v ← v·10⁶ div max v — the
+    * Spectral renorm discipline), so sums stay long-safe at any size
+    * and the max-score node is pinned at exactly 10⁶ — bit-identical
+    * under any partitioning, mirrored by an unrolled oracle.
+    *
+    * Shape: per half-round ONE edge-keyed equi-join + a
+    * map-side-combinable sum; the renorm max is a 1-value driver
+    * scalar per half-round (the k-means/Spectral bounded-driver-state
+    * pattern — 2·iters tiny actions, never row-proportional). Frames
+    * checkpoint per half-round because each is read twice (next
+    * half-round + output/max).
+    *
+    * @return (node, hub_q, auth_q) for every node; nodes without the
+    *         role score 0
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, "HITS needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(eager = false)
+    var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+      .localCheckpoint(eager = false)
+    var auth = nodes.select(col("node"), lit(0L).as("a"))
+    def renorm(raw: DataFrame, joinKey: String, out: String): DataFrame = {
+      val m = raw.agg(max(col("__v"))).head.getLong(0)
+      // the max-score node of each half-round holds exactly 10⁶, so a
+      // non-empty edge set can never drive the next max to 0
+      require(m > 0, "HITS on a degenerate (empty or zero-score) graph")
+      nodes.join(raw.select(col(joinKey).as("node"), col("__v")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(expr(s"(__v * 1000000) div $m"), lit(0L)).as(out))
+        .localCheckpoint(eager = false)
+    }
+    (1 to iters).foreach { _ =>
+      auth = renorm(
+        e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("__v")), "dst", "a")
+      hub = renorm(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("__v")), "src", "h")
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub_q"), col("a").as("auth_q"))
+  }
+
   /** X72: triangle counting via the degree-ordered node iterator
     * (Suri & Vassilvitskii WWW'11; the MapReduce-era standard) — the
     * clustering-coefficient numerator, and the graph-health signal

@@ -188,6 +188,42 @@ object TermStats {
           .as("postings"))
   }
 
+  /** X87: positional phrase match — the inverted index's READ path:
+    * which documents contain the exact token sequence `phrase`, how
+    * many times, and where it first starts (1-based). The retrieval /
+    * quote-finding primitive next to X30's index build, with token
+    * (not substring) semantics: "sort merge" never matches inside
+    * "resort merged".
+    *
+    * Shape: one posexplode emits (doc, pos, token); each phrase word
+    * keeps ONLY its own postings (the filter folds into the explode
+    * projection, so a w-word phrase scans the corpus once and carries
+    * Σ df(wᵢ) rows); occurrences chain by (doc, pos+i) equi-joins —
+    * positional intersection, the standard phrase-query plan. Work is
+    * bounded by the RAREST word's postings after the first join, never
+    * by corpus size.
+    *
+    * @return (doc_id, n_matches, first_pos) for matching docs only
+    */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch needs at least one token")
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFeatures.tokens(col(textCol))).as(Seq("__p", "__w")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("__w"))
+      .localCheckpoint(eager = false) // one explode feeds every word's postings
+    def word(i: Int): DataFrame = tok
+      .filter(col("__w") === phrase(i))
+      .select(col("doc_id"), (col("pos") - i).as("__start"))
+    phrase.indices.tail
+      .foldLeft(word(0)) { (acc, i) =>
+        acc.join(word(i), Seq("doc_id", "__start"))
+      }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("__start")).as("first_pos"))
+  }
+
   /** Bigram language-model surprisal score — perplexity-style quality
     * filtering (the CCNet/KenLM gate) without the logarithm, so the
     * score is bit-exact across engines: the corpus itself is the model

@@ -220,6 +220,30 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("integer HITS == BigInt model on random graphs") {
+    val rnd = new Random(314159L)
+    (1 to 3).foreach { trial =>
+      val n = 25
+      val edges = (1 to 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      def renorm(raw: Map[Long, BigInt]): Map[Long, BigInt] = {
+        val m = raw.values.max
+        nodes.map(v => v -> raw.getOrElse(v, BigInt(0)) * 1000000 / m).toMap
+      }
+      var hub = nodes.map(_ -> BigInt(1000000)).toMap
+      var auth = Map.empty[Long, BigInt]
+      (1 to 2).foreach { _ =>
+        auth = renorm(edges.groupBy(_._2).view.mapValues(_.map(e => hub(e._1)).sum).toMap)
+        hub = renorm(edges.groupBy(_._1).view.mapValues(_.map(e => auth(e._2)).sum).toMap)
+      }
+      val model = nodes.map(v => v -> ((hub(v).toLong, auth(v).toLong))).toMap
+      val got = graft.ops.GraphRank.hits(edges.toDF("src", "dst"), "src", "dst", 2)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == model, s"trial $trial: ${(model.toSet -- got.toSet).take(3)}")
+    }
+  }
+
   test("pointer-doubling CC == union-find model on random graphs") {
     val rnd = new Random(99L)
     (1 to 3).foreach { trial =>

@@ -201,4 +201,44 @@ class TermStatsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, 0L, 0L)))
     assert(out(3L) == ((3L, 2L, 2L, 1000000L)))
   }
+
+  test("phraseMatch: token semantics, counts, 1-based first position") {
+    val docs = Seq(
+      (1L, "the sort merge join wins"),         // one match at pos 2
+      (2L, "sort merge then sort merge again"), // two matches, first at 1
+      (3L, "resort merged is not sort nor merge here"), // no consecutive pair
+      (4L, "merge sort is the reverse"),        // reversed: no match
+      (5L, "sort")                              // shorter than the phrase
+    ).toDF("doc_id", "text")
+    val out = TermStats.phraseMatch(docs, "doc_id", "text", Seq("sort", "merge"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((1L, 2L)), 2L -> ((2L, 1L))))
+  }
+
+  test("phraseMatch: overlapping occurrences all count") {
+    // "a a a a" with phrase "a a": starts at 1, 2, 3
+    val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val out = TermStats.phraseMatch(docs, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 1L)))
+  }
+
+  test("phraseMatch matches a brute-force sliding scan") {
+    val rnd = new scala.util.Random(114L)
+    val vocab = Seq("x", "y", "z", "w")
+    val rows = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(4))).mkString(" "))
+    }
+    val phrase = Seq("x", "y", "x")
+    val got = TermStats.phraseMatch(rows.toDF("doc_id", "text"), "doc_id",
+        "text", phrase)
+      .as[(Long, Long, Long)].collect().toSet
+    val model = rows.flatMap { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val starts = toks.sliding(phrase.size).zipWithIndex
+        .collect { case (w, i) if w == phrase => i + 1L }.toSeq
+      if (starts.nonEmpty) Some((id, starts.size.toLong, starts.min)) else None
+    }.toSet
+    assert(got == model)
+  }
 }
