@@ -1060,6 +1060,14 @@ object ExtensionQueries {
         (col("l_partkey") * 2 + 1).as("dst"))
       GraphRank.hits(li, "src", "dst", 2).orderBy(col("node"))
     }),
+
+    // Exact all-pairs cosine (Bayardo WWW'07) on the duplicate-heavy
+    // corpus — the non-probabilistic complement of q22/q23: clone pairs
+    // score 10⁶-exact, truncations land by their real overlap.
+    "q116_allpairs_cosine" -> ((s, d) =>
+      TermStats.allPairsCosine(demoCorpus(Tables.documents(s, d)),
+          "doc_id", "text", tauMilli = 800, maxDf = 100)
+        .orderBy(col("doc_a"), col("doc_b"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2732,5 +2740,26 @@ object ExtensionQueries {
          |FROM nodes n JOIN h2 ON n.node = h2.node JOIN a2 ON n.node = a2.node
          |ORDER BY n.node""".stripMargin
     },
+
+    // All-pairs cosine over the df-gated (2 ≤ df ≤ 100) vocabulary;
+    // the cosine test is cross-multiplied in HUGEINT — no sqrt.
+    "q116_allpairs_cosine" ->
+      s"""WITH $corpusCte,
+         |$tokCte,
+         |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM tok) GROUP BY 1, 2),
+         |gated AS (SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         |  WHERE df BETWEEN 2 AND 100),
+         |p AS (SELECT tf.* FROM tf JOIN gated USING (term)),
+         |norms AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM p GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(SUM(a.tf*b.tf) AS BIGINT) AS dot
+         |  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b
+         |FROM dots JOIN norms na ON doc_a = na.doc_id
+         |  JOIN norms nb ON doc_b = nb.doc_id
+         |WHERE CAST(dot AS HUGEINT)*dot*1000000 >= CAST(640000 AS HUGEINT)*na.n2*nb.n2
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -224,6 +224,66 @@ object TermStats {
       .agg(count(lit(1)).as("n_matches"), min(col("__start")).as("first_pos"))
   }
 
+  /** X89: sparse all-pairs cosine similarity over the df-gated
+    * vocabulary — the all-pairs similarity search of Bayardo, Ma &
+    * Srikant (WWW'07), the exact-similarity complement of the LSH
+    * family: every document pair whose tf-vector cosine (restricted to
+    * terms with 2 ≤ df ≤ `maxDf`) clears `tauMilli`/1000. The
+    * template-detection / near-dup-audit primitive when candidates
+    * must be EXACT, not probabilistic.
+    *
+    * The df gate IS the similarity space, not just a candidate filter:
+    * df=1 terms cannot pair (lossless drop), and df > `maxDf` terms
+    * are stop terms excluded from the score — the standard stopword
+    * cut, mirrored verbatim by the oracle. That makes the posting-list
+    * self-join's output ≤ Σ_gated df(t)² ≤ maxDf · Σ df(t) — LINEAR in
+    * corpus size for fixed maxDf, never |docs|².
+    *
+    * Integer-exact: tf vectors are longs, the dot and both squared
+    * norms are long sums (map-side combinable), and the cosine test is
+    * cross-multiplied — dot²·10⁶ ≥ τ²·‖a‖²·‖b‖² — in DECIMAL(38,0)
+    * (the Spectral discipline; sqrt never happens). Fits 38 digits
+    * whenever per-doc token counts stay ≤ ~10⁶ (dot ≤ len_a·len_b).
+    *
+    * Plan shape: ONE scan → tf aggregate (forked: df gate + postings);
+    * the gate joins BELOW the self-join so stop-term postings never
+    * enter it (plan-guarded); norms ride a doc-keyed join left to AQE.
+    *
+    * @return (doc_a, doc_b, dot, n2_a, n2_b) for qualifying pairs,
+    *         doc_a < doc_b
+    */
+  def allPairsCosine(docs: DataFrame, idCol: String, textCol: String,
+                     tauMilli: Long = 600, maxDf: Long = 100): DataFrame = {
+    require(tauMilli > 0 && tauMilli <= 1000,
+      s"tauMilli is a cosine in milli-units (0, 1000]: $tauMilli")
+    require(maxDf >= 2, s"maxDf < 2 gates out every pairable term: $maxDf")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFeatures.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // forked: df gate + gated postings
+    val gated = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("term")
+    val postings = tf.join(gated, Seq("term"))
+      .localCheckpoint(eager = false) // forked: norms + both join sides
+    val norms = postings.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = postings.select(col("term"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
+      .join(postings.select(col("term"), col("doc_id").as("doc_b"), col("tf").as("tf_b")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    def dec(c: Column): Column =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .filter(dec(col("dot")) * dec(col("dot")) * dec(lit(1000000L)) >=
+        dec(lit(tauMilli * tauMilli)) * dec(col("n2_a")) * dec(col("n2_b")))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("n2_a"), col("n2_b"))
+  }
+
   /** Bigram language-model surprisal score — perplexity-style quality
     * filtering (the CCNet/KenLM gate) without the logarithm, so the
     * score is bit-exact across engines: the corpus itself is the model

@@ -244,6 +244,36 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("allPairsCosine == brute-force gated-cosine model on random corpora") {
+    val rnd = new Random(2718L)
+    (1 to 3).foreach { trial =>
+      val vocab = (1 to 12).map(i => s"t$i")
+      val rows = (1 to 80).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(12))).mkString(" "))
+      }
+      val (tau, maxDf) = (700L, 40L)
+      val tfs = rows.map { case (id, text) =>
+        id -> text.split(" ").filter(_.nonEmpty).groupBy(identity)
+          .view.mapValues(_.length.toLong).toMap
+      }.toMap
+      val dfm = tfs.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong)
+      val kept = dfm.filter { case (_, d) => d >= 2 && d <= maxDf }.keySet.toSet
+      val gated = tfs.view.mapValues(_.filter(kv => kept(kv._1))).toMap
+      val model = (for {
+        a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+        va = gated(a); vb = gated(b)
+        dot = va.keySet.intersect(vb.keySet).toSeq.map(t => va(t) * vb(t)).sum
+        n2a = va.values.map(v => v * v).sum; n2b = vb.values.map(v => v * v).sum
+        if dot > 0 &&
+          BigInt(dot) * dot * 1000000 >= BigInt(tau) * tau * n2a * n2b
+      } yield (a, b, dot, n2a, n2b)).toSet
+      val got = graft.ops.TermStats.allPairsCosine(
+          rows.toDF("doc_id", "text"), "doc_id", "text", tau, maxDf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == model, s"trial $trial: ${(model -- got).take(3)} / ${(got -- model).take(3)}")
+    }
+  }
+
   test("pointer-doubling CC == union-find model on random graphs") {
     val rnd = new Random(99L)
     (1 to 3).foreach { trial =>

@@ -101,6 +101,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected band join below the partial collect:\n$plan")
   }
 
+  test("all-pairs cosine: postings self-join is an equi-join, never all-pairs") {
+    val docs = (1 to 40).map(i => (i.toLong, s"w${i % 5} w${i % 7} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.ops.TermStats.allPairsCosine(docs, "doc_id", "text", 500, 30))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs cosine degraded to a cross join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a term-keyed equi self-join:\n$plan")
+  }
+
   test("edit-distance join never degrades to a nested loop or cross join") {
     val docs = (1 to 60).map(i => (i.toLong, s"abcdefghijkl${i % 7}"))
       .toDF("id", "s")

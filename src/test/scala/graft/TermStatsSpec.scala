@@ -223,6 +223,36 @@ class TermStatsSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1L)))
   }
 
+  test("allPairsCosine: exact cosine over the gated vocabulary, boundary inclusive") {
+    val docs = Seq(
+      (1L, "a b c"), // identical to 2 → cosine exactly 1
+      (2L, "a b c"),
+      (3L, "a b x")  // x has df=1 → gated out; cos(1,3) = 2/√6 ≈ 0.8165
+    ).toDF("doc_id", "text")
+    val at800 = graft.ops.TermStats.allPairsCosine(docs, "doc_id", "text", 800, 100)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(at800 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val at900 = graft.ops.TermStats.allPairsCosine(docs, "doc_id", "text", 900, 100)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(at900 == Set((1L, 2L))) // 0.8165 < 0.9: truncation pair gone
+    // dot/norms are over the GATED space: doc 3's x never contributes
+    val full = graft.ops.TermStats.allPairsCosine(docs, "doc_id", "text", 800, 100)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(full((1L, 3L)) == ((2L, 3L, 2L)))
+  }
+
+  test("allPairsCosine: maxDf stop cut removes ubiquitous terms from the space") {
+    // "the" appears in all 4 docs; with maxDf=3 it is a stop term, so
+    // docs sharing ONLY "the" have no gated overlap and emit no pair.
+    val docs = Seq(
+      (1L, "the p q"), (2L, "the p q"), (3L, "the z1 z2"), (4L, "the z3 z4")
+    ).toDF("doc_id", "text")
+    val pairs = graft.ops.TermStats.allPairsCosine(docs, "doc_id", "text", 100, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("phraseMatch matches a brute-force sliding scan") {
     val rnd = new scala.util.Random(114L)
     val vocab = Seq("x", "y", "z", "w")
