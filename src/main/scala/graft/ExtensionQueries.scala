@@ -1068,6 +1068,20 @@ object ExtensionQueries {
       TermStats.allPairsCosine(demoCorpus(Tables.documents(s, d)),
           "doc_id", "text", tauMilli = 800, maxDf = 100)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Multi-source BFS on the symmetrized co-purchase graph: hop
+    // distance from the q110 seed suppliers, capped at 3.
+    "q117_hop_distance" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fwd = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val sym = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 50 === 0)
+        .select((col("s_suppkey") * 2).as("seed"))
+      GraphRank.hopDistance(sym, "src", "dst", seeds, "seed", 3)
+        .orderBy(col("node"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2761,5 +2775,24 @@ object ExtensionQueries {
          |  JOIN norms nb ON doc_b = nb.doc_id
          |WHERE CAST(dot AS HUGEINT)*dot*1000000 >= CAST(640000 AS HUGEINT)*na.n2*nb.n2
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // BFS via a recursive CTE with UNION (not ALL): the working set per
+    // level is the NEW (node, hops) rows only, so work stays bounded by
+    // |edges|·maxHops instead of the path count; min(hops) = BFS level.
+    "q117_hop_distance" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem
+        |  UNION SELECT DISTINCT l_partkey*2+1 AS src, l_suppkey*2 AS dst FROM lineitem),
+        |seedset AS (SELECT s_suppkey*2 AS node FROM supplier WHERE s_suppkey % 50 = 0),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |walk(node, hops) AS (
+        |  SELECT n.node, CAST(0 AS BIGINT) AS hops
+        |  FROM nodes n JOIN seedset s ON n.node = s.node
+        |  UNION
+        |  SELECT e.dst AS node, w.hops + 1 AS hops
+        |  FROM walk w JOIN e ON w.node = e.src WHERE w.hops < 3
+        |)
+        |SELECT node, MIN(hops) AS hops FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

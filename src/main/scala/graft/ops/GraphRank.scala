@@ -239,6 +239,56 @@ object GraphRank {
       .select(col("node"), col("h").as("hub_q"), col("a").as("auth_q"))
   }
 
+  /** X90: multi-source BFS hop distance — the minimum number of edge
+    * hops from any seed to each reachable node, capped at `maxHops`.
+    * The graph-proximity labeler of a curation pipeline: "how far is
+    * this document/site from the trusted seed set" (the crawl-frontier
+    * / TrustRank-style distance signal), and the deterministic
+    * complement of [[personalizedPageRank]]'s soft proximity.
+    *
+    * Level-synchronous frontier expansion — the Pregel BFS shape: per
+    * round ONE src-keyed equi-join of the CURRENT FRONTIER (not the
+    * whole reached set) against the edges, then an anti-join against
+    * the reached set so each node is expanded exactly once. Total
+    * shuffle across ALL rounds is therefore bounded by |edges| +
+    * rounds·|reached| — each edge fires exactly once, when its source
+    * enters the frontier. Rounds = `maxHops`, a caller-chosen constant
+    * (no fixpoint detection needed); an emptied frontier makes the
+    * remaining rounds empty-frame no-ops. Driver state: nothing
+    * row-proportional.
+    *
+    * Out-of-graph seeds are ignored (the [[personalizedPageRank]]
+    * convention, oracle-mirrored). Directed: symmetrize upstream for
+    * an undirected distance.
+    *
+    * @return (node, hops) for nodes reachable within `maxHops`;
+    *         seeds themselves at hops 0
+    */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"negative hop cap: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var reached = nodes
+      .join(seeds.select(col(seedCol).as("node")).distinct(), Seq("node"))
+      .select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint() // read k+1 times: every round's anti-join + output
+    var frontier = reached
+    (1 to maxHops).foreach { k =>
+      frontier = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("hops"))
+        .localCheckpoint() // forked: reached union + next round's join
+      reached = reached.unionByName(frontier).localCheckpoint(eager = false)
+    }
+    reached
+  }
+
   /** X72: triangle counting via the degree-ordered node iterator
     * (Suri & Vassilvitskii WWW'11; the MapReduce-era standard) — the
     * clustering-coefficient numerator, and the graph-health signal

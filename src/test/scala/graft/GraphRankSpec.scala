@@ -183,4 +183,23 @@ class GraphRankSpec extends SparkSpec {
     val b = GraphRank.kCorePeel(edges, "a", "b", 6, 9).as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("hopDistance: BFS levels, cap honored, out-of-graph seeds ignored") {
+    // chain 1→2→3→4→5 plus a shortcut 1→4: node 4 is 1 hop, not 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 999L).toDF("seed") // 999 not in the graph
+    val got = GraphRank.hopDistance(edges, "src", "dst", seeds, "seed", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // cap 0 = seeds only; unreachable stays absent at any cap
+    val only = GraphRank.hopDistance(edges, "src", "dst", seeds, "seed", 0)
+      .as[(Long, Long)].collect().toMap
+    assert(only == Map(1L -> 0L))
+    val far = GraphRank.hopDistance(
+        edges.unionByName(Seq((7L, 8L)).toDF("src", "dst")),
+        "src", "dst", seeds, "seed", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(!far.contains(7L) && !far.contains(8L) && far(5L) == 2L) // 1→4→5
+  }
 }

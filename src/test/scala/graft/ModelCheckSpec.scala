@@ -274,6 +274,30 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("frontier BFS == queue BFS model on random directed graphs") {
+    val rnd = new Random(4242L)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val edges = (1 to 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val seedSet = Seq(rnd.nextInt(n).toLong, rnd.nextInt(n).toLong).distinct
+      val maxHops = 3
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val inGraph = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      var dist = seedSet.filter(inGraph).map(_ -> 0L).toMap
+      var frontier = dist.keySet
+      (1 to maxHops).foreach { k =>
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil)) -- dist.keySet
+        dist = dist ++ next.map(_ -> k.toLong)
+        frontier = next
+      }
+      val got = graft.ops.GraphRank.hopDistance(edges.toDF("src", "dst"),
+          "src", "dst", seedSet.toDF("seed"), "seed", maxHops)
+        .as[(Long, Long)].collect().toMap
+      assert(got == dist, s"trial $trial")
+    }
+  }
+
   test("pointer-doubling CC == union-find model on random graphs") {
     val rnd = new Random(99L)
     (1 to 3).foreach { trial =>
