@@ -1082,6 +1082,17 @@ object ExtensionQueries {
       GraphRank.hopDistance(sym, "src", "dst", seeds, "seed", 3)
         .orderBy(col("node"))
     }),
+
+    // Deterministic DeepWalk corpus: 2 hash-stepped walks of length 3
+    // from every node of the symmetrized co-purchase graph.
+    "q118_random_walks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fwd = li.select((col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val sym = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      GraphRank.randomWalks(sym, "src", "dst", walksPerNode = 2, walkLen = 3)
+        .orderBy(col("walk_id"), col("step"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2794,5 +2805,29 @@ object ExtensionQueries {
         |  FROM walk w JOIN e ON w.node = e.src WHERE w.hops < 3
         |)
         |SELECT node, MIN(hops) AS hops FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The walk corpus replayed verbatim: ranked adjacency + the same
+    // hash-mix step; UNION ALL is safe — each walk row extends to at
+    // most one row, so the recursion is walk-count-bounded.
+    "q118_random_walks" ->
+      """WITH RECURSIVE
+        |e AS (SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem
+        |  UNION SELECT DISTINCT l_partkey*2+1 AS src, l_suppkey*2 AS dst FROM lineitem),
+        |adj AS (SELECT src, dst,
+        |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS rnk,
+        |  CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |walk(walk_id, step, node) AS (
+        |  SELECT n.node*2 + t.i AS walk_id, CAST(0 AS BIGINT) AS step, n.node
+        |  FROM nodes n, unnest(range(0, 2)) t(i)
+        |  UNION ALL
+        |  SELECT w.walk_id, w.step + 1 AS step, a.dst AS node
+        |  FROM walk w JOIN adj a ON a.src = w.node
+        |   AND a.rnk = ((w.node % 1000003)*8191 + (w.walk_id % 1000003)*127
+        |                + (w.step+1)*524287) % 1000003 % a.deg
+        |  WHERE w.step < 3
+        |)
+        |SELECT walk_id, step, node FROM walk ORDER BY walk_id, step""".stripMargin,
   )
 }

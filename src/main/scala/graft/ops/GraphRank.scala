@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Integer-exact PageRank (Page et al. 1999) — the centrality signal a
@@ -287,6 +288,63 @@ object GraphRank {
       reached = reached.unionByName(frontier).localCheckpoint(eager = false)
     }
     reached
+  }
+
+  /** X91: deterministic random walks — the DeepWalk/node2vec corpus
+    * generator (Perozzi et al. KDD'14): `walksPerNode` truncated walks
+    * of ≤ `walkLen` steps from every node, emitted as (walk_id, step,
+    * node) rows ready to feed a skip-gram trainer as "sentences".
+    *
+    * "Random" is a hash, not an RNG: step t of walk w at node v moves
+    * to out-neighbor rank ((v mod M)·8191 + (w mod M)·127 + t·524287)
+    * mod M mod outdeg(v), with M = 1000003 — every term stays far from
+    * Long overflow, so the walk corpus is bit-identical on any engine,
+    * partitioning, or retry (the property an RNG-seeded walker cannot
+    * give on a cluster), and the oracle replays it verbatim.
+    *
+    * Shape: adjacency is ranked ONCE (row_number per src — the only
+    * per-key sequential piece, sized by out-degree); each step is two
+    * state-sized equi-joins — degree join to compute the pick, then
+    * (src, rank) join to move — so per-step shuffle is |state| =
+    * |nodes|·walksPerNode rows, NEVER Σ outdeg. Steps = `walkLen`, a
+    * caller constant; walks reaching a sink simply end (inner degree
+    * join drops them — truncated-walk semantics, oracle-mirrored).
+    *
+    * @return (walk_id, step, node); walk_id = node·walksPerNode + i
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  walksPerNode: Int = 1, walkLen: Int = 3): DataFrame = {
+    require(walksPerNode >= 1 && walkLen >= 0,
+      s"need walksPerNode >= 1, walkLen >= 0: $walksPerNode, $walkLen")
+    val M = 1000003L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val adj = e.withColumn("rnk",
+        row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long") - 1)
+      .localCheckpoint(eager = false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var cur = nodes
+      .select(col("node"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("__i"))
+      .select((col("node") * walksPerNode + col("__i")).as("walk_id"),
+        lit(0L).as("step"), col("node"))
+      .localCheckpoint() // read twice: output union + step-1 join
+    var out = cur
+    (1 to walkLen).foreach { t =>
+      val picked = cur.join(deg, cur("node") === deg("src"))
+        .select(col("walk_id"), col("node"),
+          ((col("node") % M) * 8191L + (col("walk_id") % M) * 127L
+            + lit(t.toLong) * 524287L).%(M).%(col("deg")).as("pick"))
+      cur = picked.join(adj,
+          picked("node") === adj("src") && picked("pick") === adj("rnk"))
+        .select(col("walk_id"), lit(t.toLong).as("step"), col("dst").as("node"))
+        .localCheckpoint(eager = false) // forked: output union + next step
+      out = out.unionByName(cur)
+    }
+    out
   }
 
   /** X72: triangle counting via the degree-ordered node iterator

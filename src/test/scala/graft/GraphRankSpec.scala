@@ -202,4 +202,28 @@ class GraphRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(!far.contains(7L) && !far.contains(8L) && far(5L) == 2L) // 1→4→5
   }
+
+  test("randomWalks: every step follows an edge; sinks truncate; layout-stable") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 5L))
+      .toDF("src", "dst") // 5 is a sink
+    val eset = Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 5L))
+    val out = GraphRank.randomWalks(edges, "src", "dst", 2, 4)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // walks start at every node, twice
+    assert(out.filter(_._2 == 0L).map(_._1).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L).flatMap(n => Seq(n * 2, n * 2 + 1)).sorted)
+    // consecutive steps are edges
+    out.groupBy(_._1).values.foreach { w =>
+      w.sortBy(_._2).map(_._3).sliding(2).filter(_.length == 2).foreach { p =>
+        assert(eset((p(0), p(1))), s"non-edge ${p(0)}->${p(1)}")
+      }
+    }
+    // sink 5's walks are just the start row; 4's walks end at 5 (step 1)
+    assert(out.filter(_._1 == 10L).map(_._2).toSeq == Seq(0L))
+    assert(out.filter(_._1 == 8L).map(_._2).max == 1L)
+    // bit-identical under a different partitioning
+    val again = GraphRank.randomWalks(edges.repartition(7), "src", "dst", 2, 4)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == again.toSeq)
+  }
 }

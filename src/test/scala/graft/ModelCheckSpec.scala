@@ -298,6 +298,42 @@ class ModelCheckSpec extends SparkSpec {
     }
   }
 
+  test("randomWalks == sequential hash-walk model on random graphs") {
+    val rnd = new Random(8675309L)
+    (1 to 3).foreach { trial =>
+      val n = 20
+      val edges = (1 to 60).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val (wpn, len) = (2, 3)
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val M = 1000003L
+      val model = nodes.flatMap { v0 =>
+        (0 until wpn).flatMap { i =>
+          val wid = v0 * wpn + i
+          var v = v0
+          var rows = Vector((wid, 0L, v0))
+          var t = 1L
+          var alive = true
+          while (t <= len && alive) {
+            adj.get(v) match {
+              case Some(nbrs) =>
+                val pick = ((v % M) * 8191L + (wid % M) * 127L + t * 524287L) % M % nbrs.size
+                v = nbrs(pick.toInt)
+                rows :+= ((wid, t, v)); t += 1
+              case None => alive = false
+            }
+          }
+          rows
+        }
+      }.toSet
+      val got = graft.ops.GraphRank.randomWalks(edges.toDF("src", "dst"),
+          "src", "dst", wpn, len)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == model, s"trial $trial: ${(model -- got).take(3)} / ${(got -- model).take(3)}")
+    }
+  }
+
   test("pointer-doubling CC == union-find model on random graphs") {
     val rnd = new Random(99L)
     (1 to 3).foreach { trial =>
