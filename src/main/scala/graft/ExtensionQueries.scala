@@ -1093,6 +1093,14 @@ object ExtensionQueries {
       GraphRank.randomWalks(sym, "src", "dst", walksPerNode = 2, walkLen = 3)
         .orderBy(col("walk_id"), col("step"))
     }),
+
+    // Per-user event series regularized onto a 6-hour grid: latest
+    // observation carried forward with a staleness age.
+    "q119_resample_ffill" -> ((s, d) =>
+      Behavior.resampleForwardFill(Tables.events(s, d),
+          "user_id", "ts", "event_id", "value", stepSec = 21600L)
+        .select(col("key").as("user_id"), col("bucket"), col("v"), col("stale"))
+        .orderBy(col("user_id"), col("bucket"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2829,5 +2837,27 @@ object ExtensionQueries {
         |  WHERE w.step < 3
         |)
         |SELECT walk_id, step, node FROM walk ORDER BY walk_id, step""".stripMargin,
+
+    // Resample: last-in-bucket by the (ts, event_id) lexicographic key,
+    // dense per-user grid, running last-value forward fill.
+    "q119_resample_ffill" ->
+      """WITH obs AS (
+        |  SELECT user_id, bucket, m.v AS v FROM (
+        |    SELECT user_id, epoch_us(ts)//21600000000 AS bucket,
+        |      max({'u': epoch_us(ts), 't': event_id, 'v': value}) AS m
+        |    FROM events GROUP BY 1, 2)),
+        |span AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(i AS BIGINT) AS bucket
+        |  FROM span, unnest(range(lo, hi+1)) t(i)),
+        |j AS (SELECT g.user_id, g.bucket, o.v, o.bucket AS ob
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket)
+        |SELECT user_id, bucket,
+        |  last_value(v IGNORE NULLS) OVER win AS v,
+        |  bucket - last_value(ob IGNORE NULLS) OVER win AS stale
+        |FROM j
+        |WINDOW win AS (PARTITION BY user_id ORDER BY bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, bucket""".stripMargin,
   )
 }

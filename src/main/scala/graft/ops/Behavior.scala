@@ -16,6 +16,61 @@ import org.apache.spark.sql.functions._
   */
 object Behavior {
 
+  /** X92: time-grid resampling with forward fill — regularize each
+    * key's irregular event series onto a fixed `stepSec` grid: one row
+    * per (key, grid bucket) across the key's observed span, carrying
+    * the latest observation at-or-before the bucket plus a staleness
+    * age. The feature-store primitive that turns raw logs into the
+    * aligned time series a training pipeline joins on (and the dense
+    * sibling of W2's forward-fill, which only fills existing rows).
+    *
+    * Deterministic "last in bucket": max over struct(event-time µs,
+    * `tieCol`, value) — lexicographic, so any (ts, tie)-unique input
+    * resamples identically on every engine/layout; the value itself
+    * rides untouched (doubles are never summed or averaged — bit-exact
+    * by construction).
+    *
+    * Shape: one aggregate to (key, bucket) — map-side combinable, the
+    * only pass over event volume; a per-key span aggregate; the dense
+    * grid is explode(sequence(lo, hi)) — grid rows = span/step per
+    * key, the caller-bounded output size; then ONE per-key window for
+    * the running last. The window's input is the GRID (bounded), never
+    * the raw events — the q56 compaction discipline.
+    *
+    * @return (key, bucket, grid value `v`, `stale` = buckets since the
+    *         carried observation, 0 where observed)
+    */
+  def resampleForwardFill(events: DataFrame, keyCol: String, tsCol: String,
+                          tieCol: String, valCol: String,
+                          stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    import org.apache.spark.sql.expressions.Window
+    val stepUs = stepSec * 1000000L
+    val obs = events
+      // cast: event tables read as TIMESTAMP_NTZ; under the UTC session
+      // this is exactly DuckDB's epoch_us on the same naive value
+      .select(col(keyCol).as("key"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__u"),
+        struct(unix_micros(col(tsCol).cast("timestamp")).as("u"),
+          col(tieCol).as("t"), col(valCol).as("v")).as("__o"))
+      .select(col("key"), expr(s"__u div $stepUs").as("bucket"), col("__o"))
+      .groupBy("key", "bucket").agg(max(col("__o")).as("__m"))
+      .select(col("key"), col("bucket"), col("__m").getField("v").as("__v"))
+      .localCheckpoint(eager = false) // forked: span agg + grid join
+    val grid = obs.groupBy("key")
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val w = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .withColumn("__ob",
+        when(col("__v").isNotNull, col("bucket")))
+      .select(col("key"), col("bucket"),
+        last(col("__v"), ignoreNulls = true).over(w).as("v"),
+        (col("bucket") - last(col("__ob"), ignoreNulls = true).over(w)).as("stale"))
+  }
+
   /** Ordered conversion funnel: how many users performed `steps(0)`,
     * then `steps(1)` within `windowHours` AFTER their first qualifying
     * `steps(0)`, and so on — each stage anchored at the user's EARLIEST

@@ -157,4 +157,27 @@ class BehaviorSpec extends SparkSpec {
     }.toSet
     assert(a == expect)
   }
+
+  test("resampleForwardFill: dense grid, last-in-bucket, staleness, tie-break") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:05"), 1L, 1.0), // u1 bucket 0
+      (1L, ts("2024-01-01 00:00:30"), 2L, 2.0), // same bucket, later → wins
+      (1L, ts("2024-01-01 00:03:20"), 3L, 5.0), // bucket 3: gap at 1, 2
+      (2L, ts("2024-01-01 00:07:00"), 4L, 4.0), // single-bucket series
+      (3L, ts("2024-01-01 00:00:10"), 5L, 7.0), // same ts as e6 —
+      (3L, ts("2024-01-01 00:00:10"), 6L, 9.0)  // higher tie id wins
+    ).toDF("user_id", "t", "eid", "v0")
+    val out = Behavior.resampleForwardFill(ev, "user_id", "t", "eid", "v0", 60L)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val base = ts("2024-01-01 00:00:00").getTime / 1000 / 60 // grid epoch-minutes
+    def b(k: Long) = base + k
+    assert(out.size == 6) // u1: 4 buckets, u2: 1, u3: 1
+    assert(out((1L, b(0))) == ((2.0, 0L)))
+    assert(out((1L, b(1))) == ((2.0, 1L)))
+    assert(out((1L, b(2))) == ((2.0, 2L)))
+    assert(out((1L, b(3))) == ((5.0, 0L)))
+    assert(out((2L, b(7))) == ((4.0, 0L)))
+    assert(out((3L, b(0))) == ((9.0, 0L)))
+  }
 }

@@ -111,6 +111,20 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a term-keyed equi self-join:\n$plan")
   }
 
+  test("resample: the ffill window reads the bounded grid, not raw events") {
+    // The per-key running-last window must sit ABOVE the (key, bucket)
+    // compaction aggregate — raw event volume entering a window would
+    // be the q56 skew hazard all over again.
+    val ev = (1 to 300).map(i => (i % 5L,
+      new java.sql.Timestamp(1700000000000L + i * 37000L), i.toLong, i * 1.0))
+      .toDF("k", "t", "eid", "v0")
+    val plan = planOf(graft.ops.Behavior.resampleForwardFill(ev, "k", "t", "eid", "v0", 600L))
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0, s"expected a window:\n$plan")
+    assert(plan.indexOf("Generate", winAt) > winAt,
+      s"grid explode (Generate) must feed the window from below:\n$plan")
+  }
+
   test("edit-distance join never degrades to a nested loop or cross join") {
     val docs = (1 to 60).map(i => (i.toLong, s"abcdefghijkl${i % 7}"))
       .toDF("id", "s")
