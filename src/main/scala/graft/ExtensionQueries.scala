@@ -1094,6 +1094,14 @@ object ExtensionQueries {
         .orderBy(col("walk_id"), col("step"))
     }),
 
+    // SemDeDup on the cloned embedding corpus: cluster first (q39's
+    // exact k-means), pairwise cosine only within clusters; every
+    // +10000 clone has a cosine-1.0 lower-id mate and is dropped.
+    "q120_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(embCorpus(s, d), "vec_id", "embedding",
+          k = 8, iters = 2, tauMilli = 950L)
+        .orderBy(col("vec_id"))),
+
     // Per-user event series regularized onto a 6-hour grid: latest
     // observation carried forward with a staleness age.
     "q119_resample_ffill" -> ((s, d) =>
@@ -2837,6 +2845,37 @@ object ExtensionQueries {
         |  WHERE w.step < 3
         |)
         |SELECT walk_id, step, node FROM walk ORDER BY walk_id, step""".stripMargin,
+
+    // SemDeDup: q39's unrolled 2-iteration Lloyd on the cloned corpus,
+    // then within-cluster pairwise cosine; keep-lowest-id survivors.
+    "q120_semantic_dedup" ->
+      s"""WITH ecorpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, embedding AS ce FROM ecorpus WHERE vec_id < 8),
+         |s1 AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS c
+         |  FROM ecorpus e, c0 c),
+         |a1 AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cid ASC) AS rn
+         |  FROM s1) WHERE rn = 1),
+         |c1d AS (SELECT cid, i,
+         |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS cv
+         |  FROM a1, range(1, 65) r(i) GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list(CAST(cv AS FLOAT) ORDER BY i) AS ce FROM c1d GROUP BY cid),
+         |s2 AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.ce")} AS cosine
+         |  FROM ecorpus e, c1 c),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, cosine, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid ASC) AS rn
+         |  FROM s2) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT y.vec_id
+         |  FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  JOIN ecorpus ea ON x.vec_id = ea.vec_id
+         |  JOIN ecorpus eb ON y.vec_id = eb.vec_id
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.95)
+         |SELECT vec_id, cid FROM a2
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
 
     // Resample: last-in-bucket by the (ts, event_id) lexicographic key,
     // dense per-user grid, running last-value forward fill.

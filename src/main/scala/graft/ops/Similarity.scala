@@ -223,4 +223,48 @@ object Similarity {
       .select(col(idCol), col("srp_sig"), col("pos").cast("long").as("pos"),
         col("col").as("proj"))
   }
+
+  /** X93: SemDeDup — semantic deduplication by clustering first, then
+    * exact pairwise cosine ONLY within each cluster (Abbas et al. 2023,
+    * arXiv:2303.09540): the curation step that removes semantically
+    * redundant documents an exact/MinHash dedup can't see. A document
+    * is dropped when some LOWER-id cluster-mate sits within `tauMilli`
+    * cosine — keep-lowest-id, the deterministic survivor policy every
+    * dedup operator here shares.
+    *
+    * The clustering IS the scale story: pairwise work collapses from
+    * |corpus|² to Σ_c |cluster_c|² — with k sized ∝ corpus/target-
+    * cluster-size this is linear-ish in practice (the paper runs it on
+    * LAION-scale data for exactly this reason). The cluster self-join
+    * is a cid-keyed equi-join; a pathological giant cluster is the
+    * residual risk, the same hot-key hazard [[nearDupCandidates]]
+    * documents — cap k accordingly.
+    *
+    * Cosine is [[cosine]]'s ordered double fold (bit-reproducible,
+    * oracle-mirrored); the assignment comes from [[Clustering
+    * .lloydAssign]]'s integer-exact centroid path, so the whole
+    * composition hash-matches the unrolled oracle.
+    *
+    * @return surviving (vec_id, cid) rows — input minus semantic dupes
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, tauMilli: Long): DataFrame = {
+    require(tauMilli > 0 && tauMilli <= 1000,
+      s"tauMilli is a cosine in milli-units (0, 1000]: $tauMilli")
+    val assigned = Clustering.lloydAssign(corpus, idCol, vecCol, k, iters)
+      .select(col(idCol).as("vec_id"), col("cid").cast("long").as("cid"))
+    val members = assigned
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v")),
+        Seq("vec_id"))
+      .localCheckpoint(eager = false) // forked: both sides of the self-join
+    val dropped = members
+      .select(col("cid"), col("vec_id").as("ida"), col("__v").as("va"))
+      .join(members.select(col("cid"), col("vec_id").as("idb"), col("__v").as("vb")),
+        Seq("cid"))
+      .filter(col("ida") < col("idb"))
+      .filter(cosine(col("va"), col("vb")) >= lit(tauMilli.toDouble / 1000.0))
+      .select(col("idb").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+  }
 }

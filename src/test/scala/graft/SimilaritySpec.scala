@@ -199,4 +199,22 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.randomProject(short, "vec_id", "embedding", 0, 8))
   }
+
+  test("semanticDedup: clones die, sub-threshold cluster-mates survive") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),  // seed / cluster 0
+      (1L, Array(0.0f, 1.0f)),  // seed / cluster 1
+      (2L, Array(0.9f, 0.1f)),  // cluster 0, cos(0,2) ≈ 0.994 < τ
+      (3L, Array(0.9f, 0.1f)),  // exact clone of 2 → cos 1.0 → dropped
+      (4L, Array(0.1f, 0.95f))  // cluster 1, cos(1,4) ≈ 0.994 < τ
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding", 2, 1, 999L)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 4L)) // 3 is the higher-id clone
+    assert(out(0L) == 0L && out(2L) == 0L && out(1L) == 1L && out(4L) == 1L)
+    // lower τ: 0–2 and 1–4 now count as semantic dupes too
+    val tight = Similarity.semanticDedup(corpus, "vec_id", "embedding", 2, 1, 990L)
+      .as[(Long, Long)].collect().toMap
+    assert(tight.keySet == Set(0L, 1L))
+  }
 }
