@@ -1102,6 +1102,23 @@ object ExtensionQueries {
           k = 8, iters = 2, tauMilli = 950L)
         .orderBy(col("vec_id"))),
 
+    // Sorted-neighborhood blocking on the duplicate-heavy corpus: the
+    // 24-char text prefix as the sort key puts clones and truncations
+    // adjacent; candidates = each doc's 5 nearest ranks.
+    "q121_sorted_neighborhood" -> ((s, d) =>
+      FuzzyJoin.sortedNeighborhoodPairs(demoCorpus(Tables.documents(s, d)),
+          "doc_id", substring(col("text"), 1, 24), winSize = 5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Reproducibility digest of lineitem in 8 shards: commutative
+    // count/xor/sum/min/max over the polynomial row hash.
+    "q122_dataset_digest" -> ((s, d) =>
+      Profiler.datasetDigest(Tables.lineitem(s, d),
+          pmod(col("l_orderkey"), lit(8L)),
+          Seq(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_linenumber")))
+        .orderBy(col("shard"))),
+
     // Per-user event series regularized onto a 6-hour grid: latest
     // observation carried forward with a staleness age.
     "q119_resample_ffill" -> ((s, d) =>
@@ -2876,6 +2893,29 @@ object ExtensionQueries {
          |SELECT vec_id, cid FROM a2
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          |ORDER BY vec_id""".stripMargin,
+
+    // Sorted neighborhood: global rank over (prefix, id), pairs within
+    // 5 ranks — the oracle spells the rank as one ROW_NUMBER.
+    "q121_sorted_neighborhood" ->
+      s"""WITH $corpusCte,
+         |r AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY substring(text, 1, 24), doc_id) AS BIGINT) AS rnk
+         |  FROM corpus)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.rnk - a.rnk AS gap
+         |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Digest: the same left-to-right polynomial fold, then the four
+    // commutative aggregates — any row order gives these exact values.
+    "q122_dataset_digest" ->
+      """WITH h AS (SELECT l_orderkey % 8 AS shard,
+        |  (((((l_orderkey % 1000000007)*31 + (l_partkey % 1000000007)) % 1000000007)*31
+        |     + (l_suppkey % 1000000007)) % 1000000007 * 31
+        |     + (l_linenumber % 1000000007)) % 1000000007 AS rh
+        |  FROM lineitem)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(rh) AS xor_h,
+        |  CAST(SUM(rh) AS BIGINT) AS sum_h, MIN(rh) AS min_h, MAX(rh) AS max_h
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Resample: last-in-bucket by the (ts, event_id) lexicographic key,
     // dense per-user grid, running last-value forward fill.

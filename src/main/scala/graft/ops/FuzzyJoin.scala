@@ -90,4 +90,49 @@ object FuzzyJoin {
         levenshtein(col("__sa"), col("__sb")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** X94: sorted-neighborhood candidate pairs (Hernández & Stolfo
+    * SIGMOD'95) — the third blocking strategy next to equality blocking
+    * (X81) and signature joins (X65/PPJoin): sort the corpus by a
+    * domain sort key and pair every record with its `winSize` nearest
+    * neighbors in that order. Catches near-dups that share a PREFIX
+    * region of the key but no exact block value — and its candidate
+    * count is exactly ≤ n·winSize by construction, the hardest
+    * guarantee of the three.
+    *
+    * The global rank is the classic sorted-neighborhood scaling trap —
+    * a bare `Window.orderBy` funnels the corpus through one task. Here
+    * it is [[Packing]]'s two-pass distributed prefix COUNT over the
+    * (sortKey, id) struct order: range partition + per-partition
+    * window + broadcast offsets, bounded driver state (plan-guarded —
+    * no single-partition window). Pairing is then a block-banded
+    * equi-join: rank-block b joins {b, b+1} with the 0 < gap ≤ winSize
+    * residual — each row shuffles twice, output n·winSize.
+    *
+    * Ties in `sortKey` order deterministically by `idCol` (the struct
+    * ordering), so the neighborhood — hence the result — is
+    * layout-independent for any (sortKey, id)-unique input.
+    *
+    * @return (id_a, id_b, gap): gap = rank distance in [1, winSize]
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+                              sortKey: Column, winSize: Int): DataFrame = {
+    require(winSize >= 1, s"winSize must be >= 1: $winSize")
+    val keyed = df.select(
+      struct(sortKey.as("k"), col(idCol).as("i")).as("__sk"),
+      lit(1L).as("__one"))
+    val ranked = Packing.runningTotalsMulti(keyed, "__sk", Seq("__one"))
+      .select(col("__id").getField("i").as("id"),
+        col("__one_cum").as("rnk"))
+      .localCheckpoint(eager = false) // forked: both sides of the band join
+    val b = ranked.select(col("id").as("id_b"), col("rnk").as("rb"),
+      expr(s"rnk div ${winSize}L").as("__blk"))
+    ranked
+      .select(col("id").as("id_a"), col("rnk").as("ra"),
+        explode(array(expr(s"rnk div ${winSize}L"),
+          expr(s"rnk div ${winSize}L") + 1L)).as("__blk"))
+      .join(b, Seq("__blk"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + winSize)
+      .select(col("id_a"), col("id_b"), (col("rb") - col("ra")).as("gap"))
+  }
 }

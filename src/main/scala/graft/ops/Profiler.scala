@@ -269,6 +269,44 @@ object Profiler {
         col("n_below"), col("n_above"))
   }
 
+  /** X95: order-independent dataset digest — a per-shard content
+    * fingerprint for corpus reproducibility audits: "did this rebuild
+    * produce byte-identical data, shard by shard?" Two snapshots'
+    * digest frames compare by equality; a changed shard pinpoints
+    * where to diff (the cheap answer to the question [[histogramDriftPpm]]
+    * answers statistically and X64's CDC diff answers row by row).
+    *
+    * The row hash is the polynomial fold of the selected long columns
+    * (h = fold(h·31 + c) mod 10⁹+7 — the [[graft.functions.TextFeatures]]
+    * hash discipline, integer-exact in any engine); the shard digest
+    * is four commutative-monoid aggregates over it — count, XOR, sum,
+    * min/max — each map-side combinable and MERGE-ORDER INDEPENDENT,
+    * which is the whole point: identical content gives an identical
+    * digest under any partitioning, task order, or retry history, so
+    * a digest mismatch is always real data drift, never layout noise.
+    * One shuffle of |shards| keys; no driver state.
+    *
+    * @param cols long-typed columns, hashed in the given order (cast
+    *             yourself for other types — canonicalization is the
+    *             caller's contract, as in any content address)
+    * @return (shard, n_rows, xor_h, sum_h, min_h, max_h)
+    */
+  def datasetDigest(df: DataFrame, shardExpr: Column,
+                    cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty, "datasetDigest needs at least one column")
+    val P = 1000000007L
+    val rowHash = cols.foldLeft(lit(0L)) { (acc, c) =>
+      (acc * 31L + pmod(c.cast("long"), lit(P))) % P
+    }
+    df.select(shardExpr.as("shard"), rowHash.as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_h"),
+        sum(col("__h")).as("sum_h"),
+        min(col("__h")).as("min_h"),
+        max(col("__h")).as("max_h"))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val pairs = cols.map(c =>

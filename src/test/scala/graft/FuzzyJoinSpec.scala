@@ -90,4 +90,26 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(got == model, s"trial $trial: got ${got.size} vs model ${model.size}")
     }
   }
+
+  test("sortedNeighborhoodPairs == rank-window model; layout-independent") {
+    val rnd = new scala.util.Random(5150L)
+    val rows = (1 to 120).map { i =>
+      (i.toLong, s"k${rnd.nextInt(40)}%02d-${rnd.nextInt(10)}")
+    }
+    val df = rows.toDF("id", "s")
+    def model(w: Int): Set[(Long, Long, Long)] = {
+      val ranked = rows.sortBy { case (id, s) => (s, id) }.zipWithIndex
+        .map { case ((id, _), r) => (id, r + 1L) }
+      (for {
+        (ia, ra) <- ranked; (ib, rb) <- ranked
+        if rb > ra && rb <= ra + w
+      } yield (ia, ib, rb - ra)).toSet
+    }
+    Seq(1, 4, 7).foreach { w =>
+      val got = graft.ops.FuzzyJoin.sortedNeighborhoodPairs(
+          df.repartition(9), "id", col("s"), w)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == model(w), s"winSize=$w")
+    }
+  }
 }

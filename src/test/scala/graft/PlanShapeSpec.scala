@@ -125,6 +125,15 @@ class PlanShapeSpec extends SparkSpec {
       s"grid explode (Generate) must feed the window from below:\n$plan")
   }
 
+  test("sorted neighborhood never funnels through a single-partition window") {
+    val df = (1 to 200).map(i => (i.toLong, s"s${i % 17}")).toDF("id", "s")
+    val plan = planOf(graft.ops.FuzzyJoin.sortedNeighborhoodPairs(df, "id", col("s"), 4))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global rank degraded to a one-task window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join degraded to all-pairs:\n$plan")
+  }
+
   test("edit-distance join never degrades to a nested loop or cross join") {
     val docs = (1 to 60).map(i => (i.toLong, s"abcdefghijkl${i % 7}"))
       .toDF("id", "s")

@@ -201,4 +201,29 @@ class ProfilerSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("datasetDigest: layout-independent; any single-cell change shows") {
+    val rows = (1 to 500).map(i => (i.toLong, i * 7L % 97, i * 13L % 89))
+    val df = rows.toDF("a", "b", "c")
+    val cols = Seq(col("a"), col("b"), col("c"))
+    def digest(d: org.apache.spark.sql.DataFrame) =
+      Profiler.datasetDigest(d, pmod(col("a"), lit(4L)), cols)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val base = digest(df)
+    assert(base.size == 4 && base.toSeq.map(_._2).sum == 500)
+    // identical content, different layout → identical digest
+    assert(digest(df.repartition(13).sortWithinPartitions("c")) == base)
+    // one changed cell → that shard's digest differs, others unchanged
+    val mutated = rows.map { case (a, b, c) =>
+      if (a == 250L) (a, b, c + 1) else (a, b, c) }.toDF("a", "b", "c")
+    val changed = digest(mutated)
+    assert(changed != base)
+    assert((base -- changed).map(_._1) == Set(250L % 4))
+    // hand-check one row's hash: fold((0*31 + v) % p)
+    val p = 1000000007L
+    val one = Profiler.datasetDigest(Seq((3L, 5L, 9L)).toDF("a", "b", "c"),
+        lit(0L), cols).as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val h = ((3L * 31 + 5L) % p * 31 + 9L) % p
+    assert(one == ((0L, 1L, h, h, h, h)))
+  }
 }
