@@ -291,14 +291,21 @@ object Profiler {
     *             caller's contract, as in any content address)
     * @return (shard, n_rows, xor_h, sum_h, min_h, max_h)
     */
-  def datasetDigest(df: DataFrame, shardExpr: Column,
-                    cols: Seq[Column]): DataFrame = {
-    require(cols.nonEmpty, "datasetDigest needs at least one column")
+  /** The digest's row hash: left-to-right polynomial fold of the long
+    * casts of `cols`, mod 10⁹+7. Shared with the streaming twin
+    * ([[graft.streaming.StreamingLoad.digestStream]]) so both sides
+    * hash identically by construction. */
+  def rowHash(cols: Seq[Column]): Column = {
+    require(cols.nonEmpty, "rowHash needs at least one column")
     val P = 1000000007L
-    val rowHash = cols.foldLeft(lit(0L)) { (acc, c) =>
+    cols.foldLeft(lit(0L)) { (acc, c) =>
       (acc * 31L + pmod(c.cast("long"), lit(P))) % P
     }
-    df.select(shardExpr.as("shard"), rowHash.as("__h"))
+  }
+
+  def datasetDigest(df: DataFrame, shardExpr: Column,
+                    cols: Seq[Column]): DataFrame = {
+    df.select(shardExpr.as("shard"), rowHash(cols).as("__h"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("xor_h"),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -219,6 +219,43 @@ object StreamingLoad {
             rows.map(_._3).max)
           state.update(next)
           HllOut(key._1, key._2, next)
+      }
+  }
+
+  // ---- custom state: dataset content digest (mapGroupsWithState) -------
+
+  final case class DigestOut(shard: Long, n_rows: Long, xor_h: Long,
+                             sum_h: Long, min_h: Long, max_h: Long)
+
+  /** Streaming twin of [[graft.ops.Profiler.datasetDigest]] — the
+    * continuously-maintained corpus fingerprint: per-shard state is the
+    * five digest monoid values (count, xor, sum, min, max), each a
+    * commutative+associative merge, so the post-stream digest equals
+    * the batch digest over the union of all micro-batches REGARDLESS
+    * of arrival order or batch cuts (pinned by spec). State per shard
+    * is five longs forever — the sketch-state discipline of
+    * [[kmvStream]]/[[countMinStream]], here with an EXACT digest
+    * because the monoid is lossless.
+    */
+  def digestStream(rows: DataFrame, shardExpr: Column,
+                   cols: Seq[Column]): Dataset[DigestOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .select(shardExpr.cast("long").as("s"),
+        graft.ops.Profiler.rowHash(cols).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], DigestOut](GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[(Long, Long)], state: GroupState[Array[Long]]) =>
+          val s = state.getOption
+            .getOrElse(Array(0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, h) =>
+            s(0) += 1; s(1) ^= h; s(2) += h
+            s(3) = math.min(s(3), h); s(4) = math.max(s(4), h)
+          }
+          state.update(s)
+          DigestOut(shard, s(0), s(1), s(2), s(3), s(4))
       }
   }
 

@@ -307,4 +307,29 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.size <= 3 * 16) // bounded state
     } finally q.stop()
   }
+
+  test("streaming digest over split batches equals the batch digest") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val rows = (1 to 400).map(i => (i.toLong, i * 11L % 101))
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingLoad.digestStream(mem.toDF().toDF("a", "b"),
+        pmod(col("a"), lit(3L)), Seq(col("a"), col("b")))
+      .writeStream.format("memory").queryName("digest_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // arbitrary batch cut + shuffled arrival order inside each batch
+      val (first, second) = scala.util.Random.shuffle(rows).splitAt(157)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+      val batch = graft.ops.Profiler.datasetDigest(rows.toDF("a", "b"),
+          pmod(col("a"), lit(3L)), Seq(col("a"), col("b")))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      // the LAST emission per shard is the digest of the union
+      val last = spark.table("digest_test")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (_, emits) => emits.maxBy(_._2) }.toSet
+      assert(last == batch, s"stream $last != batch $batch")
+    } finally q.stop()
+  }
 }
