@@ -1110,6 +1110,32 @@ object ExtensionQueries {
           "doc_id", substring(col("text"), 1, 24), winSize = 5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // One GNN propagation step on a deterministic 2-regular-ish graph
+    // over the embedding corpus: per-node neighbor feature sums.
+    "q123_neighbor_agg" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val e = emb.select(col("vec_id").as("src"),
+          pmod(col("vec_id") + 1, lit(n)).as("dst"))
+        .unionByName(emb.select(col("vec_id").as("src"),
+          pmod(col("vec_id") * 37 + 11, lit(n)).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      GraphRank.neighborAggregate(e, "src", "dst", emb, "vec_id", "embedding")
+        .orderBy(col("node"), col("pos"))
+    }),
+
+    // Dump-mixing dedup across three tagged sources: primary beats the
+    // byte-identical mirror; truncations survive from their own source.
+    "q124_provenance_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextDedup.provenanceDedup(Seq(
+          ("primary", base),
+          ("mirror", base.select((col("doc_id") + 10000).as("doc_id"), col("text"))),
+          ("trunc", truncDocs(Tables.documents(s, d)))),
+        "doc_id", "text")
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Reproducibility digest of lineitem in 8 shards: commutative
     // count/xor/sum/min/max over the polynomial row hash.
     "q122_dataset_digest" -> ((s, d) =>
@@ -2904,6 +2930,38 @@ object ExtensionQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.rnk - a.rnk AS gap
          |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Provenance dedup: group by text, survivor = struct-min over
+    // (priority, id, source); the trunc arm mirrors the corpus CTE.
+    "q124_provenance_dedup" ->
+      """WITH tagged AS (
+        |  SELECT 0 AS pri, 'primary' AS src, doc_id, text FROM documents
+        |  UNION ALL SELECT 1, 'mirror', doc_id + 10000, text FROM documents
+        |  UNION ALL SELECT 2, 'trunc', doc_id + 20000,
+        |    array_to_string(list_slice(toks, 1, CAST((len(toks)*3)//5 AS INT)), ' ')
+        |   FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+        |   WHERE doc_id % 5 = 0 AND len(toks) >= 5),
+        |g AS (SELECT text, min({'p': pri, 'i': doc_id, 's': src}) AS w,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+        |  FROM tagged GROUP BY text)
+        |SELECT w.s AS source, w.i AS doc_id, n_copies, n_sources FROM g
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // Neighbor aggregation: quantize-then-sum in row form; the same
+    // deterministic ring+skip graph, self-loops dropped.
+    "q123_neighbor_agg" ->
+      """WITH e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT vec_id AS src, (vec_id+1) % (SELECT count(*) FROM embeddings) AS dst FROM embeddings
+        |    UNION ALL
+        |    SELECT vec_id, (vec_id*37+11) % (SELECT count(*) FROM embeddings) FROM embeddings)
+        |  WHERE src <> dst),
+        |f AS (SELECT vec_id AS src, CAST(i AS BIGINT) AS pos,
+        |  CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)*1000000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(1, 65)) t(i))
+        |SELECT e.dst AS node, f.pos, CAST(SUM(f.q) AS BIGINT) AS sum_q,
+        |  CAST(count(*) AS BIGINT) AS n_in
+        |FROM e JOIN f ON e.src = f.src GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Digest: the same left-to-right polynomial fold, then the four
     // commutative aggregates — any row order gives these exact values.

@@ -47,6 +47,43 @@ object TextDedup {
       .select(col("canonical_id"), col("n_copies"))
   }
 
+  /** X97: provenance-aware cross-corpus dedup — the dump-mixing step
+    * of a multi-source pipeline (N crawls/snapshots in, one corpus
+    * out): exact-duplicate groups across ALL tagged sources, with the
+    * survivor chosen by SOURCE PRIORITY first (the caller's order —
+    * "prefer the newest dump"), then lowest id. Where [[exactDupGroups]]
+    * answers "what duplicates exist", this answers the mixing
+    * question: which copy ships, and how many sources carried it.
+    *
+    * One shuffle: the union is grouped by (text hash, text) — the
+    * collision-proof [[exactDupGroups]] key — with a lexicographic
+    * struct-min picking the survivor and two counts riding the same
+    * aggregate. Shuffle volume is the tagged union, map-side
+    * combinable; priorities live as the position in `corpora`, so no
+    * side table, no extra join.
+    *
+    * @param corpora (sourceTag, frame) in DESCENDING priority order
+    * @return one row per distinct text: (source, doc_id) of the
+    *         surviving copy, n_copies across all sources, n_sources
+    */
+  def provenanceDedup(corpora: Seq[(String, DataFrame)], idCol: String,
+                      textCol: String): DataFrame = {
+    require(corpora.nonEmpty, "provenanceDedup needs at least one corpus")
+    graft.functions.GraftFunctions.register(corpora.head._2.sparkSession)
+    val tagged = corpora.zipWithIndex.map { case ((tag, df), pri) =>
+      df.select(lit(pri.toLong).as("__pri"), lit(tag).as("__src"),
+        col(idCol).as("__id"), col(textCol).as("__text"))
+    }.reduce(_ unionByName _)
+    tagged
+      .groupBy(charHash(col("__text")).as("__h"), col("__text"))
+      .agg(min(struct(col("__pri"), col("__id"), col("__src"))).as("__w"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col("__src")).as("n_sources"))
+      .select(col("__w").getField("__src").as("source"),
+        col("__w").getField("__id").as("doc_id"),
+        col("n_copies"), col("n_sources"))
+  }
+
   /** MinHash+LSH candidate pairs: shingle → k-minhash signature → band →
     * bucket self-join. Output (id_a < id_b, est_jaccard) where
     * est_jaccard is the fraction of equal signature positions.

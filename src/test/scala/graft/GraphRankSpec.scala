@@ -203,6 +203,26 @@ class GraphRankSpec extends SparkSpec {
     assert(!far.contains(7L) && !far.contains(8L) && far(5L) == 2L) // 1→4→5
   }
 
+  test("neighborAggregate: hand-checked quantized sums, layout-independent") {
+    val feats = Seq(
+      (1L, Array(0.5f, -0.25f)),
+      (2L, Array(1.0f, 0.5f)),
+      (3L, Array(0.1f, 0.2f))
+    ).toDF("id", "v")
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 2L)).toDF("src", "dst")
+    val out = GraphRank.neighborAggregate(edges, "src", "dst", feats, "id", "v")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      (3L, 1L) -> ((1500000L, 2L)), (3L, 2L) -> ((250000L, 2L)),
+      (2L, 1L) -> ((500000L, 1L)), (2L, 2L) -> ((-250000L, 1L))))
+    val again = GraphRank.neighborAggregate(
+        edges.repartition(5), "src", "dst", feats.repartition(3), "id", "v")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(again == out)
+  }
+
   test("randomWalks: every step follows an edge; sinks truncate; layout-stable") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 5L))
       .toDF("src", "dst") // 5 is a sink

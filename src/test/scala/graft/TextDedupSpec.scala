@@ -207,4 +207,22 @@ class TextDedupSpec extends SparkSpec {
       assert(nFps >= (nGrams - w + 1 + w - 1) / w && nFps <= nGrams - w + 1)
     }
   }
+
+  test("provenanceDedup: priority beats id; counts span all sources") {
+    val fresh = Seq((7L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val stale = Seq((1L, "alpha beta"), (3L, "alpha beta"), (9L, "delta"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.provenanceDedup(
+        Seq(("fresh", fresh), ("stale", stale)), "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      // fresh id 7 wins over stale ids 1 and 3 despite the larger id
+      ("fresh", 7L, 3L, 2L),
+      ("fresh", 2L, 1L, 1L),
+      ("stale", 9L, 1L, 1L)))
+    // within one source, lowest id survives
+    val solo = TextDedup.provenanceDedup(Seq(("only", stale)), "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(solo == Set(("only", 1L, 2L, 1L), ("only", 9L, 1L, 1L)))
+  }
 }
