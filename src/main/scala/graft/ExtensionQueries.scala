@@ -1136,6 +1136,27 @@ object ExtensionQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Per-dimension embedding moments at two quanta — the feature
+    // normalization table, in row form.
+    "q125_embedding_dim_stats" -> ((s, d) =>
+      Profiler.embeddingDimStats(Tables.embeddings(s, d), "embedding")
+        .orderBy(col("pos"))),
+
+    // Winsorize event values into each type's exact [p5, p95] band.
+    "q126_winsorize" -> ((s, d) =>
+      Profiler.winsorize(Tables.events(s, d), "event_type", "event_id",
+          col("value"), 5, 95)
+        .orderBy(col("event_type"), col("event_id"))),
+
+    // Degree assortativity of the co-purchase graph in exact ppm
+    // (bipartite-ish → expect it negative).
+    "q127_assortativity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      GraphRank.degreeAssortativityPpm(li, "src", "dst")
+    }),
+
     // Reproducibility digest of lineitem in 8 shards: commutative
     // count/xor/sum/min/max over the polynomial row hash.
     "q122_dataset_digest" -> ((s, d) =>
@@ -2930,6 +2951,50 @@ object ExtensionQueries {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.rnk - a.rnk AS gap
          |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Dim stats: quantize at both grains inside the unnest, aggregate.
+    "q125_embedding_dim_stats" ->
+      """WITH f AS (SELECT CAST(i AS BIGINT) AS pos,
+        |  CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)*1000000) AS BIGINT) AS q6,
+        |  CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)*1000) AS BIGINT) AS q3
+        | FROM embeddings, unnest(range(1, 65)) t(i))
+        |SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(SUM(q6) AS BIGINT) AS sum_q6,
+        |  CAST(SUM(q3*q3) AS BIGINT) AS sumsq_q3, MIN(q6) AS min_q6, MAX(q6) AS max_q6
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Winsorize: the q56 rank arithmetic picks the fences, a broadcast
+    // join clips; values ride untouched so doubles stay bit-exact.
+    "q126_winsorize" ->
+      """WITH t AS (SELECT event_type, event_id, value AS v FROM events),
+        |r AS (SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v ASC) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM t),
+        |f AS (SELECT event_type,
+        |  MIN(CASE WHEN rnk = (n * 5 + 99) // 100 THEN v END) AS lo,
+        |  MIN(CASE WHEN rnk = (n * 95 + 99) // 100 THEN v END) AS hi
+        | FROM r GROUP BY 1)
+        |SELECT t.event_type, t.event_id, t.v,
+        |  least(greatest(t.v, f.lo), f.hi) AS v_clipped, f.lo, f.hi
+        |FROM t JOIN f USING (event_type) ORDER BY event_type, event_id""".stripMargin,
+
+    // Assortativity: both orientations make the marginals equal, so
+    // r = num/den exactly — no sqrt; HUGEINT only for the ppm step.
+    "q127_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+        |p AS (SELECT dx.deg AS x, dy.deg AS y FROM und u
+        |  JOIN deg dx ON u.src = dx.src JOIN deg dy ON u.dst = dy.src),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |  CAST(SUM(x*x) AS BIGINT) AS sxx FROM p),
+        |nm AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM mm)
+        |SELECT n AS n_dir, CAST(CASE WHEN den = 0 THEN 0
+        |  WHEN num >= 0 THEN (CAST(num AS HUGEINT) * 1000000) // CAST(den AS HUGEINT)
+        |  ELSE -((CAST(-num AS HUGEINT) * 1000000) // CAST(den AS HUGEINT)) END AS BIGINT)
+        |  AS assortativity_ppm
+        |FROM nm""".stripMargin,
 
     // Provenance dedup: group by text, survivor = struct-min over
     // (priority, id, source); the trunc arm mirrors the corpus CTE.

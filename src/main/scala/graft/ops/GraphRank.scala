@@ -386,6 +386,53 @@ object GraphRank {
       .agg(sum(col("__q")).as("sum_q"), count(lit(1)).as("n_in"))
   }
 
+  /** X100: degree assortativity (Newman PRL 2002) — the Pearson
+    * correlation of endpoint degrees over the undirected edge set, in
+    * exact ppm: positive = hubs link hubs (social-graph shape),
+    * negative = hubs link leaves (web/bipartite shape). The one-number
+    * graph-health signal a link-curation pipeline tracks across crawls
+    * (a sudden assortativity flip = a link-farm or scraper artifact).
+    *
+    * Every edge enters in BOTH orientations, so the x and y marginals
+    * coincide, the two denominator moments are equal, and the
+    * correlation collapses to num/den — NO square root, hence exact:
+    * r_ppm = sign(num)·((|num|·10⁶) div den), the [[graft.ops.Behavior
+    * .trendSlopePpm]] truncation discipline, with only the final ·10⁶
+    * step widened to DECIMAL(38,0) (moment sums stay in Long — exact
+    * while m·maxdeg² ≤ 9·10¹⁸; re-encode degrees first beyond that).
+    *
+    * Shape: symmetrize, one degree aggregate, two |edges|-bounded
+    * equi-joins to attach endpoint degrees, one global moment
+    * aggregate (map-side combinable; a single output row).
+    *
+    * @return one row: (n_dir = 2·|undirected edges|, assortativity_ppm)
+    */
+  def degreeAssortativityPpm(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false) // forked: degree agg + pair join
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false) // forked: both endpoint joins
+    und
+      .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
+      .agg(count(lit(1)).as("n_dir"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"), sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col("n_dir"),
+        (col("n_dir") * col("__sxy") - col("__sx") * col("__sy")).as("__num"),
+        (col("n_dir") * col("__sxx") - col("__sx") * col("__sx")).as("__den"))
+      .select(col("n_dir"),
+        when(col("__den") === 0, lit(0L))
+          .when(col("__num") >= 0,
+            expr("(cast(__num as decimal(38,0)) * 1000000) div cast(__den as decimal(38,0))"))
+          .otherwise(-expr("(cast(-__num as decimal(38,0)) * 1000000) div cast(__den as decimal(38,0))"))
+          .as("assortativity_ppm"))
+  }
+
   /** X72: triangle counting via the degree-ordered node iterator
     * (Suri & Vassilvitskii WWW'11; the MapReduce-era standard) — the
     * clustering-coefficient numerator, and the graph-health signal

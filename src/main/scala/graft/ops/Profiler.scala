@@ -314,6 +314,67 @@ object Profiler {
         max(col("__h")).as("max_h"))
   }
 
+  /** X99: group-quantile winsorization — clip each row's value into
+    * its group's [pLo, pHi] exact-percentile band (Tukey/Hastings
+    * winsorizing, the robust-features step between X83's fence COUNTS
+    * and actually fixing the data): outliers don't vanish, they pin to
+    * the band edge, preserving row count and rank structure.
+    *
+    * Exactness free-rides on [[discreteQuantiles]] (the compacted
+    * discrete percentile, integer rank arithmetic); the fences join
+    * back BROADCAST (2 rows per group — fence frames are
+    * group-cardinality-sized) and the clip is a pure projection, so
+    * the event volume is scanned twice, shuffled once (inside the
+    * quantile compaction), and never windowed raw.
+    *
+    * @return input keyed rows as (`groupCol`, `idCol`, v, v_clipped,
+    *         lo, hi) — v_clipped = least(greatest(v, lo), hi)
+    */
+  def winsorize(df: DataFrame, groupCol: String, idCol: String,
+                valueCol: Column, pLo: Int, pHi: Int): DataFrame = {
+    require(pLo >= 1 && pHi <= 100 && pLo < pHi,
+      s"need 1 <= pLo < pHi <= 100: $pLo, $pHi")
+    val q = discreteQuantiles(df, groupCol, valueCol, Seq(pLo, pHi))
+    val fences = q.groupBy(col(groupCol))
+      .agg(min(when(col("pct") === pLo, col("value"))).as("lo"),
+        min(when(col("pct") === pHi, col("value"))).as("hi"))
+    df.select(col(groupCol), col(idCol), valueCol.as("v"))
+      .join(broadcast(fences), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col("v"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("v_clipped"),
+        col("lo"), col("hi"))
+  }
+
+  /** X98: per-dimension embedding statistics — the feature-
+    * normalization table of a vector pipeline (mean/variance/range per
+    * dimension, from which standardization, min-max scaling, and
+    * whitening all derive exactly). The vector-column sibling of
+    * [[columnProfile]].
+    *
+    * Integer-exact at two quanta: linear sums quantize at 10⁶
+    * (`sum_q6`, the [[graft.ops.Clustering]] Quantum), squared sums at
+    * 10³ (`sumsq_q3` = Σ floor(v·10³)² ) — the coarser grain keeps the
+    * square-sum inside Long for ~10¹² rows at |v| ≤ 3 (9·10⁶ per row),
+    * where a 10⁶-quantum square would overflow at ~10⁶ rows. Both are
+    * map-side-combinable longs, bit-identical under any merge order.
+    *
+    * Row form throughout (pos, …): one explode, one (pos)-keyed
+    * aggregate, codegen width constant in dims — never a dims-wide
+    * column list.
+    *
+    * @return (pos, n, sum_q6, sumsq_q3, min_q6, max_q6), 1-based pos
+    */
+  def embeddingDimStats(feats: DataFrame, vecCol: String): DataFrame =
+    feats
+      .select(posexplode(col(vecCol)))
+      .select((col("pos") + 1).cast("long").as("pos"),
+        floor(col("col").cast("double") * 1000000L).cast("long").as("__q6"),
+        floor(col("col").cast("double") * 1000L).cast("long").as("__q3"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("__q6")).as("sum_q6"),
+        sum(col("__q3") * col("__q3")).as("sumsq_q3"),
+        min(col("__q6")).as("min_q6"), max(col("__q6")).as("max_q6"))
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val pairs = cols.map(c =>

@@ -223,6 +223,21 @@ class GraphRankSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("degreeAssortativityPpm: star = -1, regular = 0, K4-minus-edge exact") {
+    def r(edges: Seq[(Long, Long)]): (Long, Long) =
+      GraphRank.degreeAssortativityPpm(edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().head
+    // star K1,3: perfect hub→leaf anti-correlation
+    assert(r(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == ((6L, -1000000L)))
+    // 4-cycle: every degree equal → den 0 → defined as 0
+    assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == ((8L, 0L)))
+    // K4 minus edge (3,4): num=-16 den=24 → trunc(-666666.67) = -666666
+    assert(r(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))) ==
+      ((10L, -666666L)))
+    // orientation/duplication invariant: reversed + duplicated edges collapse
+    assert(r(Seq((2L, 1L), (1L, 2L), (3L, 1L), (1L, 4L))) == ((6L, -1000000L)))
+  }
+
   test("randomWalks: every step follows an edge; sinks truncate; layout-stable") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 5L))
       .toDF("src", "dst") // 5 is a sink

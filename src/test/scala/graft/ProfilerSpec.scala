@@ -202,6 +202,30 @@ class ProfilerSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("embeddingDimStats: hand-checked two-quantum moments") {
+    val feats = Seq(
+      (1L, Array(1.5f, -0.5f)),
+      (2L, Array(0.25f, 2.0f))
+    ).toDF("id", "v")
+    val out = Profiler.embeddingDimStats(feats, "v")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((2L, 1750000L, 2312500L, 250000L, 1500000L)))
+    assert(out(2L) == ((2L, 1500000L, 4250000L, -500000L, 2000000L)))
+  }
+
+  test("winsorize: values clip to the exact group percentile band") {
+    val df = (1 to 10).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("g", "id", "v0")
+    val out = Profiler.winsorize(df, "g", "id", col("v0"), 20, 90)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    // lo = rank (10·20+99)div100 = 2 → 2.0; hi = rank 9 → 9.0
+    assert(out(1L) == 2.0 && out(2L) == 2.0)
+    assert(out(10L) == 9.0 && out(9L) == 9.0)
+    assert((3 to 8).forall(i => out(i.toLong) == i.toDouble))
+  }
+
   test("datasetDigest: layout-independent; any single-cell change shows") {
     val rows = (1 to 500).map(i => (i.toLong, i * 7L % 97, i * 13L % 89))
     val df = rows.toDF("a", "b", "c")
