@@ -1148,6 +1148,15 @@ object ExtensionQueries {
           col("value"), 5, 95)
         .orderBy(col("event_type"), col("event_id"))),
 
+    // Quantile-normalize per-language token counts onto the global
+    // 100-point grid (bin width 16, matching q69).
+    "q128_quantile_normalize" -> ((s, d) =>
+      Profiler.quantileNormalize(
+          docsFanned(s, d).withColumn("__v",
+            size(TextFeatures.tokens(col("text"))).cast("long")),
+          "lang", "doc_id", col("__v"), 16L)
+        .orderBy(col("lang"), col("doc_id"))),
+
     // Degree assortativity of the co-purchase graph in exact ppm
     // (bipartite-ish → expect it negative).
     "q127_assortativity" -> ((s, d) => {
@@ -2977,6 +2986,31 @@ object ExtensionQueries {
         |SELECT t.event_type, t.event_id, t.v,
         |  least(greatest(t.v, f.lo), f.hi) AS v_clipped, f.lo, f.hi
         |FROM t JOIN f USING (event_type) ORDER BY event_type, event_id""".stripMargin,
+
+    // Quantile normalization: inclusive per-group rank ppm over the
+    // compacted counts, global 100-point histogram grid, clamped ceil.
+    "q128_quantile_normalize" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS v
+        |  FROM documents),
+        |counts AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+        |pr AS (SELECT lang, v,
+        |    CAST((SUM(cnt) OVER (PARTITION BY lang ORDER BY v) * 1000000) // n AS BIGINT) AS pr_ppm
+        |  FROM counts JOIN (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n
+        |    FROM counts GROUP BY 1) nn USING (lang)),
+        |cells AS (SELECT v // 16 AS bin, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |gq AS (SELECT CAST(pct AS BIGINT) AS pct, bin*16 AS v_norm FROM (
+        |    SELECT c.bin, c.cnt, c.cum, c.n, p.pct
+        |    FROM (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+        |            SUM(cnt) OVER () AS n FROM cells) c
+        |    CROSS JOIN (SELECT unnest(range(1, 101)) AS pct) p)
+        |  WHERE cum >= (n * pct + 99) // 100 AND cum - cnt < (n * pct + 99) // 100)
+        |SELECT t.lang, t.doc_id, t.v, pr.pr_ppm,
+        |  CAST(greatest(1, least(100, (pr.pr_ppm + 9999) // 10000)) AS BIGINT) AS pct,
+        |  gq.v_norm
+        |FROM t JOIN pr USING (lang, v)
+        |JOIN gq ON gq.pct = greatest(1, least(100, (pr.pr_ppm + 9999) // 10000))
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // Assortativity: both orientations make the marginals equal, so
     // r = num/den exactly — no sqrt; HUGEINT only for the ppm step.

@@ -345,6 +345,51 @@ object Profiler {
         col("lo"), col("hi"))
   }
 
+  /** X101: quantile normalization — align every group's score
+    * distribution onto the GLOBAL distribution at 1% resolution (the
+    * distribution-matching step before mixing scores from different
+    * sources/corpora: a "7" from a lenient scorer and a "3" from a
+    * strict one land on comparable global values; the genomics
+    * quantile-normalization standard, here group→global).
+    *
+    * Two exact pieces compose: each row's inclusive per-group
+    * percentile rank pr_ppm = (#{≤ v}·10⁶) div n (the [[cdfPpm]]
+    * compaction — the window input is (group, value) distinct rows,
+    * never raw volume), and a 100-point global quantile grid from the
+    * MERGEABLE histogram cells ([[histogramQuantiles]] — bounded-state
+    * sketch, bin_lo exact for v ≥ 0). The row's target is the grid
+    * value at pct = clamp₁..₁₀₀(ceil(pr_ppm/10⁴)) — a BROADCAST join
+    * against 100 rows. Integer arithmetic end to end.
+    *
+    * Scale: one compaction shuffle + one distinct-value window per
+    * group + a broadcast lookup; the global side never funnels raw
+    * rows anywhere (cells are map-side-combinable counters).
+    *
+    * @return (`groupCol`, `idCol`, v, pr_ppm, pct, v_norm)
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: Column, binWidth: Long): DataFrame = {
+    val src = df.select(col(groupCol), col(idCol), valueCol.cast("long").as("v"))
+      .localCheckpoint(eager = false) // forked: counts + cells + output join
+    val counts = src.groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(groupCol).orderBy(col("v"))
+    val pr = counts
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .join(counts.groupBy(col(groupCol)).agg(sum(col("cnt")).as("__n")),
+        Seq(groupCol))
+      .select(col(groupCol), col("v"), expr("(__cum * 1000000) DIV __n").as("pr_ppm"))
+    val grid = histogramQuantilesFromCells(
+        histogramCells(src.withColumn("__g", lit("all")), "__g", col("v"), binWidth),
+        "__g", (1 to 100), binWidth)
+      .select(col("pct"), col("bin_lo").as("v_norm"))
+    src.join(pr, Seq(groupCol, "v"))
+      .withColumn("pct",
+        greatest(lit(1L), least(lit(100L), expr("(pr_ppm + 9999) DIV 10000"))))
+      .join(broadcast(grid), Seq("pct"))
+      .select(col(groupCol), col(idCol), col("v"), col("pr_ppm"),
+        col("pct"), col("v_norm"))
+  }
+
   /** X98: per-dimension embedding statistics — the feature-
     * normalization table of a vector pipeline (mean/variance/range per
     * dimension, from which standardization, min-max scaling, and

@@ -226,6 +226,27 @@ class ProfilerSpec extends SparkSpec {
     assert((3 to 8).forall(i => out(i.toLong) == i.toDouble))
   }
 
+  test("quantileNormalize: group ranks map onto the global grid") {
+    // group a: 1..8 (low), group b: 101..108 (high); global grid spans both
+    val rows = (1 to 8).map(i => ("a", i.toLong, i.toLong)) ++
+      (1 to 8).map(i => ("b", 100L + i, 100L + i))
+    val df = rows.toDF("g", "id", "v0")
+    val out = Profiler.quantileNormalize(df, "g", "id", col("v0"), 4L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5, r._6))).toMap
+    assert(out.size == 16)
+    // same within-group rank → same pct and SAME global target
+    (1 to 8).foreach { i =>
+      val (prA, pctA, vnA) = out(("a", i.toLong))
+      val (prB, pctB, vnB) = out(("b", 100L + i))
+      assert(prA == prB && pctA == pctB && vnA == vnB, s"rank $i diverged")
+    }
+    // highest rank in each group lands on the global top bin (bin_lo of 108)
+    assert(out(("a", 8L))._3 == (108L / 4) * 4)
+    // pr_ppm is inclusive: rank 8 of 8 = exactly 1e6 → pct 100
+    assert(out(("a", 8L))._1 == 1000000L && out(("a", 8L))._2 == 100L)
+  }
+
   test("datasetDigest: layout-independent; any single-cell change shows") {
     val rows = (1 to 500).map(i => (i.toLong, i * 7L % 97, i * 13L % 89))
     val df = rows.toDF("a", "b", "c")
