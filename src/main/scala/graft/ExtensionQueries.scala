@@ -1148,6 +1148,15 @@ object ExtensionQueries {
           col("value"), 5, 95)
         .orderBy(col("event_type"), col("event_id"))),
 
+    // Association rules on order baskets (items = partkey mod 50):
+    // support / confidence / lift in exact ppm.
+    "q129_frequent_pairs" -> ((s, d) =>
+      Behavior.frequentPairsPpm(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            pmod(col("l_partkey"), lit(50L)).as("item50")),
+          "l_orderkey", "item50", minCount = 50L)
+        .orderBy(col("item_a"), col("item_b"))),
+
     // Quantile-normalize per-language token counts onto the global
     // 100-point grid (bin width 16, matching q69).
     "q128_quantile_normalize" -> ((s, d) =>
@@ -2986,6 +2995,23 @@ object ExtensionQueries {
         |SELECT t.event_type, t.event_id, t.v,
         |  least(greatest(t.v, f.lo), f.hi) AS v_clipped, f.lo, f.hi
         |FROM t JOIN f USING (event_type) ORDER BY event_type, event_id""".stripMargin,
+
+    // Frequent pairs: presence-distinct baskets, basket-keyed pair
+    // join, HUGEINT only in the lift numerator.
+    "q129_frequent_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey % 50 AS item FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM items),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM items GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT item_a, item_b, n_ab,
+        |  CAST((n_ab * 1000000) // nb.n AS BIGINT) AS support_ppm,
+        |  CAST((n_ab * 1000000) // na.n_i AS BIGINT) AS conf_ppm,
+        |  CAST((CAST(n_ab AS HUGEINT) * nb.n * 1000000) // (CAST(na.n_i AS HUGEINT) * nbi.n_i) AS BIGINT) AS lift_ppm
+        |FROM p JOIN ic na ON p.item_a = na.item
+        |  JOIN ic nbi ON p.item_b = nbi.item, nb
+        |ORDER BY item_a, item_b""".stripMargin,
 
     // Quantile normalization: inclusive per-group rank ppm over the
     // compacted counts, global 100-point histogram grid, clamped ceil.

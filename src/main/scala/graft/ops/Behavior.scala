@@ -71,6 +71,56 @@ object Behavior {
         (col("bucket") - last(col("__ob"), ignoreNulls = true).over(w)).as("stale"))
   }
 
+  /** X102: frequent item pairs with support/confidence/lift — the
+    * association-rule primitive (Agrawal & Srikant VLDB'94, the
+    * 2-itemset level that carries nearly all of Apriori's practical
+    * value): which items co-occur in a basket beyond chance. The
+    * co-occurrence miner of a behavioral pipeline (co-purchase, co-view,
+    * co-error), and the graph-builder feeding X44/X72/X75's edge ops.
+    *
+    * All three metrics in exact ppm: support = n_ab·10⁶ div N,
+    * confidence = n_ab·10⁶ div n_a, lift = (n_ab·N·10⁶) div (n_a·n_b)
+    * — the lift numerator widened to DECIMAL(38,0) (n_ab·N alone can
+    * pass 2⁶³ at web scale); everything else in Long; truncation
+    * toward zero on the non-negative operands, so every engine agrees.
+    *
+    * Shape: presence-distinct per basket (one shuffle), then the
+    * basket-keyed self-join — Σ basket_size² work, bounded by the
+    * basket grain, never |items|²; the `minCount` gate filters BEFORE
+    * metric arithmetic. Item counts attach by equi-join (item side is
+    * vocabulary-sized and unbounded — left to AQE, the TF-IDF
+    * discipline). N is one bounded driver count (the [[graft.ops
+    * .GraphRank]] pattern).
+    *
+    * @return (item_a < item_b, n_ab, support_ppm, conf_ppm, lift_ppm);
+    *         conf is P(b|a) for the (a, b) orientation
+    */
+  def frequentPairsPpm(df: DataFrame, basketCol: String, itemCol: String,
+                       minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .localCheckpoint() // forked: N count + item counts + both join sides
+    val n = items.select(col("basket")).distinct().count()
+    require(n > 0, "frequentPairsPpm needs at least one basket")
+    val itemCounts = items.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+      .localCheckpoint(eager = false) // forked: joined twice below
+    items.select(col("basket"), col("item").as("item_a"))
+      .join(items.select(col("basket"), col("item").as("item_b")), Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(itemCounts.select(col("item").as("item_a"), col("n_i").as("n_a")),
+        Seq("item_a"))
+      .join(itemCounts.select(col("item").as("item_b"), col("n_i").as("n_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        expr(s"(n_ab * 1000000) DIV ${n}L").as("support_ppm"),
+        expr("(n_ab * 1000000) DIV n_a").as("conf_ppm"),
+        expr(s"(cast(n_ab as decimal(38,0)) * ${n}L * 1000000) div (cast(n_a as decimal(38,0)) * n_b)")
+          .as("lift_ppm"))
+  }
+
   /** Ordered conversion funnel: how many users performed `steps(0)`,
     * then `steps(1)` within `windowHours` AFTER their first qualifying
     * `steps(0)`, and so on — each stage anchored at the user's EARLIEST

@@ -158,6 +158,26 @@ class BehaviorSpec extends SparkSpec {
     assert(a == expect)
   }
 
+  test("frequentPairsPpm: hand-checked support/confidence/lift") {
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // duplicate presence collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")
+    ).toDF("basket", "item")
+    val out = Behavior.frequentPairsPpm(rows, "basket", "item", 1L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // N=4, n_x=3, n_y=3, n_z=1; (x,y)=2, (x,z)=1
+    assert(out == Map(
+      ("x", "y") -> ((2L, 500000L, 666666L, 888888L)),
+      ("x", "z") -> ((1L, 250000L, 333333L, 1333333L))))
+    // the count gate filters before metrics
+    val gated = Behavior.frequentPairsPpm(rows, "basket", "item", 2L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(gated.map(r => (r._1, r._2)).toSet == Set(("x", "y")))
+  }
+
   test("resampleForwardFill: dense grid, last-in-bucket, staleness, tie-break") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:05"), 1L, 1.0), // u1 bucket 0
