@@ -1148,6 +1148,19 @@ object ExtensionQueries {
           col("value"), 5, 95)
         .orderBy(col("event_type"), col("event_id"))),
 
+    // Modularity of the supplier/part bipartition on the co-purchase
+    // graph — every edge crosses sides, so Q is negative (pairs with
+    // q127's negative assortativity).
+    "q130_modularity" -> ((s, d) => {
+      val fwd = Tables.lineitem(s, d).select(
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val labels = fwd.select(col("src").as("node"))
+        .unionByName(fwd.select(col("dst").as("node"))).distinct()
+        .select(col("node"), pmod(col("node"), lit(2L)).as("side"))
+      GraphRank.modularityPpm(fwd, "src", "dst", labels, "node", "side")
+    }),
+
     // Association rules on order baskets (items = partkey mod 50):
     // support / confidence / lift in exact ppm.
     "q129_frequent_pairs" -> ((s, d) =>
@@ -2995,6 +3008,24 @@ object ExtensionQueries {
         |SELECT t.event_type, t.event_id, t.v,
         |  least(greatest(t.v, f.lo), f.hi) AS v_clipped, f.lo, f.hi
         |FROM t JOIN f USING (event_type) ORDER BY event_type, event_id""".stripMargin,
+
+    // Modularity: one exact fraction sum(2m·mc2 − dc²)/(4m²), HUGEINT
+    // only at the final ppm division.
+    "q130_modularity" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |m AS (SELECT CAST(count(*)//2 AS BIGINT) AS m FROM und),
+        |lab AS (SELECT node, node % 2 AS lab FROM (SELECT DISTINCT src AS node FROM und)),
+        |l2 AS (SELECT la.lab AS la, lb.lab AS lb FROM und u
+        |  JOIN lab la ON u.src = la.node JOIN lab lb ON u.dst = lb.node),
+        |per AS (SELECT la, CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS mc2,
+        |  CAST(count(*) AS BIGINT) AS dc FROM l2 GROUP BY 1),
+        |agg AS (SELECT CAST(SUM(2*m.m*mc2 - dc*dc) AS BIGINT) AS num FROM per, m)
+        |SELECT m.m AS m_edges, CAST(CASE
+        |  WHEN num >= 0 THEN (CAST(num AS HUGEINT)*1000000) // (CAST(m.m AS HUGEINT)*m.m*4)
+        |  ELSE -((CAST(-num AS HUGEINT)*1000000) // (CAST(m.m AS HUGEINT)*m.m*4)) END AS BIGINT)
+        |  AS modularity_ppm
+        |FROM agg, m""".stripMargin,
 
     // Frequent pairs: presence-distinct baskets, basket-keyed pair
     // join, HUGEINT only in the lift numerator.

@@ -90,7 +90,13 @@ object GoldenScale {
     if (!upToDate(outDir, copies))
       buildScaled(spark, "/root/testdata/sf0.1", outDir, copies)
 
+    // Dev-only subset filter (comma-separated name prefixes), the
+    // Verify convention: lets a long 10× sweep resume from where a
+    // previous invocation stopped instead of re-running the whole map.
+    val only = sys.env.get("SPARK_GRAFT_GOLDEN_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     var failures = 0
     names.foreach { name =>
       spark.sparkContext.setJobDescription(s"golden:$name")

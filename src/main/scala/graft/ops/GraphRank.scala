@@ -433,6 +433,60 @@ object GraphRank {
           .as("assortativity_ppm"))
   }
 
+  /** X103: modularity of a node labeling (Newman & Girvan 2004) — the
+    * community-quality score in exact ppm: Q = Σ_c (m_c/m − (d_c/2m)²)
+    * for intra-community edge count m_c and community degree sum d_c
+    * over the undirected edge set. THE evaluation metric for X75's
+    * label propagation (and any clustering of a graph): Q near 0 =
+    * labels no better than chance, Q < 0 = anti-community structure
+    * (e.g. a bipartition of a bipartite graph).
+    *
+    * Single exact fraction — Q = Σ_c (4·m·m_c − d_c²) / (4m²) — so ONE
+    * truncating division happens at the end (sign·(|num|·10⁶ div den),
+    * the trendSlopePpm discipline, DECIMAL(38,0) for the final step):
+    * per-community divisions would each truncate and not sum back.
+    * Long moment sums are exact while m ≤ ~1.5·10⁹ undirected edges
+    * (|num| ≤ 4m²); widen the per-label terms to decimal beyond that.
+    *
+    * Shape: symmetrize + two label attachments (edge-bounded
+    * equi-joins), one intra-edge count and one degree-sum aggregate —
+    * both map-side combinable over |labels|-sized keys — then a
+    * single-row fold. m comes from one bounded driver count.
+    *
+    * @param labels (nodeCol, labelCol) — every graph node must appear
+    * @return one row: (m_edges, modularity_ppm)
+    */
+  def modularityPpm(edges: DataFrame, srcCol: String, dstCol: String,
+                    labels: DataFrame, nodeCol: String,
+                    labelCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint() // forked: m count + labeled joins
+    val m = und.count() / 2
+    require(m > 0, "modularity needs at least one edge")
+    val lab = labels.select(col(nodeCol).as("node"), col(labelCol).as("lab"))
+    val labeled = und
+      .join(lab.select(col("node").as("src"), col("lab").as("la")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("lab").as("lb")), Seq("dst"))
+      .localCheckpoint(eager = false) // forked: intra count + degree sum
+    // directed intra count = 2·m_c; directed degree sum per label = d_c
+    val perLabel = labeled
+      .groupBy(col("la"))
+      .agg((sum(when(col("la") === col("lb"), 1L).otherwise(0L))).as("__mc2"),
+        count(lit(1)).as("__dc"))
+    perLabel
+      // num = Σ_c (4·m·m_c − d_c²) = Σ_c (2·m·__mc2 − __dc²)
+      .agg(sum(lit(2L * m) * col("__mc2") - col("__dc") * col("__dc")).as("__num"))
+      .select(lit(m).as("m_edges"),
+        // 4m² is built IN decimal — a long literal would overflow past
+        // m ≈ 1.5·10⁹ edges
+        when(col("__num") >= 0,
+          expr(s"(cast(__num as decimal(38,0)) * 1000000) div (cast(${m}L as decimal(38,0)) * ${m}L * 4)"))
+          .otherwise(-expr(s"(cast(-__num as decimal(38,0)) * 1000000) div (cast(${m}L as decimal(38,0)) * ${m}L * 4)"))
+          .as("modularity_ppm"))
+  }
+
   /** X72: triangle counting via the degree-ordered node iterator
     * (Suri & Vassilvitskii WWW'11; the MapReduce-era standard) — the
     * clustering-coefficient numerator, and the graph-health signal

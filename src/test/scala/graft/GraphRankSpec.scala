@@ -238,6 +238,29 @@ class GraphRankSpec extends SparkSpec {
     assert(r(Seq((2L, 1L), (1L, 2L), (3L, 1L), (1L, 4L))) == ((6L, -1000000L)))
   }
 
+  test("modularityPpm: two triangles + bridge exact; bipartition negative") {
+    // two triangles {1,2,3} and {4,5,6} joined by edge 3-4: m = 7,
+    // with the natural labels Q = 70/196 → 357142 ppm (truncated)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val good = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("node", "lab")
+    val q1 = GraphRank.modularityPpm(edges, "src", "dst", good, "node", "lab")
+      .as[(Long, Long)].collect().head
+    assert(q1 == ((7L, 357142L)))
+    // everything in ONE community: Q = 1 - 1 = 0 exactly
+    import org.apache.spark.sql.functions.{col, lit}
+    val one = good.select(col("node"), lit(9L).as("lab"))
+    assert(GraphRank.modularityPpm(edges, "src", "dst", one, "node", "lab")
+      .as[(Long, Long)].collect().head == ((7L, 0L)))
+    // complete bipartite K2,2 split by side: no intra edges, Q < 0
+    val bip = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val sides = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("node", "lab")
+    val qb = GraphRank.modularityPpm(bip, "src", "dst", sides, "node", "lab")
+      .as[(Long, Long)].collect().head
+    assert(qb == ((4L, -500000L))) // -2·(8/(2·4))² = -0.5
+  }
+
   test("randomWalks: every step follows an edge; sinks truncate; layout-stable") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 5L))
       .toDF("src", "dst") // 5 is a sink
