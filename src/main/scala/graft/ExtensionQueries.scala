@@ -757,7 +757,8 @@ object ExtensionQueries {
 
     // Edit-distance similarity join (fuzzy near-key matching): 30-char
     // doc prefixes plus one-deletion mutants, all pairs within 2 edits
-    // via the lossless rare-q-gram prefix signature + exact confirm.
+    // via the lossless positional rare-q-gram prefix (q=4 keeps the
+    // flat word vocabulary informative) + banded levenshtein confirm.
     "q87_edit_join" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 30).as("s"))
@@ -765,7 +766,7 @@ object ExtensionQueries {
         .select((col("doc_id") + 40000).as("doc_id"),
           concat(substring(col("s"), 1, 10), expr("substring(s, 12)")).as("s"))
       FuzzyJoin.editDistanceJoin(base.unionByName(mut), "doc_id", "s",
-          maxDist = 2, q = 2, minLen = 12)
+          maxDist = 2, q = 4, minLen = 12)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -955,7 +956,7 @@ object ExtensionQueries {
         .select((col("doc_id") + 40000).as("doc_id"),
           concat(substring(col("s"), 1, 10), expr("substring(s, 12)")).as("s"))
       val pairs = FuzzyJoin.editDistanceJoin(base.unionByName(mut), "doc_id",
-        "s", maxDist = 2, q = 2, minLen = 12)
+        "s", maxDist = 2, q = 4, minLen = 12)
       graft.ops.ConnectedComponents.labels(
           pairs.select(col("id_a").as("a"), col("id_b").as("b")))
         .select(col("node").as("doc_id"), col("cluster_id").as("entity_id"))
