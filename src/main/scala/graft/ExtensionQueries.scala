@@ -1162,6 +1162,19 @@ object ExtensionQueries {
       GraphRank.modularityPpm(fwd, "src", "dst", labels, "node", "side")
     }),
 
+    // Per-node local clustering coefficient on the part co-purchase
+    // graph (parts sharing an order) — triangle participation and
+    // cc_ppm per node via the oriented-adjacency edge iterator.
+    "q131_clustering_coeff" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      GraphRank.clusteringCoefficientPpm(edges, "src", "dst")
+        .orderBy(col("n"))
+    }),
+
     // Association rules on order baskets (items = partkey mod 50):
     // support / confidence / lift in exact ppm.
     "q129_frequent_pairs" -> ((s, d) =>
@@ -3027,6 +3040,26 @@ object ExtensionQueries {
         |  ELSE -((CAST(-num AS HUGEINT)*1000000) // (CAST(m.m AS HUGEINT)*m.m*4)) END AS BIGINT)
         |  AS modularity_ppm
         |FROM agg, m""".stripMargin,
+
+    // Clustering coefficient: a<b<c triangle enumeration credited to
+    // all three vertices; cc_ppm = (2e6*tri) // (deg*(deg-1)).
+    "q131_clustering_coeff" ->
+      """WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n),
+        |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM
+        |  (SELECT x AS n FROM tr UNION ALL SELECT y AS n FROM tr
+        |   UNION ALL SELECT z AS n FROM tr) GROUP BY n)
+        |SELECT d.n, d.deg, COALESCE(t.tri, 0) AS tri,
+        |  CAST(CASE WHEN d.deg >= 2
+        |    THEN (2000000 * COALESCE(t.tri, 0)) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_ppm
+        |FROM deg d LEFT JOIN tn t USING (n) ORDER BY n""".stripMargin,
 
     // Frequent pairs: presence-distinct baskets, basket-keyed pair
     // join, HUGEINT only in the lift numerator.

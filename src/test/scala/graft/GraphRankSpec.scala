@@ -90,6 +90,42 @@ class GraphRankSpec extends SparkSpec {
     assert(got == brute.toLong, s"spark $got vs brute $brute")
   }
 
+  test("clusteringCoefficientPpm: K4 is 10^6 everywhere; triangle+tail splits; brute model") {
+    import org.apache.spark.sql.functions.col
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a != b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val ccK4 = GraphRank.clusteringCoefficientPpm(k4, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ccK4.length == 4 && ccK4.forall { case (_, d, t, c) =>
+      d == 3L && t == 3L && c == 1000000L })
+    // triangle 1-2-3 with tail 3-4: node 3 has deg 3, 1 triangle -> 333333
+    val tail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val m = GraphRank.clusteringCoefficientPpm(tail, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(1L) == ((2L, 1L, 1000000L)))
+    assert(m(3L) == ((3L, 1L, 333333L)))
+    assert(m(4L) == ((1L, 0L, 0L)))
+    // random graph: per-node triangle counts match the brute-force model
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 200).map { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong) }.toDF("src", "dst")
+    val got = GraphRank.clusteringCoefficientPpm(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val und = edges.as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    nodes.foreach { n =>
+      val nbrs = nodes.filter(x => und((math.min(n, x), math.max(n, x))) && x != n)
+      val tri = (for {
+        i <- nbrs.indices; j <- i + 1 until nbrs.size
+        if und((math.min(nbrs(i), nbrs(j)), math.max(nbrs(i), nbrs(j))))
+      } yield 1).size
+      assert(got(n) == ((nbrs.size.toLong, tri.toLong)),
+        s"node $n: spark ${got(n)} vs brute (${nbrs.size}, $tri)")
+    }
+  }
+
   test("dangling sink keeps only the teleport base; result is layout-independent") {
     // c has no out-edges: its collected mass leaks each round, and its
     // own rank is exactly the teleport base after any iteration.
