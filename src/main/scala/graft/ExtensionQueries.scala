@@ -1175,6 +1175,38 @@ object ExtensionQueries {
         .orderBy(col("n"))
     }),
 
+    // Shuffle-key skew profile of the event stream's user_id: top-20
+    // heavy hitters with corpus share and ratio-to-mean in exact ppm.
+    "q132_key_skew" -> ((s, d) =>
+      Profiler.keySkewProfile(Tables.events(s, d), col("user_id"), topK = 20)
+        .orderBy(col("rnk"))),
+
+    // Mean token-rank quality score: each doc scored by the average
+    // global frequency rank of its tokens (distributed prefix-count
+    // rank, no single-partition vocabulary window).
+    "q133_token_rank" -> ((s, d) =>
+      TermStats.tokenRankScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Prefix-truncation dups: docs plus 40-char truncated re-fetches;
+    // every strict-prefix text paired with its first extension via one
+    // adjacent-pair check per distinct text.
+    "q134_prefix_dups" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val trunc = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          substring(col("text"), 1, 40).as("text"))
+      TextDedup.prefixDupPairs(base.unionByName(trunc), "doc_id", "text")
+        .orderBy(col("prefix_id"), col("full_id"))
+    }),
+
+    // Functional-dependency audit source -> lang: every source whose
+    // rows disagree on language, with the majority value and the
+    // dissenting row count.
+    "q135_fd_violations" -> ((s, d) =>
+      Profiler.fdViolations(Tables.documents(s, d), col("source"), col("lang"))
+        .orderBy(col("x"))),
+
     // Association rules on order baskets (items = partkey mod 50):
     // support / confidence / lift in exact ppm.
     "q129_frequent_pairs" -> ((s, d) =>
@@ -3060,6 +3092,66 @@ object ExtensionQueries {
         |    THEN (2000000 * COALESCE(t.tri, 0)) // (d.deg * (d.deg - 1))
         |    ELSE 0 END AS BIGINT) AS cc_ppm
         |FROM deg d LEFT JOIN tn t USING (n) ORDER BY n""".stripMargin,
+
+    // Key skew: counts, 2-value totals row, rank over the top-20 only.
+    "q132_key_skew" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |top AS (SELECT k, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, k ASC) AS INTEGER) AS rnk
+        |  FROM c ORDER BY cnt DESC, k ASC LIMIT 20)
+        |SELECT rnk, k, cnt,
+        |  CAST((CAST(cnt AS HUGEINT) * 1000000) // t.total AS BIGINT) AS share_ppm,
+        |  CAST((CAST(cnt AS HUGEINT) * t.n_keys * 1000000) // t.total AS BIGINT) AS skew_ppm
+        |FROM top, t ORDER BY rnk""".stripMargin,
+
+    // Token rank: global ROW_NUMBER over (cnt DESC, t ASC), per-doc
+    // rank sums, mean = integer div.
+    "q133_token_rank" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |v AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |r AS (SELECT t,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS BIGINT) AS r FROM v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(r.r) AS BIGINT) AS sum_rank,
+        |  CAST(SUM(r.r) // count(*) AS BIGINT) AS mean_rank
+        |FROM tok JOIN r USING (t) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Prefix dups: distinct texts, LEAD over the text order, strict
+    // startswith confirm on the adjacent pair.
+    "q134_prefix_dups" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |mut AS (SELECT doc_id + 50000 AS doc_id, substring(text, 1, 40) AS text
+        |  FROM base WHERE doc_id % 4 = 0),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |rep AS (SELECT text AS s, CAST(MIN(doc_id) AS BIGINT) AS id
+        |  FROM c WHERE text IS NOT NULL GROUP BY 1),
+        |r AS (SELECT id, s, LEAD(id) OVER (ORDER BY s) AS nid,
+        |    LEAD(s) OVER (ORDER BY s) AS ns FROM rep)
+        |SELECT id AS prefix_id, nid AS full_id,
+        |  CAST(length(s) AS BIGINT) AS len_prefix,
+        |  CAST(length(ns) AS BIGINT) AS len_full
+        |FROM r WHERE ns IS NOT NULL AND length(s) < length(ns)
+        |  AND substring(ns, 1, length(s)) = s
+        |ORDER BY prefix_id, full_id""".stripMargin,
+
+    // FD audit: (x,y) counts, per-x totals, majority via the rn=1 row
+    // of (cnt DESC, y ASC).
+    "q135_fd_violations" ->
+      """WITH c AS (SELECT CAST(source AS VARCHAR) AS x, CAST(lang AS VARCHAR) AS y,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2),
+        |a AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_vals FROM c GROUP BY 1),
+        |m AS (SELECT x, y AS majority_val, cnt AS mcnt,
+        |    ROW_NUMBER() OVER (PARTITION BY x ORDER BY cnt DESC, y ASC) AS rn FROM c)
+        |SELECT a.x, a.n_rows, a.n_vals, m.majority_val,
+        |  CAST(a.n_rows - m.mcnt AS BIGINT) AS violation_rows
+        |FROM a JOIN m ON a.x = m.x AND m.rn = 1
+        |WHERE a.n_vals >= 2 ORDER BY a.x""".stripMargin,
 
     // Frequent pairs: presence-distinct baskets, basket-keyed pair
     // join, HUGEINT only in the lift numerator.

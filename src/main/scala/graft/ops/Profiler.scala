@@ -432,4 +432,69 @@ object Profiler {
         min(col("v")).as("min_str"),
         max(col("v")).as("max_str"))
   }
+
+  /** X106: join/shuffle-key skew profile — the diagnostic that decides
+    * whether a key needs the salted-join treatment (X15) BEFORE the
+    * job falls over: the topK heaviest keys with their absolute count,
+    * corpus share, and ratio to the mean key load, all in exact ppm
+    * (`skew_ppm` = 10⁶ × cnt·n_keys ÷ total, so 10⁶ = perfectly
+    * uniform and 5·10⁶ = this key carries 5× the average).
+    *
+    * One map-side-combinable count aggregate, one 2-long totals row
+    * (broadcast), and a TakeOrderedAndProject top-K — the final rank
+    * window runs over ≤ topK rows by construction, never the key
+    * space. Arithmetic is DECIMAL(38,0) before the divide, so counts
+    * up to 10¹⁴ (100 TB territory) cannot overflow the ppm products.
+    *
+    * @return (rnk, k, cnt, share_ppm, skew_ppm), rnk 1..topK by
+    *         (cnt DESC, k ASC)
+    */
+  def keySkewProfile(df: DataFrame, keyCol: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"keySkewProfile needs topK >= 1: $topK")
+    val cnts = df.select(keyCol.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // forked: totals + top-k
+    val tot = cnts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    cnts.orderBy(col("cnt").desc, col("k").asc).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("k").asc))) // ≤ topK rows
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("k"), col("cnt"),
+        expr("(cast(cnt as decimal(38,0)) * 1000000) div cast(__total as decimal(38,0))")
+          .cast("long").as("share_ppm"),
+        expr("(cast(cnt as decimal(38,0)) * __n_keys * 1000000) div cast(__total as decimal(38,0))")
+          .cast("long").as("skew_ppm"))
+  }
+
+  /** X107: functional-dependency violation audit — for a declared
+    * dependency X → Y (catalog code → description, source → language,
+    * URL → canonical id), every X whose rows disagree on Y, with the
+    * majority value and the size of the dissenting minority. The
+    * consistency check that catches merge bugs and label noise before
+    * training data ships; X18's constraint checks answer "is the FK
+    * intact", this answers "is the attribute single-valued where the
+    * schema says it should be".
+    *
+    * Two stacked map-side-combinable aggregates: (x, y) counts, then a
+    * per-x fold whose majority pick is the window-free struct-min
+    * (−cnt, y) — largest count, ties to the smallest value, exactly
+    * mirrorable in SQL. Shuffle is bounded by |distinct (x, y)|.
+    *
+    * @return (x, n_rows, n_vals, majority_val, violation_rows) for
+    *         every x with n_vals ≥ 2; violation_rows = n_rows − cnt of
+    *         the majority value
+    */
+  def fdViolations(df: DataFrame, lhs: Column, rhs: Column): DataFrame = {
+    val c = df.select(lhs.cast("string").as("x"), rhs.cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+    c.groupBy(col("x"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_vals"),
+        min(struct((-col("cnt")).as("nc"), col("y").as("y"))).as("__m"))
+      .filter(col("n_vals") >= 2)
+      .select(col("x"), col("n_rows"), col("n_vals"),
+        col("__m.y").as("majority_val"),
+        (col("n_rows") + col("__m.nc")).as("violation_rows"))
+  }
 }

@@ -526,4 +526,43 @@ object TermStats {
         sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_unique"))
       .withColumn("novelty_ppm", expr("n_unique * 1000000 DIV n_grams"))
   }
+
+  /** X108: mean token-rank quality score — each document scored by the
+    * average global frequency rank of its tokens (rank 1 = the corpus'
+    * most frequent token, by count DESC then token ASC). A cheap,
+    * training-free fluency proxy in the Zipf family: natural prose
+    * leans on frequent tokens (low mean rank); keyword stuffing,
+    * boilerplate tails, and gibberish pull the mean toward the rare
+    * tail. Complements X66's surprisal score — rank arithmetic is
+    * integer-exact with no probability quantization at all.
+    *
+    * The global rank is a distributed prefix COUNT over the
+    * (−count, token) struct order ([[graft.ops.Packing]]'s two-pass
+    * cumsum — range partition, per-partition window, broadcast
+    * offsets), NOT a global single-partition window: the rank table is
+    * vocabulary-sized and at corpus scale a bare
+    * `row_number().over(Window.orderBy(...))` would funnel the whole
+    * vocabulary through one task. Scoring is one equi-join of the
+    * token occurrences against that table, then a per-doc fold.
+    *
+    * @return (doc_id, n_tokens, sum_rank, mean_rank) with
+    *         mean_rank = sum_rank DIV n_tokens — docs with no tokens
+    *         are absent
+    */
+  def tokenRankScore(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFeatures.tokens(col(textCol))).as("t"))
+      .localCheckpoint(eager = false) // forked: vocab counts + scoring join
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .select(struct((-col("cnt")).as("nc"), col("t").as("t")).as("__sk"),
+        lit(1L).as("__one"))
+    val rank = Packing.runningTotalsMulti(vocab, "__sk", Seq("__one"))
+      .select(col("__id").getField("t").as("t"), col("__one_cum").as("r"))
+    tok.join(rank, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("sum_rank"))
+      .withColumn("mean_rank", expr("sum_rank DIV n_tokens"))
+  }
 }

@@ -648,4 +648,46 @@ object TextDedup {
         greatest(col("__xa"), col("__xb")).as("rb"))
       .distinct()
   }
+
+  /** X109: prefix-truncation duplicate detection — every distinct text
+    * that is a STRICT prefix of another distinct text, paired with its
+    * lexicographically first extension. The truncation twin of X1's
+    * exact dedup: crawler re-fetches cut at different byte limits,
+    * snippet/full-article pairs, and log-line truncations are prefix
+    * dups, invisible to exact hashing and expensive for similarity
+    * joins (a 10% prefix shares almost no shingles with its
+    * extension).
+    *
+    * Correctness rests on a lexicographic fact: all strings extending
+    * s sort CONTIGUOUSLY immediately after s among distinct strings
+    * (any t with s < t < u, where u extends s, must itself extend s —
+    * its first divergence from s would otherwise sort it outside the
+    * [s, u] interval). So s is a prefix of some text iff its immediate
+    * successor in the distinct-text order extends it, and ONE
+    * adjacent-pair check per distinct text decides membership —
+    * sorted-neighborhood with winSize = 1 ([[FuzzyJoin]]'s distributed
+    * rank machinery: range partition + per-partition window +
+    * broadcast offsets, no single-partition funnel), then a
+    * `startswith` confirm on the gap-1 pairs. Candidates are exactly
+    * |distinct texts| − 1 — linear by construction.
+    *
+    * @return (prefix_id, full_id, len_prefix, len_full): the min doc
+    *         id of the prefix text, the min doc id of its first
+    *         extension, and both lengths (len_prefix < len_full)
+    */
+  def prefixDupPairs(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val rep = docs.select(col(textCol).as("s"), col(idCol).as("id"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("s")).agg(min(col("id")).as("id"))
+      .localCheckpoint(eager = false) // forked: rank pass + two text joins
+    FuzzyJoin.sortedNeighborhoodPairs(rep, "id", col("s"), winSize = 1)
+      .join(rep.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
+      .join(rep.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+      .filter(length(col("__sa")) < length(col("__sb")) &&
+        col("__sb").startsWith(col("__sa")))
+      .select(col("id_a").as("prefix_id"), col("id_b").as("full_id"),
+        length(col("__sa")).cast("long").as("len_prefix"),
+        length(col("__sb")).cast("long").as("len_full"))
+  }
 }

@@ -271,4 +271,34 @@ class ProfilerSpec extends SparkSpec {
     val h = ((3L * 31 + 5L) % p * 31 + 9L) % p
     assert(one == ((0L, 1L, h, h, h, h)))
   }
+
+  test("keySkewProfile: ranks, share and ratio-to-mean in exact ppm") {
+    import graft.ops.Profiler
+    // key "a" x6, "b" x3, "c" x1: total 10, 3 keys, mean 10/3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = Profiler.keySkewProfile(df, col("k"), topK = 2)
+      .as[(Int, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1, "a", 6L, 600000L, 1800000L),
+      (2, "b", 3L, 300000L, 900000L)))
+    // uniform keys read exactly 10^6 ppm of the mean
+    val uni = (1 to 4).flatMap(i => Seq.fill(5)(s"k$i")).toDF("k")
+    val u = Profiler.keySkewProfile(uni, col("k"), topK = 4)
+      .as[(Int, String, Long, Long, Long)].collect()
+    assert(u.forall(r => r._4 == 250000L && r._5 == 1000000L))
+  }
+
+  test("fdViolations: only multi-valued keys, majority by (cnt desc, val asc)") {
+    import graft.ops.Profiler
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "de"),        // violated: majority en
+      ("s2", "fr"), ("s2", "fr"),                        // clean
+      ("s3", "pt"), ("s3", "es"))                        // tie: majority es (asc)
+      .toDF("src", "lang")
+    val out = Profiler.fdViolations(df, col("src"), col("lang"))
+      .as[(String, Long, Long, String, Long)].collect().toSet
+    assert(out == Set(
+      ("s1", 3L, 2L, "en", 1L),
+      ("s3", 2L, 2L, "es", 1L)))
+  }
 }

@@ -271,4 +271,27 @@ class TermStatsSpec extends SparkSpec {
     }.toSet
     assert(got == model)
   }
+
+  test("tokenRankScore: ranks by (count desc, token asc); layout-independent") {
+    // corpus counts: a=3, b=2, c=1 -> ranks a=1, b=2, c=3
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = TermStats.tokenRankScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 1: ranks 1,1,2 -> sum 4, mean 1; doc 2: 1,2,3 -> sum 6, mean 2
+    assert(out == Map(1L -> ((3L, 4L, 1L)), 2L -> ((3L, 6L, 2L))))
+    // count ties rank by token asc: "x y" -> x=1, y=2
+    val tie = Seq((1L, "x y")).toDF("doc_id", "text")
+    val t = TermStats.tokenRankScore(tie, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(t == ((1L, 2L, 3L, 1L)))
+    // layout independence of the distributed rank
+    val big = (1 to 50).map(i => (i.toLong, s"w${i % 7} w${i % 3} shared"))
+      .toDF("doc_id", "text")
+    val a = TermStats.tokenRankScore(big.repartition(3), "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, Long, Long, Long)].collect().toSeq
+    val b = TermStats.tokenRankScore(big.repartition(17), "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
 }

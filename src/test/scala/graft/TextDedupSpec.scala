@@ -225,4 +225,31 @@ class TextDedupSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(solo == Set(("only", 1L, 2L, 1L), ("only", 9L, 1L, 1L)))
   }
+
+  test("prefixDupPairs: strict prefixes pair with their first extension") {
+    val docs = Seq(
+      (1L, "alpha beta"),        // prefix of 2 and 5: first extension is "alpha beta " (id 5)
+      (2L, "alpha beta gamma"),
+      (5L, "alpha beta "),       // extension of 1, prefix of 2
+      (3L, "alpha"),             // prefix of 1/2/5: first extension "alpha beta" (id 1)
+      (4L, "zeta"),              // no extension
+      (6L, "alpha beta"))        // duplicate text: min id 1 represents it
+      .toDF("doc_id", "text")
+    val got = TextDedup.prefixDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (3L, 1L, 5L, 10L),   // "alpha" -> "alpha beta"
+      (1L, 5L, 10L, 11L),  // "alpha beta" -> "alpha beta " (space sorts first)
+      (5L, 2L, 11L, 16L))) // "alpha beta " -> "alpha beta gamma"
+    // layout independence of the distributed adjacency
+    val many = (1 to 60).map(i => (i.toLong,
+      "doc " + "x" * (i % 13) )).toDF("doc_id", "text")
+    val a = TextDedup.prefixDupPairs(many.repartition(3), "doc_id", "text")
+      .orderBy("prefix_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val b = TextDedup.prefixDupPairs(many.repartition(11), "doc_id", "text")
+      .orderBy("prefix_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // every "doc xxx...k" is a prefix of the k+1 variant: 12 chains
+    assert(a.size == 12)
+  }
 }
