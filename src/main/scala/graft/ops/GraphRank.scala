@@ -626,7 +626,7 @@ object GraphRank {
       .agg(coalesce(sum(col("__t")), lit(0L)).as("n_triangles"))
   }
 
-  /** X105: per-node triangle participation and local clustering
+  /** X104: per-node triangle participation and local clustering
     * coefficient in ppm — the node-level refinement of
     * [[triangleCount]], and the standard link-farm / scraped-ring
     * detector (organic neighborhoods close triangles; spam stars and

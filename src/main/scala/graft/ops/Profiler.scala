@@ -433,7 +433,7 @@ object Profiler {
         max(col("v")).as("max_str"))
   }
 
-  /** X106: join/shuffle-key skew profile — the diagnostic that decides
+  /** X105: join/shuffle-key skew profile — the diagnostic that decides
     * whether a key needs the salted-join treatment (X15) BEFORE the
     * job falls over: the topK heaviest keys with their absolute count,
     * corpus share, and ratio to the mean key load, all in exact ppm
@@ -467,7 +467,7 @@ object Profiler {
           .cast("long").as("skew_ppm"))
   }
 
-  /** X107: functional-dependency violation audit — for a declared
+  /** X106: functional-dependency violation audit — for a declared
     * dependency X → Y (catalog code → description, source → language,
     * URL → canonical id), every X whose rows disagree on Y, with the
     * majority value and the size of the dissenting minority. The

@@ -527,7 +527,7 @@ object TermStats {
       .withColumn("novelty_ppm", expr("n_unique * 1000000 DIV n_grams"))
   }
 
-  /** X108: mean token-rank quality score — each document scored by the
+  /** X107: mean token-rank quality score — each document scored by the
     * average global frequency rank of its tokens (rank 1 = the corpus'
     * most frequent token, by count DESC then token ASC). A cheap,
     * training-free fluency proxy in the Zipf family: natural prose

@@ -649,7 +649,7 @@ object TextDedup {
       .distinct()
   }
 
-  /** X109: prefix-truncation duplicate detection — every distinct text
+  /** X108: prefix-truncation duplicate detection — every distinct text
     * that is a STRICT prefix of another distinct text, paired with its
     * lexicographically first extension. The truncation twin of X1's
     * exact dedup: crawler re-fetches cut at different byte limits,
