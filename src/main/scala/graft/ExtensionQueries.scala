@@ -892,12 +892,15 @@ object ExtensionQueries {
     // co-purchase graph — weight = distinct orders sharing the pair;
     // argmax per node is window-free (struct-min), shuffle ∝ edges.
     "q100_label_propagation" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val ew = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count_distinct(col("x.l_orderkey")).as("w"))
+      // (order, part) presence-distinct FIRST, so the pair join never
+      // multiplies duplicate rows and the weight is a plain count —
+      // identical to count_distinct(order) per pair, half the cost.
+      val pe = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ew = pe.as("x").join(pe.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w"))
       GraphRank.labelPropagation(ew, "a", "b", "w", rounds = 2)
         .orderBy(col("n"))
     }),

@@ -46,6 +46,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_simhash30", es => SimHashExpr(es.head, bits = 30), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "graft_jlproject", es => JlProjectExpr(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "graft_minhash16", es => MinHashExpr(es.head, k = 16), "scala_udf")
   }
 }

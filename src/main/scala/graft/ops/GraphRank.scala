@@ -536,8 +536,13 @@ object GraphRank {
     require(rounds >= 1, "label propagation needs at least one round")
     val ew = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
       col(wCol).cast("long").as("w"))
-    val sym = ew.select(col("a").as("n"), col("b").as("m"), col("w"))
-      .unionByName(ew.select(col("b").as("n"), col("a").as("m"), col("w")))
+    // Symmetrize by EXPLODING each edge into both directions — one pass
+    // over the (possibly expensive) edge lineage, where a self-union
+    // would compute it twice before the checkpoint materializes.
+    val sym = ew.select(explode(array(
+        struct(col("a").as("n"), col("b").as("m"), col("w")),
+        struct(col("b").as("n"), col("a").as("m"), col("w")))).as("__e"))
+      .select(col("__e.n").as("n"), col("__e.m").as("m"), col("__e.w").as("w"))
       .localCheckpoint(eager = false) // read every round
     var labels = sym.select(col("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
