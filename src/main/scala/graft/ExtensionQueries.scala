@@ -1210,6 +1210,31 @@ object ExtensionQueries {
       Profiler.fdViolations(Tables.documents(s, d), col("source"), col("lang"))
         .orderBy(col("x"))),
 
+    // Label-cohesion index over the embedding labels: mean pairwise
+    // cosine per label without materializing pairs (and without sqrt),
+    // 1e6 = perfectly aligned members.
+    "q136_label_cohesion" -> ((s, d) =>
+      Clustering.labelCohesionPpm(Tables.embeddings(s, d), "label",
+          "embedding")
+        .orderBy(col("label"))),
+
+    // Corpus contract checks on docs plus metadata-rotted mutants
+    // (every 5th doc re-truncated without refreshing n_chars, lang
+    // upper-cased): one pass, violation counts per invariant.
+    "q137_corpus_contract" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val rot = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          substring(col("text"), 1, 25).as("text"),
+          upper(col("lang")).as("lang"), col("n_chars"))
+      Profiler.contractChecks(base.unionByName(rot), Seq(
+          "n_chars_matches" -> (col("n_chars") =!= length(col("text"))),
+          "text_nonempty" -> (length(col("text")) === 0),
+          "lang_known" -> !col("lang").isin("en", "de", "es", "fr", "zh")))
+        .orderBy(col("check"))
+    }),
+
     // Association rules on order baskets (items = partkey mod 50):
     // support / confidence / lift in exact ppm.
     "q129_frequent_pairs" -> ((s, d) =>
@@ -3155,6 +3180,43 @@ object ExtensionQueries {
         |  CAST(a.n_rows - m.mcnt AS BIGINT) AS violation_rows
         |FROM a JOIN m ON a.x = m.x AND m.rn = 1
         |WHERE a.n_vals >= 2 ORDER BY a.x""".stripMargin,
+
+    // Cohesion: |sum v|^2 from per-(label,pos) component sums at the
+    // 1e3 quantum, sum |v|^2 from per-row folds, HUGEINT only at ppm.
+    "q136_label_cohesion" ->
+      """WITH q AS (SELECT label, vec_id, i AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) r(i)),
+        |comp AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS norm2_sum FROM
+        |  (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |rw AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(n2) AS BIGINT) AS sum_norm2 FROM
+        |  (SELECT label, vec_id, SUM(q * q) AS n2 FROM q GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT rw.label, rw.n, comp.norm2_sum, rw.sum_norm2,
+        |  CASE WHEN rw.sum_norm2 > 0 THEN
+        |    CAST((CAST(comp.norm2_sum AS HUGEINT) * 1000000) //
+        |      (CAST(rw.n AS HUGEINT) * rw.sum_norm2) AS BIGINT)
+        |  END AS cohesion_ppm
+        |FROM rw JOIN comp USING (label) ORDER BY label""".stripMargin,
+
+    // Contract checks: three invariant counters over the rotted union.
+    "q137_corpus_contract" ->
+      """WITH base AS (SELECT doc_id, text, lang, n_chars FROM documents),
+        |rot AS (SELECT doc_id + 60000 AS doc_id, substring(text, 1, 25) AS text,
+        |    upper(lang) AS lang, n_chars FROM base WHERE doc_id % 5 = 0),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM rot),
+        |f AS (SELECT 'n_chars_matches' AS chk,
+        |    CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END AS v FROM c
+        |  UNION ALL SELECT 'text_nonempty',
+        |    CASE WHEN length(text) = 0 THEN 1 ELSE 0 END FROM c
+        |  UNION ALL SELECT 'lang_known',
+        |    CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END FROM c)
+        |SELECT chk AS "check", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(v) AS BIGINT) AS violations,
+        |  CAST(SUM(v) * 1000000 // count(*) AS BIGINT) AS violation_ppm
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Frequent pairs: presence-distinct baskets, basket-keyed pair
     // join, HUGEINT only in the lift numerator.

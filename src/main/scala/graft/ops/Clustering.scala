@@ -143,4 +143,49 @@ object Clustering {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     lloydAssignFrom(corpus, idCol, vecCol, seeds, iters)
   }
+
+  /** X109: label-cohesion index — per label, how directionally aligned
+    * its member embeddings are, WITHOUT a square root anywhere:
+    * `cohesion_ppm = 10⁶·|Σv|² div (n·Σ|v|²)`. For unit-norm vectors
+    * this reads 10⁶ when all members point the same way and ~10⁶/n for
+    * random directions (|Σv|² expands to Σᵢⱼ vᵢ·vⱼ — the sum of ALL
+    * pairwise dots, diagonal included, so the index is the mean
+    * pairwise cosine without ever materializing pairs). The cluster-
+    * quality audit for labeled corpora and k-means outputs: a label
+    * with low cohesion is incoherent or mislabeled.
+    *
+    * Integer-exact: elements floor-quantize at 10³ (the
+    * embeddingDimStats squared-sum quantum — component sums up to
+    * ~10⁹ rows × 10³ square inside a Long), |Σv|² folds the per-
+    * (label, pos) component sums, Σ|v|² folds per-row self-dots; both
+    * are map-side-combinable aggregates in ROW form (codegen width
+    * independent of dims), and only the final ppm step lifts to
+    * DECIMAL(38,0).
+    *
+    * @return (label, n, norm2_sum, sum_norm2, cohesion_ppm);
+    *         cohesion_ppm is NULL for an all-zero label (0/0)
+    */
+  def labelCohesionPpm(feats: DataFrame, labelCol: String,
+                       vecCol: String): DataFrame = {
+    val q3 = (x: Column) => floor(x.cast("double") * 1e3).cast("long")
+    val comp = feats
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .select(col("label"), col("pos"), q3(col("col")).as("__q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("__q")).as("__s"))
+      .groupBy(col("label"))
+      .agg(sum(col("__s") * col("__s")).as("norm2_sum"))
+    val rows = feats
+      .select(col(labelCol).as("label"),
+        aggregate(col(vecCol), lit(0L),
+          (acc, x) => acc + q3(x) * q3(x)).as("__n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("__n2")).as("sum_norm2"))
+    rows.join(comp, Seq("label"))
+      .select(col("label"), col("n"), col("norm2_sum"), col("sum_norm2"),
+        when(col("sum_norm2") > 0,
+          expr("(cast(norm2_sum as decimal(38,0)) * 1000000) div " +
+            "(cast(n as decimal(38,0)) * sum_norm2)").cast("long"))
+          .as("cohesion_ppm"))
+  }
 }

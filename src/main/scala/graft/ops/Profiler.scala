@@ -485,6 +485,35 @@ object Profiler {
     *         every x with n_vals ≥ 2; violation_rows = n_rows − cnt of
     *         the majority value
     */
+  /** X110: corpus contract checks — declarative per-row invariants
+    * (metadata consistency, emptiness, domain membership) swept in ONE
+    * pass and reported as violation counts, the corpus-side analogue
+    * of X18's warehouse constraint suite: stored `n_chars` drifting
+    * from the actual text is exactly the metadata rot a
+    * decode/re-encode pipeline introduces silently.
+    *
+    * Each row explodes into |checks| tiny (name, 0/1) structs, which a
+    * map-side-combinable aggregate folds per check — the row is read
+    * once no matter how many invariants are declared, and shuffle is
+    * |checks| rows.
+    *
+    * @param checks (name, VIOLATION predicate) pairs — true = bad row
+    * @return (check, n_rows, violations, violation_ppm), one row per
+    *         declared check
+    */
+  def contractChecks(df: DataFrame,
+                     checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "contractChecks needs at least one check")
+    val pairs = checks.map { case (nm, pred) =>
+      struct(lit(nm).as("check"),
+        when(pred, 1L).otherwise(0L).as("v")) }
+    df.select(explode(array(pairs: _*)).as("p"))
+      .groupBy(col("p.check").as("check"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("p.v")).as("violations"))
+      .withColumn("violation_ppm",
+        expr("violations * 1000000 DIV n_rows"))
+  }
+
   def fdViolations(df: DataFrame, lhs: Column, rhs: Column): DataFrame = {
     val c = df.select(lhs.cast("string").as("x"), rhs.cast("string").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))

@@ -65,4 +65,24 @@ class ClusteringSpec extends SparkSpec {
     assert(out(1L) == 1L)                     // the y seed stays its own cluster
     assert((2L to 20L).forall(out(_) == 0L))  // all x-leaning vectors on cid 0
   }
+
+  test("labelCohesionPpm: aligned label reads 1e6, opposed label collapses") {
+    import graft.ops.Clustering
+    val feats = Seq(
+      (1, Array(1.0f, 0.0f)),   // label 1: two identical unit vectors
+      (1, Array(1.0f, 0.0f)),
+      (2, Array(1.0f, 0.0f)),   // label 2: opposed pair -> sum vector 0
+      (2, Array(-1.0f, 0.0f)),
+      (3, Array(0.0f, 0.0f)))   // label 3: all-zero -> NULL ppm
+      .toDF("label", "embedding")
+    val out = Clustering.labelCohesionPpm(feats, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // label 1: comp sums (2000, 0) -> 4e6; rows 2*1e6; ppm = 4e6*1e6/(2*2e6)
+    assert(out(1) == ((2L, 4000000L, 2000000L, 1000000L)))
+    // label 2: sum vector zero, members nonzero -> 0 ppm. floor(-1.0*1e3) = -1000
+    assert(out(2) == ((2L, 0L, 2000000L, 0L)))
+    assert(out(3) == ((1L, 0L, 0L, -1L)))
+  }
 }

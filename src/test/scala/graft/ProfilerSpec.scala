@@ -301,4 +301,18 @@ class ProfilerSpec extends SparkSpec {
       ("s1", 3L, 2L, "en", 1L),
       ("s3", 2L, 2L, "es", 1L)))
   }
+
+  test("contractChecks: one pass, per-check violation counts and ppm") {
+    import graft.ops.Profiler
+    val df = Seq(
+      (1L, "abc", 3L), (2L, "abcd", 3L), (3L, "", 0L), (4L, "xy", 9L))
+      .toDF("id", "s", "n_chars")
+    val out = Profiler.contractChecks(df, Seq(
+        "len_matches" -> (col("n_chars") =!= length(col("s"))),
+        "nonempty" -> (length(col("s")) === 0)))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("len_matches", 4L, 2L, 500000L),
+      ("nonempty", 4L, 1L, 250000L)))
+  }
 }
