@@ -1235,6 +1235,32 @@ object ExtensionQueries {
         .orderBy(col("check"))
     }),
 
+    // Dedup calibration: precision/recall of the MinHash-LSH retrieval
+    // set against exact trigram-Jaccard >= 0.5 truth on the same demo
+    // corpus — the evaluation harness that justifies LSH band/row
+    // parameters before they gate a real corpus.
+    "q138_dedup_calibration" -> ((s, d) => {
+      val corpus = demoCorpus(Tables.documents(s, d))
+      val cand = minhashPairsFor(s, d)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__c"))
+      val truth = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          maxShingleDf = StopShingleDf)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+      cand.join(truth, Seq("id_a", "id_b"), "full")
+        .agg(
+          sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("__c").isNotNull && col("__t").isNull, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("__c").isNull && col("__t").isNotNull, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            expr("tp * 1000000 DIV (tp + fp)")).as("precision_ppm"),
+          when(col("tp") + col("fn") > 0,
+            expr("tp * 1000000 DIV (tp + fn)")).as("recall_ppm"))
+    }),
+
     // Association rules on order baskets (items = partkey mod 50):
     // support / confidence / lift in exact ppm.
     "q129_frequent_pairs" -> ((s, d) =>
@@ -3217,6 +3243,41 @@ object ExtensionQueries {
         |  CAST(SUM(v) AS BIGINT) AS violations,
         |  CAST(SUM(v) * 1000000 // count(*) AS BIGINT) AS violation_ppm
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Calibration: q22's est chain as the candidate set, q24's exact
+    // chain as truth (tok is shared), confusion counts off a full join.
+    "q138_dedup_calibration" ->
+      s"""WITH $minhashCtes,
+         |dsh AS (SELECT unnest(list_distinct(list_transform(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |    s -> ${dh("s")}))) AS shingle
+         |  FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |        FROM (SELECT DISTINCT text FROM corpus)) WHERE len(toks) >= 3),
+         |stop AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) > $StopShingleDf),
+         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')),
+         |    s -> ${dh("s")}))) AS shingle
+         |  FROM tok WHERE len(toks) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM sh0
+         |  WHERE shingle NOT IN (SELECT shingle FROM stop)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE)/(sa.n + sb.n - n_inter) >= 0.5),
+         |cand AS (SELECT id_a, id_b FROM est),
+         |cls AS (SELECT CASE
+         |    WHEN c.id_a IS NOT NULL AND t.id_a IS NOT NULL THEN 'tp'
+         |    WHEN c.id_a IS NOT NULL THEN 'fp' ELSE 'fn' END AS k
+         |  FROM cand c FULL JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+         |agg AS (SELECT CAST(SUM(CASE WHEN k = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN k = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN k = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS fn FROM cls)
+         |SELECT tp, fp, fn,
+         |  CASE WHEN tp + fp > 0 THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+         |  CASE WHEN tp + fn > 0 THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm
+         |FROM agg""".stripMargin,
 
     // Frequent pairs: presence-distinct baskets, basket-keyed pair
     // join, HUGEINT only in the lift numerator.
