@@ -259,6 +259,37 @@ object StreamingLoad {
       }
   }
 
+  final case class ContractOut(check: String, n_rows: Long,
+                               violations: Long, violation_ppm: Long)
+
+  /** Streaming twin of X110 ([[graft.ops.Profiler.contractChecks]]) —
+    * the continuous data-quality monitor: per-check running row and
+    * violation counts as two longs of keyed state, updated by pure
+    * addition so ANY batch cut or arrival order converges to the batch
+    * sweep's counts. Each row still explodes into |checks| structs
+    * BEFORE the stateful step, so per-batch work is one pass over the
+    * rows and state stays |checks| entries forever. ppm uses the same
+    * truncating integer division as the batch operator.
+    */
+  def contractStream(rows: DataFrame,
+                     checks: Seq[(String, Column)]): Dataset[ContractOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    require(checks.nonEmpty, "contractStream needs at least one check")
+    val pairs = checks.map { case (nm, pred) =>
+      struct(lit(nm).as("c"), when(pred, 1L).otherwise(0L).as("v")) }
+    rows.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.c"), col("p.v")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), ContractOut](GroupStateTimeout.NoTimeout) {
+        (check: String, it: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+          var (n, v) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, x) => n += 1; v += x }
+          state.update((n, v))
+          ContractOut(check, n, v, v * 1000000L / n)
+      }
+  }
+
   // ---- custom state: sessionization (flatMapGroupsWithState) -----------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

@@ -332,4 +332,30 @@ class StreamingSpec extends SparkSpec {
       assert(last == batch, s"stream $last != batch $batch")
     } finally q.stop()
   }
+
+  test("streaming contract checks over split batches equal the batch sweep") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, length}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 300L).map(i =>
+      (i, if (i % 7 == 0) "" else "x" * (i % 5).toInt, (i % 5))).toSeq
+    val mem = MemoryStream[(Long, String, Long)]
+    val checks = Seq(
+      "len_matches" -> (col("_3") =!= length(col("_2"))),
+      "nonempty" -> (length(col("_2")) === 0))
+    val q = StreamingLoad.contractStream(mem.toDF(), checks)
+      .writeStream.format("memory").queryName("contract_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (first, second) = scala.util.Random.shuffle(rows).splitAt(113)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+      val batch = graft.ops.Profiler.contractChecks(rows.toDF("_1", "_2", "_3"), checks)
+        .as[(String, Long, Long, Long)].collect().toSet
+      val last = spark.table("contract_test")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (_, emits) => emits.maxBy(_._2) }.toSet
+      assert(last == batch, s"stream $last != batch $batch")
+    } finally q.stop()
+  }
 }
