@@ -253,6 +253,28 @@ object ExtensionQueries {
         .orderBy(col("word"))
     }),
 
+    // Recency-decayed per-user activity on the 6h grid: one-bucket
+    // half-life, truncating power-of-two halving — no float decay.
+    "q140_decay_activity" -> ((s, d) =>
+      Behavior.decayedActivity(Tables.events(s, d), "user_id", "ts",
+          stepSec = 21600L)
+        .orderBy(col("key"))),
+
+    // Tokenizer fertility off the q78 BPE chain: corpus-weighted mean
+    // pieces per token occurrence in exact ppm — the tokenizer-eval
+    // number (high fertility = the merge table fits the corpus badly).
+    "q139_bpe_fertility" -> ((s, d) => {
+      val docs = docsFanned(s, d)
+      val table = BpeTrainer.trainMerges(docs, "text", 3)
+        .orderBy(col("rnk")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrainer.applyMerges(docs, "text", table)
+        .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_tokens"),
+          sum(col("n") * col("n_syms")).as("n_pieces"))
+        .select(col("n_words"), col("n_tokens"), col("n_pieces"),
+          expr("n_pieces * 1000000 DIV n_tokens").as("fertility_ppm"))
+    }),
+
     // Span-level exact dedup (Lee et al. arXiv:2107.06499): duplicated
     // 5-token windows across DISTINCT docs, overlapping spans merged by
     // a running-max interval sweep into exact covered-token counts.
@@ -1349,6 +1371,41 @@ object ExtensionQueries {
        |  FROM ${p}pairs)""".stripMargin
 
   /** The q22/q36 chain over the demo corpus (unprefixed names; `est`). */
+  /** The q78/q139 oracle chain: 3 BPE merge rounds trained and applied
+    * in recursive SQL, ending in w3(wid, syms, n) with w0 carrying the
+    * word text. */
+  private lazy val bpeChainCtes: String = {
+    def fold(name: String, prev: String, m: String): String =
+      s"""$name(wid, i, acc) AS (
+         |  SELECT wid, 1, [syms[1]] FROM $prev
+         |  UNION ALL
+         |  SELECT f.wid, f.i + 1,
+         |    CASE WHEN f.acc[-1] = (SELECT l FROM $m) AND w.syms[f.i+1] = (SELECT r FROM $m)
+         |      THEN list_append(f.acc[1:len(f.acc)-1], (SELECT l || r FROM $m))
+         |      ELSE list_append(f.acc, w.syms[f.i+1]) END
+         |  FROM $name f JOIN $prev w USING (wid) WHERE f.i < len(w.syms))""".stripMargin
+    def pairs(name: String, src: String): String =
+      s"""$name AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(n) AS f
+         |  FROM $src, unnest(range(1, len(syms))) t(i) WHERE len(syms) >= 2 GROUP BY 1, 2)""".stripMargin
+    s"""vocab AS (SELECT t AS w, COUNT(*) AS n FROM (
+       |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents) GROUP BY 1),
+       |w0 AS (SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid, w,
+       |  list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms, n FROM vocab),
+       |${pairs("p1", "w0")},
+       |m1 AS (SELECT l, r, f FROM p1 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+       |${fold("f1", "w0", "m1")},
+       |w1 AS (SELECT f.wid, f.acc AS syms, w.n FROM f1 f JOIN w0 w USING (wid) WHERE f.i = len(w.syms)),
+       |${pairs("p2", "w1")},
+       |m2 AS (SELECT l, r, f FROM p2 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+       |${fold("f2", "w1", "m2")},
+       |w2 AS (SELECT f.wid, f.acc AS syms, w.n FROM f2 f JOIN w1 w USING (wid) WHERE f.i = len(w.syms)),
+       |${pairs("p3", "w2")},
+       |m3 AS (SELECT l, r, f FROM p3 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+       |${fold("f3", "w2", "m3")},
+       |w3 AS (SELECT f.wid, f.acc AS syms, w.n FROM f3 f JOIN w2 w USING (wid) WHERE f.i = len(w.syms))"""
+      .stripMargin
+  }
+
   private lazy val minhashCtes = s"$corpusCte,\n${minhashChain("corpus", "")}"
 
   /** The q25/q58 candidate-pair chain: duplicate-salted embedding
@@ -1640,40 +1697,35 @@ object ExtensionQueries {
 
     // Mirrors BpeTrainer.trainMerges + applyMerges: q77's chain plus a
     // third fold, emitting each vocab word's final segmentation.
-    "q78_bpe_segment" -> {
-      def fold(name: String, prev: String, m: String): String =
-        s"""$name(wid, i, acc) AS (
-           |  SELECT wid, 1, [syms[1]] FROM $prev
-           |  UNION ALL
-           |  SELECT f.wid, f.i + 1,
-           |    CASE WHEN f.acc[-1] = (SELECT l FROM $m) AND w.syms[f.i+1] = (SELECT r FROM $m)
-           |      THEN list_append(f.acc[1:len(f.acc)-1], (SELECT l || r FROM $m))
-           |      ELSE list_append(f.acc, w.syms[f.i+1]) END
-           |  FROM $name f JOIN $prev w USING (wid) WHERE f.i < len(w.syms))""".stripMargin
-      def pairs(name: String, src: String): String =
-        s"""$name AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(n) AS f
-           |  FROM $src, unnest(range(1, len(syms))) t(i) WHERE len(syms) >= 2 GROUP BY 1, 2)""".stripMargin
+    "q78_bpe_segment" ->
       s"""WITH RECURSIVE
-         |vocab AS (SELECT t AS w, COUNT(*) AS n FROM (
-         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents) GROUP BY 1),
-         |w0 AS (SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid, w,
-         |  list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms, n FROM vocab),
-         |${pairs("p1", "w0")},
-         |m1 AS (SELECT l, r, f FROM p1 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
-         |${fold("f1", "w0", "m1")},
-         |w1 AS (SELECT f.wid, f.acc AS syms, w.n FROM f1 f JOIN w0 w USING (wid) WHERE f.i = len(w.syms)),
-         |${pairs("p2", "w1")},
-         |m2 AS (SELECT l, r, f FROM p2 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
-         |${fold("f2", "w1", "m2")},
-         |w2 AS (SELECT f.wid, f.acc AS syms, w.n FROM f2 f JOIN w1 w USING (wid) WHERE f.i = len(w.syms)),
-         |${pairs("p3", "w2")},
-         |m3 AS (SELECT l, r, f FROM p3 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
-         |${fold("f3", "w2", "m3")},
-         |w3 AS (SELECT f.wid, f.acc AS syms, w.n FROM f3 f JOIN w2 w USING (wid) WHERE f.i = len(w.syms))
+         |$bpeChainCtes
          |SELECT w0.w AS word, CAST(w3.n AS BIGINT) AS n, CAST(len(w3.syms) AS BIGINT) AS n_syms,
          |  array_to_string(w3.syms, ' ') AS segmented
-         |FROM w3 JOIN w0 USING (wid) ORDER BY word""".stripMargin
-    },
+         |FROM w3 JOIN w0 USING (wid) ORDER BY word""".stripMargin,
+
+    // Decay: (key, bucket) counts, one-row max, halving fold.
+    "q140_decay_activity" ->
+      """WITH c AS (SELECT user_id AS key, epoch_us(ts) // 21600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |t AS (SELECT MAX(bucket) AS top FROM c)
+        |SELECT key, CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(CASE WHEN t.top - bucket >= 63 THEN 0
+        |    ELSE cnt // (CAST(1 AS BIGINT) << CAST(t.top - bucket AS INT)) END)
+        |    AS BIGINT) AS score
+        |FROM c, t GROUP BY key ORDER BY key""".stripMargin,
+
+    // Fertility: the q78 chain rolled up corpus-weighted — pieces per
+    // token occurrence in exact ppm.
+    "q139_bpe_fertility" ->
+      s"""WITH RECURSIVE
+         |$bpeChainCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n * len(syms)) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(n * len(syms)) * 1000000 // SUM(n) AS BIGINT) AS fertility_ppm
+         |FROM w3""".stripMargin,
 
     // Mirrors TextDedup.dupSpanCoverage over documents ∪ truncations:
     // 5-token sliding window hashes, df over DISTINCT docs > 1 marks

@@ -271,4 +271,44 @@ object Behavior {
       .select(col("from_type"), col("to_type"), col("n_trans"),
         expr("(n_trans * 1000000) DIV __tot").as("prob_ppm"))
   }
+
+  /** X112: recency-decayed activity score — per key, event counts
+    * bucketed on a fixed time grid and summed under exponential decay
+    * with a one-bucket half-life: `score = Σ_b cnt_b div 2^age_b`,
+    * age = buckets between b and the corpus' LATEST bucket. The
+    * freshness-weighting every ranking / mixture / sampling stage wants
+    * ("active sources matter more"), bit-exact on any engine because
+    * halving is a truncating power-of-two division — no float decay
+    * factor, no log. Ages ≥ 63 contribute exactly 0 (the shift
+    * saturates), so arbitrarily old history can't overflow or wiggle
+    * the result.
+    *
+    * Shape: one map-side-combinable (key, bucket) count — the only
+    * pass over event volume; a one-row global-max aggregate joined
+    * broadcast; a per-key fold over its occupied buckets. No window
+    * over raw events.
+    *
+    * @return (key, n_events, n_buckets, score)
+    */
+  def decayedActivity(events: DataFrame, keyCol: String, tsCol: String,
+                      stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    val stepUs = stepSec * 1000000L
+    val cnt = events
+      .select(col(keyCol).as("key"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__u"))
+      .select(col("key"), expr(s"__u div $stepUs").as("bucket"))
+      .groupBy("key", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // forked: global max + score fold
+    val top = cnt.agg(max(col("bucket")).as("__top"))
+    cnt.crossJoin(broadcast(top))
+      .select(col("key"), col("cnt"),
+        (col("__top") - col("bucket")).as("__age"))
+      .groupBy("key")
+      .agg(sum(col("cnt")).as("n_events"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("__age") >= 63, lit(0L)).otherwise(
+          expr("cnt div (cast(1 as bigint) << cast(__age as int))")))
+          .as("score"))
+  }
 }

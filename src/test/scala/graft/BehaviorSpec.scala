@@ -200,4 +200,25 @@ class BehaviorSpec extends SparkSpec {
     assert(out((2L, b(7))) == ((4.0, 0L)))
     assert(out((3L, b(0))) == ((9.0, 0L)))
   }
+
+  test("decayedActivity: power-of-two halving by bucket age, saturating at 63") {
+    import graft.ops.Behavior
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(h * 3600L * 1000L)
+    // user 1: 8 events in each of the latest three hours
+    // -> 8 + 8/2 + 8/4 = 14; user 2: 5 events 70 hours old -> 5/2^70 = 0
+    val ev = ((1 to 8).flatMap(_ => Seq((1L, ts(72)), (1L, ts(71)), (1L, ts(70)))) ++
+      (1 to 5).map(_ => (2L, ts(2)))).toDF("user_id", "ts")
+    val out = Behavior.decayedActivity(ev, "user_id", "ts", stepSec = 3600L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((24L, 3L, 14L)))
+    assert(out(2L) == ((5L, 1L, 0L)))
+    // truncation: 3 events one bucket old halve to 1, not 1.5
+    val ev2 = Seq((9L, ts(10)), (9L, ts(9)), (9L, ts(9)), (9L, ts(9)))
+      .toDF("user_id", "ts")
+    val o2 = Behavior.decayedActivity(ev2, "user_id", "ts", stepSec = 3600L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(o2 == ((9L, 4L, 2L, 2L)))
+  }
 }
