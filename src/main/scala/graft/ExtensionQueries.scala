@@ -253,6 +253,24 @@ object ExtensionQueries {
         .orderBy(col("word"))
     }),
 
+    // Multi-probe sign-LSH kNN: q27's shape plus the 8 one-bit-flip
+    // probe buckets per query — the recall knob with no new index.
+    "q141_knn_multiprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.multiProbeTopK(e, e.filter(col("vec_id") < 20), "vec_id",
+          "embedding", 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Count-min join-cardinality estimate for the lineitem self-join on
+    // l_partkey (the dedup/salting pre-flight number), next to the
+    // exact sum of squared key counts.
+    "q142_join_size_estimate" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"))
+      Sketches.cmJoinCardinality(li, col("l_partkey"), li, col("l_partkey"))
+    }),
+
     // Recency-decayed per-user activity on the 6h grid: one-bucket
     // half-life, truncating power-of-two halving — no float decay.
     "q140_decay_activity" -> ((s, d) =>
@@ -1703,6 +1721,39 @@ object ExtensionQueries {
          |SELECT w0.w AS word, CAST(w3.n AS BIGINT) AS n, CAST(len(w3.syms) AS BIGINT) AS n_syms,
          |  array_to_string(w3.syms, ' ') AS segmented
          |FROM w3 JOIN w0 USING (wid) ORDER BY word""".stripMargin,
+
+    // Multi-probe: query buckets XOR {0, 1<<i}, distinct pairs before
+    // the rank, vectors re-joined for the cosine.
+    "q141_knn_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $signBucketSql AS bucket FROM embeddings),
+         |q0 AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 20),
+         |q AS (SELECT query_id, xor(bucket, m) AS bucket
+         |  FROM q0, unnest([0,1,2,4,8,16,32,64,128]) t(m)),
+         |sc AS (SELECT DISTINCT query_id, e.vec_id AS neighbor_id
+         |  FROM q JOIN e USING (bucket) WHERE e.vec_id <> query_id),
+         |cand AS (SELECT sc.query_id, sc.neighbor_id,
+         |    ${cosSql("q0.qe", "e.embedding")} AS cosine
+         |  FROM sc JOIN q0 USING (query_id) JOIN e ON e.vec_id = sc.neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM cand)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // Join size: exact sum of squared key counts vs the count-min
+    // inner-product minimum over rows; HUGEINT products.
+    "q142_join_size_estimate" ->
+      s"""WITH h AS (SELECT ${dh("CAST(l_partkey AS VARCHAR)")} AS hh FROM lineitem),
+         |cells AS (SELECT j, ((2*j+3)*hh + (5*j+7)) % 1000000007 % 512 AS cell,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM h, range(0, 3) r(j) GROUP BY 1, 2),
+         |est AS (SELECT MIN(ip) AS cm_est FROM (
+         |  SELECT j, SUM(CAST(cnt AS HUGEINT) * cnt) AS ip FROM cells GROUP BY j)),
+         |ex AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS exact FROM (
+         |  SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey))
+         |SELECT CAST(ex.exact AS BIGINT) AS exact, CAST(est.cm_est AS BIGINT) AS cm_est,
+         |  CASE WHEN ex.exact > 0 THEN
+         |    CAST(((est.cm_est - ex.exact) * 1000000) // ex.exact AS BIGINT) END AS err_ppm
+         |FROM ex, est""".stripMargin,
 
     // Decay: (key, bucket) counts, one-row max, halving fold.
     "q140_decay_activity" ->

@@ -81,6 +81,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** X114: multi-probe sign-LSH kNN (Lv et al. VLDB'07's idea on the
+    * axis-sign family) — the recall knob that does NOT cost another
+    * index: each query probes its own bucket plus every bucket at
+    * Hamming distance 1 (one sign bit flipped), so near neighbors that
+    * straddle a single hyperplane are recovered. Candidates grow by at
+    * most (planes+1)× — still an equi-join on bucket ids, never a
+    * cross join, and the corpus side is untouched (same buckets,
+    * nothing re-indexed: the probe expansion is query-side literals).
+    *
+    * Candidate pairs are DISTINCT before ranking (a neighbor can
+    * arrive through several probes; duplicate rows would corrupt
+    * row_number ranks), then vectors join back by id for the cosine.
+    */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val masks = array((Seq(0L) ++ (0 until planes).map(i => 1L << i))
+      .map(lit(_)): _*)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), planes).as("__b0"))
+    val probes = q0.select(col("query_id"), explode(masks).as("__m"),
+        col("__b0"))
+      .select(col("query_id"), expr("__b0 ^ __m").as("__bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), planes).as("__bucket"))
+    val cand = c.select(col("neighbor_id"), col("__bucket"))
+      .join(broadcast(probes), Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    cand
+      .join(q0.select(col("query_id"), col("__qv")), Seq("query_id"))
+      .join(c.select(col("neighbor_id"), col("__cv")), Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** IVF-style ANN. Coarse quantizer: the first `nlist` corpus vectors
     * (by id) act as fixed centroids — deterministic, no iterative
     * k-means (iteration order would be engine-dependent); a production

@@ -72,18 +72,70 @@ object Sketches {
     * @return (j, cell, cnt) — the sketch matrix, at most depth·width rows
     */
   def countMinCells(docs: DataFrame, textCol: String,
-                    depth: Int = 3, width: Int = 512): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+                    depth: Int = 3, width: Int = 512): DataFrame =
+    countMinCellsOf(
+      docs.select(explode(TextFeatures.tokens(col(textCol))).as("__k")),
+      col("__k"), depth, width)
+
+  /** [[countMinCells]] generalized to ANY key expression (one sketch
+    * increment per input ROW): the shared builder for token streams,
+    * join keys, and ids. */
+  def countMinCellsOf(df: DataFrame, keyExpr: Column,
+                      depth: Int = 3, width: Int = 512): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val p = TextFeatures.HashMod
-    docs
-      .select(explode(TextFeatures.tokens(col(textCol))).as("__tok"))
-      .select(TextFeatures.charHash(col("__tok")).as("__h"))
+    df
+      .select(TextFeatures.charHash(keyExpr.cast("string")).as("__h"))
       .select(explode(array((0 until depth).map(j =>
         struct(lit(j).as("j"),
           (((lit(2L * j + 3) * col("__h") + lit(5L * j + 7)) % p) % width)
             .as("cell"))): _*)).as("__jc"))
       .groupBy(col("__jc.j").as("j"), col("__jc.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** X115: sketch-based join-cardinality estimate — |A ⋈ B on key| via
+    * the count-min INNER PRODUCT (Cormode & Muthukrishnan 2005 §4.2:
+    * est_j = Σ_cell cmA[j]·cmB[j], estimate = min over rows j; an
+    * overestimate, never under), reported NEXT TO the exact
+    * Σ_k cA(k)·cB(k) so the error is visible. This is the pre-flight
+    * statistic the salting decision (X105's profile, X15's salted
+    * join) wants when the key tables themselves are too big to join
+    * eagerly: the sketch side touches each input ONCE map-side and
+    * ships ≤ depth·width longs per executor.
+    *
+    * Products lift to DECIMAL(38,0) before summing — two 10¹⁰-count
+    * cells would overflow a Long multiply at 100 TB key volumes.
+    *
+    * @return one row: (exact, cm_est, err_ppm ≥ 0)
+    */
+  def cmJoinCardinality(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                        depth: Int = 3, width: Int = 512): DataFrame = {
+    val ca = countMinCellsOf(a, aKey, depth, width)
+      .select(col("j"), col("cell"), col("cnt").as("__na"))
+    val cb = countMinCellsOf(b, bKey, depth, width)
+      .select(col("j"), col("cell"), col("cnt").as("__nb"))
+    // A sketch row with NO overlapping cells has inner product 0 but
+    // drops out of the equi-join — if any of the `depth` rows is
+    // missing, the true minimum is 0, not the min of the present rows.
+    val est = ca.join(cb, Seq("j", "cell"))
+      .groupBy(col("j"))
+      .agg(sum(expr("cast(__na as decimal(38,0)) * __nb")).as("__ip"))
+      .agg(coalesce(when(count(lit(1)) === depth, min(col("__ip"))), lit(0))
+        .cast("decimal(38,0)").as("cm_est"))
+    val ka = a.select(aKey.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("__ca"))
+    val kb = b.select(bKey.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("__cb"))
+    val exact = ka.join(kb, Seq("k"))
+      .agg(coalesce(sum(expr("cast(__ca as decimal(38,0)) * __cb")), lit(0))
+        .cast("decimal(38,0)").as("exact"))
+    exact.crossJoin(est)
+      .select(col("exact").cast("long").as("exact"),
+        col("cm_est").cast("long").as("cm_est"),
+        when(col("exact") > 0,
+          expr("((cm_est - exact) * 1000000) div exact").cast("long"))
+          .as("err_ppm"))
   }
 
   /** Heavy-hitter report: per-token count-min estimate next to the

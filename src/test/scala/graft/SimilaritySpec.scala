@@ -217,4 +217,25 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(tight.keySet == Set(0L, 1L))
   }
+
+  test("multiProbeTopK: superset recall of single-bucket LSH, no duplicate ranks") {
+    // vectors on either side of plane 0: exact-bucket LSH separates
+    // them; the one-bit probe recovers the cross-plane neighbor
+    val vecs = Seq(
+      (0L, Array(0.10f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(-0.10f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.2f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (3L, Array(-1.0f, -1.0f, -1.0f, -1.0f, -1.0f, -1.0f, -1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    val plain = Similarity.lshTopK(vecs, q, "vec_id", "embedding", 3)
+      .as[(Long, Long, Long, Double)].collect().map(_._2).toSet
+    val multi = Similarity.multiProbeTopK(vecs, q, "vec_id", "embedding", 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val multiIds = multi.map(_._2).toSet
+    assert(plain.subsetOf(multiIds))
+    assert(multiIds.contains(1L), s"one-bit probe must recover vec 1: $multiIds")
+    // ranks are 1..n without duplicates even though probes overlap
+    assert(multi.map(_._3).sorted.toSeq == (1L to multi.length).toSeq)
+  }
 }

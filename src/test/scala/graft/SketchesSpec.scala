@@ -117,4 +117,20 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est.toDouble / n - 1.0) < 0.45,
       s"HLL estimate $est too far from $n")
   }
+
+  test("cmJoinCardinality: exact on small key sets, estimate never below exact") {
+    // A: key counts a=3, b=2; B: a=1, b=4, c=9 -> exact 3*1 + 2*4 = 11
+    val a = (Seq.fill(3)("a") ++ Seq.fill(2)("b")).toDF("k")
+    val b = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(9)("c")).toDF("k")
+    val r = Sketches.cmJoinCardinality(a, col("k"), b, col("k"))
+      .as[(Long, Long, Long)].collect().head
+    assert(r._1 == 11L)
+    assert(r._2 >= r._1)
+    assert(r._3 == (r._2 - r._1) * 1000000L / 11L)
+    // disjoint keys: exact 0, err NULL
+    val d = Seq("zz").toDF("k")
+    val r2 = Sketches.cmJoinCardinality(a, col("k"), d, col("k"))
+      .select(col("exact"), col("cm_est")).as[(Long, Long)].collect().head
+    assert(r2._1 == 0L)
+  }
 }
