@@ -253,6 +253,13 @@ object ExtensionQueries {
         .orderBy(col("word"))
     }),
 
+    // Product-quantization codes: 8 subvectors against the first-16
+    // codebook — m codes per vector replace 64 floats; assignment is
+    // one native codegen'd projection, no per-(row, code) explode.
+    "q143_pq_codes" -> ((s, d) =>
+      Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("sub"))),
+
     // Multi-probe sign-LSH kNN: q27's shape plus the 8 one-bit-flip
     // probe buckets per query — the recall knob with no new index.
     "q141_knn_multiprobe" -> ((s, d) => {
@@ -1721,6 +1728,22 @@ object ExtensionQueries {
          |SELECT w0.w AS word, CAST(w3.n AS BIGINT) AS n, CAST(len(w3.syms) AS BIGINT) AS n_syms,
          |  array_to_string(w3.syms, ' ') AS segmented
          |FROM w3 JOIN w0 USING (wid) ORDER BY word""".stripMargin,
+
+    // PQ: first-16 codebook indexed 0..15 in id order; per (vec, sub)
+    // the ordered double fold of squared diffs, argmin by (d2, code).
+    "q143_pq_codes" ->
+      """WITH cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, s.sub, cb.code,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), i ->
+        |      (CAST(e.embedding[s.sub*8 + i] AS DOUBLE) - CAST(cb.ce[s.sub*8 + i] AS DOUBLE))
+        |      * (CAST(e.embedding[s.sub*8 + i] AS DOUBLE) - CAST(cb.ce[s.sub*8 + i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS d2
+        |  FROM embeddings e, range(0, 8) s(sub), cb),
+        |a AS (SELECT vec_id, sub, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
+        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+        |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
 
     // Multi-probe: query buckets XOR {0, 1<<i}, distinct pairs before
     // the rank, vectors re-joined for the cosine.

@@ -50,6 +50,10 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "graft_pqassign", es => PqAssignExpr(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue(),
+        es(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "graft_minhash16", es => MinHashExpr(es.head, k = 16), "scala_udf")
   }
 }

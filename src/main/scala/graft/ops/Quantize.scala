@@ -43,4 +43,45 @@ object Quantize {
       packed.getField("qvec").as("qvec"),
       packed.getField("scale").as("scale"))
   }
+
+  /** X116: product quantization codes (Jégou et al. TPAMI'11) — the
+    * faiss-style memory-reduction step between int8 ([[int8]]) and raw
+    * floats: each vector splits into `m` subvectors and each subvector
+    * is replaced by the index of its nearest codebook centroid
+    * (squared L2, left-to-right double fold), so a 64-float vector
+    * stores as m small codes. Deterministic, iteration-free codebook:
+    * the first `ksub` corpus vectors by id (the X7b IVF seed
+    * convention) — a production deployment plugs trained centroids
+    * into the same shape.
+    *
+    * Spark shape: the codebook is ksub·dims floats of DRIVER state
+    * broadcast as a literal into ONE native codegen'd projection
+    * ([[graft.functions.PqAssignExpr]]) — no per-(row, code) explode,
+    * no shuffle, the data never moves (the X21 k-means discipline).
+    * Ties take the smallest code (strict `<` scan), bit-identical to
+    * the oracle's (d2 ASC, code ASC) rank because both engines run the
+    * identical IEEE double fold.
+    *
+    * @return (`idCol`, sub 0..m−1, code 0..ksub−1), m rows per vector
+    */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(m >= 1 && ksub >= 1, s"pqCodes needs m, ksub >= 1: $m, $ksub")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cbRows = corpus.select(col(idCol).cast("long").as("__i"),
+        col(vecCol).as("__v"))
+      .orderBy(col("__i")).limit(ksub).collect()
+    require(cbRows.length == ksub,
+      s"pqCodes needs at least ksub=$ksub vectors, got ${cbRows.length}")
+    val dims = cbRows.head.getSeq[Float](1).length
+    require(dims % m == 0, s"dims=$dims must be divisible by m=$m")
+    require(cbRows.forall(_.getSeq[Float](1).length == dims),
+      "codebook vectors must share one dimensionality")
+    val flat = cbRows.flatMap(_.getSeq[Float](1)).toArray
+    corpus.select(col(idCol),
+        posexplode(call_function("graft_pqassign", col(vecCol),
+          lit(flat), lit(m), lit(ksub))))
+      .select(col(idCol), col("pos").cast("long").as("sub"),
+        col("col").cast("long").as("code"))
+  }
 }

@@ -21,4 +21,30 @@ class QuantizeSpec extends SparkSpec {
     assert(math.abs(q1(0) / s1 - 2.0) <= 1.0 / s1)
     assert(math.abs(q1(1) / s1 - (-4.0)) <= 1.0 / s1)
   }
+
+  test("pqCodes: nearest codebook subvector wins, ties to the smaller code") {
+    import graft.ops.Quantize
+    // dims=4, m=2, ksub=2: codebook = vectors 0 and 1
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.1f, 0.1f, 0.1f, 0.1f)),   // sub0 -> code 0, sub1 -> code 1
+      (3L, Array(0.9f, 0.9f, 0.9f, 0.9f)))   // sub0 -> code 1, sub1 -> code 0
+      .toDF("vec_id", "embedding")
+    val out = Quantize.pqCodes(vecs, "vec_id", "embedding", m = 2, ksub = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 0L), (0L, 1L, 0L),
+      (1L, 0L, 1L), (1L, 1L, 1L),
+      (2L, 0L, 0L), (2L, 1L, 1L),
+      (3L, 0L, 1L), (3L, 1L, 0L)))
+    // exact tie (equidistant): smaller code wins
+    val tie = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val t = Quantize.pqCodes(tie, "vec_id", "embedding", m = 1, ksub = 2)
+      .as[(Long, Long, Long)].collect().filter(_._1 == 2L).head
+    assert(t == ((2L, 0L, 0L)))
+  }
 }
