@@ -260,6 +260,16 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // PQ asymmetric-distance kNN: per-query (sub, code) distance table
+    // broadcast onto the code table, m lookups summed as quantized
+    // longs — the corpus is never decoded.
+    "q144_pq_adc_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Quantize.pqAdcTopK(e, e.filter(col("vec_id") < 20), "vec_id",
+          "embedding", 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Multi-probe sign-LSH kNN: q27's shape plus the 8 one-bit-flip
     // probe buckets per query — the recall knob with no new index.
     "q141_knn_multiprobe" -> ((s, d) => {
@@ -1744,6 +1754,32 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // ADC: q143's code CTE + a query distance table quantized at 1e9
+    // BEFORE summing, so ranks are merge-order exact.
+    "q144_pq_adc_knn" ->
+      """WITH cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, s.sub, cb.code,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), i ->
+        |      (CAST(e.embedding[s.sub*8 + i] AS DOUBLE) - CAST(cb.ce[s.sub*8 + i] AS DOUBLE))
+        |      * (CAST(e.embedding[s.sub*8 + i] AS DOUBLE) - CAST(cb.ce[s.sub*8 + i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS d2
+        |  FROM embeddings e, range(0, 8) s(sub), cb),
+        |codes AS (SELECT vec_id AS neighbor_id, sub, code FROM (
+        |  SELECT vec_id, sub, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
+        |  WHERE rn = 1),
+        |dt AS (SELECT vec_id AS query_id, sub, code,
+        |    CAST(floor(d2 * 1000000000) AS BIGINT) AS dq
+        |  FROM d WHERE vec_id < 20),
+        |adc AS (SELECT dt.query_id, c.neighbor_id, CAST(SUM(dt.dq) AS BIGINT) AS dist_q
+        |  FROM codes c JOIN dt USING (sub, code)
+        |  WHERE c.neighbor_id <> dt.query_id GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, dist_q,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_q ASC, neighbor_id ASC) AS rnk FROM adc)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, dist_q
+        |FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     // Multi-probe: query buckets XOR {0, 1<<i}, distinct pairs before
     // the rank, vectors re-joined for the cosine.

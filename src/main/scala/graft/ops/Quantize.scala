@@ -84,4 +84,71 @@ object Quantize {
       .select(col(idCol), col("pos").cast("long").as("sub"),
         col("col").cast("long").as("code"))
   }
+
+  /** X117: PQ asymmetric-distance kNN (the ADC search of Jégou
+    * TPAMI'11 §IV) — the query path over [[pqCodes]]' compressed
+    * corpus: per query a (m × ksub) distance table is precomputed
+    * against the codebook, and a corpus vector's approximate distance
+    * is just m TABLE LOOKUPS summed — the corpus is never decoded.
+    *
+    * Spark shape: the distance table is |queries|·m·ksub rows of
+    * DRIVER-computed state joined BROADCAST onto the (sub, code)
+    * columns of the code table; one map-side-combinable
+    * (query, vector) sum and a per-query top-k window. Distances
+    * floor-quantize to longs at 10⁹ in the TABLE (before any
+    * aggregation), so the summed distance is merge-order exact and the
+    * ranking bit-identical on any engine — a raw double sum over the m
+    * lookups would depend on partial-aggregation order.
+    *
+    * @return (query_id, neighbor_id, rnk, dist_q): top `k` by
+    *         (quantized ADC distance ASC, neighbor ASC), self excluded
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, m: Int = 8,
+                ksub: Int = 16): DataFrame = {
+    require(k >= 1, s"pqAdcTopK needs k >= 1: $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbRows = corpus.select(col(idCol).cast("long").as("__i"),
+        col(vecCol).as("__v"))
+      .orderBy(col("__i")).limit(ksub).collect()
+    require(cbRows.length == ksub,
+      s"pqAdcTopK needs at least ksub=$ksub vectors, got ${cbRows.length}")
+    val dims = cbRows.head.getSeq[Float](1).length
+    require(dims % m == 0, s"dims=$dims must be divisible by m=$m")
+    val sub = dims / m
+    val cb = cbRows.map(_.getSeq[Float](1).toArray)
+    val qRows = queries.select(col(idCol).cast("long").as("__i"),
+        col(vecCol).as("__v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // Per-(query, sub, code) squared L2, the same left-to-right double
+    // fold as the assignment — floor-quantized HERE, not after summing.
+    val dtable = (for {
+      (qid, qv) <- qRows.toSeq
+      j <- 0 until m
+      c <- 0 until ksub
+    } yield {
+      var d2 = 0.0d
+      var i = 0
+      while (i < sub) {
+        val idx = j * sub + i
+        val v = if (idx < qv.length) qv(idx).toDouble else 0.0d
+        val t = v - cb(c)(idx).toDouble
+        d2 += t * t
+        i += 1
+      }
+      (qid, j.toLong, c.toLong, math.floor(d2 * 1e9).toLong)
+    }).toDF("query_id", "sub", "code", "dq")
+    pqCodes(corpus, idCol, vecCol, m, ksub)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dq")).as("dist_q"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dist_q").asc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist_q"))
+  }
 }

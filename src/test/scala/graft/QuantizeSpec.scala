@@ -47,4 +47,24 @@ class QuantizeSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().filter(_._1 == 2L).head
     assert(t == ((2L, 0L, 0L)))
   }
+
+  test("pqAdcTopK: table-lookup distances rank the obvious neighbor first") {
+    import graft.ops.Quantize
+    // dims=4, m=2, ksub=2; corpus clusters around the two codebook vecs
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.05f, 0.0f, 1.0f, 0.9f)),   // near vec 0
+      (3L, Array(0.9f, 1.0f, 0.1f, 0.0f)))    // near vec 1
+      .toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions.col
+    val out = Quantize.pqAdcTopK(vecs, vecs.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 1, m = 2, ksub = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // ADC distance of a same-code vector is the query-to-centroid
+    // distance: query 0's nearest compressed neighbor is vec 2 (codes
+    // (0,0)), query 1's is vec 3 (codes (1,1))
+    assert(out == Map(0L -> 2L, 1L -> 3L))
+  }
 }
