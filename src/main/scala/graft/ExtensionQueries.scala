@@ -260,6 +260,18 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Weighted PageRank on the directed supplier->part graph, edge
+    // weight = shipment count: (rank*w) div total-out-weight per edge,
+    // same integer discipline as q63.
+    "q145_pagerank_weighted" -> ((s, d) =>
+      GraphRank.pageRankWeighted(
+          Tables.lineitem(s, d).select(
+            (col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"),
+            lit(1L).as("w")),
+          "src", "dst", "w", iters = 3)
+        .orderBy(col("node"))),
+
     // PQ asymmetric-distance kNN: per-query (sub, code) distance table
     // broadcast onto the code table, m lookups summed as quantized
     // longs — the corpus is never decoded.
@@ -1754,6 +1766,29 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Weighted rank: parallel edges collapse to counts, contribution
+    // (r*w) // sw, same unrolled 3-iteration arithmetic as q63.
+    "q145_pagerank_weighted" -> {
+      def it(prev: String): String =
+        s"""(SELECT nodes.node,
+           |    (SELECT (15 * (1000000000 // n)) // 100 FROM n) + (85 * COALESCE(c.s, 0)) // 100 AS r
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(SUM((p.r * e.w) // sw.sw) AS BIGINT) AS s
+           |    FROM $prev p JOIN e ON p.node = e.src JOIN sw ON e.src = sw.src GROUP BY 1) c USING (node))""".stripMargin
+      s"""WITH e AS (SELECT src, dst, w FROM (
+         |    SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+         |      CAST(COUNT(*) AS BIGINT) AS w
+         |    FROM lineitem GROUP BY 1, 2) WHERE w > 0),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |n AS (SELECT COUNT(*) AS n FROM nodes),
+         |sw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST((SELECT 1000000000 // n FROM n) AS BIGINT) AS r FROM nodes),
+         |i1 AS ${it("r0")},
+         |i2 AS ${it("i1")},
+         |i3 AS ${it("i2")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin
+    },
 
     // ADC: q143's code CTE + a query distance table quantized at 1e9
     // BEFORE summing, so ranks are merge-order exact.

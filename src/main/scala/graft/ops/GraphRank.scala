@@ -119,6 +119,57 @@ object GraphRank {
     * low enough that long runs keep bounded lineage. */
   val CheckpointEvery: Int = 8
 
+  /** X118: WEIGHTED PageRank — the variant real link/co-occurrence
+    * graphs want (an edge crossed 500 times should carry 500× the
+    * mass of a one-off): per-edge contribution is
+    * `(rank · w) div sw(src)` with sw = the source's total out-weight,
+    * pre-joined once like [[pageRank]]'s out-degree. Same integer
+    * discipline (10⁹ scale, truncating DIV, 85/100 damping, leaking
+    * dangling mass), so rank_q·w ≤ 10⁹·w stays far inside a Long for
+    * any realistic weight and the unrolled oracle matches
+    * bit-for-bit. Parallel edges collapse by summing their weights;
+    * non-positive weights are dropped (a zero total out-weight would
+    * be a division by zero, and negative mass is meaningless here) —
+    * both mirrored by the oracle's aggregate-then-filter build.
+    *
+    * @return (node, rank_q) per distinct node
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "weighted PageRank needs at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "weighted PageRank needs at least one positive-weight edge")
+    val eW = e.join(e.groupBy("src").agg(sum(col("w")).as("__sw")), Seq("src"))
+      .localCheckpoint(eager = false)
+    val base = (15L * (Scale / n)) / 100L
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_q"))
+      .localCheckpoint(eager = false)
+    (1 to iters).foreach { it =>
+      val contrib = ranks
+        .join(eW, ranks("node") === eW("src"))
+        .select(col("dst").as("node"),
+          expr("(rank_q * w) div __sw").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__in"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(__in, 0L)) div 100"))
+            .as("rank_q"))
+      ranks =
+        if (it % CheckpointEvery == 0 || it == iters)
+          next.localCheckpoint(eager = false)
+        else next
+    }
+    ranks
+  }
+
   /** X85: personalized PageRank — random-walk-with-restart proximity
     * to a SEED set (Haveliwala WWW'02): the teleport mass lands only on
     * the seeds, so ranks measure closeness to them rather than global

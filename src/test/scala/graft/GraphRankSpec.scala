@@ -320,4 +320,32 @@ class GraphRankSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
     assert(out.toSeq == again.toSeq)
   }
+
+  test("pageRankWeighted: uniform weights reproduce pageRank exactly; heavy edges pull mass") {
+    // floor((r*c)/(deg*c)) == floor(r/deg): constant weights change nothing
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val uni = edges.withColumn("w", org.apache.spark.sql.functions.lit(7L))
+    val a = GraphRank.pageRank(edges, "src", "dst", 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val b = GraphRank.pageRankWeighted(uni, "src", "dst", "w", 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    // node 1 splits 1:9 between 2 and 3 -> 3 ends up above 2
+    val skew = Seq((1L, 2L, 1L), (1L, 3L, 9L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val m = GraphRank.pageRankWeighted(skew, "src", "dst", "w", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(m(3L) > m(2L))
+    // parallel edges collapse by weight sum; zero weights drop
+    val par = Seq((1L, 2L, 5L), (1L, 2L, 4L), (1L, 3L, 1L), (1L, 4L, 0L),
+      (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val p = GraphRank.pageRankWeighted(par, "src", "dst", "w", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(!p.contains(4L))
+    val p2 = GraphRank.pageRankWeighted(
+        Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+          .toDF("src", "dst", "w"), "src", "dst", "w", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(p == p2)
+  }
 }
