@@ -260,6 +260,14 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Pairwise label-centroid similarity: quantized centroid dots and
+    // squared norms per label pair — cos^2 readable as an exact
+    // rational, no sqrt, corpus scanned once.
+    "q146_centroid_sims" -> ((s, d) =>
+      Clustering.groupCentroidSims(Tables.embeddings(s, d), "label",
+          "embedding")
+        .orderBy(col("g_a"), col("g_b"))),
+
     // Weighted PageRank on the directed supplier->part graph, edge
     // weight = shipment count: (rank*w) div total-out-weight per edge,
     // same integer discipline as q63.
@@ -1766,6 +1774,19 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Centroid sims: per-(label,pos) 1e3-quantized component sums,
+    // pairwise dot by pos join, norms joined back.
+    "q146_centroid_sims" ->
+      """WITH q AS (SELECT label, i AS pos,
+        |    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s
+        |  FROM embeddings, range(1, 65) r(i) GROUP BY 1, 2),
+        |n2 AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS n2 FROM q GROUP BY 1),
+        |d AS (SELECT a.label AS g_a, b.label AS g_b, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+        |  FROM q a JOIN q b ON a.pos = b.pos AND a.label < b.label GROUP BY 1, 2)
+        |SELECT d.g_a, d.g_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+        |FROM d JOIN n2 na ON na.label = d.g_a JOIN n2 nb ON nb.label = d.g_b
+        |ORDER BY g_a, g_b""".stripMargin,
 
     // Weighted rank: parallel edges collapse to counts, contribution
     // (r*w) // sw, same unrolled 3-iteration arithmetic as q63.

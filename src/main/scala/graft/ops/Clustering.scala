@@ -165,6 +165,46 @@ object Clustering {
     * @return (label, n, norm2_sum, sum_norm2, cohesion_ppm);
     *         cohesion_ppm is NULL for an all-zero label (0/0)
     */
+  /** X119: pairwise group-centroid similarity — which labels/sources
+    * are semantically CLOSE, the mixing diagnostic that complements
+    * [[labelCohesionPpm]]'s within-group number: for every group pair,
+    * the dot product of their (quantized) member-sum vectors together
+    * with both squared norms, so the caller reads cos² as the exact
+    * rational dot²/(n2_a·n2_b) without this operator ever taking a
+    * square root or emitting a float.
+    *
+    * One explode + (group, pos) component-sum aggregate (map-side
+    * combinable, row form — dims-independent codegen), then all
+    * pairwise arithmetic runs on |groups|·dims rows — comparing 50
+    * sources never rescans the corpus (the histogramDrift discipline).
+    * Long arithmetic at the 10³ quantum is exact to ~10¹² rows per
+    * group ([[graft.ops.Profiler.embeddingDimStats]]'s documented
+    * bound).
+    *
+    * @return (g_a < g_b, dot, n2_a, n2_b): quantized-integer centroid
+    *         dot and squared norms per group pair
+    */
+  def groupCentroidSims(feats: DataFrame, groupCol: String,
+                        vecCol: String): DataFrame = {
+    val comp = feats
+      .select(col(groupCol).as("g"), posexplode(col(vecCol)))
+      .select(col("g"), col("pos"),
+        floor(col("col").cast("double") * 1e3).cast("long").as("__q"))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(col("__q")).as("__s"))
+      .localCheckpoint(eager = false) // forked: norms + pairwise dots
+    val n2 = comp.groupBy(col("g"))
+      .agg(sum(col("__s") * col("__s")).as("n2"))
+      .localCheckpoint(eager = false) // joined twice below
+    comp.as("a").join(comp.as("b"),
+        col("a.pos") === col("b.pos") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+      .agg(sum(col("a.__s") * col("b.__s")).as("dot"))
+      .join(n2.select(col("g").as("g_a"), col("n2").as("n2_a")), Seq("g_a"))
+      .join(n2.select(col("g").as("g_b"), col("n2").as("n2_b")), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("dot"), col("n2_a"), col("n2_b"))
+  }
+
   def labelCohesionPpm(feats: DataFrame, labelCol: String,
                        vecCol: String): DataFrame = {
     val q3 = (x: Column) => floor(x.cast("double") * 1e3).cast("long")

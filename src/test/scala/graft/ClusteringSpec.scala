@@ -85,4 +85,19 @@ class ClusteringSpec extends SparkSpec {
     assert(out(2) == ((2L, 0L, 2000000L, 0L)))
     assert(out(3) == ((1L, 0L, 0L, -1L)))
   }
+
+  test("groupCentroidSims: exact dots and norms of quantized centroid sums") {
+    import graft.ops.Clustering
+    val feats = Seq(
+      (1, Array(1.0f, 0.0f)), (1, Array(1.0f, 0.0f)),  // sum (2000, 0)
+      (2, Array(0.0f, 1.0f)),                            // sum (0, 1000)
+      (3, Array(1.0f, 1.0f)))                            // sum (1000, 1000)
+      .toDF("label", "embedding")
+    val out = Clustering.groupCentroidSims(feats, "label", "embedding")
+      .as[(Int, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out((1, 2)) == ((0L, 4000000L, 1000000L)))
+    assert(out((1, 3)) == ((2000000L, 4000000L, 2000000L)))
+    assert(out((2, 3)) == ((1000000L, 1000000L, 2000000L)))
+  }
 }
