@@ -260,6 +260,27 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Best-survivor dedup: q36's duplicate clusters, but the survivor
+    // is the HIGHEST-QUALITY member (ppm score, ties to min id) — the
+    // policy production pipelines actually want.
+    "q147_best_survivor" -> ((s, d) => {
+      val corpus = demoCorpus(Tables.documents(s, d))
+      val pairs = minhashPairsFor(s, d).filter(col("est_jaccard") >= 0.75)
+      val labels = graft.ops.ConnectedComponents.labels(
+          pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+        .localCheckpoint(eager = false) // forked: member count + survivor
+      val scores = Curation.docQualityScorePpm(corpus, "doc_id", "text")
+      val surv = labels.join(scores, labels("node") === scores("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(min(struct((-col("score_ppm")).as("ns"),
+          col("doc_id").as("id"))).as("__m"))
+      labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+        .join(surv, Seq("cluster_id"))
+        .select(col("cluster_id"), col("__m.id").as("survivor_id"),
+          (-col("__m.ns")).as("survivor_score_ppm"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Pairwise label-centroid similarity: quantized centroid dots and
     // squared norms per label pair — cos^2 readable as an exact
     // rational, no sqrt, corpus scanned once.
@@ -1774,6 +1795,36 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Best survivor: q36's recursive clusters + the q85 ppm score,
+    // survivor by (score DESC, id ASC).
+    "q147_best_survivor" -> {
+      val allStop = TextFeatures.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE $minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.75),
+         |und AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+         |  UNION
+         |  SELECT u.b, r.r FROM reach r JOIN und u ON u.a = r.node),
+         |lab AS (SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |    ((length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000 // length(text))
+         |     + (len(list_filter(toks, t -> list_contains($allStop, t))) * 1000000 // len(toks))) // 2
+         |    AS score_ppm
+         |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM corpus)
+         |  WHERE len(toks) >= 1 AND length(text) >= 1),
+         |surv AS (SELECT cluster_id, node AS survivor_id, score_ppm AS survivor_score_ppm
+         |  FROM (SELECT lab.cluster_id, lab.node, sc.score_ppm,
+         |      ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+         |        ORDER BY sc.score_ppm DESC, lab.node ASC) AS rn
+         |    FROM lab JOIN sc ON sc.doc_id = lab.node) WHERE rn = 1),
+         |cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM lab GROUP BY 1)
+         |SELECT cnt.cluster_id, surv.survivor_id,
+         |  CAST(surv.survivor_score_ppm AS BIGINT) AS survivor_score_ppm, cnt.n_members
+         |FROM cnt JOIN surv USING (cluster_id) ORDER BY cluster_id""".stripMargin
+    },
 
     // Centroid sims: per-(label,pos) 1e3-quantized component sums,
     // pairwise dot by pos join, norms joined back.

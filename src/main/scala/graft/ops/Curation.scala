@@ -183,6 +183,33 @@ object Curation {
     * @return (`idCol`, `sourceCol`, src_score_ppm) for documents of
     *         sources scoring ≥ `minScorePpm`
     */
+  /** Per-document integer quality score — the X56 ppm formula
+    * (mean of alpha-ratio and stopword-ratio, each in ppm) exposed
+    * standalone so survivor policies and gates can rank single
+    * documents, not just sources. Docs with no tokens or no characters
+    * are absent (the ratios are undefined there), mirroring
+    * [[sourceQualityFilter]]'s gate.
+    *
+    * @return (`idCol`, score_ppm)
+    */
+  def docQualityScorePpm(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    docs
+      .select(col(idCol), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1 && length(col("__text")) >= 1)
+      .select(col(idCol),
+        length(regexp_replace(col("__text"), "[^a-zA-Z]", ""))
+          .cast("long").as("__alpha"),
+        length(col("__text")).cast("long").as("__chars"),
+        stopwordHits(col("__toks"), allStop).cast("long").as("__stop"),
+        size(col("__toks")).cast("long").as("__ntok"))
+      .select(col(idCol), expr(
+        "((__alpha * 1000000 div __chars) + (__stop * 1000000 div __ntok)) div 2")
+        .as("score_ppm"))
+  }
+
   def sourceQualityFilter(docs: DataFrame, idCol: String, textCol: String,
                           sourceCol: String, minScorePpm: Long): DataFrame = {
     val allStop = stopwords.values.flatten.toSeq.distinct
