@@ -260,6 +260,23 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Gini diversity of the corpus' categorical spreads — the
+    // log-free mixture-evenness headline next to q132's per-key skew.
+    "q149_gini_diversity" -> ((s, d) =>
+      Profiler.giniDiversityPpm(Tables.documents(s, d),
+          Seq("lang", "source"))
+        .orderBy(col("col_name"))),
+
+    // Hard-negative mining: per query the top-5 most similar vectors
+    // that are NOT near-dups (LSH pair set at 0.99) — contrastive
+    // negatives without false-negative poisoning.
+    "q148_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 20), "vec_id",
+          "embedding", k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Best-survivor dedup: q36's duplicate clusters, but the survivor
     // is the HIGHEST-QUALITY member (ppm score, ties to min id) — the
     // policy production pipelines actually want.
@@ -1795,6 +1812,43 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Gini: per-column value counts, 1e6 - sum(cnt^2)*1e6 // n^2.
+    "q149_gini_diversity" ->
+      """WITH u AS (SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents),
+        |c AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2)
+        |SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(1000000 - (SUM(CAST(cnt AS HUGEINT) * cnt) * 1000000)
+        |    // (CAST(SUM(cnt) AS HUGEINT) * SUM(cnt)) AS BIGINT) AS gini_ppm
+        |FROM c GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // Hard negatives: plain-corpus LSH pair set (2 bands, cap 10000)
+    // at cosine >= 0.99, anti-joined off the brute-force ranking.
+    "q148_hard_negatives" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, b AS band,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), i ->
+         |    CASE WHEN embedding[b*8+i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+         |    (a, x) -> a + x) AS bucket
+         |  FROM embeddings, range(0, 2) t(b)),
+         |ok AS (SELECT bk.vec_id, bk.embedding, bk.band, bk.bucket FROM bk
+         |  JOIN (SELECT band, bucket, count(*) AS n FROM bk GROUP BY 1, 2) c
+         |  USING (band, bucket) WHERE c.n <= 10000),
+         |p0 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+         |  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |dup AS (SELECT id_a, id_b FROM p0 WHERE ${cosSql("va", "vb")} >= 0.99),
+         |dk AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM dup
+         |  UNION ALL SELECT id_b, id_a FROM dup),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qe", "e.embedding")} AS cosine
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+         |    AND NOT EXISTS (SELECT 1 FROM dk
+         |      WHERE dk.query_id = q.query_id AND dk.neighbor_id = e.vec_id)),
+         |rk AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // Best survivor: q36's recursive clusters + the q85 ppm score,
     // survivor by (score DESC, id ASC).

@@ -467,6 +467,35 @@ object Profiler {
           .cast("long").as("skew_ppm"))
   }
 
+  /** X122: Gini diversity index per categorical column — how evenly a
+    * corpus spreads over its languages/sources/shards, WITHOUT the
+    * logarithm entropy needs: `gini_ppm = 10⁶·(1 − Σ p_v²)`, computed
+    * as the exact rational 10⁶ − Σcnt²·10⁶ div n² (0 = one value owns
+    * everything, → 10⁶·(1−1/k) = uniform over k values). The
+    * mixture-skew headline number next to X105's per-key detail.
+    *
+    * One pass: rows explode into |cols| structs, two stacked map-side
+    * aggregates; DECIMAL(38,0) squares so 10¹⁴-row counts can't
+    * overflow.
+    *
+    * @return (col_name, n_rows, n_values, gini_ppm)
+    */
+  def giniDiversityPpm(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "giniDiversityPpm needs at least one column")
+    val pairs = cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v")))
+    df.select(explode(array(pairs: _*)).as("p"))
+      .groupBy(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_values"),
+        sum(expr("cast(cnt as decimal(38,0)) * cnt")).as("__ss"))
+      .select(col("col_name"), col("n_rows"), col("n_values"),
+        expr("1000000 - (cast(__ss as decimal(38,0)) * 1000000) div " +
+          "(cast(n_rows as decimal(38,0)) * n_rows)")
+          .cast("long").as("gini_ppm"))
+  }
+
   /** X106: functional-dependency violation audit — for a declared
     * dependency X → Y (catalog code → description, source → language,
     * URL → canonical id), every X whose rows disagree on Y, with the

@@ -209,6 +209,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
 
+  /** X121: hard-negative mining — per query, the top-k most similar
+    * corpus vectors that are NOT near-duplicates of it: the highest-
+    * value negatives for contrastive/retrieval training (in-batch
+    * randoms are too easy; near-dups would be false negatives and
+    * poison the loss). Exclusion uses the SAME LSH-bucketed near-dup
+    * pair set the dedup path trusts ([[nearDupPairs]] at
+    * `dupThreshold`), so "too similar to be a negative" and
+    * "duplicate" are one definition, applied in both directions of
+    * each pair.
+    *
+    * Shape: the scored candidates are one corpus pass against the
+    * broadcast query set (the X6 brute-force discipline — queries are
+    * small by contract); the dup exclusion is a LEFT ANTI join on the
+    * symmetrized pair keys BEFORE the rank window, so excluded rows
+    * never inflate the top-k.
+    *
+    * @return (query_id, neighbor_id, rnk, cosine): top `k` by
+    *         (cosine DESC, neighbor ASC), self and near-dups excluded
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    dupThreshold: Double = 0.99): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val dup = nearDupPairs(corpus, idCol, vecCol, dupThreshold)
+    val dupKeys = dup.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .unionByName(dup.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(dupKeys, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
+  }
+
   /** Deterministic ±1 random projection (Achlioptas 2003's database-
     * friendly JL variant, sign-random-projection when only the bit
     * pattern is kept): project each embedding onto `outDims` pseudo-

@@ -315,4 +315,13 @@ class ProfilerSpec extends SparkSpec {
       ("len_matches", 4L, 2L, 500000L),
       ("nonempty", 4L, 1L, 250000L)))
   }
+
+  test("giniDiversityPpm: one-value column is 0; uniform over k reads 1e6*(1-1/k)") {
+    import graft.ops.Profiler
+    val df = (1 to 12).map(i => ("only", s"v${i % 4}")).toDF("mono", "quad")
+    val out = Profiler.giniDiversityPpm(df, Seq("mono", "quad"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("mono") == (("mono", 12L, 1L, 0L)))
+    assert(out("quad") == (("quad", 12L, 4L, 750000L)))
+  }
 }

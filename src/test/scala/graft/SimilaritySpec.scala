@@ -238,4 +238,20 @@ class SimilaritySpec extends SparkSpec {
     // ranks are 1..n without duplicates even though probes overlap
     assert(multi.map(_._3).sorted.toSeq == (1L to multi.length).toSeq)
   }
+
+  test("hardNegatives: near-dups are excluded before the rank, self never appears") {
+    val base = Array(1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 1.0f, 1.0f, 1.0f)
+    val vecs = Seq(
+      (0L, base),
+      (1L, base.map(_ * 1.001f)),                      // near-dup of 0 (cosine 1.0)
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f, 1.0f, 1.0f, 1.0f, 1.0f)), // cosine 0.8: similar, not dup
+      (3L, Array(-1.0f, -1.0f, -1.0f, -1.0f, 1.0f, -1.0f, 1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    val out = Similarity.hardNegatives(vecs, q, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+    // vec 1 (the near-dup) and vec 0 (self) must be absent; vec 2 ranks 1
+    assert(!out.exists(_._2 == 1L) && !out.exists(_._2 == 0L))
+    assert(out.head._2 == 2L && out.head._3 == 1L)
+  }
 }
