@@ -260,6 +260,15 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // DSIR-style domain relevance: hashed-token rate difference
+    // (target = English slice) scored per doc — the importance-weight
+    // ranking that picks domain-like web text before training.
+    "q150_domain_relevance" -> ((s, d) =>
+      TermStats.domainRelevancePpm(
+          Tables.documents(s, d).withColumn("__is_en", col("lang") === "en"),
+          "doc_id", "text", "__is_en")
+        .orderBy(col("doc_id"))),
+
     // Gini diversity of the corpus' categorical spreads — the
     // log-free mixture-evenness headline next to q132's per-key skew.
     "q149_gini_diversity" -> ((s, d) =>
@@ -1812,6 +1821,26 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // DSIR relevance: hashed-token occurrence counts fork into the
+    // rate model (target rate − reference rate, ppm) and the per-doc
+    // occurrence-weighted mean; sign-split // mirrors Spark's DIV.
+    "q150_domain_relevance" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |occ AS (SELECT doc_id, t, ${dh("w")} AS h, count(*) AS m
+         |  FROM tok GROUP BY 1, 2, 3),
+         |r AS (SELECT h, SUM(CASE WHEN t THEN m ELSE 0 END) AS ct, SUM(m) AS cr
+         |  FROM occ GROUP BY 1),
+         |tt AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM r),
+         |wt AS (SELECT h, (ct * 1000000 // tt) - (cr * 1000000 // tr) AS w
+         |  FROM r, tt)
+         |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN SUM(m * w) >= 0 THEN SUM(m * w) // SUM(m)
+         |       ELSE -((-SUM(m * w)) // SUM(m)) END AS BIGINT) AS relevance_ppm
+         |FROM occ JOIN wt USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Gini: per-column value counts, 1e6 - sum(cnt^2)*1e6 // n^2.
     "q149_gini_diversity" ->

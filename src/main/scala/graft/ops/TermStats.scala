@@ -565,4 +565,64 @@ object TermStats {
       .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("sum_rank"))
       .withColumn("mean_rank", expr("sum_rank DIV n_tokens"))
   }
+
+  /** X123: DSIR-style domain-relevance scoring (Xie et al. NeurIPS'23,
+    * "Data Selection for Language Models via Importance Resampling") —
+    * rank a web-scale corpus by how target-domain-like each document
+    * is, using hashed-token rate statistics instead of a trained
+    * classifier. DSIR's per-feature log-likelihood ratio
+    * log(p_target/p_ref) is replaced by the exact integer rate
+    * DIFFERENCE rate_t − rate_r (both in ppm of their corpus's token
+    * occurrences) so the score is bit-reproducible across engines:
+    * positive means the token is over-represented in the target slice,
+    * and a document's score is the occurrence-weighted mean — the same
+    * linear-in-features shape as DSIR's importance weight, with the
+    * log swapped for a rational that needs no libm.
+    *
+    * The reference model is the FULL corpus (target ⊂ reference), so
+    * every observed feature has rate_r > 0 and there is no OOV
+    * smoothing branch to keep deterministic.
+    *
+    * Plan shape (the q37/q51 discipline): the hashed-token occurrence
+    * aggregate is materialized ONCE and forks into the rate model and
+    * the scoring join; the rate table is vocabulary-bounded but
+    * unbounded in general — join strategy left to AQE, never
+    * force-broadcast. The two totals ride in as a broadcast single-row
+    * cross join. Map-side combine applies to every aggregate, and the
+    * negative-dividend mean uses the sign-split truncating DIV
+    * (Spark DIV truncates toward zero; the oracle mirrors the split so
+    * DuckDB's floor // cannot diverge on negatives).
+    *
+    * @param targetCol boolean column marking the target-domain slice
+    * @return (doc_id, n_tokens, relevance_ppm) — docs with no tokens
+    *         are absent; fails loudly on an empty target slice
+    */
+  def domainRelevancePpm(docs: DataFrame, idCol: String, textCol: String,
+                         targetCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val occ = docs
+      .select(col(idCol).as("doc_id"), col(targetCol).cast("boolean").as("__t"),
+        explode(TextFeatures.tokens(col(textCol))).as("__tok"))
+      .select(col("doc_id"), col("__t"), TextFeatures.charHash(col("__tok")).as("__h"))
+      .groupBy(col("doc_id"), col("__t"), col("__h"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint(eager = false) // forked: rate model + scoring join
+    val rates = occ.groupBy(col("__h"))
+      .agg(sum(when(col("__t"), col("m")).otherwise(lit(0L))).as("ct"),
+        sum(col("m")).as("cr"))
+      .localCheckpoint(eager = false) // forked: totals + per-feature weights
+    val tot = rates.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val weights = rates.crossJoin(broadcast(tot))
+      .select(col("__h"),
+        (when(col("tt") > 0, expr("ct * 1000000 DIV tt"))
+          .otherwise(raise_error(lit(
+            "domainRelevancePpm: empty target slice — no tokens marked target")))
+          - expr("cr * 1000000 DIV tr")).as("w"))
+    occ.join(weights, Seq("__h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"), sum(col("m") * col("w")).as("__sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("__sw") >= 0, expr("__sw DIV n_tokens"))
+          .otherwise(-expr("(-__sw) DIV n_tokens")).as("relevance_ppm"))
+  }
 }

@@ -294,4 +294,34 @@ class TermStatsSpec extends SparkSpec {
       .orderBy(col("doc_id")).as[(Long, Long, Long, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("domainRelevancePpm: rate-difference weights, sign-split mean, empty-target guard") {
+    val docs = Seq((1L, "a a b", true), (2L, "a c", false))
+      .toDF("doc_id", "text", "is_t")
+    val out = TermStats.domainRelevancePpm(docs, "doc_id", "text", "is_t")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // target occs: a=2 b=1 (tt=3); ref: a=3 b=1 c=1 (tr=5)
+    // w_a = 2e6 DIV 3 - 3e6 DIV 5 = 666666-600000 = 66666
+    // w_b = 1e6 DIV 3 - 1e6 DIV 5 = 333333-200000 = 133333
+    // w_c = 0 - 200000 = -200000
+    // doc1: (2*66666 + 133333) DIV 3 = 266665 DIV 3 = 88888
+    // doc2: 66666 - 200000 = -133334 -> -(133334 DIV 2) = -66667
+    assert(out == Map(1L -> ((3L, 88888L)), 2L -> ((2L, -66667L))))
+    // layout independence (map-side combine + AQE join strategy only)
+    val big = (1 to 60).map(i =>
+      (i.toLong, s"w${i % 11} w${i % 5} shared tail${i % 2}", i % 3 == 0))
+      .toDF("doc_id", "text", "is_t")
+    val r1 = TermStats.domainRelevancePpm(big.repartition(3), "doc_id", "text", "is_t")
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+    val r2 = TermStats.domainRelevancePpm(big.repartition(19), "doc_id", "text", "is_t")
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toSeq
+    assert(r1 == r2)
+    // an empty target slice must fail loudly, not return silent zeros
+    val noT = Seq((1L, "a b", false)).toDF("doc_id", "text", "is_t")
+    val ex = intercept[Exception] {
+      TermStats.domainRelevancePpm(noT, "doc_id", "text", "is_t").collect()
+    }
+    assert(ex.getMessage.contains("empty target slice") ||
+      Option(ex.getCause).exists(_.getMessage.contains("empty target slice")))
+  }
 }
