@@ -260,6 +260,17 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Leakage-safe split: q36's near-dup clusters pin every duplicate
+    // group to ONE side of the train/val/test boundary — the per-doc
+    // hash split leaves a 99% straddle probability per dup pair.
+    "q151_leakage_split" -> ((s, d) => {
+      val corpus = demoCorpus(Tables.documents(s, d))
+      val pairs = minhashPairsFor(s, d).filter(col("est_jaccard") >= 0.75)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Curation.leakageSafeSplit(corpus, "doc_id", "text", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-style domain relevance: hashed-token rate difference
     // (target = English slice) scored per doc — the importance-weight
     // ranking that picks domain-like web text before training.
@@ -1821,6 +1832,29 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Leakage split: q36's recursive clusters; singletons group as
+    // themselves; every member takes the REP's (text#id) hash bucket.
+    "q151_leakage_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.75),
+         |und AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+         |  UNION
+         |  SELECT u.b, r.r FROM reach r JOIN und u ON u.a = r.node),
+         |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |g AS (SELECT c.doc_id, c.text, coalesce(l.cluster_id, c.doc_id) AS group_id
+         |  FROM corpus c LEFT JOIN lab l ON l.node = c.doc_id),
+         |rep AS (SELECT g.group_id,
+         |    ${dh("g.text || '#' || CAST(g.group_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM g WHERE g.doc_id = g.group_id)
+         |SELECT g.doc_id, CAST(g.group_id AS BIGINT) AS group_id,
+         |  CAST(rep.bucket AS BIGINT) AS bucket,
+         |  CASE WHEN rep.bucket < 80 THEN 'train'
+         |       WHEN rep.bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM g JOIN rep USING (group_id)
+         |ORDER BY g.doc_id""".stripMargin,
 
     // DSIR relevance: hashed-token occurrence counts fork into the
     // rate model (target rate − reference rate, ppm) and the per-doc

@@ -134,6 +134,55 @@ object Curation {
     docs.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** X124: leakage-safe train/val/test split — the [[hashSplit]]
+    * contract lifted from documents to NEAR-DUP GROUPS, so a duplicate
+    * pair can never straddle the train/test boundary (the
+    * classic eval-contamination path a per-doc split leaves open: doc
+    * and its clone land in different buckets with probability
+    * 1 − 1/100).
+    *
+    * `pairs` is any duplicate-pair frame (a, b) — MinHash LSH at a
+    * threshold in practice. Groups are its connected components
+    * ([[ConnectedComponents.labels]], pointer-doubling log-round
+    * bound); docs in no pair are singleton groups. Every member
+    * inherits the bucket of the group REPRESENTATIVE (the min-id
+    * member, which by the cluster-id construction IS `group_id`):
+    * hash of the rep's `text#id`, so the split stays decorrelated from
+    * id assignment order exactly as in [[hashSplit]], and is unbiased
+    * across groups (a min-over-members bucket would skew large
+    * clusters toward 0).
+    *
+    * Dataflow: CC on the pair frame (shuffle ∝ pairs, log rounds), one
+    * id-keyed left join to attach labels, the |groups|-row rep frame
+    * joins back on the group key — strategy left to AQE. No windows,
+    * no driver state beyond CC's bounded fast path.
+    *
+    * @return (`idCol`, group_id, bucket, split)
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame,
+                       cuts: Seq[(String, Int)] =
+                         Seq("train" -> 80, "val" -> 90, "test" -> 100)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must ascend to 100")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val labels = ConnectedComponents.labels(pairs)
+    val grouped = docs
+      .join(labels, docs(idCol) === labels("node"), "left")
+      .select(col(idCol), col(textCol),
+        coalesce(col("cluster_id"), col(idCol)).as("group_id"))
+      .localCheckpoint(eager = false) // forked: rep buckets + member join
+    val reps = grouped.filter(col(idCol) === col("group_id"))
+      .select(col("group_id"),
+        (charHash(concat(col(textCol), lit("#"),
+          col("group_id").cast("string"))) % 100).as("bucket"))
+    val split = cuts.init.foldRight(lit(cuts.last._1): org.apache.spark.sql.Column) {
+      case ((name, ub), acc) => when(col("bucket") < ub, name).otherwise(acc)
+    }
+    grouped.join(reps, Seq("group_id"))
+      .select(col(idCol), col("group_id"), col("bucket"), split.as("split"))
+  }
+
   /** Deterministic weighted (probability-proportional-to-size)
     * systematic sampling: lay the row weights end-to-end in `idCol`
     * order and select every row whose weight interval crosses a

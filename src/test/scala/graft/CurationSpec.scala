@@ -179,4 +179,30 @@ class CurationSpec extends SparkSpec {
     // covers c (gain 1); then nothing remains — 2 rows, not 5
     assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
   }
+
+  test("leakageSafeSplit: dup groups share one split, singletons match hashSplit") {
+    val docs = (1L to 30L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
+    // dup graph: {1,2,3} via chain, {10,11} — rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Curation.leakageSafeSplit(docs, "doc_id", "text", pairs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.size == 30)
+    val byId = out.map(r => r._1 -> r).toMap
+    // groups: min-id representative labels the whole component
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(10L, 11L).map(byId(_)._2).distinct == Seq(10L))
+    // the leakage property: one split per group
+    assert(Seq(1L, 2L, 3L).map(byId(_)._4).distinct.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._4).distinct.size == 1)
+    // singletons reduce exactly to hashSplit's per-doc assignment
+    val solo = Curation.hashSplit(docs.filter(col("doc_id") > 11), "doc_id", "text")
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    solo.foreach { case (id, (b, s)) =>
+      assert(byId(id)._3 == b && byId(id)._4 == s, s"doc $id") }
+    // layout independence
+    val re = Curation.leakageSafeSplit(docs.repartition(13), "doc_id", "text",
+      pairs.repartition(3)).as[(Long, Long, Long, String)].collect().toSeq
+    assert(re.sortBy(_._1) == out.sortBy(_._1))
+  }
 }
