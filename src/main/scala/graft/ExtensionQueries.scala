@@ -260,6 +260,12 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Simplified silhouette over the labeled embeddings — the
+    // cluster-quality headline (b−a)/max(a,b) in exact ppm.
+    "q152_silhouette" -> ((s, d) =>
+      Clustering.silhouettePpm(Tables.embeddings(s, d), "label", "embedding")
+        .orderBy(col("label"))),
+
     // Leakage-safe split: q36's near-dup clusters pin every duplicate
     // group to ONE side of the train/val/test boundary — the per-doc
     // hash split leaves a 99% straddle probability per dup pair.
@@ -1832,6 +1838,33 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Silhouette: 1e3-quantized components, truncated centroid means,
+    // squared distances, sign-split ppm ratio and per-label mean.
+    "q152_silhouette" ->
+      """WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS xq
+        |  FROM embeddings),
+        |st AS (SELECT label, i AS pos, SUM(xq[i]) AS s, COUNT(*) AS n
+        |  FROM x, range(1, 65) r(i) GROUP BY 1, 2),
+        |ct AS (SELECT label AS clabel, pos,
+        |    CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS cq FROM st),
+        |d2 AS (SELECT x.vec_id, x.label, ct.clabel,
+        |    SUM((xq[pos] - cq) * (xq[pos] - cq)) AS d2
+        |  FROM x CROSS JOIN ct GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |    MIN(CASE WHEN clabel = label THEN d2 END) AS a,
+        |    MIN(CASE WHEN clabel <> label THEN d2 END) AS b
+        |  FROM d2 GROUP BY 1, 2),
+        |sp AS (SELECT label,
+        |    CASE WHEN b IS NULL OR greatest(a, b) = 0 THEN 0
+        |         WHEN b >= a THEN ((b - a) * 1000000) // greatest(a, b)
+        |         ELSE -(((a - b) * 1000000) // greatest(a, b)) END AS sp
+        |  FROM ab)
+        |SELECT label, COUNT(*) AS n,
+        |  CAST(CASE WHEN SUM(sp) >= 0 THEN SUM(sp) // COUNT(*)
+        |       ELSE -((-SUM(sp)) // COUNT(*)) END AS BIGINT) AS mean_sil_ppm
+        |FROM sp GROUP BY label ORDER BY label""".stripMargin,
 
     // Leakage split: q36's recursive clusters; singletons group as
     // themselves; every member takes the REP's (text#id) hash bucket.

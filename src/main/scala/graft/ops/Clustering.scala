@@ -205,6 +205,80 @@ object Clustering {
       .select(col("g_a"), col("g_b"), col("dot"), col("n2_a"), col("n2_b"))
   }
 
+  /** X125: simplified silhouette in exact ppm — THE cluster-quality
+    * score (Rousseeuw 1987, simplified variant: distance to CENTROIDS,
+    * not mean pairwise distance, which is what makes it computable in
+    * one pass instead of |n|²) for any labeled embedding set: k-means
+    * output, classifier labels, source tags. Per point a = squared
+    * distance to its own label's centroid, b = min squared distance to
+    * any other centroid, s = (b−a)/max(a,b) ∈ [−1, 1] reported as
+    * per-label means in ppm. Using SQUARED distances is a deliberate,
+    * documented variant (sign and the |s|=1 extremes agree with the
+    * classic form; no sqrt keeps every step integer-exact).
+    *
+    * Determinism: components quantize at the 10³ quantum BEFORE any
+    * arithmetic ([[labelCohesionPpm]]'s overflow discipline — squared
+    * sums stay far from Long bounds at any corpus size); centroid
+    * means and all ratio steps use the sign-split truncating division
+    * so Spark DIV ≡ DuckDB //.
+    *
+    * Scale shape: the centroid model is |labels|·dims longs of driver
+    * state (the X21 broadcast-model contract — labels are a model
+    * axis, not a data axis); scoring is ONE corpus pass with the model
+    * inlined as literals (per-centroid distance columns named first so
+    * the a/b folds reference each once — no expression-tree blowup),
+    * then one |labels|-key aggregate. No shuffle touches raw vectors.
+    *
+    * @return (label, n, mean_sil_ppm); a single-label input scores 0
+    *         (silhouette is undefined there — documented, not an error)
+    */
+  def silhouettePpm(feats: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    val q3 = (x: Column) => floor(x.cast("double") * 1e3).cast("long")
+    val stats = feats
+      .select(col(labelCol).cast("long").as("label"), posexplode(col(vecCol)))
+      .select(col("label"), col("pos"), q3(col("col")).as("vq"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("vq")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(stats.nonEmpty, "silhouettePpm: empty corpus")
+    val cents: Seq[(Long, Array[Long])] = stats.groupBy(_.getLong(0)).toSeq
+      .map { case (l, rows) =>
+        // Scala / truncates toward zero on longs — the same sign-split
+        // semantics the in-frame DIVs use
+        (l, rows.map(r => (r.getInt(1), r.getLong(2) / r.getLong(3)))
+          .sortBy(_._1).map(_._2).toArray)
+      }.sortBy(_._1)
+    val withD = feats
+      .select(col(labelCol).cast("long").as("label"),
+        transform(col(vecCol), x => q3(x)).as("__xq"))
+      .select(col("label") +: cents.map { case (l, cq) =>
+        aggregate(zip_with(col("__xq"), lit(cq), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v).as(s"__d$l")
+      }: _*)
+    val aCol = cents.tail.foldLeft(
+      when(col("label") === cents.head._1, col(s"__d${cents.head._1}"))) {
+      case (acc, (l, _)) => acc.when(col("label") === l, col(s"__d$l"))
+    }
+    val others = array(cents.map { case (l, _) =>
+      struct(lit(l).as("l"), col(s"__d$l").as("d")) }: _*)
+    val bCol = array_min(transform(
+      filter(others, s => s.getField("l") =!= col("label")),
+      s => s.getField("d")))
+    val sil = withD
+      .select(col("label"), aCol.as("a"), bCol.as("b"))
+      .select(col("label"),
+        when(col("b").isNull || greatest(col("a"), col("b")) === 0, lit(0L))
+          .when(col("b") >= col("a"),
+            expr("(b - a) * 1000000 DIV greatest(a, b)"))
+          .otherwise(-expr("(a - b) * 1000000 DIV greatest(a, b)")).as("sp"))
+    sil.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("sp")).as("__ssp"))
+      .select(col("label"), col("n"),
+        when(col("__ssp") >= 0, expr("__ssp DIV n"))
+          .otherwise(-expr("(-__ssp) DIV n")).as("mean_sil_ppm"))
+  }
+
   def labelCohesionPpm(feats: DataFrame, labelCol: String,
                        vecCol: String): DataFrame = {
     val q3 = (x: Column) => floor(x.cast("double") * 1e3).cast("long")

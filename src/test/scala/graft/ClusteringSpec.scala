@@ -100,4 +100,44 @@ class ClusteringSpec extends SparkSpec {
     assert(out((1, 3)) == ((2000000L, 4000000L, 2000000L)))
     assert(out((2, 3)) == ((1000000L, 1000000L, 2000000L)))
   }
+
+  test("silhouettePpm matches the brute-force integer model; one label scores 0") {
+    val rnd = new scala.util.Random(41)
+    // three loose gaussian-ish blobs in 8 dims
+    val rows = (1L to 90L).map { i =>
+      val lab = (i % 3).toInt
+      val base = Array.tabulate(8)(d => if (d % 3 == lab) 1.0f else -0.5f)
+      (i, lab, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.6f))
+    }
+    val feats = rows.toDF("vec_id", "label", "embedding")
+    val got = Clustering.silhouettePpm(feats.repartition(7), "label", "embedding")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute-force model with identical integer spellings
+    val q = rows.map { case (_, l, v) =>
+      (l.toLong, v.map(x => math.floor(x.toDouble * 1e3).toLong)) }
+    val cents = q.groupBy(_._1).map { case (l, vs) =>
+      l -> Array.tabulate(8)(d => vs.map(_._2(d)).sum / vs.size) }
+    def d2(x: Array[Long], c: Array[Long]) =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val model = q.groupBy(_._1).map { case (l, vs) =>
+      val sps = vs.map { case (_, x) =>
+        val a = d2(x, cents(l))
+        val b = cents.filter(_._1 != l).map(c => d2(x, c._2)).min
+        if (math.max(a, b) == 0) 0L
+        else if (b >= a) (b - a) * 1000000L / math.max(a, b)
+        else -((a - b) * 1000000L / math.max(a, b))
+      }
+      val s = sps.sum
+      l -> ((vs.size.toLong, if (s >= 0) s / vs.size else -((-s) / vs.size)))
+    }
+    assert(got == model)
+    // well-separated blobs must actually score positive
+    assert(got.values.forall(_._2 > 0))
+    // a single label has no b: defined as 0
+    val solo = Clustering.silhouettePpm(
+      feats.filter(org.apache.spark.sql.functions.col("label") === 0),
+      "label", "embedding")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(solo == Seq((0L, 30L, 0L)))
+  }
 }
