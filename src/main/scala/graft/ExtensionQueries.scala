@@ -260,6 +260,17 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Bibliographic coupling of suppliers on the supplier→part graph:
+    // pairs sharing ≥3 parts, hub parts (in-degree > 40) capped out
+    // before the wedge join — the q24 stop-key discipline.
+    "q153_bib_coupling" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      GraphRank.bibCoupling(edges, "src", "dst",
+          maxCitedFanin = 40, minCommon = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Simplified silhouette over the labeled embeddings — the
     // cluster-quality headline (b−a)/max(a,b) in exact ppm.
     "q152_silhouette" -> ((s, d) =>
@@ -1838,6 +1849,17 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Bib coupling: distinct edges, fan-in ≤ 40 parts only, supplier
+    // pairs per shared part, support ≥ 3.
+    "q153_bib_coupling" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS k, l_suppkey AS v FROM lineitem),
+        |ok AS (SELECT k, v FROM sp WHERE k IN
+        |  (SELECT k FROM sp GROUP BY k HAVING count(*) <= 40))
+        |SELECT x.v AS id_a, y.v AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        |FROM ok x JOIN ok y ON x.k = y.k AND x.v < y.v
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Silhouette: 1e3-quantized components, truncated centroid means,
     // squared distances, sign-split ppm ratio and per-label mean.

@@ -739,4 +739,55 @@ object GraphRank {
             .cast("long"))
           .otherwise(lit(0L)).as("cc_ppm"))
   }
+
+  /** X126 core: pairs of `valCol` nodes sharing a `keyCol` neighbor,
+    * with the shared-neighbor count — the common-neighbor similarity
+    * both citation-graph classics reduce to (co-citation pairs DSTs
+    * per SRC, bibliographic coupling pairs SRCs per DST; see the
+    * wrappers).
+    *
+    * Work bound: the wedge self-join is Σ deg(key)² — quadratic in hub
+    * keys, so keys above `maxKeyDegree` are EXCLUDED before pairing
+    * (the q24 stop-shingle discipline: a reference cited by everyone
+    * carries no pair signal and all of the cost; the cap is part of
+    * the operator contract and every oracle mirrors it). `minCommon`
+    * gates output AFTER counting — it cannot prune the join, only the
+    * result.
+    *
+    * Dataflow: distinct edge set materialized once, degree gate as a
+    * left-semi join, ONE equi-join on the key, one map-side-combinable
+    * pair count. No windows, no driver state.
+    *
+    * @return (id_a, id_b, n_common) with id_a < id_b
+    */
+  def commonNeighborPairs(edges: DataFrame, keyCol: String, valCol: String,
+                          maxKeyDegree: Long, minCommon: Long): DataFrame = {
+    require(maxKeyDegree >= 1, s"non-positive degree cap: $maxKeyDegree")
+    require(minCommon >= 1, s"non-positive support floor: $minCommon")
+    val e = edges.select(col(keyCol).as("k"), col(valCol).as("v")).distinct()
+      .localCheckpoint(eager = false) // forked: degree gate + pair join
+    val ok = e.join(
+      e.groupBy(col("k")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") <= maxKeyDegree).select(col("k")),
+      Seq("k"), "left_semi")
+    ok.as("x").join(ok.as("y"),
+        col("x.k") === col("y.k") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("id_a"), col("y.v").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
+  /** Co-citation similarity (Small JASIS 1973): how often two
+    * documents are cited TOGETHER — pairs of edge destinations sharing
+    * a source. `maxCiterFanout` caps a citing node's out-degree. */
+  def coCitation(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxCiterFanout: Long = 1000, minCommon: Long = 2): DataFrame =
+    commonNeighborPairs(edges, srcCol, dstCol, maxCiterFanout, minCommon)
+
+  /** Bibliographic coupling (Kessler AmDoc 1963): how many references
+    * two documents SHARE — pairs of edge sources sharing a
+    * destination. `maxCitedFanin` caps a cited node's in-degree. */
+  def bibCoupling(edges: DataFrame, srcCol: String, dstCol: String,
+                  maxCitedFanin: Long = 1000, minCommon: Long = 2): DataFrame =
+    commonNeighborPairs(edges, dstCol, srcCol, maxCitedFanin, minCommon)
 }

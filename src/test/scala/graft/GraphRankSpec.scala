@@ -348,4 +348,34 @@ class GraphRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(p == p2)
   }
+
+  test("coCitation/bibCoupling match the brute-force model; hub cap excludes keys") {
+    val rnd = new scala.util.Random(47)
+    val raw = (1 to 300).map(_ => (rnd.nextInt(20).toLong, 100L + rnd.nextInt(30)))
+    val edges = raw.toDF("src", "dst")
+    def model(pairsOf: Map[Long, Set[Long]], cap: Int, minC: Int) = {
+      val kept = pairsOf.filter(_._2.size <= cap)
+      kept.values.toSeq.flatMap { vs =>
+        vs.toSeq.flatMap(a => vs.toSeq.filter(_ > a).map(b => (a, b)))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= minC)
+    }
+    // co-citation: dst pairs per src (cap on src out-degree)
+    val bySrc = raw.distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val gotCC = GraphRank.coCitation(edges.repartition(5), "src", "dst",
+        maxCiterFanout = 12, minCommon = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotCC == model(bySrc, 12, 2))
+    assert(gotCC.nonEmpty, "fixture must produce common-neighbor pairs")
+    // coupling: src pairs per dst (cap on dst in-degree)
+    val byDst = raw.distinct.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    val gotBC = GraphRank.bibCoupling(edges, "src", "dst",
+        maxCitedFanin = 8, minCommon = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotBC == model(byDst, 8, 2))
+    // the cap excludes hub keys entirely: with cap 1 nothing pairs
+    assert(GraphRank.coCitation(edges, "src", "dst", 1, 1).count() == 0)
+  }
 }
