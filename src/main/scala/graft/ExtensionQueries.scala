@@ -260,6 +260,12 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // CCNet-style perplexity thirds per language: q51's LM score,
+    // distributed rank, head/middle/tail — the keep-head+middle gate.
+    "q154_perplexity_buckets" -> ((s, d) =>
+      Curation.perplexityBuckets(docsFanned(s, d), "doc_id", "text", "lang")
+        .orderBy(col("lang"), col("rnk"))),
+
     // Bibliographic coupling of suppliers on the supplier→part graph:
     // pairs sharing ≥3 parts, hub parts (in-degree > 40) capped out
     // before the wedge join — the q24 stop-key discipline.
@@ -1849,6 +1855,28 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Perplexity buckets: the q51 score CTEs + per-lang ROW_NUMBER
+    // over (score DESC, id ASC), thirds by 3*(rnk-1) // n.
+    "q154_perplexity_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |occ AS (SELECT doc_id, ${dh("toks[i]")} AS h1, ${dh("toks[i] || ' ' || toks[i+1]")} AS h2
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok WHERE len(toks) >= 2)),
+         |mm AS (SELECT doc_id, h1, h2, count(*) AS cnt FROM occ GROUP BY 1, 2, 3),
+         |c1 AS (SELECT h1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM mm GROUP BY 1),
+         |c2 AS (SELECT h1, h2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM mm GROUP BY 1, 2),
+         |sc AS (SELECT doc_id,
+         |    CAST(SUM(cnt * (c2 * 1000000 // c1)) // SUM(cnt) AS BIGINT) AS mean_p_q
+         |  FROM mm JOIN c2 USING (h1, h2) JOIN c1 USING (h1) GROUP BY doc_id),
+         |rk AS (SELECT d.lang, sc.doc_id, sc.mean_p_q,
+         |    ROW_NUMBER() OVER (PARTITION BY d.lang
+         |      ORDER BY sc.mean_p_q DESC, sc.doc_id ASC) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY d.lang) AS n
+         |  FROM sc JOIN documents d USING (doc_id))
+         |SELECT lang, doc_id, mean_p_q, CAST(rnk AS BIGINT) AS rnk,
+         |  CASE (3 * (rnk - 1)) // n WHEN 0 THEN 'head'
+         |       WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM rk ORDER BY lang, rnk""".stripMargin,
 
     // Bib coupling: distinct edges, fan-in ≤ 40 parts only, supplier
     // pairs per shared part, support ≥ 3.

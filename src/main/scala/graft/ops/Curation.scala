@@ -183,6 +183,49 @@ object Curation {
       .select(col(idCol), col("group_id"), col("bucket"), split.as("split"))
   }
 
+  /** X127: CCNet-style perplexity bucketing (Wenzek et al. LREC'20) —
+    * per-language head/middle/tail thirds under the corpus LM score,
+    * the gate CCNet applies before keeping head+middle for training.
+    * The LM is [[TermStats.bigramLmScore]]'s log-free surprisal (the
+    * corpus itself is the model; HIGH mean_p_q = probable = head,
+    * inverting CCNet's low-perplexity-first order with identical
+    * semantics), so the whole composition stays integer-exact.
+    *
+    * The per-group rank is the distributed two-pass prefix count over
+    * the TOTAL (group, −score, id) struct order ([[Packing]]'s
+    * machinery — the X94/X107 discipline) with per-group offsets
+    * recovered by a |groups|-row min-rank join: no per-group window
+    * ever sees raw document volume, so one giant language cannot
+    * funnel the corpus through a single task. Bucket arithmetic is
+    * 3·(rank−1) div n — exact thirds, remainder docs landing in the
+    * later buckets.
+    *
+    * @return (`groupCol`, doc_id, mean_p_q, rnk, bucket) — docs with
+    *         fewer than two tokens have no LM score and are absent
+    *         (mirrored by the oracle's inner join)
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String): DataFrame = {
+    val scores = TermStats.bigramLmScore(docs, idCol, textCol)
+    val scored = docs.select(col(idCol).as("doc_id"), col(groupCol).as("__g"))
+      .join(scores, Seq("doc_id"))
+      .select(struct(col("__g").as("g"), (-col("mean_p_q")).as("ns"),
+        col("doc_id").as("id")).as("__sk"), lit(1L).as("__one"))
+    val ranked = Packing.runningTotalsMulti(scored, "__sk", Seq("__one"))
+      .select(col("__id.g").as("__g"), col("__id.id").as("doc_id"),
+        (-col("__id.ns")).as("mean_p_q"), col("__one_cum").as("__grank"))
+      .localCheckpoint(eager = false) // forked: group offsets + output
+    val gstats = ranked.groupBy(col("__g"))
+      .agg(min(col("__grank")).as("__g0"), count(lit(1)).as("__n"))
+    ranked.join(gstats, Seq("__g"))
+      .withColumn("rnk", col("__grank") - col("__g0") + 1)
+      .select(col("__g").as(groupCol), col("doc_id"), col("mean_p_q"),
+        col("rnk"),
+        when(expr("3 * (rnk - 1) DIV __n") === 0, lit("head"))
+          .when(expr("3 * (rnk - 1) DIV __n") === 1, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Deterministic weighted (probability-proportional-to-size)
     * systematic sampling: lay the row weights end-to-end in `idCol`
     * order and select every row whose weight interval crosses a

@@ -180,6 +180,38 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
   }
 
+  test("perplexityBuckets: dense per-group ranks, exact thirds, score-ordered") {
+    val rnd = new scala.util.Random(53)
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "es"
+      // common bigrams for low ids, rare tails for high ids
+      val body = (0 until 6).map(j => s"w${(i + j) % (if (i < 20) 4 else 17)}")
+        .mkString(" ") + s" t${rnd.nextInt(30)}"
+      (i, body, lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = Curation.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    val byLang = out.groupBy(_._1)
+    assert(byLang.keySet == Set("en", "es"))
+    byLang.foreach { case (_, rows) =>
+      val n = rows.size
+      // dense contiguous ranks in (score desc, id asc) order
+      assert(rows.sortBy(_._4).map(_._4) == (1L to n))
+      val sorted = rows.sortBy(r => (-r._3, r._2))
+      assert(sorted.map(_._4) == (1L to n))
+      // buckets are the exact thirds of the rank order
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val expect = (3 * i) / n match {
+          case 0 => "head"; case 1 => "middle"; case _ => "tail" }
+        assert(r._5 == expect, s"rank ${i + 1} of $n")
+      }
+    }
+    // layout independence of the distributed rank
+    val re = Curation.perplexityBuckets(docs.repartition(13), "doc_id", "text", "lang")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(re.sortBy(r => (r._1, r._4)) == out.sortBy(r => (r._1, r._4)))
+  }
+
   test("leakageSafeSplit: dup groups share one split, singletons match hashSplit") {
     val docs = (1L to 30L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
     // dup graph: {1,2,3} via chain, {10,11} — rest singletons
