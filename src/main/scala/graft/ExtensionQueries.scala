@@ -260,6 +260,11 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Adjusted Rand Index between the lang and source partitions of
+    // the corpus — chance-corrected purity, pure integer binomials.
+    "q155_ari" -> ((s, d) =>
+      Clustering.adjustedRandPpm(Tables.documents(s, d), "lang", "source")),
+
     // CCNet-style perplexity thirds per language: q51's LM score,
     // distributed rank, head/middle/tail — the keep-head+middle gate.
     "q154_perplexity_buckets" -> ((s, d) =>
@@ -1855,6 +1860,31 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // ARI: contingency cells, margin binomial T-sums in HUGEINT, the
+    // doubled num2/den2 rational, sign-split // to ppm.
+    "q155_ari" ->
+      """WITH ct AS (SELECT lang AS la, source AS lb, count(*) AS nij
+        |  FROM documents GROUP BY 1, 2),
+        |cell AS (SELECT SUM(CAST(nij AS HUGEINT) * (nij - 1)) AS tij,
+        |    SUM(nij) AS n FROM ct),
+        |ma AS (SELECT SUM(CAST(ai AS HUGEINT) * (ai - 1)) AS ta
+        |  FROM (SELECT SUM(nij) AS ai FROM ct GROUP BY la)),
+        |mb AS (SELECT SUM(CAST(bj AS HUGEINT) * (bj - 1)) AS tb
+        |  FROM (SELECT SUM(nij) AS bj FROM ct GROUP BY lb)),
+        |f AS (SELECT n, tij, ta, tb, CAST(n AS HUGEINT) * (n - 1) AS tn
+        |  FROM cell, ma, mb),
+        |g AS (SELECT n, tij, ta, tb,
+        |    2 * (tn * tij - ta * tb) AS num2,
+        |    tn * (ta + tb) - 2 * ta * tb AS den2 FROM f)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(tij // 2 AS BIGINT) AS sum_comb_ab,
+        |  CAST(ta // 2 AS BIGINT) AS sum_comb_a,
+        |  CAST(tb // 2 AS BIGINT) AS sum_comb_b,
+        |  CAST(CASE WHEN den2 = 0 THEN 1000000
+        |       WHEN num2 >= 0 THEN (num2 * 1000000) // den2
+        |       ELSE -(((-num2) * 1000000) // den2) END AS BIGINT) AS ari_ppm
+        |FROM g""".stripMargin,
 
     // Perplexity buckets: the q51 score CTEs + per-lang ROW_NUMBER
     // over (score DESC, id ASC), thirds by 3*(rnk-1) // n.

@@ -205,6 +205,71 @@ object Clustering {
       .select(col("g_a"), col("g_b"), col("dot"), col("n2_a"), col("n2_b"))
   }
 
+  /** X128: Adjusted Rand Index in exact ppm (Hubert & Arabie 1985) —
+    * THE chance-corrected agreement score between two partitions of
+    * the same rows: clustering vs ground-truth labels, two dedup
+    * policies, language vs source purity. Everything derives from the
+    * contingency table's pair-counting binomials, which makes the
+    * whole metric PURE INTEGER arithmetic — no floats anywhere:
+    *
+    *   ARI = (C·Σij − Σa·Σb) / (C·(Σa+Σb)/2 − Σa·Σb)
+    *
+    * with C = C(n,2), Σij/Σa/Σb the cell/margin C(x,2) sums; both
+    * sides are multiplied by 2 so the half stays integral, and the
+    * final ppm uses the sign-split truncating DIV. The binomial
+    * products reach n⁴·10⁶ — DECIMAL(38,0) holds that exactly to
+    * 5·10⁷ rows, and the operator raises loudly beyond (compute per
+    * slice or on a sample at larger n — the PMI bound discipline).
+    *
+    * Degenerate inputs (n < 2, or both partitions a single cluster)
+    * have expected index == max index: defined as 1 000 000 ppm (the
+    * sklearn convention), mirrored by the oracle.
+    *
+    * Scale shape: one count aggregate onto the |A|·|B| contingency
+    * key, margin sums derived FROM the contingency (the raw frame is
+    * scanned once), three single-row folds broadcast into the final
+    * projection. Row volume shuffles exactly once.
+    *
+    * @return one row (n, sum_comb_ab, sum_comb_a, sum_comb_b, ari_ppm)
+    */
+  def adjustedRandPpm(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // T-values are 2·C(x,2) = Σ x(x−1): always even, so no halving
+    // ever happens inside an aggregate — the ARI ratio is rewritten as
+    //   ari = 2·(Tn·Tij − Ta·Tb) / (Tn·(Ta+Tb) − 2·Ta·Tb)
+    // which is the num2/den2 form with every term doubled twice.
+    val ct = pairs.select(col(aCol).as("la"), col(bCol).as("lb"))
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint(eager = false) // forked: cell sum + both margins
+    val cell = ct.agg(sum(dec(col("nij")) * (col("nij") - 1)).as("tij"),
+      sum(col("nij")).as("n"))
+    val ma = ct.groupBy(col("la")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(dec(col("ai")) * (col("ai") - 1)).as("ta"))
+    val mb = ct.groupBy(col("lb")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(dec(col("bj")) * (col("bj") - 1)).as("tb"))
+    cell.crossJoin(broadcast(ma)).crossJoin(broadcast(mb))
+      .select(col("n"), col("tij"), col("ta"), col("tb"),
+        (dec(col("n")) * (col("n") - 1)).as("tn"))
+      .select(col("n"),
+        (col("tij") / 2).cast("long").as("sum_comb_ab"),
+        (col("ta") / 2).cast("long").as("sum_comb_a"),
+        (col("tb") / 2).cast("long").as("sum_comb_b"),
+        (lit(2) * (col("tn") * col("tij") - col("ta") * col("tb"))).as("num2"),
+        (col("tn") * (col("ta") + col("tb"))
+          - lit(2) * col("ta") * col("tb")).as("den2"))
+      .select(col("n"), col("sum_comb_ab"), col("sum_comb_a"), col("sum_comb_b"),
+        // n⁴·10⁶ must stay inside DECIMAL(38,0): exact to 5·10⁷ rows,
+        // loud beyond (the PMI magnitude-bound discipline — ARI on a
+        // larger corpus is computed per slice/sample at that bound)
+        when(col("n") > 50000000L, raise_error(lit(
+          "ARI magnitude bound: compute per slice below 5e7 rows")))
+          .when(col("den2") === 0, lit(1000000L))
+          .when(col("num2") >= 0,
+            expr("(num2 * 1000000) div den2").cast("long"))
+          .otherwise((-expr("((-num2) * 1000000) div den2")).cast("long"))
+          .as("ari_ppm"))
+  }
+
   /** X125: simplified silhouette in exact ppm — THE cluster-quality
     * score (Rousseeuw 1987, simplified variant: distance to CENTROIDS,
     * not mean pairwise distance, which is what makes it computable in

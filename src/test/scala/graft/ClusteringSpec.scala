@@ -101,6 +101,41 @@ class ClusteringSpec extends SparkSpec {
     assert(out((2, 3)) == ((1000000L, 1000000L, 2000000L)))
   }
 
+  test("adjustedRandPpm: brute-force model, perfect/degenerate/independent cases") {
+    def model(rows: Seq[(String, String)]): (Long, Long, Long, Long, Long) = {
+      def t(xs: Iterable[Int]) = xs.map(x => BigInt(x) * (x - 1)).sum
+      val n = rows.size
+      val tij = t(rows.groupBy(identity).values.map(_.size))
+      val ta = t(rows.groupBy(_._1).values.map(_.size))
+      val tb = t(rows.groupBy(_._2).values.map(_.size))
+      val tn = BigInt(n) * (n - 1)
+      val num2 = 2 * (tn * tij - ta * tb)
+      val den2 = tn * (ta + tb) - 2 * ta * tb
+      val ppm = if (den2 == 0) BigInt(1000000)
+        else if (num2 >= 0) num2 * 1000000 / den2
+        else -((-num2) * 1000000 / den2)
+      (n.toLong, (tij / 2).toLong, (ta / 2).toLong, (tb / 2).toLong, ppm.toLong)
+    }
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 200).map(_ => (s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(5)}"))
+    val got = Clustering.adjustedRandPpm(
+        rows.toDF("la", "lb").repartition(7), "la", "lb")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(model(rows)))
+    // independent labelings hover near zero
+    assert(math.abs(got.head._5) < 120000)
+    // identical partitions (modulo renaming) score exactly 1e6
+    val same = (1 to 50).map(i => (s"a${i % 3}", s"b${i % 3}"))
+    val g2 = Clustering.adjustedRandPpm(same.toDF("la", "lb"), "la", "lb")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(g2._5 == 1000000L)
+    // both-trivial partitions: den2 = 0 -> defined as 1e6
+    val triv = (1 to 9).map(_ => ("x", "y"))
+    val g3 = Clustering.adjustedRandPpm(triv.toDF("la", "lb"), "la", "lb")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(g3._5 == 1000000L)
+  }
+
   test("silhouettePpm matches the brute-force integer model; one label scores 0") {
     val rnd = new scala.util.Random(41)
     // three loose gaussian-ish blobs in 8 dims
