@@ -260,6 +260,12 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // MAD (Hampel) outliers of document length per source — the
+    // 50%-breakdown robust audit next to q108's quartile fences.
+    "q156_mad_outliers" -> ((s, d) =>
+      Profiler.madOutliers(Tables.documents(s, d), "source", col("n_chars"))
+        .orderBy(col("source"))),
+
     // Adjusted Rand Index between the lang and source partitions of
     // the corpus — chance-corrected purity, pure integer binomials.
     "q155_ari" -> ((s, d) =>
@@ -1860,6 +1866,30 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // MAD outliers: two weighted-median rank walks over compacted
+    // counts, fence 10·d > k·mad, k = 30 tenths.
+    "q156_mad_outliers" ->
+      """WITH c AS (SELECT source, n_chars AS v, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, v, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cm,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS nn FROM c),
+        |med AS (SELECT source, v AS median FROM r
+        |  WHERE cm >= (nn * 50 + 99) // 100 AND cm - cnt < (nn * 50 + 99) // 100),
+        |dv AS (SELECT c.source, med.median, abs(c.v - med.median) AS d,
+        |    CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM c JOIN med USING (source) GROUP BY 1, 2, 3),
+        |r2 AS (SELECT source, median, d, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY d) AS BIGINT) AS cm,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS nn FROM dv),
+        |mad AS (SELECT source, d AS mad FROM r2
+        |  WHERE cm >= (nn * 50 + 99) // 100 AND cm - cnt < (nn * 50 + 99) // 100)
+        |SELECT dv.source, dv.median, mad.mad,
+        |  CAST(SUM(dv.cnt) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN dv.d * 10 > 30 * mad.mad THEN dv.cnt ELSE 0 END) AS BIGINT) AS n_out
+        |FROM dv JOIN mad USING (source)
+        |GROUP BY 1, 2, 3 ORDER BY dv.source""".stripMargin,
 
     // ARI: contingency cells, margin binomial T-sums in HUGEINT, the
     // doubled num2/den2 rational, sign-split // to ppm.

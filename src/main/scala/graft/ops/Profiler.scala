@@ -269,6 +269,58 @@ object Profiler {
         col("n_below"), col("n_above"))
   }
 
+  /** X129: MAD robust outlier counts — the median-based twin of
+    * [[iqrOutlierFences]] (Hampel's rule: flag |v − median| >
+    * k·MAD). MAD's 50% breakdown point beats the quartile fences'
+    * 25% when a column is MOSTLY garbage — the exact situation a
+    * crawled-corpus audit meets — at the cost of one more quantile
+    * walk.
+    *
+    * Both medians ride the q56 compaction discipline: raw rows
+    * compact to (group, value, cnt) ONCE, the deviation frame
+    * re-compacts (two values can share a deviation), and every rank
+    * window reads |distinct values| per group, never row volume. The
+    * multiplier is in TENTHS and the fence test is the cross-
+    * multiplied `10·|v−med| > k·mad` — division-free, exact,
+    * engine-portable.
+    *
+    * @param multTenths Hampel multiplier ×10 (default 30 = 3.0×MAD)
+    * @return (group, median, mad, n_rows, n_out)
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: Column,
+                  multTenths: Long = 30L): DataFrame = {
+    require(multTenths >= 0, "MAD multiplier must be non-negative")
+    def wmedian(f: DataFrame, vname: String, out: String): DataFrame = {
+      val cum = Window.partitionBy(groupCol).orderBy(col(vname).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(groupCol)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      f.withColumn("__cum", sum(col("cnt")).over(cum))
+        .withColumn("__n", sum(col("cnt")).over(all))
+        .filter(col("__cum") >= expr("(__n * 50 + 99) DIV 100") &&
+          col("__cum") - col("cnt") < expr("(__n * 50 + 99) DIV 100"))
+        .select(col(groupCol), col(vname).as(out))
+    }
+    val counts = df.select(col(groupCol), valueCol.cast("long").as("v"))
+      .groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // forked: median walk + deviations
+    val med = wmedian(counts, "v", "median")
+    val dev = counts.join(med, Seq(groupCol))
+      .select(col(groupCol), col("median"),
+        abs(col("v") - col("median")).as("d"), col("cnt"))
+      .groupBy(col(groupCol), col("median"), col("d"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(eager = false) // forked: MAD walk + fence count
+    val mad = wmedian(dev, "d", "mad")
+    dev.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol), col("median"), col("mad"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("d") * 10 > lit(multTenths) * col("mad"), col("cnt"))
+          .otherwise(lit(0L))).as("n_out"))
+      .select(col(groupCol), col("median"), col("mad"),
+        col("n_rows"), col("n_out"))
+  }
+
   /** X95: order-independent dataset digest — a per-shard content
     * fingerprint for corpus reproducibility audits: "did this rebuild
     * produce byte-identical data, shard by shard?" Two snapshots'

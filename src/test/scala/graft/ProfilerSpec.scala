@@ -324,4 +324,39 @@ class ProfilerSpec extends SparkSpec {
     assert(out("mono") == (("mono", 12L, 1L, 0L)))
     assert(out("quad") == (("quad", 12L, 4L, 750000L)))
   }
+
+  test("madOutliers matches the brute-force model; robust to a garbage majority tail") {
+    def brute(vals: Seq[Long], kTenths: Long): (Long, Long, Long, Long) = {
+      def med(xs: Seq[Long]): Long = {
+        val s = xs.sorted; s((((xs.size * 50 + 99) / 100) - 1).toInt)
+      }
+      val m = med(vals)
+      val mad = med(vals.map(v => math.abs(v - m)))
+      (m, mad, vals.size.toLong,
+        vals.count(v => math.abs(v - m) * 10 > kTenths * mad).toLong)
+    }
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 120).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val v = if (i % 17 == 0) 5000L + rnd.nextInt(100)   // spikes
+              else 100L + rnd.nextInt(40)
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val got = Profiler.madOutliers(df.repartition(7), "g", col("v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val byG = rows.groupBy(_._1)
+    assert(got == byG.map { case (g, rs) =>
+      val (m, mad, n, o) = brute(rs.map(_._2), 30L); g -> ((m, mad, n, o)) })
+    // spikes are actually flagged
+    assert(got.values.exists(_._4 > 0))
+    // IQR's known failure: >25% contamination can hide in the quartiles
+    // while MAD (50% breakdown) still centers on the clean mass
+    val dirty = (1 to 60).map(i =>
+      ("x", if (i <= 35) 100L else 9000L + i)) // 42% garbage
+    val gm = Profiler.madOutliers(dirty.toDF("g", "v"), "g", col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(gm._2 == 100L && gm._5 == 25L, s"median ${gm._2}, out ${gm._5}")
+  }
 }
