@@ -260,6 +260,24 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Type sniffing over a staged all-VARCHAR frame: anchored-regex
+    // class counts + a 95% verdict — the pre-schema inference step.
+    "q157_type_sniff" -> ((s, d) => {
+      val staged = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("string").as("c_int"),
+        concat(col("l_orderkey").cast("string"), lit(","),
+          lpad(col("l_linenumber").cast("string"), 2, "0")).as("c_dec"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("c_date"),
+        col("l_returnflag").as("c_text"),
+        when(col("l_linenumber") % 2 === 0, lit("true"))
+          .otherwise(lit("false")).as("c_bool"),
+        when(col("l_orderkey") % 20 === 0, lit("n/a"))
+          .otherwise(col("l_partkey").cast("string")).as("c_mixed"))
+      Profiler.typeSniff(staged,
+          Seq("c_int", "c_dec", "c_date", "c_text", "c_bool", "c_mixed"))
+        .orderBy(col("col_name"))
+    }),
+
     // MAD (Hampel) outliers of document length per source — the
     // 50%-breakdown robust audit next to q108's quartile fences.
     "q156_mad_outliers" -> ((s, d) =>
@@ -1866,6 +1884,44 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Type sniff: same staged frame, anchored regexp_matches counts,
+    // the ordered 95% verdict chain.
+    "q157_type_sniff" ->
+      """WITH src AS (SELECT
+        |    CAST(l_orderkey AS VARCHAR) AS c_int,
+        |    CAST(l_orderkey AS VARCHAR) || ',' ||
+        |      lpad(CAST(l_linenumber AS VARCHAR), 2, '0') AS c_dec,
+        |    strftime(l_shipdate, '%Y-%m-%d') AS c_date,
+        |    l_returnflag AS c_text,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 'true' ELSE 'false' END AS c_bool,
+        |    CASE WHEN l_orderkey % 20 = 0 THEN 'n/a'
+        |         ELSE CAST(l_partkey AS VARCHAR) END AS c_mixed
+        |  FROM lineitem),
+        |u AS (SELECT 'c_int' AS col_name, trim(c_int) AS v FROM src
+        |  UNION ALL SELECT 'c_dec', trim(c_dec) FROM src
+        |  UNION ALL SELECT 'c_date', trim(c_date) FROM src
+        |  UNION ALL SELECT 'c_text', trim(c_text) FROM src
+        |  UNION ALL SELECT 'c_bool', trim(c_bool) FROM src
+        |  UNION ALL SELECT 'c_mixed', trim(c_mixed) FROM src),
+        |a AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+        |  CAST(SUM(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        |  CAST(SUM(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+[.,][0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_decimal,
+        |  CAST(SUM(CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_date_iso,
+        |  CAST(SUM(CASE WHEN regexp_matches(v, '^[0-9]{2}/[0-9]{2}/[0-9]{4}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_date_br,
+        |  CAST(SUM(CASE WHEN lower(v) IN ('true','false','t','f','yes','no') THEN 1 ELSE 0 END) AS BIGINT) AS n_bool
+        |  FROM u GROUP BY 1)
+        |SELECT col_name, n_rows, n_blank, n_int, n_decimal, n_date_iso,
+        |  n_date_br, n_bool,
+        |  CASE WHEN n_rows - n_blank = 0 THEN 'empty'
+        |       WHEN n_int * 100 >= (n_rows - n_blank) * 95 THEN 'int'
+        |       WHEN (n_int + n_decimal) * 100 >= (n_rows - n_blank) * 95 THEN 'decimal'
+        |       WHEN n_date_iso * 100 >= (n_rows - n_blank) * 95 THEN 'date_iso'
+        |       WHEN n_date_br * 100 >= (n_rows - n_blank) * 95 THEN 'date_br'
+        |       WHEN n_bool * 100 >= (n_rows - n_blank) * 95 THEN 'bool'
+        |       ELSE 'string' END AS verdict
+        |FROM a ORDER BY col_name""".stripMargin,
 
     // MAD outliers: two weighted-median rank walks over compacted
     // counts, fence 10·d > k·mad, k = 30 tenths.

@@ -269,6 +269,62 @@ object Profiler {
         col("n_below"), col("n_above"))
   }
 
+  /** X130: type sniffing — schema inference over string-typed staging
+    * columns (the step a CSV/Excel ingest runs before declaring a
+    * schema; the reference's staging tables arrive all-VARCHAR —
+    * `processor.py`'s coercions assume someone decided which columns
+    * are numeric/date first). Counts per column how many trimmed
+    * values match each syntactic class via ANCHORED REGEXES — not
+    * engine `try_cast`s, whose rounding/locale semantics differ across
+    * engines — then issues a verdict at `thresholdPct` of non-blank
+    * values: int > decimal (int+decimal pooled: integer literals are
+    * valid decimals) > ISO date > BR date > bool > string; all-blank
+    * columns read `empty`. The decimal class accepts BOTH `.` and `,`
+    * separators (the reference's comma-decimal domain, F3).
+    *
+    * One scan: columns explode to (col_name, value) pairs inside
+    * codegen, one |cols|-key map-side-combinable aggregate — the
+    * [[columnProfile]] shape; the verdict is a pure projection.
+    *
+    * @return (col_name, n_rows, n_blank, n_int, n_decimal, n_date_iso,
+    *         n_date_br, n_bool, verdict)
+    */
+  def typeSniff(df: DataFrame, cols: Seq[String],
+                thresholdPct: Long = 95L): DataFrame = {
+    require(cols.nonEmpty, "typeSniff needs at least one column")
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"threshold must lie in (0, 100]: $thresholdPct")
+    val pairs = cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v")))
+    val hit = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
+    df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), trim(col("p.v")).as("v"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(hit(col("v").isNull || col("v") === "")).as("n_blank"),
+        sum(hit(col("v").rlike("^[+-]?[0-9]+$"))).as("n_int"),
+        sum(hit(col("v").rlike("^[+-]?[0-9]+[.,][0-9]+$"))).as("n_decimal"),
+        sum(hit(col("v").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"))).as("n_date_iso"),
+        sum(hit(col("v").rlike("^[0-9]{2}/[0-9]{2}/[0-9]{4}$"))).as("n_date_br"),
+        sum(hit(lower(col("v"))
+          .isin("true", "false", "t", "f", "yes", "no"))).as("n_bool"))
+      .withColumn("__nv", col("n_rows") - col("n_blank"))
+      .withColumn("verdict",
+        when(col("__nv") === 0, lit("empty"))
+          .when(col("n_int") * 100 >= col("__nv") * thresholdPct, lit("int"))
+          .when((col("n_int") + col("n_decimal")) * 100 >=
+            col("__nv") * thresholdPct, lit("decimal"))
+          .when(col("n_date_iso") * 100 >= col("__nv") * thresholdPct,
+            lit("date_iso"))
+          .when(col("n_date_br") * 100 >= col("__nv") * thresholdPct,
+            lit("date_br"))
+          .when(col("n_bool") * 100 >= col("__nv") * thresholdPct, lit("bool"))
+          .otherwise(lit("string")))
+      .select(col("col_name"), col("n_rows"), col("n_blank"), col("n_int"),
+        col("n_decimal"), col("n_date_iso"), col("n_date_br"), col("n_bool"),
+        col("verdict"))
+  }
+
   /** X129: MAD robust outlier counts — the median-based twin of
     * [[iqrOutlierFences]] (Hampel's rule: flag |v − median| >
     * k·MAD). MAD's 50% breakdown point beats the quartile fences'

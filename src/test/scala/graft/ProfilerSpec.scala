@@ -325,6 +325,30 @@ class ProfilerSpec extends SparkSpec {
     assert(out("quad") == (("quad", 12L, 4L, 750000L)))
   }
 
+  test("typeSniff: class counts, verdict priority, blanks and empty columns") {
+    val df = Seq(
+      ("1", "1.5", "2024-01-31", "31/01/2024", "true", "x", null: String),
+      ("-42", "2,75", "2023-12-01", "01/12/2023", "no", "1", ""),
+      ("7", "3", "bad", "13/13/9999", "T", "z", " "),
+      (null: String, "0.0", "2022-05-05", "05/05/2022", "false", "7", null: String))
+      .toDF("ci", "cd", "cdi", "cdb", "cb", "cm", "ce")
+    val out = Profiler.typeSniff(df,
+        Seq("ci", "cd", "cdi", "cdb", "cb", "cm", "ce"), thresholdPct = 75)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("ci") == (("ci", 4L, 1L, 3L, 0L, 0L, 0L, 0L, "int")))
+    // "3" is int; ints pool into the decimal verdict
+    assert(out("cd") == (("cd", 4L, 0L, 1L, 3L, 0L, 0L, 0L, "decimal")))
+    // 3 of 4 non-blank = exactly the 75% threshold -> date_iso
+    assert(out("cdi") == (("cdi", 4L, 0L, 0L, 0L, 3L, 0L, 0L, "date_iso")))
+    // syntactic sniff: 13/13/9999 still matches the dd/mm/yyyy shape
+    assert(out("cdb") == (("cdb", 4L, 0L, 0L, 0L, 0L, 4L, 0L, "date_br")))
+    assert(out("cb") == (("cb", 4L, 0L, 0L, 0L, 0L, 0L, 4L, "bool")))
+    assert(out("cm")._9 == "string")
+    // blank-only column: trims to empty, verdict 'empty'
+    assert(out("ce") == (("ce", 4L, 4L, 0L, 0L, 0L, 0L, 0L, "empty")))
+  }
+
   test("madOutliers matches the brute-force model; robust to a garbage majority tail") {
     def brute(vals: Seq[Long], kTenths: Long): (Long, Long, Long, Long) = {
       def med(xs: Seq[Long]): Long = {
