@@ -260,6 +260,15 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Benford first-digit audit of prices vs the bounded quantity
+    // column — the fabricated-data detector, log-free.
+    "q158_benford" -> ((s, d) =>
+      Profiler.benfordPpm(Tables.lineitem(s, d).select(
+          floor(col("l_extendedprice")).cast("long").as("price"),
+          floor(col("l_quantity")).cast("long").as("qty")),
+        Seq("price", "qty"))
+        .orderBy(col("col_name"), col("digit"))),
+
     // Type sniffing over a staged all-VARCHAR frame: anchored-regex
     // class counts + a 95% verdict — the pre-schema inference step.
     "q157_type_sniff" -> ((s, d) => {
@@ -1884,6 +1893,29 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Benford: first digit from the string rendering of the abs long,
+    // ppm shares vs the nine inlined expectations.
+    "q158_benford" ->
+      """WITH vals AS (
+        |  SELECT 'price' AS col_name, abs(CAST(floor(l_extendedprice) AS BIGINT)) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'qty', abs(CAST(floor(l_quantity) AS BIGINT)) FROM lineitem),
+        |d AS (SELECT col_name,
+        |    CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM vals WHERE v > 0),
+        |c AS (SELECT col_name, digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT col_name, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |b AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) v(digit, benford_ppm))
+        |SELECT c.col_name, c.digit, c.n,
+        |  CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm,
+        |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(abs(c.n * 1000000 // t.tot - b.benford_ppm) AS BIGINT) AS dev_ppm
+        |FROM c JOIN t USING (col_name) JOIN b USING (digit)
+        |ORDER BY col_name, digit""".stripMargin,
 
     // Type sniff: same staged frame, anchored regexp_matches counts,
     // the ordered 95% verdict chain.

@@ -269,6 +269,56 @@ object Profiler {
         col("n_below"), col("n_above"))
   }
 
+  /** X131: Benford first-digit audit — the classic fabricated-data
+    * detector (Benford 1938; Nigrini's forensic-accounting standard)
+    * for numeric columns that SHOULD span magnitudes: transaction
+    * amounts, populations, file sizes. Synthetic or tampered columns
+    * miss the log-uniform first-digit law and the per-digit deviation
+    * exposes them before a corpus ships.
+    *
+    * Integer-exact end to end: the first significant digit comes from
+    * the STRING rendering of the abs long value (longs render
+    * identically in every engine — no log10, no float), shares are
+    * ppm floor-DIVs, and the Benford expectations are the nine
+    * floor(10⁶·log₁₀(1+1/d)) constants inlined as literals. Zero
+    * values carry no leading digit and are excluded; a digit that
+    * never occurs has no row (the absence IS signal — a 9-row check
+    * per column is part of the audit).
+    *
+    * One scan: columns explode to (col, digit) pairs inside codegen,
+    * one ≤ 9·|cols|-key aggregate, totals join back on the tiny key.
+    *
+    * @param cols long-typed columns (cast/floor yourself — the caller
+    *             owns the canonicalization, as in [[datasetDigest]])
+    * @return (col_name, digit, n, share_ppm, benford_ppm, dev_ppm)
+    */
+  def benfordPpm(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "benfordPpm needs at least one column")
+    val expect = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    val pairs = cols.map(c =>
+      struct(lit(c).as("col_name"), abs(col(c).cast("long")).as("v")))
+    val digits = df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .filter(col("v") > 0)
+      .select(col("col_name"),
+        substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("col_name"), col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // forked: per-column totals + output
+    val totals = digits.groupBy(col("col_name")).agg(sum(col("n")).as("__tot"))
+    val bf = expect.tail.foldLeft(
+      when(col("digit") === expect.head._1, expect.head._2)) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, p)
+    }
+    digits.join(totals, Seq("col_name"))
+      .withColumn("share_ppm", expr("n * 1000000 DIV __tot"))
+      .withColumn("benford_ppm", bf)
+      .select(col("col_name"), col("digit"), col("n"), col("share_ppm"),
+        col("benford_ppm"),
+        abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
+  }
+
   /** X130: type sniffing — schema inference over string-typed staging
     * columns (the step a CSV/Excel ingest runs before declaring a
     * schema; the reference's staging tables arrive all-VARCHAR —

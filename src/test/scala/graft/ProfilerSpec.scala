@@ -325,6 +325,30 @@ class ProfilerSpec extends SparkSpec {
     assert(out("quad") == (("quad", 12L, 4L, 750000L)))
   }
 
+  test("benfordPpm: string first digit, ppm shares, zeros excluded, absent digits absent") {
+    val df = Seq(10L, 19L, 150L, 2L, 250L, 0L, -30L, 999L, 1L)
+      .map(Tuple1(_)).toDF("v")
+    val out = Profiler.benfordPpm(df, Seq("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    // 8 nonzero values; digits: 1×4 (10,19,150,1), 2×2 (2,250), 3×1 (-30), 9×1
+    assert(out(1L) == ((4L, 500000L, 301030L, 198970L)))
+    assert(out(2L) == ((2L, 250000L, 176091L, 73909L)))
+    assert(out(3L) == ((1L, 125000L, 124939L, 61L)))
+    assert(out(9L) == ((1L, 125000L, 45757L, 79243L)))
+    assert(out.keySet == Set(1L, 2L, 3L, 9L), "absent digits have no row")
+    // a genuinely log-spanning column hugs the law; digit 1 dominates
+    val rnd = new scala.util.Random(67)
+    val ben = (1 to 3000).map(_ =>
+      Tuple1(math.floor(math.pow(10.0, rnd.nextDouble() * 5)).toLong))
+      .toDF("v")
+    val big = Profiler.benfordPpm(ben, Seq("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._6).toMap
+    assert(big.size == 9 && big.values.forall(_ < 40000),
+      s"log-uniform sample should sit within 4% of Benford: $big")
+  }
+
   test("typeSniff: class counts, verdict priority, blanks and empty columns") {
     val df = Seq(
       ("1", "1.5", "2024-01-31", "31/01/2024", "true", "x", null: String),
