@@ -260,6 +260,17 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // MMR diverse top-5 vs query vector 0 (λ = 0.7): relevance minus
+    // max-similarity-to-picked — kNN without the k near-copies.
+    "q159_mmr_select" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Similarity.mmrSelect(e.filter(col("vec_id") > 0), "vec_id",
+          "embedding", qv, k = 5)
+        .orderBy(col("rnk"))
+    }),
+
     // Benford first-digit audit of prices vs the bounded quantity
     // column — the fabricated-data detector, log-free.
     "q158_benford" -> ((s, d) =>
@@ -1893,6 +1904,36 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // MMR: k=5 greedy rounds unrolled as CTEs — each picks argmax of
+    // 0.7*rel - 0.3*max(cos to prior picks), ties to min id.
+    "q159_mmr_select" -> {
+      val rounds = (2 to 5).map { i =>
+        val prevList = (1 until i).map(j => s"p$j").mkString(", ")
+        val notIn = (1 until i).map(j => s"SELECT vec_id FROM p$j")
+          .mkString(" UNION ALL ")
+        val sims = (1 until i).map(j => cosSql("r.embedding", s"p$j.embedding"))
+        val maxsim = if (sims.size == 1) sims.head
+          else s"greatest(${sims.mkString(", ")})"
+        s"""p$i AS (SELECT r.vec_id, r.embedding, r.rel,
+           |  0.7 * r.rel - 0.3 * ($maxsim) AS score
+           |  FROM rel r, $prevList WHERE r.vec_id NOT IN ($notIn)
+           |  ORDER BY score DESC, r.vec_id ASC LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |rel AS (SELECT c.vec_id, c.embedding, ${cosSql("c.embedding", "q.qe")} AS rel FROM c, q),
+         |p1 AS (SELECT vec_id, embedding, rel, 0.7 * rel AS score
+         |  FROM rel ORDER BY score DESC, vec_id ASC LIMIT 1),
+         |$rounds,
+         |u AS (SELECT 1 AS r, vec_id, rel, score FROM p1
+         |  UNION ALL SELECT 2, vec_id, rel, score FROM p2
+         |  UNION ALL SELECT 3, vec_id, rel, score FROM p3
+         |  UNION ALL SELECT 4, vec_id, rel, score FROM p4
+         |  UNION ALL SELECT 5, vec_id, rel, score FROM p5)
+         |SELECT CAST(r AS BIGINT) AS rnk, vec_id, rel, score
+         |FROM u ORDER BY rnk""".stripMargin
+    },
 
     // Benford: first digit from the string rendering of the abs long,
     // ppm shares vs the nine inlined expectations.

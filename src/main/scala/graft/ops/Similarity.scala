@@ -248,6 +248,75 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
   }
 
+  /** X132: Maximal Marginal Relevance selection (Carbonell & Goldstein
+    * SIGIR'98) — the relevance-AND-diversity top-k that prompt-set and
+    * eval-set curation needs where plain kNN returns k near-copies:
+    * greedily pick argmax of λ·rel(x) − (1−λ)·max_{s∈picked} sim(x, s),
+    * rel = cosine to the query vector, sim = cosine to a prior pick.
+    * [[graft.ops.Clustering.farthestPointSeeds]] is the λ=0 corner of
+    * this operator; [[graft.ops.Curation.maxCoverSelect]] is its
+    * lexical (shingle-gain) sibling.
+    *
+    * Determinism: cosines are the ordered-double-fold [[dot]] (bit-
+    * exact in the DuckDB oracle), λ enters as the exact double
+    * `lambdaHundredths/100` with its complement computed the same way
+    * on both sides (0.7 and 0.3 as literals — never 1−0.7, whose
+    * rounding differs from the 0.3 literal), ties break by id ASC.
+    *
+    * Scale shape: one corpus materialization scanned k times; each
+    * round is a pure projection (picked vectors inlined as literals —
+    * k·dims driver state, the broadcast-model contract) into a
+    * TakeOrdered argmax (per-partition top-1, 1-row driver merge).
+    * Rounds are a caller constant, so total cost is k corpus passes —
+    * the greedy-selection floor.
+    *
+    * @return (rnk, vec_id, rel, score) — fewer than k rows when the
+    *         corpus runs out
+    */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                queryVec: Array[Float], k: Int,
+                lambdaHundredths: Int = 70): DataFrame = {
+    require(k >= 1, s"non-positive k: $k")
+    require(lambdaHundredths >= 0 && lambdaHundredths <= 100,
+      s"lambda out of [0, 100]: $lambdaHundredths")
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val lam = lambdaHundredths / 100.0
+    val oneMinus = (100 - lambdaHundredths) / 100.0
+    val src = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        cosine(col(vecCol), lit(queryVec)).as("rel"))
+      .localCheckpoint() // scanned once per round
+    var picks = Vector.empty[(Long, Array[Float], Double, Double)]
+    var exhausted = false
+    while (picks.size < k && !exhausted) {
+      val remaining =
+        if (picks.isEmpty) src
+        else src.join(
+          broadcast(spark.createDataFrame(picks.map(p => Tuple1(p._1)))
+            .toDF("vec_id")), Seq("vec_id"), "left_anti")
+      val sims = picks.map(p => cosine(col("v"), lit(p._2)))
+      val score =
+        if (sims.isEmpty) lit(lam) * col("rel")
+        else lit(lam) * col("rel") - lit(oneMinus) *
+          (if (sims.size == 1) sims.head else greatest(sims: _*))
+      val top = remaining.select(col("vec_id"), col("v"), col("rel"),
+          score.as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        picks :+= ((r.getLong(0), r.getSeq[Float](1).toArray,
+          r.getDouble(2), r.getDouble(3)))
+      }
+    }
+    import spark.implicits._
+    picks.zipWithIndex
+      .map { case ((id, _, rel, sc), i) => (i + 1L, id, rel, sc) }
+      .toDF("rnk", "vec_id", "rel", "score")
+  }
+
   /** Deterministic ±1 random projection (Achlioptas 2003's database-
     * friendly JL variant, sign-random-projection when only the bit
     * pattern is kept): project each embedding onto `outDims` pseudo-

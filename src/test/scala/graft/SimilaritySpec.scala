@@ -254,4 +254,48 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(_._2 == 1L) && !out.exists(_._2 == 0L))
     assert(out.head._2 == 2L && out.head._3 == 1L)
   }
+
+  test("mmrSelect matches the brute-force greedy model and diversifies vs kNN") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val rnd = new scala.util.Random(71)
+    // two tight clusters near the query + one off-axis direction
+    val qv = Array.fill(8)(1.0f)
+    val vecs = (1L to 30L).map { i =>
+      val base: Array[Float] =
+        if (i <= 14) Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.9f)
+        else if (i <= 28) Array(0.9f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)
+        else Array(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f)
+      (i, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    def brute(k: Int, lam: Double, oneMinus: Double): Seq[(Long, Long)] = {
+      var picks = Vector.empty[(Long, Array[Float])]
+      while (picks.size < k) {
+        val cand = vecs.filterNot(v => picks.exists(_._1 == v._1))
+          .map { case (id, v) =>
+            val rel = cos(v, qv)
+            val pen = if (picks.isEmpty) 0.0
+              else picks.map(p => cos(v, p._2)).max
+            (id, v, if (picks.isEmpty) lam * rel else lam * rel - oneMinus * pen)
+          }
+        val best = cand.minBy { case (id, _, s) => (-s, id) }
+        picks :+= ((best._1, best._2))
+      }
+      picks.zipWithIndex.map { case ((id, _), i) => (i + 1L, id) }
+    }
+    val got = Similarity.mmrSelect(vecs.toDF("vec_id", "embedding")
+        .repartition(5), "vec_id", "embedding", qv, k = 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq.map(r => (r._1, r._2))
+    assert(got == brute(4, 70 / 100.0, 30 / 100.0))
+    // diversification: the picks must span both near-query clusters
+    val ids = got.map(_._2).toSet
+    assert(ids.exists(_ <= 14) && ids.exists(i => i > 14 && i <= 28))
+    // k larger than the corpus: returns what exists, then stops
+    val tiny = vecs.take(3).toDF("vec_id", "embedding")
+    assert(Similarity.mmrSelect(tiny, "vec_id", "embedding", qv, k = 9)
+      .count() == 3)
+  }
 }
