@@ -260,6 +260,12 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Water-filling: 10k-token budget over languages — small langs
+    // cap at their full size, the rest split the remainder equally.
+    "q160_water_fill" -> ((s, d) =>
+      Curation.waterFillAlloc(docsFanned(s, d), "lang",
+        size(TextFeatures.tokens(col("text"))).cast("long"), budget = 10000L)),
+
     // MMR diverse top-5 vs query vector 0 (λ = 0.7): relevance minus
     // max-similarity-to-picked — kNN without the k near-copies.
     "q159_mmr_select" -> ((s, d) => {
@@ -1904,6 +1910,25 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Water-filling: ascending-availability prefix test (division-
+    // free cross-multiply), level t = (B - S_j) // (G - j).
+    "q160_water_fill" ->
+      """WITH g AS (SELECT lang,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |i AS (SELECT lang, n_tokens,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens ASC, lang ASC) AS BIGINT) AS i,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens ASC, lang ASC) AS BIGINT) AS s,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS gt FROM g),
+        |j AS (SELECT max(CASE WHEN n_tokens * (gt - i) <= 10000 - s THEN i ELSE 0 END) AS j,
+        |    max(CASE WHEN i = gt AND s <= 10000 THEN TRUE ELSE FALSE END) AS all_fit FROM i),
+        |sj AS (SELECT COALESCE(MAX(CASE WHEN i.i <= j.j THEN i.s END), 0) AS sj FROM i, j)
+        |SELECT i.lang, i.n_tokens,
+        |  (j.all_fit OR i.i <= j.j) AS capped,
+        |  CAST(CASE WHEN j.all_fit OR i.i <= j.j THEN i.n_tokens
+        |       ELSE (10000 - sj.sj) // (i.gt - j.j) END AS BIGINT) AS alloc
+        |FROM i, j, sj ORDER BY i.lang""".stripMargin,
 
     // MMR: k=5 greedy rounds unrolled as CTEs — each picks argmax of
     // 0.7*rel - 0.3*max(cos to prior picks), ties to min id.

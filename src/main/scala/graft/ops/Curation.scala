@@ -183,6 +183,64 @@ object Curation {
       .select(col(idCol), col("group_id"), col("bucket"), split.as("split"))
   }
 
+  /** X133: water-filling token-budget allocation — the capped
+    * fair-share solver behind every "mix these corpora into B tokens"
+    * plan: each group receives min(available, t) where the water
+    * level t is the largest equal share the budget can sustain after
+    * the small groups cap out at their full size. [[mixtureWeights]]
+    * answers "what proportions"; this answers "how many tokens of
+    * each, given what actually exists" — groups below the level
+    * contribute everything, the rest split the remainder equally.
+    *
+    * CLOSED FORM, no driver loop: sort groups by availability
+    * ascending, j = the largest prefix whose members all fit under the
+    * level implied by capping them (the cross-multiplied test
+    * n_i·(G−i) ≤ B−S_i — division-free), then t = (B−S_j) DIV (G−j).
+    * Floor semantics: Σ alloc ≤ B with a gap < |uncapped groups|
+    * (documented; distribute the crumbs downstream if they matter).
+    *
+    * The windows run over |groups| rows — a model axis, bounded by
+    * construction (the [[mixtureWeights]] single-partition contract),
+    * never document volume; token counting is one map-side-combinable
+    * aggregate over the corpus.
+    *
+    * @param weightCol per-row token weight (cast to long)
+    * @return (group, n_tokens, capped, alloc) ordered by group
+    */
+  def waterFillAlloc(df: DataFrame, groupCol: String,
+                     weightCol: org.apache.spark.sql.Column,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, s"negative budget: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(groupCol))
+      .agg(sum(weightCol.cast("long")).as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens").asc, col(groupCol).asc)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val idx = g
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__s", sum(col("n_tokens")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__g", count(lit(1)).over(all).cast("long"))
+      .localCheckpoint(eager = false) // forked: level search + output
+    // j = largest prefix that fully caps under its implied level;
+    // j = G (everything fits) when the budget covers the total.
+    val lvl = idx.agg(
+      max(when(col("n_tokens") * (col("__g") - col("__i")) <=
+          lit(budget) - col("__s"), col("__i")).otherwise(lit(0L))).as("__j"),
+      max(when(col("__i") === col("__g") && col("__s") <= budget, lit(true))
+        .otherwise(lit(false))).as("__all_fit"))
+    val withJ = idx.crossJoin(broadcast(lvl))
+      .withColumn("__sj", max(when(col("__i") <= col("__j"), col("__s"))
+        .otherwise(lit(0L))).over(all))
+    withJ.select(col(groupCol), col("n_tokens"),
+        when(col("__all_fit") || col("__i") <= col("__j"), lit(true))
+          .otherwise(lit(false)).as("capped"),
+        when(col("__all_fit") || col("__i") <= col("__j"), col("n_tokens"))
+          .otherwise(expr(s"(${budget}L - __sj) DIV (__g - __j)")).as("alloc"))
+      .orderBy(col(groupCol))
+  }
+
   /** X127: CCNet-style perplexity bucketing (Wenzek et al. LREC'20) —
     * per-language head/middle/tail thirds under the corpus LM score,
     * the gate CCNet applies before keeping head+middle for training.

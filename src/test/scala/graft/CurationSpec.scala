@@ -180,6 +180,44 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
   }
 
+  test("waterFillAlloc matches the iterative water-filling model at every budget") {
+    // brute force: repeatedly cap groups below the equal share
+    def brute(ns: Map[String, Long], budget: Long): Map[String, Long] = {
+      var alloc = Map.empty[String, Long]
+      var active = ns; var rem = budget
+      var changed = true
+      while (changed && active.nonEmpty) {
+        val t = rem / active.size
+        val capped = active.filter(_._2 <= t)
+        if (capped.nonEmpty) {
+          alloc ++= capped; rem -= capped.values.sum
+          active = active -- capped.keys
+        } else {
+          alloc ++= active.keys.map(_ -> t); active = Map.empty
+        }
+        changed = capped.nonEmpty || active.isEmpty
+      }
+      alloc
+    }
+    val rows = Seq(("a", 50L), ("a", 50L), ("b", 300L), ("c", 1000L),
+      ("d", 20L), ("e", 400L), ("e", 100L))
+    val df = rows.toDF("g", "w")
+    val ns = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).sum }
+    for (budget <- Seq(0L, 99L, 120L, 500L, 1500L, 2000L, 5000L)) {
+      val got = Curation.waterFillAlloc(df.repartition(3), "g", col("w"), budget)
+        .as[(String, Long, Boolean, Long)].collect()
+        .map(r => r._1 -> r._4).toMap
+      assert(got == brute(ns, budget), s"budget $budget")
+      val total = got.values.sum
+      assert(total <= budget || got == ns, s"overspent at $budget")
+    }
+    // capped flag: at 500, d(20) a(100) b(300)? level check — just
+    // assert flags agree with alloc == n
+    val at500 = Curation.waterFillAlloc(df, "g", col("w"), 500L)
+      .as[(String, Long, Boolean, Long)].collect()
+    at500.foreach(r => assert(r._3 == (r._4 == r._2), r.toString))
+  }
+
   test("perplexityBuckets: dense per-group ranks, exact thirds, score-ordered") {
     val rnd = new scala.util.Random(53)
     val docs = (1L to 40L).map { i =>
