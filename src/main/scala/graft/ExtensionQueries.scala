@@ -260,6 +260,12 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Tail-vocab rate per source: share of token occurrences outside
+    // the corpus top-200 head — the junk-token source detector.
+    "q161_tail_vocab" -> ((s, d) =>
+      TermStats.tailVocabRatePpm(docsFanned(s, d), "source", "text", 200L)
+        .orderBy(col("source"))),
+
     // Water-filling: 10k-token budget over languages — small langs
     // cap at their full size, the rest split the remainder equally.
     "q160_water_fill" -> ((s, d) =>
@@ -1910,6 +1916,23 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Tail vocab: ROW_NUMBER over (count DESC, token ASC) defines the
+    // top-200 head; tail occurrences counted per source.
+    "q161_tail_vocab" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |  FROM documents),
+        |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY 1, 2),
+        |v AS (SELECT t, SUM(m) AS cnt FROM st GROUP BY 1),
+        |hd AS (SELECT t FROM (SELECT t,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS r FROM v)
+        |  WHERE r <= 200)
+        |SELECT st.source, CAST(SUM(st.m) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN hd.t IS NULL THEN st.m ELSE 0 END) AS BIGINT) AS n_tail,
+        |  CAST(SUM(CASE WHEN hd.t IS NULL THEN st.m ELSE 0 END) * 1000000
+        |    // SUM(st.m) AS BIGINT) AS tail_ppm
+        |FROM st LEFT JOIN hd USING (t)
+        |GROUP BY 1 ORDER BY st.source""".stripMargin,
 
     // Water-filling: ascending-availability prefix test (division-
     // free cross-multiply), level t = (B - S_j) // (G - j).

@@ -566,6 +566,45 @@ object TermStats {
       .withColumn("mean_rank", expr("sum_rank DIV n_tokens"))
   }
 
+  /** X134: tail-vocabulary (OOV-proxy) rate per source — the "which
+    * sources are full of junk tokens" curation signal: the share of a
+    * source's token OCCURRENCES that fall outside the corpus's top-K
+    * head vocabulary. Crawl dumps dominated by boilerplate hashes,
+    * base64, or tokenizer-hostile scripts light up here long before a
+    * per-doc quality gate sees them; it is also the corpus-side proxy
+    * for tokenizer OOV cost (X113 measures the trained-BPE side).
+    *
+    * The head vocabulary is the corpus's own top `vocabK` tokens under
+    * the TOTAL (−count, token) order, ranked by [[Packing]]'s two-pass
+    * distributed prefix count ([[tokenRankScore]]'s machinery — never
+    * a single-partition vocabulary window). Scoring is one equi-join
+    * of the (source, token) occurrence aggregate against the ≤ vocabK
+    * head set (join left to AQE) and a |sources|-key fold.
+    *
+    * @return (source, n_tokens, n_tail, tail_ppm) with
+    *         tail_ppm = 10⁶·n_tail DIV n_tokens
+    */
+  def tailVocabRatePpm(docs: DataFrame, sourceCol: String, textCol: String,
+                       vocabK: Long): DataFrame = {
+    require(vocabK >= 1, s"non-positive vocabulary size: $vocabK")
+    val tok = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFeatures.tokens(col(textCol))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(eager = false) // forked: vocab counts + scoring join
+    val vocab = tok.groupBy(col("t")).agg(sum(col("m")).as("cnt"))
+      .select(struct((-col("cnt")).as("nc"), col("t").as("t")).as("__sk"),
+        lit(1L).as("__one"))
+    val head = Packing.runningTotalsMulti(vocab, "__sk", Seq("__one"))
+      .filter(col("__one_cum") <= vocabK)
+      .select(col("__id").getField("t").as("t"), lit(true).as("__head"))
+    tok.join(head, Seq("t"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(when(col("__head").isNull, col("m")).otherwise(lit(0L))).as("n_tail"))
+      .withColumn("tail_ppm", expr("n_tail * 1000000 DIV n_tokens"))
+  }
+
   /** X123: DSIR-style domain-relevance scoring (Xie et al. NeurIPS'23,
     * "Data Selection for Language Models via Importance Resampling") —
     * rank a web-scale corpus by how target-domain-like each document

@@ -295,6 +295,33 @@ class TermStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("tailVocabRatePpm: head cut by (count desc, token asc), per-source tail shares") {
+    // corpus counts: a=4, b=3, c=2, z=1 -> top-2 head = {a, b}
+    val docs = Seq(
+      (1L, "a a b c", "s1"), (2L, "a b z", "s1"), (3L, "a b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TermStats.tailVocabRatePpm(docs, "source", "text", 2L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // s1: 7 occurrences, tail = c + z = 2 -> 285714 ppm
+    assert(out("s1") == (("s1", 7L, 2L, 285714L)))
+    // s2: 3 occurrences, tail = c -> 333333 ppm
+    assert(out("s2") == (("s2", 3L, 1L, 333333L)))
+    // count ties at the K boundary break by token asc: counts all 1,
+    // K=1 keeps only "x"
+    val tie = Seq((1L, "x y", "s")).toDF("doc_id", "text", "source")
+    val t = TermStats.tailVocabRatePpm(tie, "source", "text", 1L)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(t == (("s", 2L, 1L, 500000L)))
+    // layout independence
+    val big = (1 to 60).map(i => (i.toLong, s"w${i % 13} w${i % 5} k", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val a = TermStats.tailVocabRatePpm(big.repartition(3), "source", "text", 5L)
+      .orderBy(col("source")).as[(String, Long, Long, Long)].collect().toSeq
+    val b = TermStats.tailVocabRatePpm(big.repartition(17), "source", "text", 5L)
+      .orderBy(col("source")).as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("domainRelevancePpm: rate-difference weights, sign-split mean, empty-target guard") {
     val docs = Seq((1L, "a a b", true), (2L, "a c", false))
       .toDF("doc_id", "text", "is_t")
