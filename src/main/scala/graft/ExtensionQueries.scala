@@ -260,6 +260,14 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Signed R² of event value vs day per type — the metric-drift
+    // detector: direction + strength, sqrt-free, integer-exact.
+    "q162_corr_r2" -> ((s, d) =>
+      Behavior.corrSignedR2Ppm(Tables.events(s, d), "event_type",
+          datediff(to_date(col("ts")), lit("1970-01-01")),
+          floor(col("value")))
+        .orderBy(col("event_type"))),
+
     // Tail-vocab rate per source: share of token occurrences outside
     // the corpus top-200 head — the junk-token source detector.
     "q161_tail_vocab" -> ((s, d) =>
@@ -1916,6 +1924,25 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Signed R²: one moment aggregate, num²·1e6 // (dx·dy) in HUGEINT
+    // with the sign factored out front.
+    "q162_corr_r2" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(floor(value) AS BIGINT) AS y FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y*y) AS BIGINT) AS syy FROM p GROUP BY 1),
+        |g AS (SELECT event_type, n,
+        |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy FROM s)
+        |SELECT event_type, n AS n_points,
+        |  CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+        |       ELSE CAST(sign(num) AS BIGINT) *
+        |         ((CAST(num AS HUGEINT) * num * 1000000) // (CAST(dx AS HUGEINT) * dy))
+        |       END AS BIGINT) AS r2_signed_ppm
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // Tail vocab: ROW_NUMBER over (count DESC, token ASC) defines the
     // top-200 head; tail occurrences counted per source.

@@ -212,6 +212,49 @@ object Behavior {
     *
     * @return (groupCol, n_points, slope_ppm)
     */
+  /** X135: signed R² (Pearson correlation without the square root) in
+    * exact ppm — the metric-drift detector: does a measure move with
+    * time / with another measure, per group? Pearson's r needs a sqrt;
+    * reporting sign(num)·r² keeps the decision content (direction +
+    * strength, |r| = √(|value|/10⁶) when a human wants it) and stays
+    * bit-exact in any engine:
+    *
+    *   r²_signed = sign(num) · 10⁶·num² div (denx·deny),
+    *   num = nΣxy − ΣxΣy, denx = nΣx² − (Σx)², deny = nΣy² − (Σy)²
+    *
+    * One map-side-combinable moment aggregate over row volume, then a
+    * |groups|-row projection; constant-x or constant-y groups (den 0)
+    * read 0. Long moments carry [[trendSlopePpm]]'s documented
+    * overflow precondition (re-base x/y toward their group means when
+    * magnitudes threaten 10¹⁸); num² runs in DECIMAL(38,0), exact
+    * while |num| < 3·10¹⁵ — enforced loudly, not silently.
+    *
+    * @return (group, n_points, r2_signed_ppm)
+    */
+  def corrSignedR2Ppm(df: DataFrame, groupCol: String, xExpr: Column,
+                      yExpr: Column): DataFrame = {
+    df.select(col(groupCol), xExpr.cast("long").as("x"),
+        yExpr.cast("long").as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"))
+      .select(col(groupCol), col("n_points"),
+        (col("n_points") * col("__sxy") - col("__sx") * col("__sy")).as("__num"),
+        (col("n_points") * col("__sxx") - col("__sx") * col("__sx")).as("__dx"),
+        (col("n_points") * col("__syy") - col("__sy") * col("__sy")).as("__dy"))
+      .select(col(groupCol), col("n_points"),
+        when(abs(col("__num")) > 3000000000000000L, raise_error(lit(
+          "signed-R2 magnitude bound: re-base x/y (|num| must stay below 3e15)")))
+          .when(col("__dx") === 0 || col("__dy") === 0, lit(0L))
+          .otherwise(expr("sign(__num)").cast("long") *
+            expr("(cast(__num as decimal(38,0)) * __num * 1000000) div " +
+              "(cast(__dx as decimal(38,0)) * __dy)").cast("long"))
+          .as("r2_signed_ppm"))
+  }
+
   def trendSlopePpm(df: DataFrame, groupCol: String, xExpr: Column): DataFrame = {
     val dc = df.select(col(groupCol), xExpr.cast("long").as("x"))
       .groupBy(col(groupCol), col("x")).agg(count(lit(1)).as("y"))

@@ -221,4 +221,42 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().head
     assert(o2 == ((9L, 4L, 2L, 2L)))
   }
+
+  test("corrSignedR2Ppm: brute-force model, perfect lines, constant columns") {
+    def brute(pts: Seq[(Long, Long)]): Long = {
+      val n = BigInt(pts.size)
+      val sx = BigInt(pts.map(_._1).sum); val sy = BigInt(pts.map(_._2).sum)
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+      val syy = pts.map(p => BigInt(p._2) * p._2).sum
+      val num = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+      if (dx == 0 || dy == 0) 0L
+      else (num.signum * (num * num * 1000000 / (dx * dy))).toLong
+    }
+    val rnd = new scala.util.Random(73)
+    val rows = (1 to 150).map { i =>
+      val g = s"g${i % 3}"
+      val x = i.toLong
+      val y = (i % 3) match {
+        case 0 => 3L * i + 7                       // perfect positive line
+        case 1 => -2L * i + rnd.nextInt(3)         // noisy negative
+        case _ => rnd.nextInt(100).toLong          // unrelated
+      }
+      (g, x, y)
+    }
+    val got = Behavior.corrSignedR2Ppm(rows.toDF("g", "x", "y")
+        .repartition(7), "g", col("x"), col("y"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val exp = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> brute(rs.map(r => (r._2, r._3))) }
+    assert(got == exp)
+    assert(got("g0") == 1000000L, "a perfect line reads exactly 1e6")
+    assert(got("g1") < -900000L, "strong negative reads near -1e6")
+    assert(math.abs(got("g2")) < 200000L, "noise reads near 0")
+    // constant y -> dy = 0 -> 0 by definition
+    val const = Seq(("c", 1L, 5L), ("c", 2L, 5L), ("c", 3L, 5L))
+    assert(Behavior.corrSignedR2Ppm(const.toDF("g", "x", "y"), "g",
+      col("x"), col("y")).as[(String, Long, Long)].collect().head._3 == 0L)
+  }
 }
