@@ -260,6 +260,19 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Near-dup source overlap matrix: q22's LSH pairs at 0.75 rolled
+    // to (source, source) counts — which dumps copy from which.
+    "q163_source_overlap" -> ((s, d) => {
+      val pairs = minhashPairsFor(s, d).filter(col("est_jaccard") >= 0.75)
+      val src = demoCorpus(Tables.documents(s, d))
+        .select(col("doc_id"), (col("doc_id") % 10000).as("__base"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("__base"), col("source")), Seq("__base"))
+        .select(col("doc_id"), col("source"))
+      TextDedup.sourceOverlapMatrix(pairs, src, "doc_id", "source")
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Signed R² of event value vs day per type — the metric-drift
     // detector: direction + strength, sqrt-free, integer-exact.
     "q162_corr_r2" -> ((s, d) =>
@@ -1924,6 +1937,20 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Source overlap: est >= 0.75 pairs; corpus ids map to sources by
+    // base id (% 10000); unordered pairs via least/greatest.
+    "q163_source_overlap" ->
+      s"""WITH $minhashCtes,
+         |cs AS (SELECT c.doc_id, d.source FROM corpus c
+         |  JOIN documents d ON d.doc_id = c.doc_id % 10000),
+         |pr AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.75)
+         |SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr JOIN cs a ON a.doc_id = pr.id_a
+         |JOIN cs b ON b.doc_id = pr.id_b
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     // Signed R²: one moment aggregate, num²·1e6 // (dx·dy) in HUGEINT
     // with the sign factored out front.

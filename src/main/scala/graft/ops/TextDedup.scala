@@ -690,4 +690,33 @@ object TextDedup {
         length(col("__sa")).cast("long").as("len_prefix"),
         length(col("__sb")).cast("long").as("len_full"))
   }
+
+  /** X136: near-dup source overlap matrix — WHICH dumps copy from
+    * which: any duplicate-pair frame (LSH candidates at a threshold in
+    * practice) rolled up to unordered (source, source) pair counts.
+    * The diagonal is a source's self-duplication rate; heavy
+    * off-diagonal cells say two acquisitions crawl the same sites, the
+    * decision input for dropping or down-weighting a whole dump before
+    * mixing ([[provenanceDedup]] then executes the survivor policy at
+    * the doc level).
+    *
+    * Dataflow: two id-keyed equi-joins attach sources to the pair
+    * frame (join strategy left to AQE — the mapping side is corpus-
+    * sized), then one map-side-combinable count onto the ≤ |sources|²
+    * key. Unordered pairs canonicalize by (least, greatest) BEFORE
+    * aggregation, so the matrix is triangular with no distinct pass.
+    *
+    * @return (src_a ≤ src_b, n_pairs)
+    */
+  def sourceOverlapMatrix(pairs: DataFrame, docSource: DataFrame,
+                          idCol: String, sourceCol: String): DataFrame = {
+    val src = docSource.select(col(idCol).as("__id"), col(sourceCol).as("__s"))
+      .localCheckpoint(eager = false) // joined twice below
+    pairs
+      .join(src.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+      .join(src.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -252,4 +252,17 @@ class TextDedupSpec extends SparkSpec {
     // every "doc xxx...k" is a prefix of the k+1 variant: 12 chains
     assert(a.size == 12)
   }
+
+  test("sourceOverlapMatrix: unordered source pairs, diagonal kept, counts exact") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val src = Seq((1L, "cc"), (2L, "web"), (3L, "cc"), (4L, "web"),
+      (5L, "web"), (6L, "books"), (7L, "cc")).toDF("doc_id", "source")
+    val out = TextDedup.sourceOverlapMatrix(pairs, src, "doc_id", "source")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // (1,2)=cc-web, (1,3)=cc-cc, (2,3)=cc-web, (4,5)=web-web, (6,7)=books-cc
+    assert(out == Map(
+      ("cc", "web") -> 2L, ("cc", "cc") -> 1L,
+      ("web", "web") -> 1L, ("books", "cc") -> 1L))
+  }
 }
