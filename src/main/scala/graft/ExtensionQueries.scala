@@ -260,6 +260,27 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // ANN recall@3: the LSH path graded against brute-force truth per
+    // query — the parameter-tuning loop, oracle-checked.
+    "q165_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annRecallReport(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 3)
+        .orderBy(col("query_id"))
+    }),
+
+    // Dedup impact: q36's clusters + token weights — the cluster-size
+    // histogram with doc/token savings under keep-lowest-id.
+    "q164_dedup_impact" -> ((s, d) => {
+      val corpus = demoCorpus(Tables.documents(s, d))
+      val pairs = minhashPairsFor(s, d).filter(col("est_jaccard") >= 0.75)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val labels = graft.ops.ConnectedComponents.labels(pairs)
+      TextDedup.dedupImpact(labels, corpus, "doc_id",
+          size(TextFeatures.tokens(col("text"))).cast("long"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // Near-dup source overlap matrix: q22's LSH pairs at 0.75 rolled
     // to (source, source) counts — which dumps copy from which.
     "q163_source_overlap" -> ((s, d) => {
@@ -1937,6 +1958,59 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // ANN recall: q26's brute truth vs q27's LSH candidates, semi-join
+    // hit counts, truth-sized denominators, zero-hit queries kept.
+    "q165_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |sc AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cosine
+         |  FROM q, c WHERE neighbor_id <> query_id),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sc)
+         |  WHERE rnk <= 3),
+         |eb AS (SELECT vec_id, embedding, $signBucketSql AS bucket FROM embeddings),
+         |qb AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM eb WHERE vec_id < 20),
+         |sc2 AS (SELECT query_id, eb.vec_id AS neighbor_id, ${cosSql("qe", "eb.embedding")} AS cosine
+         |  FROM qb JOIN eb USING (bucket) WHERE eb.vec_id <> query_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sc2)
+         |  WHERE rnk <= 3),
+         |ht AS (SELECT tr.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM tr JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+         |dn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM tr GROUP BY 1)
+         |SELECT dn.query_id, dn.n_truth,
+         |  CAST(COALESCE(ht.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(ht.n_hit, 0) * 1000000 // dn.n_truth AS BIGINT) AS recall_ppm
+         |FROM dn LEFT JOIN ht USING (query_id)
+         |ORDER BY dn.query_id""".stripMargin,
+
+    // Dedup impact: recursive clusters, survivor = min id, savings
+    // rolled up by cluster size.
+    "q164_dedup_impact" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |cand AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.75),
+         |und AS (SELECT id_a AS a, id_b AS b FROM cand UNION SELECT id_b, id_a FROM cand),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+         |  UNION
+         |  SELECT u.b, r.r FROM reach r JOIN und u ON u.a = r.node),
+         |lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |wt AS (SELECT doc_id AS node,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+         |  FROM corpus),
+         |cl AS (SELECT lab.cluster_id, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(SUM(wt.w) AS BIGINT) AS wsum,
+         |    CAST(min(wt.node) AS BIGINT) AS surv
+         |  FROM lab JOIN wt USING (node) GROUP BY 1),
+         |sv AS (SELECT cl.cluster_id, cl.k, cl.wsum, wt.w AS surv_w
+         |  FROM cl JOIN wt ON wt.node = cl.surv)
+         |SELECT k AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(k - 1) AS BIGINT) AS n_docs_removed,
+         |  CAST(SUM(wsum - surv_w) AS BIGINT) AS tokens_removed
+         |FROM sv GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     // Source overlap: est >= 0.75 pairs; corpus ids map to sources by
     // base id (% 10000); unordered pairs via least/greatest.

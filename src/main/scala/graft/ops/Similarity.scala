@@ -248,6 +248,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
   }
 
+  /** X138: ANN recall@k report — the evaluation harness that
+    * justifies an approximate index before it gates production
+    * retrieval (the kNN sibling of X111's dedup calibration): per
+    * query, how many of the exact brute-force top-k did the LSH path
+    * return? Run it on a sample, read the recall, THEN pick
+    * planes/probes — the parameter-tuning loop every ANN deployment
+    * needs and almost none oracle-check.
+    *
+    * Pure composition: [[bruteForceTopK]] is the truth set,
+    * [[lshTopK]] the candidate set, one semi-join + per-query count;
+    * the denominator is the ACTUAL truth size (< k on tiny corpora),
+    * and zero-hit queries surface with recall 0 instead of vanishing
+    * (left join against the truth-side query list).
+    *
+    * @return (query_id, n_truth, n_hit, recall_ppm)
+    */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false) // forked: denominators + hit join
+    val approx = lshTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_truth"))
+  }
+
   /** X132: Maximal Marginal Relevance selection (Carbonell & Goldstein
     * SIGIR'98) — the relevance-AND-diversity top-k that prompt-set and
     * eval-set curation needs where plain kNN returns k near-copies:

@@ -708,6 +708,37 @@ object TextDedup {
     *
     * @return (src_a ≤ src_b, n_pairs)
     */
+  /** X137: dedup impact report — what a dedup pass WOULD remove,
+    * before anyone commits to it: duplicate-cluster size histogram
+    * with document and token savings under the keep-lowest-id survivor
+    * policy (the policy every dedup op in this repo shares). The
+    * capacity-planning answer to "is near-dedup at threshold t worth
+    * the shuffle?" — run the candidate pair set, read the histogram,
+    * then decide.
+    *
+    * Input is any cluster labeling (node, cluster_id) —
+    * [[graft.ops.ConnectedComponents.labels]] output; docs absent from
+    * it are singletons and appear nowhere (a singleton removes
+    * nothing). One id-keyed join attaches weights, one cluster-key
+    * aggregate computes size + survivor (window-free struct-min), one
+    * ≤ |distinct sizes|-key rollup builds the histogram.
+    *
+    * @param weightCol per-doc cost (token count in practice)
+    * @return (cluster_size, n_clusters, n_docs_removed, tokens_removed)
+    */
+  def dedupImpact(labels: DataFrame, docs: DataFrame, idCol: String,
+                  weightCol: org.apache.spark.sql.Column): DataFrame = {
+    val w = docs.select(col(idCol).as("node"), weightCol.cast("long").as("__w"))
+    labels.join(w, Seq("node"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__k"), sum(col("__w")).as("__wsum"),
+        min(struct(col("node").as("n"), col("__w").as("w"))).as("__surv"))
+      .groupBy(col("__k").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__k") - 1).as("n_docs_removed"),
+        sum(col("__wsum") - col("__surv.w")).as("tokens_removed"))
+  }
+
   def sourceOverlapMatrix(pairs: DataFrame, docSource: DataFrame,
                           idCol: String, sourceCol: String): DataFrame = {
     val src = docSource.select(col(idCol).as("__id"), col(sourceCol).as("__s"))

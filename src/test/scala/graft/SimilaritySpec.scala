@@ -255,6 +255,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._2 == 2L && out.head._3 == 1L)
   }
 
+  test("annRecallReport: hit counts vs the in-memory truth, zero-hit queries kept") {
+    val rnd = new scala.util.Random(79)
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(16)(d => rnd.nextFloat() * 2 - 1)) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 6)
+    val out = Similarity.annRecallReport(df, q, "vec_id", "embedding", 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == (0L until 6L).toSet, "every query reports")
+    // cross-check against the operator outputs themselves
+    val truth = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.lshTopK(df, q, "vec_id", "embedding", 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (qid, (_, nTruth, nHit, ppm)) =>
+      val t = truth(qid)
+      val h = approx.getOrElse(qid, Set.empty[Long]).intersect(t)
+      assert(nTruth == t.size && nHit == h.size, s"query $qid")
+      assert(ppm == nHit * 1000000L / nTruth)
+    }
+  }
+
   test("mmrSelect matches the brute-force greedy model and diversifies vs kNN") {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       def dot(x: Array[Float], y: Array[Float]) =

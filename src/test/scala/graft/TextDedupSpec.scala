@@ -253,6 +253,23 @@ class TextDedupSpec extends SparkSpec {
     assert(a.size == 12)
   }
 
+  test("dedupImpact: size histogram, survivor-weight exclusion, singletons absent") {
+    // clusters: {1,2,3} and {10,11}; docs 20,21 unclustered
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "cluster_id")
+    val docs = Seq((1L, 100L), (2L, 7L), (3L, 9L), (10L, 5L), (11L, 50L),
+      (20L, 1000L), (21L, 1L)).toDF("doc_id", "w")
+    val out = graft.ops.TextDedup.dedupImpact(labels, docs, "doc_id",
+      org.apache.spark.sql.functions.col("w"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // size 3: one cluster, removes 2 docs; survivor is id 1 (w=100),
+    // tokens removed = 7 + 9 = 16
+    assert(out(3L) == ((3L, 1L, 2L, 16L)))
+    // size 2: survivor id 10 (w=5), removed = 50
+    assert(out(2L) == ((2L, 1L, 1L, 50L)))
+    assert(out.keySet == Set(2L, 3L), "singletons contribute nothing")
+  }
+
   test("sourceOverlapMatrix: unordered source pairs, diagonal kept, counts exact") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (6L, 7L))
       .toDF("id_a", "id_b")
