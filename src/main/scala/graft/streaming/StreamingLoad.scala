@@ -290,6 +290,40 @@ object StreamingLoad {
       }
   }
 
+  final case class BenfordOut(col_name: String, digit_counts: Seq[Long],
+                              n_values: Long)
+
+  /** Streaming twin of [[graft.ops.Profiler.benfordPpm]] — the
+    * first-digit audit as it must run on a live ingest: per column a
+    * NINE-LONG digit histogram held in `mapGroupsWithState` (state
+    * bounded forever, independent of row volume), counts identical to
+    * the batch op under ANY batch cut because digit counting is a
+    * commutative monoid. Shares/deviations derive from the counts
+    * downstream exactly as the batch op's ppm step does — state stays
+    * minimal.
+    */
+  def benfordStream(rows: DataFrame, cols: Seq[String]): Dataset[BenfordOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    require(cols.nonEmpty, "benfordStream needs at least one column")
+    val pairs = cols.map(c =>
+      struct(lit(c).as("c"), abs(col(c).cast("long")).as("v")))
+    rows.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.c"), col("p.v"))
+      .filter(col("v") > 0)
+      .select(col("c"),
+        substring(col("v").cast("string"), 1, 1).cast("int").as("d"))
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], BenfordOut](GroupStateTimeout.NoTimeout) {
+        (c: String, it: Iterator[(String, Int)], state: GroupState[Seq[Long]]) =>
+          val a = state.getOption.getOrElse(Seq.fill(9)(0L)).toArray
+          it.foreach { case (_, d) => a(d - 1) += 1 }
+          state.update(a.toSeq)
+          BenfordOut(c, a.toSeq, a.sum)
+      }
+  }
+
   // ---- custom state: sessionization (flatMapGroupsWithState) -----------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

@@ -358,4 +358,31 @@ class StreamingSpec extends SparkSpec {
       assert(last == batch, s"stream $last != batch $batch")
     } finally q.stop()
   }
+
+  test("benford stream == batch digit counts across arbitrary batch cuts") {
+    val rnd = new scala.util.Random(83)
+    val rows = (1 to 400).map(_ =>
+      (math.floor(math.pow(10.0, rnd.nextDouble() * 4)).toLong,
+        rnd.nextInt(50).toLong - 10))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingLoad.benfordStream(mem.toDF().toDF("a", "b"), Seq("a", "b"))
+      .writeStream.format("memory").queryName("benford_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (first, second) = scala.util.Random.shuffle(rows).splitAt(137)
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+      val batch = graft.ops.Profiler.benfordPpm(rows.toDF("a", "b"), Seq("a", "b"))
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+      val last = spark.table("benford_test")
+        .as[(String, Seq[Long], Long)].collect()
+        .groupBy(_._1).map { case (_, emits) => emits.maxBy(_._3) }
+        .map(o => o._1 -> o._2.zipWithIndex
+          .collect { case (n, i) if n > 0 => (i + 1L) -> n }.toMap)
+        .toMap
+      assert(last == batch, s"stream $last != batch $batch")
+    } finally q.stop()
+  }
 }
