@@ -260,6 +260,13 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // LSH s-curve planner: P(candidate | s) for four (bands, rows)
+    // configs on a 5% similarity grid — pick parameters BEFORE paying
+    // for a corpus pass; integer powers, bit-identical table.
+    "q166_lsh_scurve" -> ((s, d) =>
+      TextDedup.lshSCurvePpm(s, Seq((2, 8), (4, 4), (8, 2), (16, 4)))
+        .orderBy(col("bands"), col("rows_per_band"), col("s_pct"))),
+
     // ANN recall@3: the LSH path graded against brute-force truth per
     // query — the parameter-tuning loop, oracle-checked.
     "q165_ann_recall" -> ((s, d) => {
@@ -1958,6 +1965,20 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // LSH s-curve: the same truncating power folds via list_reduce —
+    // r copies of s for s^r, b copies of (1e6 - p1) for the outer pow.
+    "q166_lsh_scurve" ->
+      """WITH cfg AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 4)) c(b, r)),
+        |g AS (SELECT b, r, s FROM cfg, (SELECT unnest(range(5, 105, 5)) AS s)),
+        |p AS (SELECT b, r, s,
+        |    list_reduce(list_transform(range(0, r), i -> CAST(s * 10000 AS BIGINT)),
+        |      (a, x) -> (a * x) // 1000000) AS p1 FROM g)
+        |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+        |  CAST(s AS BIGINT) AS s_pct,
+        |  CAST(1000000 - list_reduce(list_transform(range(0, b), i -> 1000000 - p1),
+        |    (a, x) -> (a * x) // 1000000) AS BIGINT) AS collide_ppm
+        |FROM p ORDER BY bands, rows_per_band, s_pct""".stripMargin,
 
     // ANN recall: q26's brute truth vs q27's LSH candidates, semi-join
     // hit counts, truth-sized denominators, zero-hit queries kept.

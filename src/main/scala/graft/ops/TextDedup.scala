@@ -708,6 +708,41 @@ object TextDedup {
     *
     * @return (src_a ≤ src_b, n_pairs)
     */
+  /** X139: LSH s-curve planner — the collision-probability table
+    * P(candidate | similarity s) = 1 − (1 − s^r)^b for a grid of
+    * (bands, rows-per-band) configs: the a-priori tuning companion to
+    * X111's a-posteriori calibration (pick (b, r) off this table, then
+    * confirm precision/recall on a sample). Model-side arithmetic — no
+    * data is read; the frame exists so the planner shares the oracle
+    * contract like every other operator.
+    *
+    * Integer-exact: probabilities live in ppm and every power is the
+    * truncating fold p ← p·s div 10⁶ (left-to-right, (e−1) steps),
+    * reproduced verbatim by the oracle's list_reduce — so the table is
+    * bit-identical in any engine, which a float pow cannot promise.
+    *
+    * @return (bands, rows_per_band, s_pct, collide_ppm) per config ×
+    *         similarity grid point
+    */
+  def lshSCurvePpm(spark: org.apache.spark.sql.SparkSession,
+                   configs: Seq[(Int, Int)], stepPct: Int = 5): DataFrame = {
+    require(configs.nonEmpty, "lshSCurvePpm needs at least one (b, r) config")
+    require(stepPct >= 1 && stepPct <= 50, s"grid step out of [1, 50]: $stepPct")
+    require(configs.forall { case (b, r) => b >= 1 && r >= 1 },
+      "bands and rows must be positive")
+    def powPpm(base: Long, e: Int): Long =
+      (1 until e).foldLeft(base)((a, _) => a * base / 1000000L)
+    val rows = for {
+      (b, r) <- configs
+      s <- stepPct to 100 by stepPct
+    } yield {
+      val p1 = powPpm(s * 10000L, r)
+      (b.toLong, r.toLong, s.toLong, 1000000L - powPpm(1000000L - p1, b))
+    }
+    import spark.implicits._
+    rows.toDF("bands", "rows_per_band", "s_pct", "collide_ppm")
+  }
+
   /** X137: dedup impact report — what a dedup pass WOULD remove,
     * before anyone commits to it: duplicate-cluster size histogram
     * with document and token savings under the keep-lowest-id survivor

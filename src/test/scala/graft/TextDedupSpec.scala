@@ -253,6 +253,28 @@ class TextDedupSpec extends SparkSpec {
     assert(a.size == 12)
   }
 
+  test("lshSCurvePpm: monotone in s, endpoints exact, matches closed-form floats loosely") {
+    val out = TextDedup.lshSCurvePpm(spark, Seq((4, 4), (8, 2)), stepPct = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.sortBy(_._3).map(r => r._3 -> r._4)).toMap
+    out.foreach { case (cfg, curve) =>
+      assert(curve.map(_._1).toSeq == (5L to 100L by 5L).toSeq, s"grid $cfg")
+      // monotone non-decreasing in s; s=100 collides with certainty
+      assert(curve.sliding(2).forall(p => p.head._2 <= p.last._2), s"monotone $cfg")
+      assert(curve.last._2 == 1000000L, s"s=1 must read 1e6 for $cfg")
+      // quantization sits within 1% of the float closed form
+      curve.foreach { case (s, ppm) =>
+        val exact = 1.0 - math.pow(1.0 - math.pow(s / 100.0, cfg._2.toDouble),
+          cfg._1.toDouble)
+        assert(math.abs(ppm / 1e6 - exact) < 0.01, s"$cfg s=$s: $ppm vs $exact")
+      }
+    }
+    // steeper r gives the sharper threshold: at s=50, (4,4) must sit
+    // well below (8,2) — more rows per band suppresses low-s collisions
+    assert(out((4L, 4L)).toMap.apply(50L) < out((8L, 2L)).toMap.apply(50L))
+  }
+
   test("dedupImpact: size histogram, survivor-weight exclusion, singletons absent") {
     // clusters: {1,2,3} and {10,11}; docs 20,21 unclustered
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
