@@ -260,6 +260,17 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Dataset card: one-row corpus summary (volume, diversity, dup
+    // share, median length) over documents ∪ exact clones.
+    "q167_data_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+      Profiler.dataCard(corpus, "doc_id", "text", "lang", "source")
+    }),
+
     // LSH s-curve planner: P(candidate | s) for four (bands, rows)
     // configs on a 5% similarity grid — pick parameters BEFORE paying
     // for a corpus pass; integer powers, bit-identical table.
@@ -1965,6 +1976,34 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Data card: scalar aggregates + lang-Gini rational + compacted
+    // median walk, all over the doubled corpus.
+    "q167_data_card" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text, lang, source FROM documents),
+         |b AS (SELECT lang, source, ${dh("text")} AS h,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok
+         |  FROM corpus),
+         |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct FROM b),
+         |gi AS (SELECT CAST(1000000 - (SUM(CAST(c AS HUGEINT) * c) * 1000000)
+         |      // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS lang_gini_ppm
+         |  FROM (SELECT lang, count(*) AS c FROM b GROUP BY 1)),
+         |md AS (SELECT v AS median_tokens FROM (
+         |  SELECT v, cnt,
+         |    CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cm,
+         |    CAST(SUM(cnt) OVER () AS BIGINT) AS nn
+         |  FROM (SELECT ntok AS v, count(*) AS cnt FROM b GROUP BY 1))
+         |  WHERE cm >= (nn * 50 + 99) // 100 AND cm - cnt < (nn * 50 + 99) // 100)
+         |SELECT sc.n_docs, sc.n_tokens, sc.n_langs, sc.n_sources,
+         |  CAST(sc.n_distinct * 1000000 // sc.n_docs AS BIGINT) AS distinct_text_ppm,
+         |  md.median_tokens, gi.lang_gini_ppm
+         |FROM sc, md, gi""".stripMargin,
 
     // LSH s-curve: the same truncating power folds via list_reduce —
     // r copies of s for s^r, b copies of (1e6 - p1) for the outer pow.

@@ -269,6 +269,58 @@ object Profiler {
         col("n_below"), col("n_above"))
   }
 
+  /** X140: dataset card — the one-row corpus summary a release ships
+    * with (the quantitative core of a Datasheets/Data-Card document,
+    * Gebru et al. 2021): volume, diversity, duplication, and central
+    * length in ONE pass over the corpus plus bounded-side lookups. All
+    * the numbers reconcile exactly with the dedicated operators they
+    * summarize (X1 exact dup, X37 quantiles, X122 Gini) because they
+    * share the same integer spellings.
+    *
+    * Dataflow: the per-doc projection (hash, token count, labels)
+    * materializes ONCE and forks into (a) the scalar aggregate row,
+    * (b) the |langs|-key count feeding the Gini rational, (c) the
+    * compacted (value, count) median walk — windows see |distinct
+    * lengths| rows, never docs (the q56 discipline). Three single-row
+    * frames broadcast into the final projection.
+    *
+    * @return one row (n_docs, n_tokens, n_langs, n_sources,
+    *         distinct_text_ppm, median_tokens, lang_gini_ppm)
+    */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+               langCol: String, sourceCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.TextFeatures
+    val base = docs.select(col(langCol).as("lang"), col(sourceCol).as("source"),
+        TextFeatures.charHash(col(textCol)).as("h"),
+        size(TextFeatures.tokens(col(textCol))).cast("long").as("ntok"))
+      .localCheckpoint(eager = false) // forked: scalars + gini + median
+    val scal = base.agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("h")).as("n_distinct_texts"))
+    val gini = base.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+      .select((lit(1000000L) - expr(
+        "(ss * 1000000) div (cast(n as decimal(38,0)) * n)").cast("long"))
+        .as("lang_gini_ppm"))
+    val cum = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = base.groupBy(col("ntok").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("__n", sum(col("cnt")).over(all))
+      .filter(col("__cum") >= expr("(__n * 50 + 99) DIV 100") &&
+        col("__cum") - col("cnt") < expr("(__n * 50 + 99) DIV 100"))
+      .select(col("v").as("median_tokens"))
+    scal.crossJoin(broadcast(med)).crossJoin(broadcast(gini))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+        expr("n_distinct_texts * 1000000 DIV n_docs").as("distinct_text_ppm"),
+        col("median_tokens"), col("lang_gini_ppm"))
+  }
+
   /** X131: Benford first-digit audit — the classic fabricated-data
     * detector (Benford 1938; Nigrini's forensic-accounting standard)
     * for numeric columns that SHOULD span magnitudes: transaction

@@ -325,6 +325,23 @@ class ProfilerSpec extends SparkSpec {
     assert(out("quad") == (("quad", 12L, 4L, 750000L)))
   }
 
+  test("dataCard: one-row summary reconciles with hand computation") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"),      // exact dup pair
+      (3L, "x y", "en", "s2"), (4L, "p q r s t", "es", "s2"),
+      (5L, "m", "es", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Profiler.dataCard(docs, "doc_id", "text", "lang", "source")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val r = out.head
+    // 5 docs, 3+3+2+5+1 = 14 tokens, 2 langs, 3 sources, 4 distinct
+    // texts -> 800000 ppm; lengths sorted 1,2,3,3,5 -> median rank
+    // ceil(250/100)=3 -> value 3; lang counts (3,2) on 5 ->
+    // 1e6 - (9+4)*1e6/25 = 480000
+    assert(r == ((5L, 14L, 2L, 3L, 800000L, 3L, 480000L)))
+  }
+
   test("benfordPpm: string first digit, ppm shares, zeros excluded, absent digits absent") {
     val df = Seq(10L, 19L, 150L, 2L, 250L, 0L, -30L, 999L, 1L)
       .map(Tuple1(_)).toDF("v")
