@@ -260,6 +260,17 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Deterministic negative edges on the parity-encoded supplier→part
+    // graph (every 10th supplier) — link-prediction training pairs.
+    "q168_negative_edges" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_suppkey") % 10 === 0)
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      GraphRank.negativeEdges(edges, "src", "dst")
+        .orderBy(col("src"), col("rnk"))
+    }),
+
     // Dataset card: one-row corpus summary (volume, diversity, dup
     // share, median length) over documents ∪ exact clones.
     "q167_data_card" -> ((s, d) => {
@@ -1976,6 +1987,32 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Negative edges: dense node index by ROW_NUMBER, hash-mod
+    // candidates (2x over-gen), anti-join reals, per-src quota.
+    "q168_negative_edges" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |  FROM lineitem WHERE l_suppkey % 10 = 0),
+        |nd AS (SELECT node, CAST(ROW_NUMBER() OVER (ORDER BY node) - 1 AS BIGINT) AS cidx
+        |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nd),
+        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |gen AS (SELECT src, unnest(range(0, deg * 2)) AS k FROM dg),
+        |cd AS (SELECT gen.src, gen.k,
+        |    ((gen.src % 1000003) * 8191 + (gen.k % 1000003) * 127 + 524287)
+        |      % 1000003 % nc.n_nodes AS cidx
+        |  FROM gen, nc),
+        |cand AS (SELECT cd.src, cd.k, nd.node AS neg_dst
+        |  FROM cd JOIN nd USING (cidx)
+        |  WHERE nd.node <> cd.src
+        |    AND NOT EXISTS (SELECT 1 FROM e
+        |      WHERE e.src = cd.src AND e.dst = nd.node)),
+        |rk AS (SELECT src, neg_dst,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY k ASC) AS BIGINT) AS rnk
+        |  FROM cand)
+        |SELECT rk.src, rk.neg_dst, rk.rnk
+        |FROM rk JOIN dg USING (src) WHERE rk.rnk <= dg.deg
+        |ORDER BY rk.src, rk.rnk""".stripMargin,
 
     // Data card: scalar aggregates + lang-Gini rational + compacted
     // median walk, all over the doubled corpus.

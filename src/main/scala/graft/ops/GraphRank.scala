@@ -777,6 +777,65 @@ object GraphRank {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** X141: deterministic negative-edge sampling — the link-prediction
+    * training-data generator (the standard negative-sampling step of
+    * every GNN/embedding link model): per positive edge, `negPerEdge`
+    * pseudo-random NON-edges from the same source, reproducible
+    * bit-for-bit under any partitioning because the RNG is
+    * [[randomWalks]]' hash spelling ((src·8191 + k·127 + 524287) mod
+    * 1000003) mod N over a DENSE node index — what a seeded RNG cannot
+    * give on a cluster.
+    *
+    * The node index is [[graft.ops.Packing]]'s distributed rank (no
+    * single-partition window over the node set); candidates
+    * over-generate by `overGen`× then drop self-loops and real edges
+    * (one anti-join), and the per-source quota keeps the FIRST
+    * survivors in attempt order — a rank window whose partition is
+    * ∝ that source's own candidate count, never the graph. Sources
+    * whose neighborhoods cover most of the graph can deliver fewer
+    * than their quota (documented; raise `overGen`).
+    *
+    * @param negPerEdge negatives requested per positive edge
+    * @param overGen    candidate over-generation factor (≥ 2)
+    * @return (src, neg_dst, rnk) with rnk 1..quota in attempt order;
+    *         node ids must be numeric (the hash is arithmetic)
+    */
+  def negativeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                    negPerEdge: Int = 1, overGen: Int = 2): DataFrame = {
+    require(negPerEdge >= 1, s"non-positive negPerEdge: $negPerEdge")
+    require(overGen >= 2, s"over-generation factor must be >= 2: $overGen")
+    val M = 1000003L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false) // forked: nodes + degrees + anti-join
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .select(struct(col("node").as("n")).as("__sk"), lit(1L).as("__one"))
+    val idx = Packing.runningTotalsMulti(nodes, "__sk", Seq("__one"))
+      .select(col("__id.n").as("node"), (col("__one_cum") - 1).as("cidx"))
+      .localCheckpoint(eager = false) // forked: candidate map + node count
+    val nCount = idx.agg(count(lit(1)).as("n_nodes"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false) // forked: generation + quota join
+    val gen = deg.crossJoin(broadcast(nCount))
+      .select(col("src"),
+        explode(sequence(lit(0L),
+          col("deg") * (negPerEdge * overGen) - 1)).as("k"),
+        col("n_nodes"))
+      .select(col("src"), col("k"),
+        (((col("src") % M) * 8191L + (col("k") % M) * 127L + lit(524287L))
+          % M % col("n_nodes")).as("cidx"))
+    val w = Window.partitionBy("src").orderBy(col("k").asc)
+    gen.join(idx.select(col("cidx"), col("node").as("neg_dst")), Seq("cidx"))
+      .filter(col("neg_dst") =!= col("src"))
+      .join(e.select(col("src"), col("dst").as("neg_dst")),
+        Seq("src", "neg_dst"), "left_anti")
+      .join(deg, Seq("src"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= col("deg") * negPerEdge)
+      .select(col("src"), col("neg_dst"), col("rnk"))
+  }
+
   /** Co-citation similarity (Small JASIS 1973): how often two
     * documents are cited TOGETHER — pairs of edge destinations sharing
     * a source. `maxCiterFanout` caps a citing node's out-degree. */

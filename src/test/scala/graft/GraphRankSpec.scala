@@ -349,6 +349,37 @@ class GraphRankSpec extends SparkSpec {
     assert(p == p2)
   }
 
+  test("negativeEdges: brute-force replay, no real edges, quota and determinism") {
+    val rnd = new scala.util.Random(89)
+    val raw = (1 to 120).map(_ => (rnd.nextInt(12).toLong, 100L + rnd.nextInt(25)))
+      .distinct
+    val edges = raw.toDF("src", "dst")
+    val got = GraphRank.negativeEdges(edges.repartition(7), "src", "dst")
+      .as[(Long, Long, Long)].collect().toSeq
+    // replay the construction in memory
+    val e = raw.toSet
+    val nodeIdx = (raw.map(_._1) ++ raw.map(_._2)).distinct.sorted.zipWithIndex
+      .map { case (n, i) => i.toLong -> n }.toMap
+    val n = nodeIdx.size
+    val model = raw.groupBy(_._1).toSeq.flatMap { case (src, es) =>
+      val deg = es.size
+      val cands = (0L until (deg * 2L)).map { k =>
+        nodeIdx(((src % 1000003L) * 8191L + (k % 1000003L) * 127L + 524287L)
+          % 1000003L % n)
+      }.filter(c => c != src && !e.contains((src, c)))
+      cands.take(deg).zipWithIndex.map { case (c, i) => (src, c, i + 1L) }
+    }
+    assert(got.sorted == model.sorted)
+    // hygiene: never a real edge, never a self-loop
+    got.foreach { case (s, d0, _) =>
+      assert(s != d0 && !e.contains((s, d0)), s"($s,$d0)") }
+    assert(got.nonEmpty)
+    // identical under a different layout
+    val re = GraphRank.negativeEdges(edges.repartition(13), "src", "dst")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(re.sorted == got.sorted)
+  }
+
   test("coCitation/bibCoupling match the brute-force model; hub cap excludes keys") {
     val rnd = new scala.util.Random(47)
     val raw = (1 to 300).map(_ => (rnd.nextInt(20).toLong, 100L + rnd.nextInt(30)))
