@@ -260,6 +260,13 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Purged temporal split: cutoff Jan 24 + per-user 1-day embargo —
+    // the time-series leakage-safe split next to q151's cluster split.
+    "q169_temporal_split" -> ((s, d) =>
+      Behavior.temporalSplit(Tables.events(s, d), "user_id", "ts",
+          "event_id", cutoffSec = 1706054400L, embargoSec = 86400L)
+        .orderBy(col("id"))),
+
     // Deterministic negative edges on the parity-encoded supplier→part
     // graph (every 10th supplier) — link-prediction training pairs.
     "q168_negative_edges" -> ((s, d) => {
@@ -1987,6 +1994,18 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Temporal split: per-key first-test min, embargo window purges
+    // late-train rows of that key only.
+    "q169_temporal_split" ->
+      """WITH b AS (SELECT user_id AS key, event_id AS id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |ft AS (SELECT key, MIN(sec) AS t0 FROM b WHERE sec >= 1706054400 GROUP BY 1)
+        |SELECT b.key, b.id, b.sec,
+        |  CASE WHEN b.sec >= 1706054400 THEN 'test'
+        |       WHEN ft.t0 IS NOT NULL AND b.sec > ft.t0 - 86400 THEN 'purged'
+        |       ELSE 'train' END AS split
+        |FROM b LEFT JOIN ft USING (key) ORDER BY b.id""".stripMargin,
 
     // Negative edges: dense node index by ROW_NUMBER, hash-mod
     // candidates (2x over-gen), anti-join reals, per-src quota.

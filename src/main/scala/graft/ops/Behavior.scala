@@ -212,6 +212,39 @@ object Behavior {
     *
     * @return (groupCol, n_points, slope_ppm)
     */
+  /** X142: purged temporal split with embargo (the time-series
+    * leakage-safe split, López de Prado 2018 ch.7 — the temporal twin
+    * of X124's near-dup-cluster split): test = everything at/after the
+    * cutoff; a train-side event is PURGED when it falls within
+    * `embargoSec` of its OWN key's first test event — the per-key gap
+    * that stops features computed on late-train rows from leaking
+    * test-adjacent information (a global gap either over-purges quiet
+    * keys or under-purges active ones; the purge must be per key).
+    * Keys with no test events keep their full train history.
+    *
+    * One scan + one |keys|-row min aggregate joined back (AQE
+    * strategy); timestamps compare at second grain via the engine-
+    * portable epoch truncation every temporal op here uses.
+    *
+    * @return input key/ts plus (split ∈ train|test|purged)
+    */
+  def temporalSplit(events: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, cutoffSec: Long,
+                    embargoSec: Long): DataFrame = {
+    require(embargoSec >= 0, s"negative embargo: $embargoSec")
+    val base = events.select(col(keyCol).as("key"), col(idCol).as("id"),
+        floor(unix_timestamp(col(tsCol))).cast("long").as("sec"))
+      .localCheckpoint(eager = false) // forked: first-test agg + labeling
+    val firstTest = base.filter(col("sec") >= cutoffSec)
+      .groupBy(col("key")).agg(min(col("sec")).as("__t0"))
+    base.join(firstTest, Seq("key"), "left")
+      .select(col("key"), col("id"), col("sec"),
+        when(col("sec") >= cutoffSec, lit("test"))
+          .when(col("__t0").isNotNull &&
+            col("sec") > col("__t0") - embargoSec, lit("purged"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** X135: signed R² (Pearson correlation without the square root) in
     * exact ppm — the metric-drift detector: does a measure move with
     * time / with another measure, per group? Pearson's r needs a sqrt;

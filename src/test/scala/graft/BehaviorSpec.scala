@@ -222,6 +222,32 @@ class BehaviorSpec extends SparkSpec {
     assert(o2 == ((9L, 4L, 2L, 2L)))
   }
 
+  test("temporalSplit: test at cutoff, per-key embargo purge, quiet keys untouched") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    val cutoff = Timestamp.valueOf("2024-01-01 12:00:00").getTime / 1000
+    // key 1: test at 13:30 -> embargo purges (11:30, 13:30 - 2h = 11:30]
+    //   ... events strictly after 11:30 and before cutoff purge
+    // key 2: no test events -> all train
+    val ev = Seq(
+      (1L, 10L, ts(9)), (1L, 11L, ts(11)), (1L, 12L, ts(13)), (1L, 13L, ts(15)),
+      (2L, 20L, ts(9)), (2L, 21L, ts(11)))
+      .toDF("user_id", "event_id", "ts")
+    val out = Behavior.temporalSplit(ev, "user_id", "ts", "event_id",
+        cutoffSec = cutoff, embargoSec = 2 * 3600)
+      .as[(Long, Long, Long, String)].collect().map(r => r._2 -> r._4).toMap
+    // key 1 first test = 13:30; embargo floor = 11:30; event 11 at
+    // 11:30 is NOT strictly after -> train; 12, 13 test
+    assert(out == Map(10L -> "train", 11L -> "train",
+      12L -> "test", 13L -> "test", 20L -> "train", 21L -> "train"))
+    // shrink embargo start: event at 11:31 would purge
+    val ev2 = ev.union(Seq((1L, 14L,
+      Timestamp.valueOf("2024-01-01 11:31:00"))).toDF("user_id", "event_id", "ts"))
+    val o2 = Behavior.temporalSplit(ev2, "user_id", "ts", "event_id",
+        cutoffSec = cutoff, embargoSec = 2 * 3600)
+      .as[(Long, Long, Long, String)].collect().map(r => r._2 -> r._4).toMap
+    assert(o2(14L) == "purged")
+  }
+
   test("corrSignedR2Ppm: brute-force model, perfect lines, constant columns") {
     def brute(pts: Seq[(Long, Long)]): Long = {
       val n = BigInt(pts.size)
