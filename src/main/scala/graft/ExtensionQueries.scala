@@ -260,6 +260,13 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Stratified 5-fold CV assignment per language: exact fold
+    // balance inside every stratum, hash-shuffled, deterministic.
+    "q170_kfold" -> ((s, d) =>
+      Curation.stratifiedKFold(Tables.documents(s, d), "doc_id", "text",
+          "lang", k = 5)
+        .orderBy(col("lang"), col("rnk"))),
+
     // Purged temporal split: cutoff Jan 24 + per-user 1-day embargo —
     // the time-series leakage-safe split next to q151's cluster split.
     "q169_temporal_split" -> ((s, d) =>
@@ -1994,6 +2001,18 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // K-fold: per-lang ROW_NUMBER over (text#id hash, id), fold =
+    // (rn-1) % 5.
+    "q170_kfold" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |    ${dh("text || '#' || CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY hh ASC, doc_id ASC) AS BIGINT) AS rnk FROM h)
+         |SELECT lang, doc_id, rnk, CAST((rnk - 1) % 5 AS BIGINT) AS fold
+         |FROM r ORDER BY lang, rnk""".stripMargin,
 
     // Temporal split: per-key first-test min, embargo window purges
     // late-train rows of that key only.

@@ -183,6 +183,40 @@ object Curation {
       .select(col(idCol), col("group_id"), col("bucket"), split.as("split"))
   }
 
+  /** X143: stratified k-fold assignment — deterministic
+    * cross-validation folds with EXACT per-stratum balance (fold sizes
+    * differ by at most one inside every stratum, the property a
+    * `hash mod k` split only has in expectation): rank each doc
+    * within its stratum under the (content-hash, id) order — the hash
+    * plays the shuffle, text#id keeps it decorrelated from ingestion
+    * order as in [[hashSplit]] — then fold = (rank−1) mod k.
+    *
+    * The rank is the TOTAL (stratum, hash, id) struct order via
+    * [[Packing]]'s two-pass distributed prefix count with |strata|-row
+    * offset recovery ([[perplexityBuckets]]' discipline) — no
+    * per-stratum window ever sees raw document volume.
+    *
+    * @return (`strataCol`, doc_id, rnk, fold) with fold in 0..k-1
+    */
+  def stratifiedKFold(docs: DataFrame, idCol: String, textCol: String,
+                      strataCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 folds: $k")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val keyed = docs.select(struct(col(strataCol).as("g"),
+        charHash(concat(col(textCol), lit("#"),
+          col(idCol).cast("string"))).as("h"),
+        col(idCol).as("id")).as("__sk"), lit(1L).as("__one"))
+    val ranked = Packing.runningTotalsMulti(keyed, "__sk", Seq("__one"))
+      .select(col("__id.g").as("__g"), col("__id.id").as("doc_id"),
+        col("__one_cum").as("__grank"))
+      .localCheckpoint(eager = false) // forked: offsets + output
+    val g0 = ranked.groupBy(col("__g")).agg(min(col("__grank")).as("__g0"))
+    ranked.join(g0, Seq("__g"))
+      .withColumn("rnk", col("__grank") - col("__g0") + 1)
+      .select(col("__g").as(strataCol), col("doc_id"), col("rnk"),
+        expr(s"(rnk - 1) % $k").as("fold"))
+  }
+
   /** X133: water-filling token-budget allocation — the capped
     * fair-share solver behind every "mix these corpora into B tokens"
     * plan: each group receives min(available, t) where the water

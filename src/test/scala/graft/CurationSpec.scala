@@ -180,6 +180,29 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
   }
 
+  test("stratifiedKFold: exact balance per stratum, dense ranks, layout-independent") {
+    val docs = (1L to 47L).map(i =>
+      (i, s"document body $i", if (i % 3 == 0) "en" else "es"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.stratifiedKFold(docs, "doc_id", "text", "lang", k = 5)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.size == 47)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val n = rows.size
+      // dense ranks and folds cycling 0..4 in rank order
+      assert(rows.sortBy(_._3).map(_._3) == (1L to n))
+      rows.foreach(r => assert(r._4 == (r._3 - 1) % 5))
+      // exact balance: fold sizes differ by at most 1
+      val sizes = rows.groupBy(_._4).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"$lang: $sizes")
+    }
+    // deterministic under re-layout
+    val re = Curation.stratifiedKFold(docs.repartition(11), "doc_id", "text",
+        "lang", k = 5)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(re.sortBy(r => (r._1, r._2)) == out.sortBy(r => (r._1, r._2)))
+  }
+
   test("waterFillAlloc matches the iterative water-filling model at every budget") {
     // brute force: repeatedly cap groups below the equal share
     def brute(ns: Map[String, Long], budget: Long): Map[String, Long] = {
