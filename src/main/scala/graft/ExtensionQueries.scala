@@ -260,6 +260,14 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Signed-φ² domain markers: which tokens separate English from the
+    // rest — the readable shortlist behind q150's DSIR scores.
+    "q171_domain_markers" -> ((s, d) =>
+      TermStats.domainMarkersPpm(
+          docsFanned(s, d).withColumn("__is_en", col("lang") === "en"),
+          "text", "__is_en", minCount = 20, topK = 40)
+        .orderBy(abs(col("phi2_signed_ppm")).desc, col("token").asc)),
+
     // Stratified 5-fold CV assignment per language: exact fold
     // balance inside every stratum, hash-shuffled, deterministic.
     "q170_kfold" -> ((s, d) =>
@@ -2001,6 +2009,31 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Domain markers: occurrence 2x2 per token, signed phi2 ppm in
+    // HUGEINT, (|phi2| DESC, token ASC) top-40.
+    "q171_domain_markers" ->
+      """WITH tok AS (SELECT lang = 'en' AS t,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+        |    CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_ref
+        |  FROM tok GROUP BY 1),
+        |tt AS (SELECT SUM(n_target) AS tt, SUM(n_ref) AS tr FROM c),
+        |g AS (SELECT token, n_target, n_ref,
+        |    n_target * (tr - n_ref) - n_ref * (tt - n_target) AS num,
+        |    CAST(n_target + n_ref AS HUGEINT) * ((tt - n_target) + (tr - n_ref))
+        |      * tt * tr AS den
+        |  FROM c, tt WHERE n_target + n_ref >= 20),
+        |s AS (SELECT token, n_target, n_ref,
+        |    CAST(CASE WHEN den = 0 THEN 0
+        |         WHEN num >= 0 THEN (CAST(num AS HUGEINT) * num * 1000000) // den
+        |         ELSE -((CAST(-num AS HUGEINT) * (-num) * 1000000) // den)
+        |         END AS BIGINT) AS phi2_signed_ppm
+        |  FROM g)
+        |SELECT token, n_target, n_ref, phi2_signed_ppm FROM s
+        |ORDER BY abs(phi2_signed_ppm) DESC, token ASC LIMIT 40""".stripMargin,
 
     // K-fold: per-lang ROW_NUMBER over (text#id hash, id), fold =
     // (rn-1) % 5.

@@ -566,6 +566,60 @@ object TermStats {
       .withColumn("mean_rank", expr("sum_rank DIV n_tokens"))
   }
 
+  /** X144: signed-φ² domain-marker tokens — χ² feature selection
+    * (Yang & Pedersen ICML'97) for the 2×2 token-occurrence ×
+    * target-membership table, reported as the BOUNDED effect size
+    * φ² = χ²/N ∈ [0, 1] with the association's direction as its sign
+    * (positive = target marker, negative = reference marker). The
+    * companion to X123: DSIR scores documents with all features;
+    * this names the FEATURES that separate the domains — the
+    * interpretable shortlist a curation reviewer actually reads, and
+    * the input to a sparse classifier.
+    *
+    * Integer-exact: φ²_ppm = sign(ad−bc) · 10⁶·(ad−bc)² div
+    * ((a+b)(c+d)(a+c)(b+d)) over occurrence counts, DECIMAL(38,0)
+    * products — exact while total occurrences N < 5·10⁷ (enforced
+    * loudly; slice larger corpora — the ARI bound discipline).
+    *
+    * Surface tokens travel (the PMI convention — output must be
+    * human-readable): one vocab-keyed aggregate off one corpus pass,
+    * `minCount` prunes the noise tail BEFORE the arithmetic, top-K by
+    * (|φ²| DESC, token ASC) lands in TakeOrderedAndProject.
+    *
+    * @return topK rows (token, n_target, n_ref, phi2_signed_ppm)
+    */
+  def domainMarkersPpm(docs: DataFrame, textCol: String, targetCol: String,
+                       minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val counts = docs
+      .select(col(targetCol).cast("boolean").as("__t"),
+        explode(TextFeatures.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_target"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("n_ref"))
+      .localCheckpoint(eager = false) // forked: totals + scoring
+    val tot = counts.agg(sum(col("n_target")).as("tt"), sum(col("n_ref")).as("tr"))
+    counts.filter(col("n_target") + col("n_ref") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("__num", col("n_target") * (col("tr") - col("n_ref"))
+        - col("n_ref") * (col("tt") - col("n_target")))
+      .withColumn("__den", expr(
+        "cast(n_target + n_ref as decimal(38,0)) * " +
+          "((tt - n_target) + (tr - n_ref)) * tt * tr"))
+      .select(col("token"), col("n_target"), col("n_ref"),
+        when(col("tt") + col("tr") > 50000000L, raise_error(lit(
+          "phi2 magnitude bound: compute per slice below 5e7 occurrences")))
+          .when(col("__den") === 0, lit(0L))
+          .when(col("__num") >= 0, expr(
+            "(cast(__num as decimal(38,0)) * __num * 1000000) div __den")
+            .cast("long"))
+          .otherwise(-expr(
+            "(cast(-__num as decimal(38,0)) * (-__num) * 1000000) div __den")
+            .cast("long"))
+          .as("phi2_signed_ppm"))
+      .orderBy(abs(col("phi2_signed_ppm")).desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** X134: tail-vocabulary (OOV-proxy) rate per source — the "which
     * sources are full of junk tokens" curation signal: the share of a
     * source's token OCCURRENCES that fall outside the corpus's top-K

@@ -295,6 +295,46 @@ class TermStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("domainMarkersPpm: brute-force phi2, signs point at the right domain") {
+    val rnd = new scala.util.Random(97)
+    val docs = (1 to 80).map { i =>
+      val isT = i % 2 == 0
+      val marker = if (isT) "alpha" else "beta"
+      val body = (0 until 6).map(_ => s"common${rnd.nextInt(5)}").mkString(" ")
+      (s"$marker $body", isT)
+    }.toDF("text", "is_t")
+    val got = TermStats.domainMarkersPpm(docs, "text", "is_t",
+        minCount = 3, topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    def brute: Map[String, (Long, Long, Long)] = {
+      val occ = docs.as[(String, Boolean)].collect().toSeq.flatMap { case (t, it) =>
+        t.split(" ").filter(_.nonEmpty).map(w => (w, it)) }
+      val tt = occ.count(_._2).toLong; val tr = occ.count(!_._2).toLong
+      occ.groupBy(_._1).map { case (w, os) =>
+        val a = os.count(_._2).toLong; val b = os.count(!_._2).toLong
+        val num = BigInt(a) * (tr - b) - BigInt(b) * (tt - a)
+        val den = BigInt(a + b) * ((tt - a) + (tr - b)) * tt * tr
+        val ppm = if (den == 0) BigInt(0)
+          else if (num >= 0) num * num * 1000000 / den
+          else -((-num) * (-num) * 1000000 / den)
+        w -> ((a, b, ppm.toLong))
+      }.filter { case (_, (a, b, _)) => a + b >= 3 }
+    }
+    val exp = brute
+    got.foreach { case (w, a, b, ppm) =>
+      assert(exp(w) == ((a, b, ppm)), w) }
+    // ranking: top-10 by |phi2| desc matches the model's order prefix
+    val order = exp.toSeq.sortBy { case (w, (_, _, p)) => (-math.abs(p), w) }
+      .take(10).map(_._1)
+    assert(got.map(_._1) == order)
+    // the planted markers rank top-2 with the right signs (phi2 is an
+    // occurrence-level effect size: a 1-token-in-7 marker caps well
+    // below 1e6 — significance is in the ORDER, not the magnitude)
+    val byW = got.map(r => r._1 -> r._4).toMap
+    assert(got.take(2).map(_._1).toSet == Set("alpha", "beta"))
+    assert(byW("alpha") > 0L && byW("beta") < 0L)
+  }
+
   test("tailVocabRatePpm: head cut by (count desc, token asc), per-source tail shares") {
     // corpus counts: a=4, b=3, c=2, z=1 -> top-2 head = {a, b}
     val docs = Seq(
