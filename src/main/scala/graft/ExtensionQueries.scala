@@ -260,6 +260,18 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // k-anonymity audit at k=10 over the (lang, source) quasi-
+    // identifier — the re-identification risk number per release.
+    "q172_k_anonymity" -> ((s, d) =>
+      Profiler.kAnonymityAudit(Tables.documents(s, d),
+        Seq("lang", "source"), 10L)),
+
+    // Corpus self-similarity probe: one hash-partner per doc, exact
+    // trigram Jaccard — the templated-corpus detector at |docs| cost.
+    "q173_self_similarity" -> ((s, d) =>
+      TextDedup.selfSimilarityProbe(docsFanned(s, d), "doc_id", "text")
+        .orderBy(col("id_a"))),
+
     // Signed-φ² domain markers: which tokens separate English from the
     // rest — the readable shortlist behind q150's DSIR scores.
     "q171_domain_markers" -> ((s, d) =>
@@ -2009,6 +2021,39 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // k-anonymity: QI group sizes, below-k rollup.
+    "q172_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT CAST(10 AS BIGINT) AS k_threshold,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below,
+        |  CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(MIN(sz) AS BIGINT) AS min_group_size
+        |FROM g""".stripMargin,
+
+    // Self-similarity: dense rank, hash partner skewed past self,
+    // list_intersect Jaccard on distinct trigram lists.
+    "q173_self_similarity" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |ix AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx, sh FROM sh),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ix),
+        |pr AS (SELECT a.doc_id AS id_a, a.sh AS sa, a.idx AS ia,
+        |    ((a.idx % 1000003) * 8191 + 524287) % 1000003 % (nc.n - 1) AS p
+        |  FROM ix a, nc WHERE nc.n >= 2),
+        |pp AS (SELECT id_a, sa, CASE WHEN p >= ia THEN p + 1 ELSE p END AS pidx FROM pr),
+        |j AS (SELECT pp.id_a, b.doc_id AS id_b,
+        |    CAST(len(pp.sa) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+        |    CAST(len(list_intersect(pp.sa, b.sh)) AS BIGINT) AS n_common
+        |  FROM pp JOIN ix b ON b.idx = pp.pidx)
+        |SELECT id_a, id_b, n_a, n_b, n_common,
+        |  CAST(n_common * 1000000 // (n_a + n_b - n_common) AS BIGINT) AS jaccard_ppm
+        |FROM j ORDER BY id_a""".stripMargin,
 
     // Domain markers: occurrence 2x2 per token, signed phi2 ppm in
     // HUGEINT, (|phi2| DESC, token ASC) top-40.

@@ -269,6 +269,32 @@ object Profiler {
         col("n_below"), col("n_above"))
   }
 
+  /** X145: k-anonymity audit (Sweeney 2002) — the re-identification
+    * risk check that belongs next to X26's PII scrub: every
+    * quasi-identifier combination whose group holds fewer than k rows
+    * pins its members to a small candidate set; publishing such rows
+    * is the classic linkage-attack surface. One number per release:
+    * how many groups, how many rows, sit below k.
+    *
+    * One map-side-combinable count onto the QI key, one single-row
+    * fold — the audit costs a groupBy even at 100 TB, and the QI key
+    * space is the state bound.
+    *
+    * @return one row (k_threshold, n_groups, n_rows, n_groups_below,
+    *         n_rows_at_risk, min_group_size)
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityAudit needs quasi-identifier columns")
+    require(k >= 2, s"k must be at least 2: $k")
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_rows"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_groups_below"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("sz")).as("min_group_size"))
+      .select(lit(k).as("k_threshold"), col("n_groups"), col("n_rows"),
+        col("n_groups_below"), col("n_rows_at_risk"), col("min_group_size"))
+  }
+
   /** X140: dataset card — the one-row corpus summary a release ships
     * with (the quantitative core of a Datasheets/Data-Card document,
     * Gebru et al. 2021): volume, diversity, duplication, and central

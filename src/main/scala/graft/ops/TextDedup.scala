@@ -708,6 +708,60 @@ object TextDedup {
     *
     * @return (src_a ≤ src_b, n_pairs)
     */
+  /** X146: corpus self-similarity probe — the templated-corpus
+    * detector (the cheap cousin of Self-BLEU): pair every document
+    * with ONE hash-deterministic partner and measure exact trigram
+    * Jaccard per pair. A high mean says the corpus is boilerplate
+    * stamped from few templates even when no pair crosses a dedup
+    * threshold; |docs| pairs instead of |docs|² makes it a probe you
+    * can afford per release.
+    *
+    * Partner choice is [[graft.ops.GraphRank.negativeEdges]]'
+    * discipline: dense index via the distributed rank, partner idx =
+    * hash(idx) mod (n−1) skewed past self — bit-deterministic under
+    * any layout. Each pair computes set Jaccard on DISTINCT shingle
+    * arrays with engine set functions (array_intersect sizes — the
+    * same values DuckDB's list_intersect yields on sorted-distinct
+    * string lists).
+    *
+    * @return (id_a, id_b, n_a, n_b, n_common, jaccard_ppm) — one row
+    *         per doc with ≥ 3 tokens; singleton-corpus inputs yield
+    *         nothing
+    */
+  def selfSimilarityProbe(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val M = 1000003L
+    val base = docs
+      .select(col(idCol).as("id"),
+        array_distinct(shingles(tokens(col(textCol)), 3)).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .localCheckpoint(eager = false) // forked: rank + both pair sides
+    val keyed = base.select(struct(col("id").as("n")).as("__sk"), lit(1L).as("__one"))
+    val idx = Packing.runningTotalsMulti(keyed, "__sk", Seq("__one"))
+      .select(col("__id.n").as("id"), (col("__one_cum") - 1).as("idx"))
+    val n = idx.agg(count(lit(1)).as("n_docs"))
+    val withIdx = base.join(idx, Seq("id"))
+      .crossJoin(broadcast(n))
+      .filter(col("n_docs") >= 2)
+      .localCheckpoint(eager = false) // forked: probe side + partner side
+    val probes = withIdx.select(col("id").as("id_a"), col("sh").as("__sa"),
+      // partner = (hash(idx) mod (n-1)), skipping self by shifting
+      // values at/after own idx up by one
+      ((((col("idx") % M) * 8191L + 524287L) % M) % (col("n_docs") - 1)).as("__p"),
+      col("idx").as("__ia"))
+      .withColumn("__pidx",
+        when(col("__p") >= col("__ia"), col("__p") + 1).otherwise(col("__p")))
+    probes.join(withIdx.select(col("idx").as("__pidx"), col("id").as("id_b"),
+        col("sh").as("__sb")), Seq("__pidx"))
+      .select(col("id_a"), col("id_b"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("n_common"))
+      .withColumn("jaccard_ppm",
+        expr("n_common * 1000000 DIV (n_a + n_b - n_common)"))
+  }
+
   /** X139: LSH s-curve planner — the collision-probability table
     * P(candidate | similarity s) = 1 − (1 − s^r)^b for a grid of
     * (bands, rows-per-band) configs: the a-priori tuning companion to

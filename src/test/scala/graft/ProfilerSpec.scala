@@ -325,6 +325,16 @@ class ProfilerSpec extends SparkSpec {
     assert(out("quad") == (("quad", 12L, 4L, 750000L)))
   }
 
+  test("kAnonymityAudit: groups below k counted with their row mass") {
+    val df = (Seq.fill(12)(("en", "s1")) ++ Seq.fill(3)(("en", "s2")) ++
+      Seq.fill(1)(("es", "s1")) ++ Seq.fill(10)(("es", "s2")))
+      .toDF("lang", "source")
+    val out = Profiler.kAnonymityAudit(df, Seq("lang", "source"), 10L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // groups: 12, 3, 1, 10 -> below 10: the 3 and the 1 (4 rows at risk)
+    assert(out == ((10L, 4L, 26L, 2L, 4L, 1L)))
+  }
+
   test("dataCard: one-row summary reconciles with hand computation") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"),      // exact dup pair

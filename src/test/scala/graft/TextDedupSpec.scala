@@ -253,6 +253,43 @@ class TextDedupSpec extends SparkSpec {
     assert(a.size == 12)
   }
 
+  test("selfSimilarityProbe: one partner per doc, replayed pairing, exact Jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox runs"),
+      (3L, "a completely different sentence here"),
+      (4L, "short"),                               // < 3 tokens: excluded
+      (5L, "the quick brown fox jumps"))           // clone of 1
+      .toDF("doc_id", "text")
+    val out = TextDedup.selfSimilarityProbe(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 4 && !out.exists(r => r._1 == 4L || r._2 == 4L))
+    // replay the pairing: eligible ids 1,2,3,5 -> idx 0..3, n=4
+    def partner(ia: Long): Long = {
+      val p = ((ia % 1000003L) * 8191L + 524287L) % 1000003L % 3L
+      if (p >= ia) p + 1 else p
+    }
+    val ids = Seq(1L, 2L, 3L, 5L)
+    val exp = ids.zipWithIndex.map { case (id, i) =>
+      id -> ids(partner(i).toInt) }.toMap
+    assert(out.map(r => r._1 -> r._2).toMap == exp)
+    // exact Jaccard hand-check wherever the clone pair appears
+    out.foreach { case (a, b, na, nb, nc, ppm) =>
+      val sh = (t: String) => t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val texts = Map(1L -> "the quick brown fox jumps",
+        2L -> "the quick brown fox runs",
+        3L -> "a completely different sentence here",
+        5L -> "the quick brown fox jumps")
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      assert(na == sa.size && nb == sb.size && nc == sa.intersect(sb).size)
+      assert(ppm == nc * 1000000L / (na + nb - nc))
+    }
+    // layout independence
+    val re = TextDedup.selfSimilarityProbe(docs.repartition(5), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(re.sortBy(_._1) == out.sortBy(_._1))
+  }
+
   test("lshSCurvePpm: monotone in s, endpoints exact, matches closed-form floats loosely") {
     val out = TextDedup.lshSCurvePpm(spark, Seq((4, 4), (8, 2)), stepPct = 5)
       .as[(Long, Long, Long, Long)].collect()
