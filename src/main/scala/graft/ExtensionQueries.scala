@@ -260,6 +260,13 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Deterministic word-dropout augmentation (15%, variant 1) — the
+    // auditable text-augmentation primitive, hash in place of RNG.
+    "q174_token_dropout" -> ((s, d) =>
+      Curation.tokenDropout(docsFanned(s, d), "doc_id", "text",
+          dropPermille = 150, variant = 1)
+        .orderBy(col("doc_id"))),
+
     // k-anonymity audit at k=10 over the (lang, source) quasi-
     // identifier — the re-identification risk number per release.
     "q172_k_anonymity" -> ((s, d) =>
@@ -2021,6 +2028,21 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Token dropout: list_filter with the 1-based index shifted to
+    // Spark's 0-based positions, same hash, keep iff >= 150.
+    "q174_token_dropout" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |k AS (SELECT doc_id, t,
+        |    list_filter(t, (x, i) ->
+        |      ((doc_id % 1000003) * 8191 + (((i - 1) + 31) % 1000003) * 127 + 524287)
+        |        % 1000003 % 1000 >= 150) AS kept
+        |  FROM tok)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS variant,
+        |  array_to_string(kept, ' ') AS text_aug,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // k-anonymity: QI group sizes, below-k rollup.
     "q172_k_anonymity" ->

@@ -183,6 +183,37 @@ object Curation {
       .select(col(idCol), col("group_id"), col("bucket"), split.as("split"))
   }
 
+  /** X147: deterministic token-dropout augmentation — word dropout
+    * (the EDA/SSL text-augmentation staple) with the repo's hash-RNG
+    * discipline: token at position p of doc d under variant v drops
+    * iff hash(d, p + 31·v) mod 1000 < `dropPermille`. Every variant of
+    * every doc is reproducible bit-for-bit on any cluster layout and
+    * any retry — the property that makes augmented corpora auditable
+    * (a seeded RNG re-rolls on task retry; a hash cannot).
+    *
+    * Pure per-row projection inside codegen: no shuffle, no state;
+    * generate k variants by calling with k variant ids and unioning.
+    *
+    * @return (doc_id, variant, text_aug, n_tokens, n_kept)
+    */
+  def tokenDropout(docs: DataFrame, idCol: String, textCol: String,
+                   dropPermille: Int, variant: Int): DataFrame = {
+    require(dropPermille >= 0 && dropPermille < 1000,
+      s"drop rate out of [0, 1000): $dropPermille")
+    require(variant >= 0, s"negative variant: $variant")
+    val M = 1000003L
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), lit(variant.toLong).as("variant"),
+        filter(col("__t"), (_, i) =>
+          ((col("doc_id") % M) * 8191L
+            + ((i.cast("long") + lit(variant * 31L)) % M) * 127L
+            + 524287L) % M % 1000L >= dropPermille).as("__kept"),
+        size(col("__t")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("variant"),
+        concat_ws(" ", col("__kept")).as("text_aug"),
+        col("n_tokens"), size(col("__kept")).cast("long").as("n_kept"))
+  }
+
   /** X143: stratified k-fold assignment — deterministic
     * cross-validation folds with EXACT per-stratum balance (fold sizes
     * differ by at most one inside every stratum, the property a

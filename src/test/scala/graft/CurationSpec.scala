@@ -180,6 +180,32 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
   }
 
+  test("tokenDropout: hash-replayed keeps, variant divergence, bounds hold") {
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    def model(id: Long, n: Int, variant: Int, drop: Int): Seq[Int] =
+      (0 until n).filter { i =>
+        ((id % 1000003L) * 8191L + ((i + 31L * variant) % 1000003L) * 127L
+          + 524287L) % 1000003L % 1000L >= drop }
+    val out = Curation.tokenDropout(docs, "doc_id", "text", 300, 1)
+      .as[(Long, Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val toks1 = "a b c d e f g h i j".split(" ")
+    val kept1 = model(1L, 10, 1, 300).map(toks1(_))
+    assert(out(1L)._3 == kept1.mkString(" ") && out(1L)._5 == kept1.size)
+    assert(out(1L)._4 == 10L && out(1L)._2 == 1L)
+    val toks2 = "x y z".split(" ")
+    val kept2 = model(2L, 3, 1, 300).map(toks2(_))
+    assert(out(2L)._3 == kept2.mkString(" "))
+    // a different variant drops a different mask (with high probability
+    // on 10 tokens at 30%) — and zero rate keeps everything
+    val v2 = Curation.tokenDropout(docs, "doc_id", "text", 300, 2)
+      .as[(Long, Long, String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(v2(1L) == model(1L, 10, 2, 300).map(toks1(_)).mkString(" "))
+    val zero = Curation.tokenDropout(docs, "doc_id", "text", 0, 1)
+      .as[(Long, Long, String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(zero(1L) == "a b c d e f g h i j")
+  }
+
   test("stratifiedKFold: exact balance per stratum, dense ranks, layout-independent") {
     val docs = (1L to 47L).map(i =>
       (i, s"document body $i", if (i % 3 == 0) "en" else "es"))
