@@ -260,6 +260,42 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Grade correlation (scale-safe Spearman, B=1000): does event value
+    // drift with time, per event type — rank moments stay in exact
+    // integer range at any corpus size.
+    "q175_spearman_grade" -> ((s, d) =>
+      Behavior.spearmanGradePpm(Tables.events(s, d), "event_type",
+          expr("floor(unix_timestamp(ts))"), expr("floor(value * 1000)"))
+        .orderBy(col("event_type"))),
+
+    // Chunking-waste planner: price four candidate max_lens from the
+    // length histogram before paying for any chunking pass.
+    "q176_chunk_waste" -> ((s, d) =>
+      Packing.chunkWastePlan(Tables.documents(s, d), "text",
+          Seq(16, 32, 64, 128))
+        .orderBy(col("max_len"))),
+
+    // Embedding anisotropy probe: mean pairwise dot via the closed
+    // form ‖Σv‖² − Σ‖v‖² — one corpus pass, no pair join.
+    "q177_anisotropy" -> ((s, d) =>
+      Spectral.anisotropyPpm(Tables.embeddings(s, d), "embedding")),
+
+    // Token burstiness: Fano factor of per-doc counts vs the Poisson
+    // 10⁶ baseline — the concentrated-token (template/spam) detector.
+    "q178_burstiness" -> ((s, d) =>
+      TermStats.burstinessPpm(docsFanned(s, d), "doc_id", "text",
+          minTotal = 30L, k = 50)
+        .orderBy(col("vmr_ppm").desc, col("token").asc)),
+
+    // Histogram-matched resample: thin the corpus so its length
+    // distribution matches the English subset's, hash-deterministic.
+    "q179_match_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.matchResample(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", bucketWidth = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic word-dropout augmentation (15%, variant 1) — the
     // auditable text-augmentation primitive, hash in place of RNG.
     "q174_token_dropout" -> ((s, d) =>
@@ -2028,6 +2064,121 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Grade correlation: q56-compacted doubled ranks → B=1000 grades,
+    // Pearson moments in HUGEINT, the same two-step floor division.
+    "q175_spearman_grade" ->
+      """WITH b AS (SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) AS x,
+        |    CAST(floor(value * 1000) AS BIGINT) AS y FROM events),
+        |cx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |gx AS (SELECT g, x, (1000 * (2 * SUM(c) OVER (PARTITION BY g ORDER BY x) - c))
+        |      // (2 * SUM(c) OVER (PARTITION BY g)) AS gx FROM cx),
+        |cy AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |gy AS (SELECT g, y, (1000 * (2 * SUM(c) OVER (PARTITION BY g ORDER BY y) - c))
+        |      // (2 * SUM(c) OVER (PARTITION BY g)) AS gy FROM cy),
+        |j AS (SELECT b.g, gx.gx, gy.gy FROM b
+        |  JOIN gx ON gx.g = b.g AND gx.x = b.x
+        |  JOIN gy ON gy.g = b.g AND gy.y = b.y),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, SUM(gx) AS sx, SUM(gy) AS sy,
+        |    SUM(gx * gy) AS sxy, SUM(gx * gx) AS sxx, SUM(gy * gy) AS syy
+        |  FROM j GROUP BY 1),
+        |d AS (SELECT g, n,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy FROM m)
+        |SELECT g AS event_type, n AS n_points,
+        |  CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+        |       WHEN num >= 0 THEN (((num * num) // dx) * 1000000) // dy
+        |       ELSE -((((num * num) // dx) * 1000000) // dy) END AS BIGINT)
+        |    AS spearman_r2_signed_ppm
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // Chunk-waste planner: length histogram × candidate lengths,
+    // ceiling arithmetic, exact ppm ratios.
+    "q176_chunk_waste" ->
+      """WITH h AS (SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS l,
+        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+        |x AS (SELECT ml, l, c, (l + ml - 1) // ml AS ex,
+        |    greatest(l - ml, 0) AS lost
+        |  FROM h, (SELECT CAST(unnest([16, 32, 64, 128]) AS BIGINT) AS ml)),
+        |a AS (SELECT ml AS max_len, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |    CAST(SUM(l * c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(ex * c) AS BIGINT) AS chunk_examples,
+        |    CAST(SUM((ex * ml - l) * c) AS BIGINT) AS chunk_pad_tokens,
+        |    CAST(SUM(lost * c) AS BIGINT) AS trunc_lost_tokens
+        |  FROM x GROUP BY 1)
+        |SELECT max_len, n_docs, n_tokens, chunk_examples, chunk_pad_tokens,
+        |  CAST(CASE WHEN chunk_examples = 0 THEN 0
+        |       ELSE (CAST(chunk_pad_tokens AS HUGEINT) * 1000000)
+        |         // (CAST(chunk_examples AS HUGEINT) * max_len) END AS BIGINT)
+        |    AS chunk_waste_ppm,
+        |  trunc_lost_tokens,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE (CAST(trunc_lost_tokens AS HUGEINT) * 1000000) // n_tokens
+        |       END AS BIGINT) AS trunc_lost_ppm
+        |FROM a ORDER BY max_len""".stripMargin,
+
+    // Anisotropy: ‖Σv‖² − Σ‖v‖² on 10³-quantized elements, the same
+    // sign-split two-step floor division.
+    "q177_anisotropy" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(len(qv)) AS BIGINT) AS dims,
+        |    CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS HUGEINT) AS tq
+        |  FROM q),
+        |p AS (SELECT i, SUM(qv[CAST(i AS INT)]) AS s
+        |  FROM q, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1),
+        |sn AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS snorm FROM p),
+        |f AS (SELECT n, dims, tq, snorm, snorm - tq AS d FROM t, sn)
+        |SELECT n AS n_vecs, dims,
+        |  CAST(CASE WHEN n < 2 THEN 0
+        |       WHEN d >= 0 THEN d // (CAST(n AS HUGEINT) * (n - 1))
+        |       ELSE -((-d) // (CAST(n AS HUGEINT) * (n - 1))) END AS BIGINT)
+        |    AS mean_pair_dot_q3,
+        |  CAST(CASE WHEN n < 2 OR tq = 0 THEN 0
+        |       WHEN d >= 0 THEN ((d * 1000000) // tq) // (n - 1)
+        |       ELSE -(((-d) * 1000000 // tq) // (n - 1)) END AS BIGINT)
+        |    AS anisotropy_ppm
+        |FROM f""".stripMargin,
+
+    // Burstiness: (token, doc) counts, zero-inclusive VMR via the
+    // closed form (N·Σc² − t²)/(N·t), HUGEINT, top-50.
+    "q178_burstiness" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        |  FROM documents),
+        |pd AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |m AS (SELECT t, CAST(count(*) AS BIGINT) AS n_docs_with,
+        |    CAST(SUM(c) AS BIGINT) AS n_occ, CAST(SUM(c * c) AS BIGINT) AS sc2
+        |  FROM pd GROUP BY 1)
+        |SELECT t AS token, n_docs_with, n_occ,
+        |  CAST(((CAST(nd.n AS HUGEINT) * sc2 - CAST(n_occ AS HUGEINT) * n_occ)
+        |    * 1000000) // (CAST(nd.n AS HUGEINT) * n_occ) AS BIGINT) AS vmr_ppm
+        |FROM m, nd WHERE n_occ >= 30
+        |ORDER BY vmr_ppm DESC, token ASC LIMIT 50""".stripMargin,
+
+    // Histogram-matched resample: per-bucket capped importance rate,
+    // keep iff hash(text#id) mod 1e6 below it.
+    "q179_match_resample" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    ${dh("text || '#' || CAST(doc_id AS VARCHAR)")} AS h,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) // 10 AS bucket
+         |  FROM documents),
+         |sh AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cs FROM b GROUP BY 1),
+         |rh AS (SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) // 10 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cr
+         |  FROM documents WHERE lang = 'en' GROUP BY 1),
+         |tt AS (SELECT (SELECT SUM(cs) FROM sh) AS ns, (SELECT COALESCE(SUM(cr), 0) FROM rh) AS nr),
+         |r AS (SELECT sh.bucket,
+         |    CASE WHEN COALESCE(rh.cr, 0) = 0 OR tt.nr = 0 THEN 0
+         |         ELSE least(1000000, (CAST(rh.cr AS HUGEINT) * tt.ns * 1000000)
+         |           // (CAST(sh.cs AS HUGEINT) * tt.nr)) END AS accept_ppm
+         |  FROM sh LEFT JOIN rh ON rh.bucket = sh.bucket CROSS JOIN tt)
+         |SELECT b.doc_id, b.bucket, CAST(r.accept_ppm AS BIGINT) AS accept_ppm,
+         |  CAST(CASE WHEN b.h % 1000000 < r.accept_ppm THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM b JOIN r ON r.bucket = b.bucket ORDER BY b.doc_id""".stripMargin,
 
     // Token dropout: list_filter with the 1-based index shifted to
     // Spark's 0-based positions, same hash, keep iff >= 150.

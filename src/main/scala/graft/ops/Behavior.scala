@@ -305,6 +305,77 @@ object Behavior {
           .as("slope_ppm"))
   }
 
+  /** X148: grade correlation — Spearman's rank correlation in the one
+    * spelling whose arithmetic survives corpus scale. Average ranks are
+    * quantized to `grades` = B quantile buckets (the rank's grade), and
+    * Pearson's signed R² then runs on the grades: plain Spearman's
+    * moment products grow as n⁴ and leave exact integer range around
+    * n ≈ 5·10⁴ rows per group, while grades cap every value at B, so
+    * the arithmetic stays exact in DECIMAL(38,0) to n = 3·10⁶ per
+    * group (enforced loudly) — and the statistic is still a DEFINED
+    * estimator (the grade/quantile correlation), not a float
+    * approximation that drifts between engines.
+    *
+    * Ranks come from the q56 compaction: per-(group, value) counts,
+    * rank windows over |distinct values| rows only — never raw row
+    * volume; the doubled average rank r2 = 2·cum − cnt + 1 keeps ties
+    * integral, and grade = B·(r2 − 1) div (2n) ∈ [0, B).
+    *
+    * The final ratio is the two-step floor division
+    * ((num² div dx)·10⁶) div dy — spelled identically in the oracle —
+    * because the one-step num²·10⁶ would re-shrink the exact range by
+    * 10³. Constant-x or constant-y groups (den 0) read 0.
+    *
+    * Dataflow: two compact rank tables join back onto row volume by
+    * (group, value) equality (AQE-planned), then ONE map-side-
+    * combinable moment aggregate per group. Windows never see row
+    * volume.
+    *
+    * @return (group, n_points, spearman_r2_signed_ppm)
+    */
+  def spearmanGradePpm(df: DataFrame, groupCol: String, xExpr: Column,
+                       yExpr: Column, grades: Int = 1000): DataFrame = {
+    require(grades >= 2, s"need at least 2 grades: $grades")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("__g"),
+      xExpr.cast("long").as("__x"), yExpr.cast("long").as("__y"))
+      .localCheckpoint(eager = false) // forked: two rank tables + join-back
+    def gradeTable(c: String, out: String) = {
+      val wCum = Window.partitionBy("__g").orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("__g")
+      base.groupBy(col("__g"), col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .select(col("__g"), col(c),
+          expr(s"($grades * (2 * __cum - __c)) div (2 * __n)").as(out))
+    }
+    base.join(gradeTable("__x", "__gx"), Seq("__g", "__x"))
+      .join(gradeTable("__y", "__gy"), Seq("__g", "__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__gx")).as("__sx"), sum(col("__gy")).as("__sy"),
+        sum(col("__gx") * col("__gy")).as("__sxy"),
+        sum(col("__gx") * col("__gx")).as("__sxx"),
+        sum(col("__gy") * col("__gy")).as("__syy"))
+      .select(col("__g"), col("n_points"),
+        expr("cast(n_points as decimal(38,0)) * __sxy - cast(__sx as decimal(38,0)) * __sy").as("__num"),
+        expr("cast(n_points as decimal(38,0)) * __sxx - cast(__sx as decimal(38,0)) * __sx").as("__dx"),
+        expr("cast(n_points as decimal(38,0)) * __syy - cast(__sy as decimal(38,0)) * __sy").as("__dy"))
+      .select(col("__g").as(groupCol), col("n_points"),
+        when(col("n_points") > 3000000L, raise_error(lit(
+          "spearmanGradePpm group-size bound: 3e6 rows per group keeps " +
+            "num^2 inside DECIMAL(38,0) — sample the group first")))
+          .when(col("__dx") === 0 || col("__dy") === 0, lit(0L))
+          .otherwise(expr("sign(__num)").cast("long") *
+            // the inner div re-enters DECIMAL(38,0) before the 10⁶
+            // scale-up: `div` lands in LONG, and (num² div dx) ≤ dy can
+            // sit near 10¹³ — ·10⁶ would overflow a long silently.
+            expr("(cast((__num * __num) div __dx as decimal(38,0)) * 1000000) div __dy")
+              .cast("long"))
+          .as("spearman_r2_signed_ppm"))
+  }
+
   /** X84: first-order Markov transition matrix over per-user event
     * sequences — the behavioral fingerprint (which action follows
     * which) that powers next-step prediction baselines, bot detection

@@ -534,4 +534,61 @@ object Curation {
     import spark.implicits._
     picked.toSeq.toDF("rnk", idCol, "gain")
   }
+
+  /** X152: histogram-matched resampling — deterministically thin a
+    * corpus so its token-length distribution matches a reference
+    * corpus's (the distribution-matching step behind "make the web
+    * crawl look like the curated set" mixing recipes; the length axis
+    * is the canonical instance — any integer feature works the same
+    * way). Per length bucket b the capped importance rule:
+    *
+    *   accept_ppm(b) = min(10⁶, 10⁶ · ref(b)·n_src div (src(b)·n_ref))
+    *
+    * thins over-represented buckets proportionally and keeps
+    * under-represented ones whole (no up-sampling — this is a filter,
+    * not a generator). A doc is kept iff hash(text#id) mod 10⁶ falls
+    * below its bucket's rate — the [[hashSplit]] RNG discipline:
+    * bit-reproducible under any partitioning, layout, or retry, and
+    * decorrelated from ingestion order. Buckets absent from the
+    * reference read rate 0 (nothing there to match).
+    *
+    * Shape: two map-side-combinable length histograms (key cardinality
+    * ≤ longest-doc/width), a |buckets|-row rate table joined back by
+    * bucket equality (AQE-planned — never force-broadcast), one
+    * codegen'd keep projection. Corpus volume is read once per side
+    * and shuffled only by the rate join's bucket key.
+    *
+    * @return (doc_id, bucket, accept_ppm, kept) for every corpus doc
+    */
+  def matchResample(corpus: DataFrame, reference: DataFrame, idCol: String,
+                    textCol: String, bucketWidth: Int): DataFrame = {
+    require(bucketWidth >= 1, s"non-positive bucket width: $bucketWidth")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("doc_id"),
+        charHash(concat(col(textCol), lit("#"), col(idCol).cast("string")))
+          .as("__h"),
+        size(tokens(col(textCol))).cast("long").as("__len"))
+      .withColumn("bucket", expr(s"__len div $bucketWidth"))
+      .localCheckpoint(eager = false) // forked: source histogram + labeling
+    val srcH = base.groupBy(col("bucket")).agg(count(lit(1)).as("__cs"))
+      .localCheckpoint(eager = false) // forked: total + rate table
+    val refH = reference
+      .select(size(tokens(col(textCol))).cast("long").as("__len"))
+      .withColumn("bucket", expr(s"__len div $bucketWidth"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__cr"))
+      .localCheckpoint(eager = false) // forked: total + rate table
+    val totals = srcH.agg(sum(col("__cs")).as("__ns"))
+      .crossJoin(refH.agg(coalesce(sum(col("__cr")), lit(0L)).as("__nr")))
+    val rates = srcH.join(refH, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        when(coalesce(col("__cr"), lit(0L)) === 0 || col("__nr") === 0, lit(0L))
+          .otherwise(least(lit(1000000L),
+            expr("""(cast(__cr as decimal(38,0)) * __ns * 1000000)
+                   | div (cast(__cs as decimal(38,0)) * __nr)""".stripMargin)
+              .cast("long"))).as("accept_ppm"))
+    base.join(rates, Seq("bucket"))
+      .select(col("doc_id"), col("bucket"), col("accept_ppm"),
+        (col("__h") % 1000000L < col("accept_ppm")).cast("long").as("kept"))
+  }
 }

@@ -168,4 +168,59 @@ object Packing {
     }.select((col("__id") +: (valCols.map(col) ++
       valCols.map(c => col(s"${c}_cum")))): _*)
   }
+
+  /** X149: chunking-waste planner — the capacity answer to "what
+    * max_len do we train at?" BEFORE paying for a chunking pass
+    * ([[chunkDocuments]] executes the winner; this prices every
+    * candidate). For each candidate length L, two standard batching
+    * strategies are costed in closed form from the corpus's token-length
+    * histogram:
+    *
+    *   - chunk: a doc becomes ⌈len/L⌉ examples padded to L —
+    *     pad = ⌈len/L⌉·L − len, waste_ppm = pad·10⁶ div (L·examples);
+    *   - truncate: one example, tokens beyond L are lost —
+    *     lost_ppm = lost·10⁶ div total_tokens.
+    *
+    * Shape: ONE map-side-combinable length histogram over the corpus
+    * (key = token count, cardinality bounded by the longest doc), a
+    * |lengths|×|candidates| literal explode, and a |candidates|-row
+    * fold — corpus volume is read once and never shuffled at row
+    * grain. All arithmetic is integer-exact ceiling/floor.
+    *
+    * @return one row per candidate: (max_len, n_docs, n_tokens,
+    *         chunk_examples, chunk_pad_tokens, chunk_waste_ppm,
+    *         trunc_lost_tokens, trunc_lost_ppm)
+    */
+  def chunkWastePlan(docs: DataFrame, textCol: String,
+                     maxLens: Seq[Int]): DataFrame = {
+    require(maxLens.nonEmpty && maxLens.forall(_ >= 1),
+      s"chunkWastePlan needs positive candidate lengths: $maxLens")
+    import graft.functions.TextFeatures
+    val hist = docs
+      .select(size(TextFeatures.tokens(col(textCol))).cast("long").as("__len"))
+      .groupBy("__len").agg(count(lit(1)).as("__c"))
+    hist
+      .select(col("__len"), col("__c"),
+        explode(array(maxLens.map(l => lit(l.toLong)): _*)).as("max_len"))
+      .select(col("max_len"), col("__len"), col("__c"),
+        expr("(__len + max_len - 1) div max_len").as("__ex"),
+        greatest(col("__len") - col("max_len"), lit(0L)).as("__lost"))
+      .groupBy(col("max_len"))
+      .agg(sum(col("__c")).as("n_docs"),
+        sum(col("__len") * col("__c")).as("n_tokens"),
+        sum(col("__ex") * col("__c")).as("chunk_examples"),
+        sum((col("__ex") * col("max_len") - col("__len")) * col("__c"))
+          .as("chunk_pad_tokens"),
+        sum(col("__lost") * col("__c")).as("trunc_lost_tokens"))
+      .select(col("max_len"), col("n_docs"), col("n_tokens"),
+        col("chunk_examples"), col("chunk_pad_tokens"),
+        when(col("chunk_examples") === 0, lit(0L)).otherwise(
+          expr("""(cast(chunk_pad_tokens as decimal(38,0)) * 1000000)
+                 | div (cast(chunk_examples as decimal(38,0)) * max_len)""".stripMargin)
+            .cast("long")).as("chunk_waste_ppm"),
+        col("trunc_lost_tokens"),
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          expr("(cast(trunc_lost_tokens as decimal(38,0)) * 1000000) div n_tokens")
+            .cast("long")).as("trunc_lost_ppm"))
+  }
 }

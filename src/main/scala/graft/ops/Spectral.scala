@@ -106,4 +106,58 @@ object Spectral {
     * whole-stage codegen (spark.sql.codegen.maxFields defaults to 100;
     * beyond it the stage silently interprets). */
   val WideAggLimit: Int = 100
+
+  /** X150: embedding anisotropy probe — is the embedding space a
+    * narrow cone (Ethayarajh EMNLP'19)? An anisotropic space makes
+    * every cosine look high, silently inflating near-dup rates (X5,
+    * q120) and deflating retrieval contrast; this one-row diagnostic
+    * is the cheap pre-flight check before trusting any cosine
+    * threshold. The expected pairwise dot over all ordered pairs has a
+    * closed form — no pair sampling, no |docs|² join:
+    *
+    *   Σ_{i≠j} v_i·v_j  =  ‖Σ_i v‖² − Σ_i ‖v‖²   ( = S − T )
+    *
+    * so mean_pair_dot = (S−T)/(n(n−1)) and the normalized anisotropy
+    * ratio mean_pair_dot / mean_sq_norm collapses (the n's cancel) to
+    * (S−T) div ((n−1)·T) — the mean pairwise dot over the mean squared
+    * norm, ≈ the mean pairwise cosine for homogeneous norms, in exact
+    * ppm (10³-quantized elements, the q125 spelling; sign-split
+    * two-step floor division, mirrored in the oracle).
+    *
+    * Shape: the quantized corpus forks into (a) ONE map-side-
+    * combinable scalar fold (count + per-row squared-norm sum) and
+    * (b) the per-dimension sum via posexplode + a dims-key aggregate —
+    * shuffle volume is partitions·dims, never rows·dims; S is a
+    * |dims|-row fold. Driver state: none. Squares run in
+    * DECIMAL(38,0): exact while per-dim sums stay below 10¹⁹ —
+    * 10 B docs at |v| ≤ 10⁴ quantized.
+    *
+    * @return one row (n_vecs, dims, mean_pair_dot_q3, anisotropy_ppm)
+    */
+  def anisotropyPpm(emb: DataFrame, vecCol: String): DataFrame = {
+    val qv = emb
+      .select(expr(s"transform($vecCol, v -> cast(floor(cast(v as double) * 1000) as bigint))").as("__q"))
+      .localCheckpoint(eager = false) // forked: scalar fold + per-dim sums
+    val t = qv.agg(count(lit(1)).as("n_vecs"),
+      max(size(col("__q"))).cast("long").as("dims"),
+      sum(expr("aggregate(__q, cast(0 as bigint), (a, x) -> a + x * x)"))
+        .cast("decimal(38,0)").as("__t"))
+    val s = qv.select(posexplode(col("__q")).as(Seq("__pos", "__x")))
+      .groupBy("__pos").agg(sum(col("__x")).as("__s"))
+      .agg(coalesce(sum(expr("cast(__s as decimal(38,0)) * __s")),
+        lit(0L).cast("decimal(38,0)")).as("__snorm"))
+    t.crossJoin(s)
+      .withColumn("__d", col("__snorm") - col("__t"))
+      .select(col("n_vecs"), col("dims"),
+        when(col("n_vecs") < 2, lit(0L)).otherwise(
+          expr("""case when __d >= 0
+                 | then __d div (cast(n_vecs as decimal(38,0)) * (n_vecs - 1))
+                 | else -((-__d) div (cast(n_vecs as decimal(38,0)) * (n_vecs - 1)))
+                 | end""".stripMargin).cast("long")).as("mean_pair_dot_q3"),
+        when(col("n_vecs") < 2 || col("__t") === 0, lit(0L)).otherwise(
+          expr("""case when __d >= 0
+                 | then ((__d * 1000000) div __t) div (n_vecs - 1)
+                 | else -((((-__d) * 1000000) div __t) div (n_vecs - 1))
+                 | end""".stripMargin).cast("long")).as("anisotropy_ppm"))
+  }
 }

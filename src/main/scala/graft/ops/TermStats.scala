@@ -718,4 +718,48 @@ object TermStats {
         when(col("__sw") >= 0, expr("__sw DIV n_tokens"))
           .otherwise(-expr("(-__sw) DIV n_tokens")).as("relevance_ppm"))
   }
+
+  /** X151: token burstiness — the Fano factor (variance-to-mean ratio)
+    * of each token's per-document count over the WHOLE corpus,
+    * including its zeros (Church & Gale 1995): a token whose
+    * occurrences pile into few documents (template boilerplate, spam
+    * stamps, scraped navigation) reads far above the Poisson baseline
+    * of 10⁶ ppm, while content words sit near it. The spam-token
+    * detector that frequency alone (X113 tail vocab, X92 zipf) cannot
+    * see — a burst token can be frequent AND concentrated.
+    *
+    * Zeros never materialize: with N docs, total occurrences t and
+    * per-doc counts c,
+    *
+    *   VMR = Var/mean = (N·Σc² − t²) div (N·t)   (absent docs add 0)
+    *
+    * so one (token, doc) count, one token-key moment fold, and a
+    * one-row doc count joined broadcast — all map-side combinable.
+    * Products run in DECIMAL(38,0): exact while t < 10¹⁶ occurrences
+    * of one token. `minTotal` prunes the long hapax tail before
+    * arithmetic; top-`k` by (vmr DESC, token ASC) via TakeOrdered.
+    *
+    * @return (token, n_docs_with, n_occ, vmr_ppm), top `k`
+    */
+  def burstinessPpm(docs: DataFrame, idCol: String, textCol: String,
+                    minTotal: Long, k: Int): DataFrame = {
+    require(k >= 1, s"non-positive top-k: $k")
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(TextFeatures.tokens(col(textCol))).as("t"))
+      .groupBy(col("t"), col("__id")).agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    perDoc.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_docs_with"), sum(col("c")).as("n_occ"),
+        sum(col("c") * col("c")).as("__sc2"))
+      .filter(col("n_occ") >= minTotal)
+      .crossJoin(broadcast(nDocs))
+      .select(col("t").as("token"), col("n_docs_with"), col("n_occ"),
+        expr("""((cast(__n as decimal(38,0)) * __sc2
+               |   - cast(n_occ as decimal(38,0)) * n_occ) * 1000000)
+               | div (cast(__n as decimal(38,0)) * n_occ)""".stripMargin)
+          .cast("long").as("vmr_ppm"))
+      .orderBy(col("vmr_ppm").desc, col("token").asc)
+      .limit(k)
+  }
 }

@@ -285,4 +285,59 @@ class BehaviorSpec extends SparkSpec {
     assert(Behavior.corrSignedR2Ppm(const.toDF("g", "x", "y"), "g",
       col("x"), col("y")).as[(String, Long, Long)].collect().head._3 == 0L)
   }
+
+  test("spearmanGradePpm: monotone 1e6, reversed -1e6, constant 0") {
+    // any monotone map (even wildly non-linear) has perfect rank
+    // correlation -- the property Pearson on raw values lacks
+    val mono = (1 to 40).map(i => ("m", i.toLong, i.toLong * i * i))
+    val rev  = (1 to 40).map(i => ("r", i.toLong, 1000L - i * i))
+    val const = (1 to 40).map(i => ("c", i.toLong, 7L))
+    val got = Behavior.spearmanGradePpm(
+        (mono ++ rev ++ const).toDF("g", "x", "y").repartition(5),
+        "g", col("x"), col("y"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map("m" -> 1000000L, "r" -> -1000000L, "c" -> 0L))
+  }
+
+  test("spearmanGradePpm: ties match the BigInt grade model on a seeded fixture") {
+    val B = 1000L
+    def brute(rows: Seq[(Long, Long)]): Long = {
+      val n = rows.size.toLong
+      def grades(vs: Seq[Long]): Map[Long, Long] = {
+        val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val sorted = cnt.keys.toSeq.sorted
+        var cum = 0L
+        sorted.map { v =>
+          cum += cnt(v)
+          v -> (B * (2 * cum - cnt(v))) / (2 * n)
+        }.toMap
+      }
+      val gx = grades(rows.map(_._1)); val gy = grades(rows.map(_._2))
+      val pts = rows.map { case (x, y) => (gx(x), gy(y)) }
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val num = BigInt(n) * sxy - BigInt(sx) * sy
+      val dx = BigInt(n) * sxx - BigInt(sx) * sx
+      val dy = BigInt(n) * syy - BigInt(sy) * sy
+      if (dx == 0 || dy == 0) 0L
+      else {
+        val mag = (((num * num) / dx) * 1000000) / dy
+        (if (num < 0) -mag else mag).toLong
+      }
+    }
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 300).map { _ =>
+      val x = rnd.nextInt(12).toLong            // heavy ties on x
+      val y = x * 3 + rnd.nextInt(20) - 10      // correlated, tied y
+      ("t", x, y)
+    }
+    val got = Behavior.spearmanGradePpm(rows.toDF("g", "x", "y")
+        .repartition(7), "g", col("x"), col("y"))
+      .as[(String, Long, Long)].collect().head
+    assert(got._2 == 300L)
+    assert(got._3 == brute(rows.map(r => (r._2, r._3))))
+    assert(got._3 > 500000L, "strongly correlated fixture reads high")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.ops.Curation
 
@@ -323,5 +323,31 @@ class CurationSpec extends SparkSpec {
     val re = Curation.leakageSafeSplit(docs.repartition(13), "doc_id", "text",
       pairs.repartition(3)).as[(Long, Long, Long, String)].collect().toSeq
     assert(re.sortBy(_._1) == out.sortBy(_._1))
+  }
+
+  test("matchResample: capped per-bucket rates, deterministic keeps, empty reference") {
+    val corpus = Seq(
+      (1L, "w"), (2L, "w"), (3L, "w"), (4L, "w"),                 // bucket 0 x4
+      (5L, (1 to 12).map(i => s"t$i").mkString(" ")),             // bucket 1
+      (6L, (1 to 12).map(i => s"t$i").mkString(" "))              // bucket 1
+    ).toDF("doc_id", "text")
+    val ref = Seq((10L, "w"), (11L, (1 to 12).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.matchResample(corpus, ref, "doc_id", "text", 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // bucket 0: min(1e6, 1e6*1*6/(4*2)) = 750000; bucket 1: capped at 1e6
+    assert(got.map(_._2) == Seq(0L, 0L, 0L, 0L, 1L, 1L))
+    assert(got.map(_._3) == Seq(750000L, 750000L, 750000L, 750000L, 1000000L, 1000000L))
+    assert(got.forall(r => r._4 == 0L || r._4 == 1L))
+    // rate-1e6 buckets keep everything (hash mod 1e6 < 1e6 always)
+    assert(got.filter(_._2 == 1L).forall(_._4 == 1L))
+    // determinism: same inputs, different layout, same keeps
+    val again = Curation.matchResample(corpus.repartition(5), ref, "doc_id", "text", 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+    // empty reference: nothing to match -> accept 0 everywhere
+    val none = Curation.matchResample(corpus, ref.filter(lit(false)), "doc_id", "text", 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(none.forall(r => r._3 == 0L && r._4 == 0L))
   }
 }

@@ -81,4 +81,22 @@ class PackingSpec extends SparkSpec {
       Packing.chunkDocuments(docs, "doc_id", "text", 0, 1)
     }
   }
+
+  test("chunkWastePlan: hand-computed pads, losses and ppm at two candidate lengths") {
+    val docs = Seq(
+      (1L, "a b c"),                                            // 3 tokens
+      (2L, (1 to 10).map(i => s"t$i").mkString(" ")),           // 10
+      (3L, (1 to 17).map(i => s"u$i").mkString(" "))            // 17
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkWastePlan(docs, "text", Seq(8, 16))
+      .orderBy("max_len")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // L=8: examples 1+2+3=6, pad 5+6+7=18, waste 18e6/48=375000;
+    //      lost 0+2+9=11 of 30 tokens -> 366666
+    // L=16: examples 1+1+2=4, pad 13+6+15=34, waste 34e6/64=531250;
+    //      lost 0+0+1=1 -> 33333
+    assert(got == Seq(
+      (8L, 3L, 30L, 6L, 18L, 375000L, 11L, 366666L),
+      (16L, 3L, 30L, 4L, 34L, 531250L, 1L, 33333L)))
+  }
 }

@@ -91,4 +91,18 @@ class SpectralSpec extends SparkSpec {
       "vec_id", "embedding", 2).as[(Long, Long)].collect().toMap
     assert(one == model && many == model)
   }
+
+  test("anisotropyPpm: identical, opposite, orthogonal and degenerate corpora") {
+    def run(vs: Seq[Seq[Double]]): (Long, Long, Long, Long) =
+      Spectral.anisotropyPpm(vs.map(Tuple1(_)).toDF("embedding"), "embedding")
+        .as[(Long, Long, Long, Long)].collect().head
+    // two copies of e1: every pair dot = norm^2 -> ratio exactly 1e6
+    assert(run(Seq(Seq(1.0, 0.0), Seq(1.0, 0.0))) == (2L, 2L, 1000000L, 1000000L))
+    // opposite vectors: mean pair dot = -norm^2 -> -1e6
+    assert(run(Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0))) == (2L, 2L, -1000000L, -1000000L))
+    // orthogonal: S = T -> both read 0
+    assert(run(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))) == (2L, 2L, 0L, 0L))
+    // single vector: no pairs, both 0 by definition
+    assert(run(Seq(Seq(1.0, 0.0))) == (1L, 2L, 0L, 0L))
+  }
 }

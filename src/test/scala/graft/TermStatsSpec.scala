@@ -391,4 +391,20 @@ class TermStatsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty target slice") ||
       Option(ex.getCause).exists(_.getMessage.contains("empty target slice")))
   }
+
+  test("burstinessPpm: concentrated token reads 3e6, uniform token reads 0") {
+    val docs = Seq(
+      (1L, "a b b b b"), (2L, "a"), (3L, "a"), (4L, "a")
+    ).toDF("doc_id", "text")
+    val got = TermStats.burstinessPpm(docs, "doc_id", "text",
+        minTotal = 1L, k = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // b: 4 occurrences in 1 of 4 docs -> VMR (4*16-16)/(4*4) = 3 -> 3e6
+    // a: 1 occurrence in each doc -> variance 0 -> 0
+    assert(got == Seq(("b", 1L, 4L, 3000000L), ("a", 4L, 4L, 0L)))
+    // minTotal prunes below-threshold tokens before ranking
+    val pruned = TermStats.burstinessPpm(docs, "doc_id", "text",
+        minTotal = 5L, k = 10).count()
+    assert(pruned == 0L)
+  }
 }
