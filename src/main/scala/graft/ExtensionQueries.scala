@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Relational, Similarity, Sketches, Spectral, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, EvalMetrics, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Relational, Similarity, Sketches, Spectral, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -53,6 +53,16 @@ object ExtensionQueries {
     * round-robin shuffle just to enter a per-doc projection. */
   private def docsFanned(s: SparkSession, d: String): DataFrame =
     TextDedup.fanOut(Tables.documents(s, d))
+
+  /** Quality-score frame with the is-English label and source — the
+    * shared input of the q180–q182 evaluation metrics (score as the
+    * "classifier", lang = 'en' as the target class). */
+  private def qualityLabeled(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Curation.docQualityScorePpm(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").cast("long").as("__lbl")), Seq("doc_id"))
+  }
 
   private def embCorpus(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -259,6 +269,38 @@ object ExtensionQueries {
     "q143_pq_codes" -> ((s, d) =>
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
+
+    // Group AUC: does the quality heuristic actually rank English
+    // (the dominant curated class here) above the rest, per source?
+    "q180_auc" -> ((s, d) => {
+      EvalMetrics.aucPpm(qualityLabeled(s, d), "source",
+          col("score_ppm"), col("__lbl"))
+        .orderBy(col("source"))
+    }),
+
+    // Calibration bins: the quality score read as a probability —
+    // claimed ppm vs empirical positive rate in 10 cells.
+    "q181_calibration" -> ((s, d) =>
+      EvalMetrics.calibrationBins(qualityLabeled(s, d),
+          col("score_ppm"), col("__lbl"), bins = 10)
+        .orderBy(col("bin"))),
+
+    // Threshold sweep: precision/recall/F1 at every distinct quality
+    // cut in one pass — the quality-gate operating-point table.
+    "q182_threshold_sweep" -> ((s, d) =>
+      EvalMetrics.thresholdSweep(qualityLabeled(s, d),
+          col("score_ppm"), col("__lbl"))
+        .orderBy(col("threshold"))),
+
+    // Cohen's kappa: lang-id heuristic vs the metadata lang column —
+    // chance-corrected agreement of the two labelings.
+    "q183_kappa" -> ((s, d) => {
+      val docs = docsFanned(s, d)
+      EvalMetrics.cohensKappaPpm(
+        docs.select(TextAnalysis.langId(TextFeatures.tokens(col("text")))
+          .as("pred"), col("lang")),
+        col("pred"), col("lang"))
+    }),
 
     // Grade correlation (scale-safe Spearman, B=1000): does event value
     // drift with time, per event type — rank moments stay in exact
@@ -1675,6 +1717,22 @@ object ExtensionQueries {
 
   // ---- DuckDB oracles ---------------------------------------------------
 
+  /** Shared q180–q182 CTE pair (`sc`, `lb`): the q147 integer quality
+    * score joined with the is-English label and source. */
+  private def qualityLabeledCte: String = {
+    val allStop = TextFeatures.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""sc AS (SELECT doc_id,
+       |    ((length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000 // length(text))
+       |     + (len(list_filter(toks, t -> list_contains($allStop, t))) * 1000000 // len(toks))) // 2
+       |    AS score_ppm
+       |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)
+       |  WHERE len(toks) >= 1 AND length(text) >= 1),
+       |lb AS (SELECT sc.doc_id, sc.score_ppm, d.source,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS l
+       |  FROM sc JOIN documents d USING (doc_id))""".stripMargin
+  }
+
   /** Polynomial code-point hash — DuckDB spelling of TextFeatures.charHash. */
   private def dh(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a*31 + x) % 1000000007)"
@@ -2064,6 +2122,87 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Group AUC: compacted-score doubled ranks, the Mann-Whitney
+    // identity in HUGEINT, degenerate one-class groups read 0.
+    "q180_auc" ->
+      s"""WITH $qualityLabeledCte,
+         |c AS (SELECT source, score_ppm AS s, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(SUM(l) AS BIGINT) AS p FROM lb GROUP BY 1, 2),
+         |r AS (SELECT source, p, c,
+         |    2 * SUM(c) OVER (PARTITION BY source ORDER BY s) - c + 1 AS r2 FROM c),
+         |a AS (SELECT source, CAST(SUM(p) AS BIGINT) AS np,
+         |    CAST(SUM(c - p) AS BIGINT) AS nn, SUM(p * r2) AS rp FROM r GROUP BY 1)
+         |SELECT source, np AS n_pos, nn AS n_neg,
+         |  CAST(CASE WHEN np = 0 OR nn = 0 THEN 0
+         |       ELSE ((CAST(rp AS HUGEINT) - CAST(np AS HUGEINT) * (np + 1)) * 1000000)
+         |         // (CAST(np AS HUGEINT) * nn * 2) END AS BIGINT) AS auc_ppm
+         |FROM a ORDER BY source""".stripMargin,
+
+    // Calibration: 10 equal ppm cells, claimed mean vs empirical rate.
+    "q181_calibration" ->
+      s"""WITH $qualityLabeledCte,
+         |b AS (SELECT least(9, (score_ppm * 10) // 1000000) AS bin, score_ppm, l FROM lb),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(score_ppm) AS HUGEINT) AS ss, CAST(SUM(l) AS BIGINT) AS sl
+         |  FROM b GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, n,
+         |  CAST(ss // n AS BIGINT) AS mean_score_ppm,
+         |  CAST((sl * 1000000) // n AS BIGINT) AS pos_rate_ppm,
+         |  CAST((sl * 1000000) // n - ss // n AS BIGINT) AS gap_ppm
+         |FROM g ORDER BY bin""".stripMargin,
+
+    // Threshold sweep: descending cumulative over distinct scores.
+    "q182_threshold_sweep" ->
+      s"""WITH $qualityLabeledCte,
+         |c AS (SELECT score_ppm AS s, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(SUM(l) AS BIGINT) AS p FROM lb GROUP BY 1),
+         |w AS (SELECT s, SUM(p) OVER (ORDER BY s DESC) AS tp,
+         |    SUM(c) OVER (ORDER BY s DESC) AS ct, SUM(p) OVER () AS np FROM c),
+         |f AS (SELECT s AS threshold, CAST(tp AS BIGINT) AS tp,
+         |    CAST(ct - tp AS BIGINT) AS fp, CAST(np - tp AS BIGINT) AS fn FROM w)
+         |SELECT threshold, tp, fp, fn,
+         |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN tp + fn = 0 THEN 0
+         |       ELSE (tp * 1000000) // (tp + fn) END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+         |       ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+         |FROM f ORDER BY threshold""".stripMargin,
+
+    // Kappa: q28's langid CASE as rater A, metadata lang as rater B;
+    // exact-integer chance correction, sign-split.
+    "q183_kappa" ->
+      s"""WITH tok AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  len(list_filter(toks, t -> list_contains(${stopList("de")}, t))) AS h_de,
+         |  len(list_filter(toks, t -> list_contains(${stopList("en")}, t))) AS h_en,
+         |  len(list_filter(toks, t -> list_contains(${stopList("es")}, t))) AS h_es,
+         |  len(list_filter(toks, t -> list_contains(${stopList("fr")}, t))) AS h_fr
+         | FROM tok),
+         |p AS (SELECT lang, CASE
+         |  WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |  WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |  WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_en AND h_es >= h_fr THEN 'es'
+         |  WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+         |  ELSE 'und' END AS pred
+         | FROM h),
+         |ct AS (SELECT pred AS a, lang AS b, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag FROM ct),
+         |ma AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM ct GROUP BY 1),
+         |mb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rb FROM ct GROUP BY 1),
+         |pe AS (SELECT COALESCE(SUM(CAST(ra AS HUGEINT) * rb), 0) AS pe
+         |  FROM ma JOIN mb ON mb.b = ma.a),
+         |f AS (SELECT n, diag, pe, CAST(n AS HUGEINT) * diag - pe AS num,
+         |    CAST(n AS HUGEINT) * n - pe AS den FROM t CROSS JOIN pe)
+         |SELECT n AS n_items,
+         |  CAST(CASE WHEN n = 0 THEN 0 ELSE (diag * 1000000) // n END AS BIGINT) AS po_ppm,
+         |  CAST(CASE WHEN n = 0 THEN 0
+         |       ELSE (pe * 1000000) // (CAST(n AS HUGEINT) * n) END AS BIGINT) AS pe_ppm,
+         |  CAST(CASE WHEN den = 0 THEN 0
+         |       WHEN num >= 0 THEN (num * 1000000) // den
+         |       ELSE -(((-num) * 1000000) // den) END AS BIGINT) AS kappa_ppm
+         |FROM f""".stripMargin,
 
     // Grade correlation: q56-compacted doubled ranks → B=1000 grades,
     // Pearson moments in HUGEINT, the same two-step floor division.

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation metrics over corpus signals — the QA surface
+  * a data pipeline runs on its OWN heuristics (quality scores, lang-id,
+  * filters) before trusting them to gate training data: ranking power
+  * (AUC), probability honesty (calibration bins), operating-point
+  * choice (threshold sweep), and rater agreement (Cohen's kappa).
+  * Reference has no counterpart (beyond-reference, SURVEY §7.6).
+  *
+  * Shared discipline: every statistic is an exact integer rational in
+  * ppm (floor DIV, sign-split where signed) so Spark ≡ DuckDB
+  * bit-for-bit; every rank/cumulative window runs on the q56-compacted
+  * (group, score) domain — |distinct scores| rows, never raw volume —
+  * and everything else is a map-side-combinable aggregate on a tiny
+  * key. No driver state, no row-volume windows, no cross joins.
+  */
+object EvalMetrics {
+
+  /** X153: group AUC — the Mann-Whitney ranking statistic in exact
+    * ppm: the probability a random positive outranks a random
+    * negative, ties at half weight. The one-number answer to "does
+    * this score actually separate the classes?", per group.
+    *
+    * Rank identity on doubled average ranks (r2 = 2·cum − c + 1 over
+    * the compacted score domain, positives-at-score riding the same
+    * row): AUC = (Σp·r2 − npos·(npos+1)) div (2·npos·nneg) — no
+    * per-row ranks, no pair join (a pairwise count would be
+    * npos·nneg ∝ |rows|²). Degenerate groups (one class only) read 0.
+    *
+    * @return (group, n_pos, n_neg, auc_ppm)
+    */
+  def aucPpm(df: DataFrame, groupCol: String, scoreExpr: Column,
+             labelExpr: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      scoreExpr.cast("long").as("__s"),
+      (labelExpr.cast("long") =!= 0L).cast("long").as("__l"))
+    val wCum = Window.partitionBy("__g").orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("__c"), sum(col("__l")).as("__p"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .select(col("__g"), col("__p"), col("__c"),
+        (lit(2L) * col("__cum") - col("__c") + 1L).as("__r2"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__p")).as("n_pos"),
+        sum(col("__c") - col("__p")).as("n_neg"),
+        sum(col("__p") * col("__r2")).as("__rp"))
+      .select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
+          .otherwise(expr(
+            """((cast(__rp as decimal(38,0))
+              |  - cast(n_pos as decimal(38,0)) * (n_pos + 1)) * 1000000)
+              | div (cast(n_pos as decimal(38,0)) * n_neg * 2)""".stripMargin)
+            .cast("long")).as("auc_ppm"))
+  }
+
+  /** X154: calibration bins — the reliability diagram as data: does a
+    * score that SAYS 800000 ppm actually hit 80%? Scores (already in
+    * [0, 10⁶] ppm) bucket into `bins` equal cells; each cell reports
+    * its empirical positive rate next to its mean claimed score, and
+    * the signed gap between them (positive = under-confident). ONE
+    * map-side-combinable aggregate on the bin key.
+    *
+    * @return (bin, n, mean_score_ppm, pos_rate_ppm, gap_ppm)
+    */
+  def calibrationBins(df: DataFrame, scoreExpr: Column, labelExpr: Column,
+                      bins: Int): DataFrame = {
+    require(bins >= 1, s"non-positive bin count: $bins")
+    df.select(scoreExpr.cast("long").as("__s"),
+        (labelExpr.cast("long") =!= 0L).cast("long").as("__l"))
+      .select(least(lit(bins - 1L), expr(s"(__s * $bins) div 1000000"))
+        .as("bin"), col("__s"), col("__l"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"),
+        sum(col("__l")).as("__sl"))
+      .select(col("bin"), col("n"),
+        expr("__ss div n").as("mean_score_ppm"),
+        expr("(__sl * 1000000) div n").as("pos_rate_ppm"))
+      .withColumn("gap_ppm", col("pos_rate_ppm") - col("mean_score_ppm"))
+  }
+
+  /** X155: threshold sweep — precision/recall/F1 at EVERY distinct
+    * score cut (predict positive iff score ≥ t) in one pass: the
+    * operating-point table behind "where do we set the quality gate?".
+    * Counts come from a descending cumulative over the compacted score
+    * domain (|distinct scores| rows), so the sweep costs one
+    * aggregation regardless of row volume — never one query per
+    * candidate threshold. The global window IS single-partition, and
+    * deliberately so: its input is ≤ |distinct scores| rows, and for a
+    * ppm-valued score that is ≤ 10⁶+1 rows by construction — the same
+    * bounded-window contract as X33's mixture weights.
+    *
+    * @return (threshold, tp, fp, fn, precision_ppm, recall_ppm,
+    *         f1_ppm), one row per distinct score
+    */
+  def thresholdSweep(df: DataFrame, scoreExpr: Column,
+                     labelExpr: Column): DataFrame = {
+    val wDesc = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    df.select(scoreExpr.cast("long").as("__s"),
+        (labelExpr.cast("long") =!= 0L).cast("long").as("__l"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__c"), sum(col("__l")).as("__p"))
+      .withColumn("tp", sum(col("__p")).over(wDesc))
+      .withColumn("__cumtot", sum(col("__c")).over(wDesc))
+      .withColumn("__npos", sum(col("__p")).over(wAll))
+      .select(col("__s").as("threshold"), col("tp"),
+        (col("__cumtot") - col("tp")).as("fp"),
+        (col("__npos") - col("tp")).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+        when(col("tp") + col("fn") === 0, lit(0L))
+          .otherwise(expr("(tp * 1000000) div (tp + fn)")).as("recall_ppm"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, lit(0L))
+          .otherwise(expr("(2 * tp * 1000000) div (2 * tp + fp + fn)"))
+          .as("f1_ppm"))
+  }
+
+  /** X156: Cohen's kappa — chance-corrected agreement between two
+    * labelings (Cohen 1960), multi-class: the lang-id-vs-metadata or
+    * annotator-vs-annotator honesty check next to X128's ARI (which
+    * compares PARTITIONS; kappa compares labelings that share a label
+    * vocabulary). Exact rational, n² arithmetic in DECIMAL(38,0):
+    *
+    *   kappa = (n·diag − Σ_k rowₖ·colₖ) div (n² − Σ_k rowₖ·colₖ)
+    *
+    * — the ppm-rounded po/pe are REPORTED but kappa divides the exact
+    * integers, never the rounded ratios. Sign-split floor DIV (kappa
+    * is negative under worse-than-chance agreement); a degenerate
+    * table (pe = 1: both raters constant) reads 0.
+    *
+    * Shape: row volume collapses once onto the (a, b) contingency key
+    * (map-side combinable, ≤ |labels|² cells); margins and the pe sum
+    * are |labels|-row folds.
+    *
+    * @return one row (n_items, po_ppm, pe_ppm, kappa_ppm)
+    */
+  def cohensKappaPpm(df: DataFrame, raterA: Column,
+                     raterB: Column): DataFrame = {
+    val cont = df.select(raterA.cast("string").as("__a"),
+        raterB.cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false) // forked: totals + two margins
+    val tot = cont.agg(sum(col("__c")).as("n_items"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("__diag"))
+    val pe = cont.groupBy(col("__a")).agg(sum(col("__c")).as("__ra"))
+      .join(cont.groupBy(col("__b")).agg(sum(col("__c")).as("__rb")),
+        col("__a") === col("__b"))
+      .agg(coalesce(sum(expr("cast(__ra as decimal(38,0)) * __rb")),
+        lit(0L).cast("decimal(38,0)")).as("__pe"))
+    tot.crossJoin(pe)
+      .withColumn("__num",
+        expr("cast(n_items as decimal(38,0)) * __diag - __pe"))
+      .withColumn("__den",
+        expr("cast(n_items as decimal(38,0)) * n_items - __pe"))
+      .select(col("n_items"),
+        when(col("n_items") === 0, lit(0L))
+          .otherwise(expr("(__diag * 1000000) div n_items")).as("po_ppm"),
+        when(col("n_items") === 0, lit(0L))
+          .otherwise(expr(
+            "(__pe * 1000000) div (cast(n_items as decimal(38,0)) * n_items)")
+            .cast("long")).as("pe_ppm"),
+        when(col("__den") === 0, lit(0L))
+          .otherwise(expr(
+            """case when __num >= 0 then (__num * 1000000) div __den
+              | else -(((-__num) * 1000000) div __den) end""".stripMargin)
+            .cast("long")).as("kappa_ppm"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.ops.EvalMetrics
+
+class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aucPpm: perfect separation 1e6, reversal 0, one-class group 0") {
+    val rows = Seq.tabulate(20) { i =>
+      ("sep", i.toLong, if (i >= 10) 1L else 0L) } ++
+      Seq.tabulate(20) { i => ("rev", i.toLong, if (i < 10) 1L else 0L) } ++
+      Seq.tabulate(5) { i => ("one", i.toLong, 1L) }
+    val got = EvalMetrics.aucPpm(rows.toDF("g", "s", "l").repartition(5),
+        "g", col("s"), col("l"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(got == Map("sep" -> 1000000L, "rev" -> 0L, "one" -> 0L))
+  }
+
+  test("aucPpm: ties match the pairwise half-weight model on a seeded fixture") {
+    // brute force: P(score_pos > score_neg) + P(equal)/2, floor ppm
+    def brute(rows: Seq[(Long, Long)]): Long = {
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      val wins2 = (for (p <- pos; n <- neg) yield {
+        if (p > n) 2L else if (p == n) 1L else 0L
+      }).sum
+      (BigInt(wins2) * 1000000 / (BigInt(2) * pos.size * neg.size)).toLong
+    }
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 400).map { _ =>
+      val l = if (rnd.nextInt(3) == 0) 1L else 0L
+      // noisy signal with HEAVY ties: only 8 distinct scores
+      val s = (l * 3 + rnd.nextInt(6)).toLong
+      (s, l)
+    }
+    val got = EvalMetrics.aucPpm(rows.map { case (s, l) => ("g", s, l) }
+        .toDF("g", "s", "l").repartition(7), "g", col("s"), col("l"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert((got._2, got._3) == (rows.count(_._2 == 1L).toLong,
+      rows.count(_._2 == 0L).toLong))
+    assert(got._4 == brute(rows))
+  }
+
+  test("calibrationBins: hand-computed cells, top score lands in the last bin") {
+    val rows = Seq(
+      (50000L, 0L), (150000L, 0L),     // bin 0, bin 1
+      (850000L, 1L), (850000L, 0L),    // bin 8 twice
+      (1000000L, 1L)                   // exactly 1e6 -> clamped to bin 9
+    )
+    val got = EvalMetrics.calibrationBins(rows.toDF("s", "l"),
+        col("s"), col("l"), bins = 10)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 50000L, 0L, -50000L),
+      (1L, 1L, 150000L, 0L, -150000L),
+      (8L, 2L, 850000L, 500000L, -350000L),
+      (9L, 1L, 1000000L, 1000000L, 0L)))
+  }
+
+  test("thresholdSweep matches the per-cut brute force; one row per distinct score") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 200).map { _ =>
+      val l = rnd.nextInt(2).toLong
+      ((l * 2 + rnd.nextInt(5)).toLong, l)
+    }
+    val got = EvalMetrics.thresholdSweep(rows.toDF("s", "l").repartition(6),
+        col("s"), col("l"))
+      .orderBy("threshold")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == rows.map(_._1).distinct.sorted)
+    val npos = rows.count(_._2 == 1L).toLong
+    got.foreach { case (t, tp, fp, fn, prec, rec, f1) =>
+      val etp = rows.count(r => r._1 >= t && r._2 == 1L).toLong
+      val efp = rows.count(r => r._1 >= t && r._2 == 0L).toLong
+      assert((tp, fp, fn) == (etp, efp, npos - etp))
+      assert(prec == etp * 1000000L / (etp + efp))
+      assert(rec == etp * 1000000L / npos)
+      assert(f1 == 2 * etp * 1000000L / (2 * etp + efp + (npos - etp)))
+    }
+  }
+
+  test("cohensKappaPpm: perfect 1e6, textbook 2x2, worse-than-chance negative, constant 0") {
+    def run(pairs: Seq[(String, String)]): (Long, Long, Long, Long) =
+      EvalMetrics.cohensKappaPpm(pairs.toDF("a", "b").repartition(3),
+        col("a"), col("b")).as[(Long, Long, Long, Long)].collect().head
+    // perfect agreement over 2 classes
+    assert(run(Seq(("x", "x"), ("y", "y"), ("x", "x"))) ==
+      (3L, 1000000L, 555555L, 1000000L))
+    // textbook 2x2: diag 45, n 60; pe = (25*30 + 35*30)/3600 = 1/2
+    // kappa = (45/60 - 1/2)/(1 - 1/2) = 1/2
+    val tb = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(25)(("b", "b"))
+    val (n, po, pe, k) = run(tb)
+    assert((n, po, pe, k) == (60L, 750000L, 500000L, 500000L))
+    // systematic disagreement: kappa < 0
+    assert(run(Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")))._4 < 0L)
+    // both raters constant and equal: pe = 1 -> den 0 -> 0 by contract
+    assert(run(Seq(("z", "z"), ("z", "z")))._4 == 0L)
+  }
+}
