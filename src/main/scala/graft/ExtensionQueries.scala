@@ -270,6 +270,39 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // PII density by source: the q44 salted corpus measured per
+    // source, normalized per million tokens — the release-gate number.
+    "q184_pii_density" -> ((s, d) => {
+      val salted = docsFanned(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))))
+      Profiler.piiDensityBySource(salted, "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    // Trimmed mean of event values (10% each side) per type — the
+    // robust location next to q156's MAD fences.
+    "q185_trimmed_mean" -> ((s, d) =>
+      Profiler.trimmedMean(Tables.events(s, d), "event_type",
+          expr("floor(value * 1000)"), trimPct = 10)
+        .orderBy(col("event_type"))),
+
+    // Repeat-run detector over a loop-salted corpus: longest
+    // consecutive one-token run per doc — the generation-loop signal.
+    "q186_repeat_runs" -> ((s, d) => {
+      val salted = docsFanned(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          expr("repeat(' loop', cast(doc_id % 6 + 2 as int))"))
+          .otherwise(lit(""))))
+      TermStats.repeatRuns(salted, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Group AUC: does the quality heuristic actually rank English
     // (the dominant curated class here) above the rest, per source?
     "q180_auc" -> ((s, d) => {
@@ -2122,6 +2155,69 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // PII density: q44's salted corpus, same regexes, source rollup.
+    "q184_pii_density" ->
+      s"""WITH salted AS (SELECT doc_id, source, text
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         |  || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END AS text
+         |  FROM documents),
+         |g AS (SELECT source,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt,
+         |    CAST(len(regexp_extract_all(text, '${graft.functions.TextAnalysis.EmailRe}')) AS BIGINT) AS e,
+         |    CAST(len(regexp_extract_all(text, '${graft.functions.TextAnalysis.PhoneRe}')) AS BIGINT) AS p
+         |  FROM salted)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(e) AS BIGINT) AS n_emails, CAST(SUM(p) AS BIGINT) AS n_phones,
+         |  CAST(SUM(CASE WHEN e + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+         |  CAST(CASE WHEN SUM(nt) = 0 THEN 0
+         |       ELSE (CAST(SUM(e) + SUM(p) AS HUGEINT) * 1000000) // SUM(nt)
+         |       END AS BIGINT) AS pii_per_mtok
+         |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Trimmed mean: rank-clip on the compacted (group, value, count)
+    // domain, boundary blocks contribute their inside portion.
+    "q185_trimmed_mean" ->
+      """WITH b AS (SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        |w AS (SELECT g, v, cnt, SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS n FROM c),
+        |k AS (SELECT g, v, cnt, n,
+        |    greatest(0, least(cum, n - (n * 10) // 100)
+        |      - greatest(cum - cnt, (n * 10) // 100)) AS kept FROM w),
+        |a AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |    CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |    CAST(SUM(v * kept) AS BIGINT) AS trimmed_sum FROM k GROUP BY 1)
+        |SELECT g AS event_type, n_rows, n_kept, trimmed_sum,
+        |  CAST(CASE WHEN n_kept = 0 THEN 0
+        |       WHEN trimmed_sum >= 0 THEN trimmed_sum // n_kept
+        |       ELSE -((-trimmed_sum) // n_kept) END AS BIGINT) AS trimmed_mean
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Repeat runs: loop-salted corpus, lag change flags, run-id
+    // cumsum, (len DESC, token ASC) argmax per doc.
+    "q186_repeat_runs" ->
+      """WITH salted AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN repeat(' loop', CAST(doc_id % 6 + 2 AS INT)) ELSE '' END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM salted),
+        |po AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk WHERE len(toks) >= 1),
+        |pt AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS tok FROM po),
+        |ch AS (SELECT doc_id, i, tok,
+        |    CASE WHEN lag(tok) OVER w IS NULL OR lag(tok) OVER w <> tok
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM pt WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |rn AS (SELECT doc_id, tok,
+        |    SUM(chg) OVER (PARTITION BY doc_id ORDER BY i) AS run FROM ch),
+        |runs AS (SELECT doc_id, run, tok, CAST(count(*) AS BIGINT) AS len
+        |  FROM rn GROUP BY 1, 2, 3),
+        |rk AS (SELECT doc_id, len, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY len DESC, tok ASC) AS rn,
+        |    SUM(len) OVER (PARTITION BY doc_id) AS nt FROM runs)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, len AS max_run,
+        |  tok AS run_token
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Group AUC: compacted-score doubled ranks, the Mann-Whitney
     // identity in HUGEINT, degenerate one-class groups read 0.

@@ -791,4 +791,82 @@ object Profiler {
         col("__m.y").as("majority_val"),
         (col("n_rows") + col("__m.nc")).as("violation_rows"))
   }
+
+  /** X157: PII density by source — the release-gate number next to
+    * X26's scrub (which redacts; this MEASURES): per source, how much
+    * detectable PII is in the text, normalized per million tokens so
+    * sources of different sizes compare. A source whose density stays
+    * high after scrubbing has a pattern the regexes miss — this is the
+    * regression metric that catches it. Uses the SAME anchored regexes
+    * as the scrub pass ([[graft.functions.TextAnalysis.piiColumns]]),
+    * so measure and redact can never disagree on what counts.
+    *
+    * ONE codegen'd per-doc projection + one map-side-combinable
+    * source-key aggregate; nothing else moves.
+    *
+    * @return (source, n_docs, n_tokens, n_emails, n_phones,
+    *         docs_with_pii, pii_per_mtok)
+    */
+  def piiDensityBySource(docs: DataFrame, sourceCol: String,
+                         textCol: String): DataFrame = {
+    import graft.functions.{TextAnalysis, TextFeatures}
+    val e = size(regexp_extract_all(col(textCol),
+      lit(TextAnalysis.EmailRe), lit(0))).cast("long")
+    val p = size(regexp_extract_all(col(textCol),
+      lit(TextAnalysis.PhoneRe), lit(0))).cast("long")
+    docs.select(col(sourceCol).as("source"),
+        size(TextFeatures.tokens(col(textCol))).cast("long").as("__t"),
+        e.as("__e"), p.as("__p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        sum(col("__e")).as("n_emails"), sum(col("__p")).as("n_phones"),
+        sum(when(col("__e") + col("__p") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_emails"), col("n_phones"), col("docs_with_pii"),
+        when(col("n_tokens") === 0, lit(0L)).otherwise(
+          expr("""(cast(n_emails + n_phones as decimal(38,0)) * 1000000)
+                 | div n_tokens""".stripMargin).cast("long"))
+          .as("pii_per_mtok"))
+  }
+
+  /** X158: trimmed mean — the robust per-group location that ignores
+    * the top and bottom `trimPct`% of the mass (the "mean without the
+    * outliers" next to [[madOutliers]]' fence counts): rank-clip on the
+    * q56-compacted (group, value, count) domain, so a value block
+    * straddling the trim boundary contributes exactly its inside
+    * portion — kept = min(cum, hi) − max(cum − cnt, lo) clamped at 0,
+    * with lo = n·p div 100 and hi = n − lo. Windows see |distinct
+    * values| per group, never rows; the mean is a sign-split floor DIV
+    * of exact integers.
+    *
+    * @return (group, n_rows, n_kept, trimmed_sum, trimmed_mean)
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: Column,
+                  trimPct: Int): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50,
+      s"trim percentage out of [0, 50): $trimPct")
+    val cum = Window.partitionBy(groupCol).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(groupCol), valueCol.cast("long").as("v"))
+      .groupBy(col(groupCol), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__cum", sum(col("cnt")).over(cum))
+      .withColumn("__n", sum(col("cnt")).over(all))
+      .select(col(groupCol), col("v"), col("cnt"), col("__n"),
+        greatest(lit(0L),
+          least(col("__cum"), expr(s"__n - (__n * $trimPct) div 100")) -
+            greatest(col("__cum") - col("cnt"),
+              expr(s"(__n * $trimPct) div 100"))).as("__kept"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_rows"), sum(col("__kept")).as("n_kept"),
+        sum(col("v") * col("__kept")).as("trimmed_sum"))
+      .select(col(groupCol), col("n_rows"), col("n_kept"),
+        col("trimmed_sum"),
+        when(col("n_kept") === 0, lit(0L))
+          .when(col("trimmed_sum") >= 0, expr("trimmed_sum div n_kept"))
+          .otherwise(-expr("(-trimmed_sum) div n_kept"))
+          .as("trimmed_mean"))
+  }
 }

@@ -762,4 +762,40 @@ object TermStats {
       .orderBy(col("vmr_ppm").desc, col("token").asc)
       .limit(k)
   }
+
+  /** X159: repeat-run detector — the longest run of one token repeated
+    * CONSECUTIVELY per document: the degenerate-text signal
+    * ("the the the …", "ha ha ha …", markup stutter, generation loops)
+    * that [[repetitionStats]]' gram-frequency ratios dilute away in a
+    * long document. A 50-token loop inside a 10k-token doc barely
+    * moves top_bigram_frac; it IS max_run = 50 here.
+    *
+    * Shape: tokens posexplode into (doc, pos, token); ONE shuffle on
+    * the doc key feeds the lag window (a doc's tokens are one bounded
+    * partition task — the X14/X84 sessionization shape); run ids are a
+    * change-flag cumulative sum, runs collapse map-side, and the
+    * per-doc argmax is a struct-min (longest run, ties to the
+    * lexicographically smaller token) — no second window.
+    *
+    * @return (doc_id, n_tokens, max_run, run_token)
+    */
+  def repeatRuns(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("pos"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFeatures.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__chg",
+        when(lag(col("tok"), 1).over(w).isNull ||
+          lag(col("tok"), 1).over(w) =!= col("tok"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__run"), col("tok"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__len")).as("n_tokens"),
+        min(struct((-col("__len")).as("nl"), col("tok").as("t"))).as("__m"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("__m.nl")).as("max_run"), col("__m.t").as("run_token"))
+  }
 }

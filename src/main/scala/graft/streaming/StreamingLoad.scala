@@ -324,6 +324,40 @@ object StreamingLoad {
       }
   }
 
+  final case class CalibOut(bin: Long, n: Long, mean_score_ppm: Long,
+                            pos_rate_ppm: Long, gap_ppm: Long)
+
+  /** Streaming twin of [[graft.ops.EvalMetrics.calibrationBins]] — the
+    * reliability diagram maintained live over a scored ingest: per bin
+    * THREE longs of `mapGroupsWithState` state (count, score sum,
+    * positive sum — bounded forever), the ppm ratios derived per emit
+    * exactly as the batch op derives them. Counting is a commutative
+    * monoid, so any batch cut yields the batch result.
+    */
+  def calibrationStream(rows: DataFrame, scoreCol: String, labelCol: String,
+                        bins: Int): Dataset[CalibOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    require(bins >= 1, s"non-positive bin count: $bins")
+    rows.select(col(scoreCol).cast("long").as("s"),
+        (col(labelCol).cast("long") =!= 0L).cast("long").as("l"))
+      .select(least(lit(bins - 1L), expr(s"(s * $bins) div 1000000"))
+        .as("bin"), col("s"), col("l"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), CalibOut](
+        GroupStateTimeout.NoTimeout) {
+        (bin: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, ss, sl) = state.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { case (_, s, l) => n += 1; ss += s; sl += l }
+          state.update((n, ss, sl))
+          val mean = ss / n            // all scores non-negative ppm
+          val rate = sl * 1000000L / n
+          CalibOut(bin, n, mean, rate, rate - mean)
+      }
+  }
+
   // ---- custom state: sessionization (flatMapGroupsWithState) -----------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

@@ -434,4 +434,37 @@ class ProfilerSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().head
     assert(gm._2 == 100L && gm._5 == 25L, s"median ${gm._2}, out ${gm._5}")
   }
+
+  test("piiDensityBySource: counts, doc flags and per-mtok rate roll up per source") {
+    val docs = Seq(
+      ("s1", "write to bob@example.com or call 555-1234 now"),   // 1 email 1 phone, 8 toks
+      ("s1", "clean text here"),                                  // 3 toks
+      ("s2", "no pii at all in this one")                         // 7 toks
+    ).toDF("source", "text")
+    val got = graft.ops.Profiler.piiDensityBySource(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 2L, 10L, 1L, 1L, 1L, 200000L),
+      ("s2", 1L, 7L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("trimmedMean: rank-clipped blocks, straddling mass, signed truncation") {
+    // 1..10 once each, trim 10%: keep ranks 2..9 -> 2+..+9 = 44, mean 5
+    val a = (1 to 10).map(v => ("a", v.toLong))
+    // blocks straddle the 20% fences: -10 x3, 0 x4, 10 x3 -> keep 1+4+1
+    val b = Seq.fill(3)(("b", -10L)) ++ Seq.fill(4)(("b", 0L)) ++
+      Seq.fill(3)(("b", 10L))
+    val got = graft.ops.Profiler.trimmedMean(
+        (a ++ b).toDF("g", "v").repartition(5), "g", col("v"), trimPct = 10)
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.head == ("a", 10L, 8L, 44L, 5L))
+    // group b at 10%: lo=1, hi=9 -> kept 2+4+2, sum 0
+    assert(got(1) == ("b", 10L, 8L, 0L, 0L))
+    // negative sum truncates toward zero on both engines
+    val c = (Seq.fill(4)(("c", -5L)) ++ Seq(("c", 1L))).toDF("g", "v")
+    val gc = graft.ops.Profiler.trimmedMean(c, "g", col("v"), trimPct = 0)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(gc == ("c", 5L, 5L, -19L, -3L))
+  }
 }

@@ -385,4 +385,33 @@ class StreamingSpec extends SparkSpec {
       assert(last == batch, s"stream $last != batch $batch")
     } finally q.stop()
   }
+
+  test("streaming calibration bins equal the batch op across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (50000L, 0L), (150000L, 0L), (850000L, 1L), (850000L, 0L),
+      (1000000L, 1L), (120000L, 1L), (870000L, 1L))
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingLoad.calibrationStream(mem.toDF()
+        .toDF("score", "label"), "score", "label", bins = 10)
+      .writeStream.format("memory").queryName("calib_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      // latest update per bin (the one with the largest count — counts
+      // are strictly monotone per bin) == the batch result over all rows
+      val got = spark.table("calib_test")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sortBy(_._1)
+      val batch = graft.ops.EvalMetrics.calibrationBins(
+          rows.toDF("score", "label"),
+          org.apache.spark.sql.functions.col("score"),
+          org.apache.spark.sql.functions.col("label"), bins = 10)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
 }

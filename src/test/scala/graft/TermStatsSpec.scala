@@ -407,4 +407,22 @@ class TermStatsSpec extends SparkSpec {
         minTotal = 5L, k = 10).count()
     assert(pruned == 0L)
   }
+
+  test("repeatRuns: longest consecutive run, tie to smaller token, layout-independent") {
+    val docs = Seq(
+      (1L, "a a a b b c"),      // run of 3 'a'
+      (2L, "x x y y z"),        // tie 2/2 -> 'x'
+      (3L, "solo"),             // single token
+      (4L, "p q p q p q")       // no run beyond 1 -> smallest token 'p'
+    ).toDF("doc_id", "text")
+    val exp = Seq(
+      (1L, 6L, 3L, "a"), (2L, 5L, 2L, "x"),
+      (3L, 1L, 1L, "solo"), (4L, 6L, 1L, "p"))
+    val got = TermStats.repeatRuns(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == exp)
+    val again = TermStats.repeatRuns(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(again == exp)
+  }
 }
