@@ -270,6 +270,31 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Brier score per source: does the quality score's claimed
+    // probability survive the squared-error bill — AUC can't see this.
+    "q187_brier" -> ((s, d) =>
+      EvalMetrics.brierPpm(qualityLabeled(s, d), "source",
+          col("score_ppm"), col("__lbl"))
+        .orderBy(col("source"))),
+
+    // Per-class PRF for the lang-id heuristic vs metadata — the
+    // readable rollup of q95's confusion matrix.
+    "q188_per_class_prf" -> ((s, d) => {
+      val docs = docsFanned(s, d)
+      EvalMetrics.perClassPrf(
+          docs.select(TextAnalysis.langId(TextFeatures.tokens(col("text")))
+            .as("pred"), col("lang")),
+          col("pred"), col("lang"))
+        .orderBy(col("label"))
+    }),
+
+    // Robust z-scores for event values per type: median/MAD
+    // standardization as a per-row feature, signed tenths.
+    "q189_robust_z" -> ((s, d) =>
+      Profiler.robustZ(Tables.events(s, d), "event_type", "event_id",
+          expr("floor(value * 1000)"))
+        .orderBy(col("id"))),
+
     // PII density by source: the q44 salted corpus measured per
     // source, normalized per million tokens — the release-gate number.
     "q184_pii_density" -> ((s, d) => {
@@ -2155,6 +2180,75 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Brier: squared ppm gap, HUGEINT squares, floor div.
+    "q187_brier" ->
+      s"""WITH $qualityLabeledCte,
+         |d AS (SELECT source, score_ppm - l * 1000000 AS d FROM lb)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(d AS HUGEINT) * d) // (CAST(count(*) AS HUGEINT) * 1000000)
+         |    AS BIGINT) AS brier_ppm
+         |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Per-class PRF: q28's langid CASE, margins full-outer so one-
+    // sided classes still report.
+    "q188_per_class_prf" ->
+      s"""WITH tok AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  len(list_filter(toks, t -> list_contains(${stopList("de")}, t))) AS h_de,
+         |  len(list_filter(toks, t -> list_contains(${stopList("en")}, t))) AS h_en,
+         |  len(list_filter(toks, t -> list_contains(${stopList("es")}, t))) AS h_es,
+         |  len(list_filter(toks, t -> list_contains(${stopList("fr")}, t))) AS h_fr
+         | FROM tok),
+         |p AS (SELECT lang, CASE
+         |  WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |  WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |  WHEN h_es > 0 AND h_es >= h_de AND h_es >= h_en AND h_es >= h_fr THEN 'es'
+         |  WHEN h_fr > 0 AND h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+         |  ELSE 'und' END AS pred
+         | FROM h),
+         |ct AS (SELECT pred AS a, lang AS b, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+         |pm AS (SELECT a AS label, CAST(SUM(c) AS BIGINT) AS np FROM ct GROUP BY 1),
+         |tm AS (SELECT b AS label, CAST(SUM(c) AS BIGINT) AS nt FROM ct GROUP BY 1),
+         |dg AS (SELECT a AS label, c AS tp FROM ct WHERE a = b),
+         |m AS (SELECT COALESCE(pm.label, tm.label) AS label,
+         |    COALESCE(dg.tp, 0) AS tp,
+         |    COALESCE(pm.np, 0) - COALESCE(dg.tp, 0) AS fp,
+         |    COALESCE(tm.nt, 0) - COALESCE(dg.tp, 0) AS fn
+         |  FROM pm FULL JOIN tm ON tm.label = pm.label
+         |  LEFT JOIN dg ON dg.label = COALESCE(pm.label, tm.label))
+         |SELECT label, tp, fp, fn,
+         |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (tp * 1000000) // (tp + fp) END AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (tp * 1000000) // (tp + fn) END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+         |       ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+         |FROM m ORDER BY label""".stripMargin,
+
+    // Robust z: q156's median/MAD walks on event values, joined back
+    // to rows, sign-split tenths.
+    "q189_robust_z" ->
+      """WITH b AS (SELECT event_type AS g, event_id AS id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |c AS (SELECT g, v, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |r AS (SELECT g, v, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS nn FROM c),
+        |med AS (SELECT g, v AS median FROM r
+        |  WHERE cm >= (nn * 50 + 99) // 100 AND cm - cnt < (nn * 50 + 99) // 100),
+        |dv AS (SELECT c.g, med.median, abs(c.v - med.median) AS d,
+        |    CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM c JOIN med USING (g) GROUP BY 1, 2, 3),
+        |r2 AS (SELECT g, median, d, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY d) AS BIGINT) AS cm,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS nn FROM dv),
+        |mad AS (SELECT g, d AS mad FROM r2
+        |  WHERE cm >= (nn * 50 + 99) // 100 AND cm - cnt < (nn * 50 + 99) // 100)
+        |SELECT b.g AS event_type, b.id, b.v, med.median, mad.mad,
+        |  CAST(CASE WHEN mad.mad = 0 THEN 0
+        |       WHEN b.v >= med.median THEN (10 * (b.v - med.median)) // mad.mad
+        |       ELSE -((10 * (med.median - b.v)) // mad.mad) END AS BIGINT) AS z_tenths
+        |FROM b JOIN med ON med.g = b.g JOIN mad ON mad.g = b.g
+        |ORDER BY b.id""".stripMargin,
 
     // PII density: q44's salted corpus, same regexes, source rollup.
     "q184_pii_density" ->

@@ -121,6 +121,77 @@ object EvalMetrics {
           .as("f1_ppm"))
   }
 
+  /** X160: Brier score — the proper scoring rule that calibration bins
+    * (X154) visualize and AUC (X153) ignores: mean squared gap between
+    * the claimed probability (ppm score) and the outcome, per group. A
+    * score can rank perfectly (AUC 10⁶) and still lie about its
+    * probabilities; Brier bills for it. Exact integers: with s in ppm
+    * and y ∈ {0,1}, brier_ppm = Σ(s − y·10⁶)² div (n·10⁶) ∈ [0, 10⁶]
+    * (0 = perfectly sharp and honest). ONE map-side-combinable moment
+    * aggregate; squares run in DECIMAL(38,0) — exact to 10¹⁹ rows per
+    * group.
+    *
+    * @return (group, n, brier_ppm)
+    */
+  def brierPpm(df: DataFrame, groupCol: String, scoreExpr: Column,
+               labelExpr: Column): DataFrame = {
+    df.select(col(groupCol),
+        scoreExpr.cast("long").as("__s"),
+        (labelExpr.cast("long") =!= 0L).cast("long").as("__l"))
+      .select(col(groupCol),
+        (col("__s") - col("__l") * 1000000L).as("__d"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(__d as decimal(38,0)) * __d")).as("__sq"))
+      .select(col(groupCol), col("n"),
+        expr("__sq div (cast(n as decimal(38,0)) * 1000000)")
+          .cast("long").as("brier_ppm"))
+  }
+
+  /** X161: per-class precision/recall/F1 — the multi-class report card
+    * over a (predicted, truth) labeling, one row per class in the
+    * union of both sides: tp = diagonal cell, fp = predicted-margin
+    * remainder, fn = truth-margin remainder. The readable sibling of
+    * the raw confusion matrix (q95) and the multi-class counterpart of
+    * the binary sweep (X155). Row volume collapses once onto the
+    * ≤|labels|² contingency key; margins are |labels|-row folds joined
+    * full-outer so a class present on only one side still reports
+    * (recall 0 when never predicted, precision 0 when never true).
+    *
+    * @return (label, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm)
+    */
+  def perClassPrf(df: DataFrame, predCol: Column,
+                  truthCol: Column): DataFrame = {
+    val cont = df.select(predCol.cast("string").as("__p"),
+        truthCol.cast("string").as("__t"))
+      .groupBy(col("__p"), col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false) // forked: diag + two margins
+    val predM = cont.groupBy(col("__p")).agg(sum(col("__c")).as("__np"))
+    val truthM = cont.groupBy(col("__t")).agg(sum(col("__c")).as("__nt"))
+    val diag = cont.filter(col("__p") === col("__t"))
+      .select(col("__p").as("label"), col("__c").as("tp"))
+    predM.select(col("__p").as("label"), col("__np"))
+      .join(truthM.select(col("__t").as("label"), col("__nt")),
+        Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("__np"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("__nt"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(0L))
+          .otherwise(expr("(tp * 1000000) div (tp + fp)"))
+          .as("precision_ppm"),
+        when(col("tp") + col("fn") === 0, lit(0L))
+          .otherwise(expr("(tp * 1000000) div (tp + fn)"))
+          .as("recall_ppm"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, lit(0L))
+          .otherwise(expr("(2 * tp * 1000000) div (2 * tp + fp + fn)"))
+          .as("f1_ppm"))
+  }
+
   /** X156: Cohen's kappa — chance-corrected agreement between two
     * labelings (Cohen 1960), multi-class: the lang-id-vs-metadata or
     * annotator-vs-annotator honesty check next to X128's ARI (which

@@ -792,6 +792,33 @@ object Profiler {
         (col("n_rows") + col("__m.nc")).as("violation_rows"))
   }
 
+  /** X162: robust z-score — [[madOutliers]]' fences turned into a
+    * per-row FEATURE: z = (v − median)/MAD in signed tenths, the
+    * 50%-breakdown standardization that survives the garbage columns
+    * where mean/stddev scaling silently recentres on the outliers it
+    * was meant to flag. The feature-engineering sibling of the audit:
+    * same median/MAD (same compacted walks), joined back to row volume
+    * by the group key (AQE-planned) and applied as one codegen'd
+    * sign-split projection. A degenerate group (MAD 0: over half the
+    * mass on one value) reads z 0 — by contract, not by NULL.
+    *
+    * @return (group, id, v, median, mad, z_tenths)
+    */
+  def robustZ(df: DataFrame, groupCol: String, idCol: String,
+              valueCol: Column): DataFrame = {
+    val stats = madOutliers(df, groupCol, valueCol)
+      .select(col(groupCol), col("median"), col("mad"))
+    df.select(col(groupCol), col(idCol).as("id"),
+        valueCol.cast("long").as("v"))
+      .join(stats, Seq(groupCol))
+      .select(col(groupCol), col("id"), col("v"), col("median"), col("mad"),
+        when(col("mad") === 0, lit(0L))
+          .when(col("v") >= col("median"),
+            expr("(10 * (v - median)) div mad"))
+          .otherwise(-expr("(10 * (median - v)) div mad"))
+          .as("z_tenths"))
+  }
+
   /** X157: PII density by source — the release-gate number next to
     * X26's scrub (which redacts; this MEASURES): per source, how much
     * detectable PII is in the text, normalized per million tokens so

@@ -99,4 +99,33 @@ class EvalMetricsSpec extends SparkSpec {
     // both raters constant and equal: pe = 1 -> den 0 -> 0 by contract
     assert(run(Seq(("z", "z"), ("z", "z")))._4 == 0L)
   }
+
+  test("brierPpm: sharp-honest 0, confident-wrong 1e6, hand-computed middle") {
+    val rows = Seq(
+      ("sharp", 1000000L, 1L), ("sharp", 0L, 0L),
+      ("wrong", 1000000L, 0L), ("wrong", 0L, 1L),
+      // (700000-1e6)^2 + (300000-0)^2 = 2*9e10 -> /(2*1e6) = 90000
+      ("mid", 700000L, 1L), ("mid", 300000L, 0L))
+    val got = EvalMetrics.brierPpm(rows.toDF("g", "s", "l"), "g",
+        col("s"), col("l"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map("sharp" -> 0L, "wrong" -> 1000000L, "mid" -> 90000L))
+  }
+
+  test("perClassPrf: one-sided classes report, counts hand-checked") {
+    // pred/truth pairs: a:2 correct, 1 a-pred was b; b never predicted;
+    // c predicted once but never true
+    val pairs = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("c", "b"))
+    val got = EvalMetrics.perClassPrf(pairs.toDF("p", "t"),
+        col("p"), col("t"))
+      .orderBy("label")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // a: tp 2, fp 1, fn 0 -> prec 666666, rec 1e6, f1 800000
+      ("a", 2L, 1L, 0L, 666666L, 1000000L, 800000L),
+      // b: tp 0, fp 0 (never predicted), fn 2 -> all zero except fn
+      ("b", 0L, 0L, 2L, 0L, 0L, 0L),
+      // c: tp 0, fp 1, fn 0
+      ("c", 0L, 1L, 0L, 0L, 0L, 0L)))
+  }
 }

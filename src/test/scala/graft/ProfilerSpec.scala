@@ -467,4 +467,23 @@ class ProfilerSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().head
     assert(gc == ("c", 5L, 5L, -19L, -3L))
   }
+
+  test("robustZ: median/MAD standardization per row, MAD-0 group reads 0") {
+    // group g: values 1,2,3,4,100 -> median 3, deviations 2,1,0,1,97 -> MAD 1
+    val g = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 100L))
+      .map { case (id, v) => ("g", id, v) }
+    // group k: over half the mass on 7 -> MAD 0 -> all z 0
+    val k = Seq((11L, 7L), (12L, 7L), (13L, 7L), (14L, 9L))
+      .map { case (id, v) => ("k", id, v) }
+    val got = graft.ops.Profiler.robustZ((g ++ k).toDF("grp", "id", "v")
+        .repartition(5), "grp", "id", col("v"))
+      .orderBy("id").as[(String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("g", 1L, 1L, 3L, 1L, -20L), ("g", 2L, 2L, 3L, 1L, -10L),
+      ("g", 3L, 3L, 3L, 1L, 0L), ("g", 4L, 4L, 3L, 1L, 10L),
+      ("g", 5L, 100L, 3L, 1L, 970L),
+      ("k", 11L, 7L, 7L, 0L, 0L), ("k", 12L, 7L, 7L, 0L, 0L),
+      ("k", 13L, 7L, 7L, 0L, 0L), ("k", 14L, 9L, 7L, 0L, 0L)))
+  }
 }
