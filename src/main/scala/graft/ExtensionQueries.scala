@@ -270,6 +270,32 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Contamination spans: WHERE eval text leaks into the corpus —
+    // merged token extents per contaminated doc, n=5 grams.
+    "q190_contamination_spans" -> ((s, d) => {
+      val docs = docsFanned(s, d)
+      Contamination.contaminationSpans(docs,
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer fit: pieces-per-word histogram under the 3-merge BPE
+    // table — the fertility / domain-mismatch readout.
+    "q191_tokenizer_fit" -> ((s, d) => {
+      val docs = docsFanned(s, d)
+      val table = BpeTrainer.trainMerges(docs, "text", 3)
+        .orderBy(col("rnk")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrainer.fitHistogram(docs, "text", table)
+        .orderBy(col("n_pieces"))
+    }),
+
+    // Expected calibration error: the q181 bins rolled to (ECE, MCE).
+    "q192_ece" -> ((s, d) =>
+      EvalMetrics.ecePpm(qualityLabeled(s, d), col("score_ppm"),
+        col("__lbl"), bins = 10)),
+
     // Brier score per source: does the quality score's claimed
     // probability survive the squared-error bill — AUC can't see this.
     "q187_brier" -> ((s, d) =>
@@ -2180,6 +2206,53 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Contamination spans: eval gram-hash set, q79's interval sweep,
+    // coverage ppm.
+    "q190_contamination_spans" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |ev AS (SELECT DISTINCT ${dh("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS g
+         |  FROM (SELECT toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM tok WHERE doc_id % 10 = 0 AND len(toks) >= 5)),
+         |win AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, i AS pos,
+         |    ${dh("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS h
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM tok WHERE len(toks) >= 5)),
+         |sweep AS (SELECT doc_id, n_tokens, pos,
+         |    max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM win WHERE h IN (SELECT g FROM ev)),
+         |a AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_hit_windows,
+         |    CAST(SUM(greatest(0, pos + 5 - greatest(coalesce(prev_end, pos), pos))) AS BIGINT) AS covered_tokens
+         |  FROM sweep GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_hit_windows, covered_tokens,
+         |  CAST((covered_tokens * 1000000) // n_tokens AS BIGINT) AS coverage_ppm
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Tokenizer fit: the q78 BPE chain rolled to a pieces-per-word
+    // histogram, occurrence-weighted.
+    "q191_tokenizer_fit" ->
+      s"""WITH RECURSIVE
+         |$bpeChainCtes
+         |SELECT CAST(len(syms) AS BIGINT) AS n_pieces,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(SUM(n) AS BIGINT) AS n_occurrences
+         |FROM w3 GROUP BY 1 ORDER BY n_pieces""".stripMargin,
+
+    // ECE/MCE: q181's floored per-bin gaps, occupancy-weighted.
+    "q192_ece" ->
+      s"""WITH $qualityLabeledCte,
+         |b AS (SELECT least(9, (score_ppm * 10) // 1000000) AS bin, score_ppm, l FROM lb),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(score_ppm) AS HUGEINT) AS ss, CAST(SUM(l) AS BIGINT) AS sl
+         |  FROM b GROUP BY 1),
+         |c AS (SELECT bin, n,
+         |    CAST((sl * 1000000) // n - ss // n AS BIGINT) AS gap FROM g)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(SUM(n * abs(gap)) // SUM(n) AS BIGINT) AS ece_ppm,
+         |  CAST(MAX(abs(gap)) AS BIGINT) AS max_gap_ppm
+         |FROM c""".stripMargin,
 
     // Brier: squared ppm gap, HUGEINT squares, floor div.
     "q187_brier" ->

@@ -117,4 +117,23 @@ object BpeTrainer {
       size(col("__syms")).cast("long").as("n_syms"),
       array_join(col("__syms"), " ").as("segmented"))
   }
+
+  /** X164: tokenizer-fit histogram — how well does a merge table fit
+    * THIS corpus: the occurrence-weighted distribution of pieces per
+    * word after segmentation. The mean of this histogram is the
+    * tokenizer's FERTILITY (pieces per word — the number that sets
+    * sequence lengths, packing density and training cost downstream);
+    * a heavy tail is the domain-mismatch signal (words the merges
+    * never learned shatter into characters). All arithmetic rides
+    * [[applyMerges]]' vocabulary-bounded frame — corpus volume was
+    * already collapsed to (word, count) before any merge ran.
+    *
+    * @return (n_pieces, n_types, n_occurrences), one row per distinct
+    *         piece count
+    */
+  def fitHistogram(docs: DataFrame, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame =
+    applyMerges(docs, textCol, merges)
+      .groupBy(col("n_syms").as("n_pieces"))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_occurrences"))
 }

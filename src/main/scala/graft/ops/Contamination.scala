@@ -135,4 +135,57 @@ object Contamination {
         expr("(n_inter * 1000000) DIV n_a").as("contain_ppm"))
       .filter(col("contain_ppm") >= minContainPpm)
   }
+
+  /** X163: contamination span locator — WHERE the leak is, not just
+    * that it exists: [[ngramOverlap]] flags a contaminated document;
+    * this returns the token extent of every eval-set n-gram hit,
+    * merged into covered spans (X90's running-max interval sweep), so
+    * an audit can read "tokens 812–1041 of doc 7 are benchmark text"
+    * and a scrub pass can cut the span instead of dropping the doc.
+    *
+    * Shape: corpus n-gram windows (pos, hash) semi-join the DISTINCT
+    * eval gram-hash set (left to AQE — an eval suite is small but
+    * unbounded, never force-broadcast); survivors per doc feed the
+    * bounded per-doc sweep window. Only contaminated docs produce
+    * rows — clean corpus volume dies at the semi-join.
+    *
+    * @return (doc_id, n_tokens, n_hit_windows, covered_tokens,
+    *         coverage_ppm) for every doc with ≥ 1 hit
+    */
+  def contaminationSpans(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    require(n >= 1, s"span n-gram size must be positive: $n")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val evalGrams = evalSet.select(
+      explode(array_distinct(transform(
+        shingles(tokens(col(textCol)), n), s => charHash(s)))).as("__g"))
+      .distinct()
+    val wins = corpus
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        explode(transform(
+          sequence(lit(1), size(col("__toks")) - lit(n - 1)), i => struct(
+            i.as("pos"),
+            charHash(concat_ws(" ", slice(col("__toks"), i, lit(n))))
+              .as("h")))).as("__w"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("__w.pos").as("pos"), col("__w.h").as("__g"))
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    wins.join(evalGrams, Seq("__g"), "left_semi")
+      .withColumn("__prevEnd", max(col("pos") + lit(n)).over(sweep))
+      .withColumn("__cov", greatest(lit(0),
+        col("pos") + lit(n) -
+          greatest(coalesce(col("__prevEnd"), col("pos")), col("pos"))))
+      .groupBy("doc_id")
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_hit_windows"),
+        sum(col("__cov")).cast("long").as("covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hit_windows"),
+        col("covered_tokens"),
+        expr("(covered_tokens * 1000000) div n_tokens").as("coverage_ppm"))
+  }
 }

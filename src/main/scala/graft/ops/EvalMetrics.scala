@@ -121,6 +121,25 @@ object EvalMetrics {
           .as("f1_ppm"))
   }
 
+  /** X165: expected calibration error — [[calibrationBins]] rolled to
+    * the one number a dashboard tracks: the occupancy-weighted mean
+    * absolute claimed-vs-empirical gap, ECE = Σ n_b·|gap_b| div n,
+    * plus the maximum cell gap (MCE). Computed from the bins' already-
+    * floored ppm gaps — deterministic and oracle-mirrored, and the
+    * same numbers a reader sees in the per-bin table, so the rollup
+    * can never disagree with its own detail.
+    *
+    * @return one row (n, n_bins, ece_ppm, max_gap_ppm)
+    */
+  def ecePpm(df: DataFrame, scoreExpr: Column, labelExpr: Column,
+             bins: Int): DataFrame =
+    calibrationBins(df, scoreExpr, labelExpr, bins)
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        sum(col("n") * abs(col("gap_ppm"))).as("__w"),
+        max(abs(col("gap_ppm"))).as("max_gap_ppm"))
+      .select(col("n"), col("n_bins"),
+        expr("__w div n").as("ece_ppm"), col("max_gap_ppm"))
+
   /** X160: Brier score — the proper scoring rule that calibration bins
     * (X154) visualize and AUC (X153) ignores: mean squared gap between
     * the claimed probability (ppm score) and the outcome, per group. A

@@ -105,4 +105,15 @@ class BpeTrainerSpec extends SparkSpec {
     val got = BpeTrainer.trainMerges(docs, "text", 5).collect()
     assert(got.isEmpty)
   }
+
+  test("fitHistogram: occurrence-weighted pieces-per-word distribution") {
+    // merges: (a,b) then (ab,c) -> "abc" segments to 1 piece,
+    // "abd" to 2 (ab,d), "xy" to 2 (x,y)
+    val docs = Seq((1L, "abc abc abd"), (2L, "xy abc")).toDF("doc_id", "text")
+    val got = graft.ops.BpeTrainer.fitHistogram(docs, "text",
+        Seq(("a", "b"), ("ab", "c")))
+      .orderBy("n_pieces").as[(Long, Long, Long)].collect().toSeq
+    // n_pieces 1: abc (3 occurrences); n_pieces 2: abd, xy (1 each)
+    assert(got == Seq((1L, 1L, 3L), (2L, 2L, 2L)))
+  }
 }

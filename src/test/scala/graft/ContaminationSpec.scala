@@ -92,4 +92,25 @@ class ContaminationSpec extends SparkSpec {
     // doc 20 has NO surviving shingles → absent entirely; doc 21 → doc 3
     assert(got == Set((21L, 3L, 1L, 1L, 1000000L)))
   }
+
+  test("contaminationSpans: merged extents, clean docs absent, full-coverage eval member") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      // tokens 1-7; eval 5-gram "a b c d e" hits at pos 1 and the
+      // overlapping window at pos 2 ("b c d e f") does NOT exist in
+      // eval, so coverage = tokens 1..5 only
+      (1L, "a b c d e x y"),
+      (2L, "totally clean text with no overlap at all"),
+      // the eval doc itself: every window hits -> full coverage
+      (3L, "a b c d e f g")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((10L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = graft.ops.Contamination.contaminationSpans(
+        corpus, eval_, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 7L, 1L, 5L, 5000000L / 7L),
+      (3L, 7L, 3L, 7L, 1000000L)))
+  }
 }

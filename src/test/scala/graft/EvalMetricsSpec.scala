@@ -128,4 +128,13 @@ class EvalMetricsSpec extends SparkSpec {
       // c: tp 0, fp 1, fn 0
       ("c", 0L, 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("ecePpm: occupancy-weighted mean |gap| and max cell gap") {
+    // bin 0: 1 row gap -50000; bin 8: 2 rows gap -350000; bin 9: 1 row gap 0
+    val rows = Seq((50000L, 0L), (850000L, 1L), (850000L, 0L), (1000000L, 1L))
+    val got = EvalMetrics.ecePpm(rows.toDF("s", "l"), col("s"), col("l"),
+        bins = 10).as[(Long, Long, Long, Long)].collect().head
+    // ece = (1*50000 + 2*350000 + 1*0) / 4 = 187500, mce = 350000
+    assert(got == (4L, 3L, 187500L, 350000L))
+  }
 }
