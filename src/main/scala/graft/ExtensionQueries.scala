@@ -270,6 +270,31 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Cluster purity: q39's k-means assignments vs the embedding
+    // labels — which clusters are clean, which are mixed.
+    "q193_cluster_purity" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val assign = Clustering.lloydAssign(
+          e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", 8, 2)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      Clustering.clusterPurityPpm(
+          assign.join(e.select(col("vec_id"), col("label")), Seq("vec_id")),
+          "cid", "label")
+        .orderBy(col("cluster_id"))
+    }),
+
+    // Rank-biased overlap: how much did dropping one probe term move
+    // the TOP of the BM25 ranking — p=0.9, depth 50.
+    "q194_rbo" -> ((s, d) => {
+      val docs = docsFanned(s, d)
+      TermStats.rboPpm(
+        TermStats.bm25Rank(docs, "doc_id", "text",
+          Seq("join", "vector", "stream")),
+        TermStats.bm25Rank(docs, "doc_id", "text", Seq("join", "vector")),
+        "doc_id", depth = 50, pPpm = 900000L)
+    }),
+
     // Contamination spans: WHERE eval text leaks into the corpus —
     // merged token extents per contaminated doc, n=5 grams.
     "q190_contamination_spans" -> ((s, d) => {
@@ -1817,6 +1842,26 @@ object ExtensionQueries {
        |  FROM sc JOIN documents d USING (doc_id))""".stripMargin
   }
 
+  /** One BM25 ranking chain (q41's arithmetic verbatim) under a CTE
+    * prefix, sharing the caller's `dld`/`stats` CTEs — lets q194 rank
+    * the same corpus under two probe-term sets in one statement. */
+  private def bm25RankCte(pfx: String, terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""${pfx}tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dld)
+       |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
+       |${pfx}dfc AS (SELECT term, count(*) AS df FROM ${pfx}tf GROUP BY 1),
+       |${pfx}scored AS (SELECT doc_id,
+       |  CAST(floor(((n - df + 0.5)/(df + 0.5))
+       |    * ((tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+       |    * 1000000.0) AS BIGINT) AS sq
+       |  FROM ${pfx}tf JOIN ${pfx}dfc USING (term), stats),
+       |${pfx}agg AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS bm25_q FROM ${pfx}scored GROUP BY 1),
+       |${pfx}rk AS (SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY bm25_q DESC, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM ${pfx}agg)""".stripMargin
+  }
+
   /** Polynomial code-point hash — DuckDB spelling of TextFeatures.charHash. */
   private def dh(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a*31 + x) % 1000000007)"
@@ -2206,6 +2251,63 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Cluster purity: the q39 Lloyd chain, label join, window-free
+    // majority with (count DESC, label ASC) ties.
+    "q193_cluster_purity" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |s1 AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.ce")} AS c
+         |  FROM embeddings e, c0 c),
+         |a1 AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT vec_id, embedding, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, cid ASC) AS rn
+         |  FROM s1) WHERE rn = 1),
+         |c1d AS (SELECT cid, i,
+         |  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS cv
+         |  FROM a1, range(1, 65) r(i) GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list(CAST(cv AS FLOAT) ORDER BY i) AS ce FROM c1d GROUP BY cid),
+         |s2 AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.ce")} AS cosine
+         |  FROM embeddings e, c1 c),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, cosine, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid ASC) AS rn
+         |  FROM s2) WHERE rn = 1),
+         |j AS (SELECT a2.cid, CAST(e.label AS VARCHAR) AS l
+         |  FROM a2 JOIN embeddings e USING (vec_id)),
+         |ct AS (SELECT cid, l, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+         |rk AS (SELECT cid, l, c,
+         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY c DESC, l ASC) AS rn,
+         |    CAST(SUM(c) OVER (PARTITION BY cid) AS BIGINT) AS nm FROM ct)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id, nm AS n_members,
+         |  l AS majority_label, c AS majority_n,
+         |  CAST((c * 1000000) // nm AS BIGINT) AS purity_ppm
+         |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // RBO: two BM25 chains share base/stats; overlap enters at
+    // max(rank) depth; weights are the X139 power folds.
+    "q194_rbo" ->
+      s"""WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |dld AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base),
+         |stats AS (SELECT count(*) AS n, CAST(SUM(dl) AS DOUBLE)/count(*) AS avgdl FROM dld),
+         |${bm25RankCte("a", Seq("join", "vector", "stream"))},
+         |${bm25RankCte("b", Seq("join", "vector"))},
+         |mm AS (SELECT greatest(ark.rnk, brk.rnk) AS m
+         |  FROM ark JOIN brk USING (doc_id)
+         |  WHERE ark.rnk <= 100 AND brk.rnk <= 100
+         |    AND greatest(ark.rnk, brk.rnk) <= 50),
+         |h AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM mm GROUP BY 1),
+         |w AS (SELECT CAST(d AS BIGINT) AS d,
+         |    list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+         |      list_transform(range(0, d - 1), i -> CAST(900000 AS BIGINT))),
+         |      (a, x) -> (a * x) // 1000000) AS w
+         |  FROM (SELECT unnest(range(1, 51)) AS d)),
+         |cv AS (SELECT w.d, w.w, COALESCE(SUM(h.c), 0) AS ov
+         |  FROM w LEFT JOIN h ON h.m <= w.d GROUP BY 1, 2),
+         |t AS (SELECT d, w, ov, (ov * 1000000) // d AS agree FROM cv)
+         |SELECT CAST(50 AS BIGINT) AS depth, CAST(900000 AS BIGINT) AS p_ppm,
+         |  CAST(MAX(CASE WHEN d = 50 THEN ov END) AS BIGINT) AS overlap_at_depth,
+         |  CAST(MAX(CASE WHEN d = 50 THEN agree END) AS BIGINT) AS agree_at_depth_ppm,
+         |  CAST((SUM((w * agree) // 1000000) * (1000000 - 900000)) // 1000000 AS BIGINT) AS rbo_ppm
+         |FROM t""".stripMargin,
 
     // Contamination spans: eval gram-hash set, q79's interval sweep,
     // coverage ppm.

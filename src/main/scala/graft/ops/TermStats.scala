@@ -498,6 +498,59 @@ object TermStats {
         Window.orderBy(col("rrf_q").desc, col(idCol).asc)).cast("long"))
   }
 
+  /** X167: rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010),
+    * truncated at `depth` — the top-weighted similarity of two
+    * rankings, the comparison metric [[rrfFuse]]'s fusion implies but
+    * never measures: did the BM25 change / new embedding actually move
+    * the TOP of the list, where users look, or only the tail Kendall
+    * counts equally?
+    *
+    *   RBO@D = (1−p) · Σ_{d=1..D} p^(d−1) · |A_{1..d} ∩ B_{1..d}| / d
+    *
+    * All arithmetic in truncating ppm: the geometric weights are
+    * left-to-right integer power folds (the X139 spelling, replayed by
+    * the oracle), each depth term floors once, the final (1−p) scale
+    * floors once — bit-identical in any engine, no float pow.
+    *
+    * Shape: one equi-join of the two (bounded, top-k) ranking frames;
+    * an item enters the overlap at depth max(rankA, rankB), so the
+    * whole curve is one ≤ depth-row histogram join against the
+    * `depth`-row weight table — never a per-depth pass.
+    *
+    * @return one row (depth, p_ppm, overlap_at_depth,
+    *         agree_at_depth_ppm, rbo_ppm)
+    */
+  def rboPpm(a: DataFrame, b: DataFrame, idCol: String, depth: Int,
+             pPpm: Long): DataFrame = {
+    require(depth >= 1, s"non-positive depth: $depth")
+    require(pPpm > 0 && pPpm < 1000000L, s"p_ppm out of (0, 1e6): $pPpm")
+    val M = 1000000L
+    def powPpm(e: Int): Long = {
+      var acc = M; var i = 0
+      while (i < e) { acc = acc * pPpm / M; i += 1 }
+      acc
+    }
+    val spark = a.sparkSession
+    import spark.implicits._
+    val wDf = (1 to depth).map(d => (d.toLong, powPpm(d - 1))).toDF("d", "w")
+    val hist = a.select(col(idCol).as("__id"), col("rnk").as("__ra"))
+      .join(b.select(col(idCol).as("__id"), col("rnk").as("__rb")), Seq("__id"))
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+      .filter(col("__m") <= depth)
+      .groupBy(col("__m")).agg(count(lit(1)).as("__c"))
+    wDf.join(hist, col("__m") <= col("d"), "left")
+      .groupBy(col("d"), col("w"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("ov"))
+      .select(col("d"), col("w"), col("ov"),
+        expr("(ov * 1000000) div d").as("agree"))
+      .agg(max(when(col("d") === depth, col("ov"))).as("overlap_at_depth"),
+        max(when(col("d") === depth, col("agree"))).as("agree_at_depth_ppm"),
+        sum(expr("(w * agree) div 1000000")).as("__s"))
+      .select(lit(depth.toLong).as("depth"), lit(pPpm).as("p_ppm"),
+        col("overlap_at_depth"), col("agree_at_depth_ppm"),
+        expr(s"(__s * (1000000 - $pPpm)) div 1000000").as("rbo_ppm"))
+  }
+
   /** X70: n-gram novelty — per document, the ppm fraction of its
     * DISTINCT word n-grams that occur in no other document. The
     * corpus-level complement of [[repetitionStats]]' within-doc view:

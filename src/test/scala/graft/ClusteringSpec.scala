@@ -175,4 +175,21 @@ class ClusteringSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(solo == Seq((0L, 30L, 0L)))
   }
+
+  test("clusterPurityPpm: majority with deterministic ties, mixed vs clean clusters") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "en"), (1L, "en"), (1L, "en"), (1L, "fr"),   // clean-ish: 3/4
+      (2L, "de"), (2L, "fr"),                            // tie -> 'de' (label asc)
+      (3L, "es"), (3L, "es")                             // pure
+    ).toDF("cid", "lang")
+    val got = graft.ops.Clustering.clusterPurityPpm(rows.repartition(3),
+        "cid", "lang")
+      .orderBy("cluster_id")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, "en", 3L, 750000L),
+      (2L, 2L, "de", 1L, 500000L),
+      (3L, 2L, "es", 2L, 1000000L)))
+  }
 }

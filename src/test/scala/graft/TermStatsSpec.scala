@@ -425,4 +425,37 @@ class TermStatsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
     assert(again == exp)
   }
+
+  test("rboPpm: identical rankings read (1-p^D), disjoint read 0, model parity") {
+    def ranking(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (id, i.toLong + 1) }
+        .toDF("doc_id", "rnk")
+    val a = ranking(Seq(10L, 20L, 30L, 40L, 50L))
+    // identical rankings: every depth agrees fully ->
+    // rbo = (1-p) * sum p^(d-1) (truncating folds, mirrored here)
+    val D = 5; val p = 500000L; val M = 1000000L
+    def pow(e: Int) = (0 until e).foldLeft(M)((acc, _) => acc * p / M)
+    val expIdent = ((1 to D).map(d => pow(d - 1) * M / M).sum) * (M - p) / M
+    val gotIdent = TermStats.rboPpm(a, ranking(Seq(10L, 20L, 30L, 40L, 50L)),
+        "doc_id", D, p).as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotIdent == (5L, 500000L, 5L, 1000000L, expIdent))
+    // disjoint rankings: no shared ids -> all zero
+    val gotDisj = TermStats.rboPpm(a, ranking(Seq(91L, 92L, 93L)),
+        "doc_id", D, p).as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotDisj == (5L, 500000L, 0L, 0L, 0L))
+    // partial: brute-force the truncating spelling
+    val b = ranking(Seq(30L, 10L, 99L, 40L, 98L))
+    val ranksA = Map(10L -> 1L, 20L -> 2L, 30L -> 3L, 40L -> 4L, 50L -> 5L)
+    val ranksB = Map(30L -> 1L, 10L -> 2L, 99L -> 3L, 40L -> 4L, 98L -> 5L)
+    val ms = ranksA.keySet.intersect(ranksB.keySet).toSeq
+      .map(id => math.max(ranksA(id), ranksB(id))).filter(_ <= D)
+    val terms = (1 to D).map { d =>
+      val ov = ms.count(_ <= d)
+      pow(d - 1) * (ov * M / d) / M
+    }
+    val expPart = terms.sum * (M - p) / M
+    val gotPart = TermStats.rboPpm(a, b, "doc_id", D, p)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gotPart._5 == expPart)
+  }
 }
