@@ -84,11 +84,11 @@ object Acquisition {
     if (!validateExtension(path.toString))
       throw new DownloadException(
         s"Erro ao ler arquivo local: Formato inválido. Use arquivos dos tipos: ${AllowedExtensions.mkString(", ")}")
-    // The whitelist (mirroring `config.py:24`) ACCEPTS `.xls`, but this
-    // engine's workbook reader parses OOXML only — surface the
-    // unsupported legacy format here by name rather than letting it
-    // fail as a zip error inside sheet extraction later.
-    XlsxToCsv.requireNotLegacyXls(path)
+    // The whitelist (mirroring `config.py:24`) ACCEPTS `.xls`; the
+    // engine parses BIFF8 via BiffToCsv. Probe the container here so a
+    // corrupt or pre-BIFF8 workbook fails by NAME at acquisition time,
+    // not as an opaque error deep inside sheet extraction.
+    if (XlsxToCsv.isLegacyXls(path)) BiffToCsv.requireReadable(path)
     Files.readAllBytes(path)
   }
 

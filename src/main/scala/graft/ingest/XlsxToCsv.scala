@@ -11,12 +11,10 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 import scala.collection.mutable
 
 /** A staged workbook in a format this engine recognizes but cannot
-  * parse — today that is the legacy binary `.xls` (BIFF inside a CFB
-  * container). The reference's whitelist accepts `.xls`
-  * (`/root/reference/autosinapi/config.py:24`) because pandas/xlrd can
-  * read it; this engine parses OOXML only, so the mismatch must surface
-  * as a NAMED domain error at first touch, not as a confusing zip-layer
-  * failure deep inside sheet extraction. */
+  * parse — a corrupt CFB container, or the pre-97 BIFF5 layout
+  * ([[BiffToCsv]] parses BIFF8; [[XlsxToCsv]] parses OOXML). The
+  * mismatch surfaces as a NAMED domain error at first touch, never as
+  * a confusing zip- or sector-layer failure deep inside extraction. */
 final class UnsupportedFormatException(msg: String) extends RuntimeException(msg)
 
 /** S4/S6 — dependency-free XLSX sheet extraction
@@ -83,16 +81,21 @@ object XlsxToCsv {
     override def close(): Unit = zf.close()
   }
 
-  def sheetNames(xlsx: Path): Seq[String] = {
-    val wb = new Workbook(xlsx)
-    try wb.sheetNames finally wb.close()
-  }
+  def sheetNames(xlsx: Path): Seq[String] =
+    if (isLegacyXls(xlsx)) BiffToCsv.sheetNames(xlsx)
+    else {
+      val wb = new Workbook(xlsx)
+      try wb.sheetNames finally wb.close()
+    }
 
-  /** One-shot single-sheet conversion (opens and closes the workbook). */
-  def convertSheet(xlsx: Path, sheetName: String, outCsv: Path, sep: Char = ';'): Long = {
-    val wb = new Workbook(xlsx)
-    try wb.convertSheet(sheetName, outCsv, sep) finally wb.close()
-  }
+  /** One-shot single-sheet conversion (opens and closes the workbook).
+    * Dispatches on the container: OOXML zip or legacy CFB/BIFF8. */
+  def convertSheet(xlsx: Path, sheetName: String, outCsv: Path, sep: Char = ';'): Long =
+    if (isLegacyXls(xlsx)) BiffToCsv.convertSheet(xlsx, sheetName, outCsv, sep)
+    else {
+      val wb = new Workbook(xlsx)
+      try wb.convertSheet(sheetName, outCsv, sep) finally wb.close()
+    }
 
   /** Convert every sheet whose name is in `sheets` (all sheets when
     * empty), writing `<outDir>/<ascii sheet name>.csv` — accent-stripped
@@ -102,8 +105,8 @@ object XlsxToCsv {
   def convertAll(xlsx: Path, outDir: Path, sheets: Set[String] = Set.empty,
                  sep: Char = ';'): Seq[Path] = {
     Files.createDirectories(outDir)
-    val wb = new Workbook(xlsx)
-    try
+    if (isLegacyXls(xlsx)) {
+      val wb = new BiffToCsv.Workbook(xlsx)
       wb.sheetNames
         .filter(n => sheets.isEmpty || sheets.contains(n))
         .map { n =>
@@ -111,7 +114,18 @@ object XlsxToCsv {
           wb.convertSheet(n, out, sep)
           out
         }
-    finally wb.close()
+    } else {
+      val wb = new Workbook(xlsx)
+      try
+        wb.sheetNames
+          .filter(n => sheets.isEmpty || sheets.contains(n))
+          .map { n =>
+            val out = outDir.resolve(asciiName(n) + ".csv")
+            wb.convertSheet(n, out, sep)
+            out
+          }
+      finally wb.close()
+    }
   }
 
   /** CFB (Compound File Binary) magic — the container every legacy
@@ -129,14 +143,17 @@ object XlsxToCsv {
     } finally in.close()
   }
 
-  /** Fail fast — and by NAME — on a legacy binary workbook, before the
-    * zip layer produces an undecipherable "not a zip" error. */
+  /** Guard for the OOXML-only [[Workbook]] class: a legacy binary
+    * workbook must never reach the zip layer (the public entry points
+    * dispatch to [[BiffToCsv]] instead, which parses BIFF8 for real —
+    * this fires only on a direct `new Workbook` with the wrong file). */
   def requireNotLegacyXls(path: Path): Unit =
     if (isLegacyXls(path))
       throw new UnsupportedFormatException(
         s"legacy binary Excel workbook (BIFF/.xls, CFB magic) at $path: " +
-          "this engine parses OOXML (.xlsx) only — re-save the workbook " +
-          "as .xlsx before staging")
+          "XlsxToCsv.Workbook parses OOXML (.xlsx) only — use the " +
+          "XlsxToCsv.convertAll/sheetNames entry points (they dispatch " +
+          "to the BIFF8 reader) or BiffToCsv directly")
 
   private def sheetEntries(zf: ZipFile): Seq[(String, String)] = {
     val rels = withPart(zf, "xl/_rels/workbook.xml.rels")(readRels)
@@ -351,6 +368,12 @@ object XlsxToCsv {
     } finally w.close()
     maxRow.toLong
   }
+
+  /** Shared with [[BiffToCsv]]: both readers emit the same rectangular
+    * CSV contract from the same row map shape. */
+  private[ingest] def writeCsvRows(rows: mutable.SortedMap[Int, IndexedSeq[String]],
+                                   out: Path, sep: Char): Long =
+    writeCsv(rows, out, sep)
 
   private def quote(s: String, sep: Char): String =
     if (s.indexOf(sep) < 0 && s.indexOf('"') < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
