@@ -259,6 +259,47 @@ object StreamingLoad {
       }
   }
 
+  final case class PiiOut(source: String, n_docs: Long, n_tokens: Long,
+                          n_emails: Long, n_phones: Long,
+                          docs_with_pii: Long, pii_per_mtok: Long)
+
+  /** Streaming twin of X157
+    * ([[graft.ops.Profiler.piiDensityBySource]]) — the PII release
+    * gate as a LIVE monitor over an ingest stream: five longs of keyed
+    * state per source (docs, tokens, emails, phones, flagged docs),
+    * updated by pure addition — any batch cut converges to the batch
+    * rollup. Detection runs with the SAME regexes as the scrub pass,
+    * per row, BEFORE the stateful step; the per-mtok rate derives on
+    * emit exactly as the batch op spells it.
+    */
+  def piiDensityStream(docs: DataFrame, sourceCol: String,
+                       textCol: String): Dataset[PiiOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.{TextAnalysis, TextFeatures}
+    docs
+      .select(col(sourceCol).as("s"),
+        size(TextFeatures.tokens(col(textCol))).cast("long").as("t"),
+        size(regexp_extract_all(col(textCol),
+          lit(TextAnalysis.EmailRe), lit(0))).cast("long").as("e"),
+        size(regexp_extract_all(col(textCol),
+          lit(TextAnalysis.PhoneRe), lit(0))).cast("long").as("p"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], PiiOut](GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[Array[Long]]) =>
+          val s = state.getOption.getOrElse(Array(0L, 0L, 0L, 0L, 0L))
+          rows.foreach { case (_, t, e, p) =>
+            s(0) += 1; s(1) += t; s(2) += e; s(3) += p
+            if (e + p > 0) s(4) += 1
+          }
+          state.update(s)
+          val rate = if (s(1) == 0) 0L else (s(2) + s(3)) * 1000000L / s(1)
+          PiiOut(src, s(0), s(1), s(2), s(3), s(4), rate)
+      }
+  }
+
   final case class ContractOut(check: String, n_rows: Long,
                                violations: Long, violation_ppm: Long)
 

@@ -414,4 +414,32 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("streaming PII density equals the batch rollup across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      ("s1", "write to bob@example.com or call 555-1234 now"),
+      ("s1", "clean text here"),
+      ("s2", "no pii at all in this one"),
+      ("s1", "second mail x@y.io arrives later"))
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingLoad.piiDensityStream(mem.toDF()
+        .toDF("source", "text"), "source", "text")
+      .writeStream.format("memory").queryName("pii_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("pii_test")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sortBy(_._1)
+      val batch = graft.ops.Profiler.piiDensityBySource(
+          docs.toDF("source", "text"), "source", "text")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        .toSeq.sortBy(_._1)
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
