@@ -270,6 +270,20 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Isotonic calibration: the monotone fix for the quality score's
+    // probabilities — binned PAVA via the minimax closed form.
+    "q195_isotonic" -> ((s, d) =>
+      EvalMetrics.isotonicCalibrationPpm(qualityLabeled(s, d),
+          col("score_ppm"), col("__lbl"), bins = 10)
+        .orderBy(col("bin"))),
+
+    // Source-interleaved training order: round-robin across sources,
+    // hash-shuffled within each — the curriculum-neutral schedule.
+    "q196_interleave" -> ((s, d) =>
+      Curation.sourceInterleave(Tables.documents(s, d), "doc_id",
+          "text", "source")
+        .orderBy(col("global_pos"))),
+
     // Cluster purity: q39's k-means assignments vs the embedding
     // labels — which clusters are clean, which are mixed.
     "q193_cluster_purity" -> ((s, d) => {
@@ -2251,6 +2265,40 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Isotonic: prefix sums, floored pooled rates, minimax over
+    // (k <= i <= j) triples.
+    "q195_isotonic" ->
+      s"""WITH $qualityLabeledCte,
+         |b AS (SELECT least(9, (score_ppm * 10) // 1000000) AS bin, l FROM lb),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(SUM(l) AS BIGINT) AS p FROM b GROUP BY 1),
+         |pre AS (SELECT bin, n, p,
+         |    CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS w,
+         |    CAST(SUM(p) OVER (ORDER BY bin) AS BIGINT) AS s FROM g),
+         |kk AS (SELECT bin AS k, w - n AS wk, s - p AS sk FROM pre),
+         |jj AS (SELECT bin AS j, w AS wj, s AS sj FROM pre),
+         |pr AS (SELECT k, j, ((sj - sk) * 1000000) // (wj - wk) AS rate
+         |  FROM kk JOIN jj ON k <= j),
+         |fi AS (SELECT pre.bin, pr.k, MIN(pr.rate) AS mn
+         |  FROM pre JOIN pr ON pr.k <= pre.bin AND pr.j >= pre.bin
+         |  GROUP BY 1, 2),
+         |ft AS (SELECT bin, CAST(MAX(mn) AS BIGINT) AS fitted_ppm FROM fi GROUP BY 1)
+         |SELECT CAST(pre.bin AS BIGINT) AS bin, pre.n,
+         |  CAST((pre.p * 1000000) // pre.n AS BIGINT) AS pos_rate_ppm,
+         |  ft.fitted_ppm
+         |FROM pre JOIN ft USING (bin) ORDER BY bin""".stripMargin,
+
+    // Interleave: per-source hash-order rank, then the global
+    // (rank, source) order is the schedule.
+    "q196_interleave" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |    ${dh("text || '#' || CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS BIGINT) AS rnk
+         |  FROM h)
+         |SELECT doc_id, source, rnk AS rank_in_source,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY rnk, source, doc_id) AS BIGINT) AS global_pos
+         |FROM r ORDER BY global_pos""".stripMargin,
 
     // Cluster purity: the q39 Lloyd chain, label join, window-free
     // majority with (count DESC, label ASC) ties.

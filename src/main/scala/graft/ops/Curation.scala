@@ -535,6 +535,48 @@ object Curation {
     picked.toSeq.toDF("rnk", idCol, "gain")
   }
 
+  /** X169: source-interleaved training order — materialize the global
+    * document order that round-robins across sources: every source's
+    * 1st doc (sources alphabetical), then every 2nd, … — the
+    * curriculum-neutral schedule that stops a source-clustered corpus
+    * from feeding the trainer hours of one crawl at a time, without
+    * any RNG (within each source docs follow the (text#id hash, id)
+    * shuffle order, the [[hashSplit]]/[[stratifiedKFold]] discipline,
+    * so the interleave is bit-reproducible under any layout).
+    *
+    * Both ranks are TOTAL-struct-order distributed prefix counts
+    * ([[Packing.runningTotalsMulti]]): no per-source window ever sees
+    * raw volume, and the global position needs no single-partition
+    * pass — (rank_in_source, source) is already a total order, its
+    * prefix count IS the schedule position.
+    *
+    * @return (doc_id, source, rank_in_source, global_pos)
+    */
+  def sourceInterleave(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val keyed = docs.select(struct(col(sourceCol).as("g"),
+        charHash(concat(col(textCol), lit("#"),
+          col(idCol).cast("string"))).as("h"),
+        col(idCol).as("id")).as("__sk"), lit(1L).as("__one"))
+    val ranked = Packing.runningTotalsMulti(keyed, "__sk", Seq("__one"))
+      .select(col("__id.g").as("__g"), col("__id.id").as("doc_id"),
+        col("__one_cum").as("__grank"))
+      .localCheckpoint(eager = false) // forked: offsets + second rank
+    val g0 = ranked.groupBy(col("__g")).agg(min(col("__grank")).as("__g0"))
+    val inSource = ranked.join(g0, Seq("__g"))
+      .select(col("doc_id"), col("__g").as("source"),
+        (col("__grank") - col("__g0") + 1).as("rank_in_source"))
+    Packing.runningTotalsMulti(
+        inSource.select(struct(col("rank_in_source").as("r"),
+          col("source").as("s"), col("doc_id").as("id")).as("__sk"),
+          lit(1L).as("__one")),
+        "__sk", Seq("__one"))
+      .select(col("__id.id").as("doc_id"), col("__id.s").as("source"),
+        col("__id.r").as("rank_in_source"),
+        col("__one_cum").as("global_pos"))
+  }
+
   /** X152: histogram-matched resampling — deterministically thin a
     * corpus so its token-length distribution matches a reference
     * corpus's (the distribution-matching step behind "make the web

@@ -140,6 +140,59 @@ object EvalMetrics {
       .select(col("n"), col("n_bins"),
         expr("__w div n").as("ece_ppm"), col("max_gap_ppm"))
 
+  /** X168: isotonic calibration — the calibration FIX next to the
+    * measurements (X154 bins, X165 ECE): the monotone-nondecreasing
+    * mapping score-bin → probability that minimizes weighted squared
+    * error, i.e. binned PAVA (pool adjacent violators), computed here
+    * through the minimax identity instead of the sequential pooling
+    * loop:
+    *
+    *   fitted_i = max_{k≤i} min_{j≥i} rate(k..j),
+    *   rate(k..j) = pooled positives(k..j)·10⁶ div pooled n(k..j)
+    *
+    * — a closed form over prefix sums, so the whole fit is three
+    * bounded joins over ≤ `bins`³ literal-sized rows (10⁶ at the
+    * enforced bins ≤ 100), never a driver loop and never a pass over
+    * row volume: the corpus is read ONCE into the ≤`bins`-cell
+    * histogram. Rates floor to ppm BEFORE the minimax (mirrored by
+    * the oracle), so Spark ≡ DuckDB bit-for-bit.
+    *
+    * @return (bin, n, pos_rate_ppm, fitted_ppm) with fitted_ppm
+    *         monotone non-decreasing in bin
+    */
+  def isotonicCalibrationPpm(df: DataFrame, scoreExpr: Column,
+                             labelExpr: Column, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 100,
+      s"bins out of [1, 100] (the fit joins bins^3 rows): $bins")
+    val pre = df.select(scoreExpr.cast("long").as("__s"),
+        (labelExpr.cast("long") =!= 0L).cast("long").as("__l"))
+      .select(least(lit(bins - 1L), expr(s"(__s * $bins) div 1000000"))
+        .as("bin"), col("__l"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("__p"))
+      .withColumn("__W", sum(col("n")).over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__S", sum(col("__p")).over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .localCheckpoint(eager = false) // read three times below
+    val k = pre.select(col("bin").as("__k"),
+      (col("__W") - col("n")).as("__Wk"), (col("__S") - col("__p")).as("__Sk"))
+    val j = pre.select(col("bin").as("__j"), col("__W").as("__Wj"),
+      col("__S").as("__Sj"))
+    val pairs = k.join(j, col("__k") <= col("__j"))
+      .select(col("__k"), col("__j"),
+        expr("((__Sj - __Sk) * 1000000) div (__Wj - __Wk)").as("__rate"))
+    val fitted = pre.select(col("bin"))
+      .join(pairs, col("__k") <= col("bin") && col("__j") >= col("bin"))
+      .groupBy(col("bin"), col("__k")).agg(min(col("__rate")).as("__inner"))
+      .groupBy(col("bin")).agg(max(col("__inner")).as("fitted_ppm"))
+    pre.select(col("bin"), col("n"),
+        expr("(__p * 1000000) div n").as("pos_rate_ppm"))
+      .join(fitted, Seq("bin"))
+  }
+
   /** X160: Brier score — the proper scoring rule that calibration bins
     * (X154) visualize and AUC (X153) ignores: mean squared gap between
     * the claimed probability (ppm score) and the outcome, per group. A

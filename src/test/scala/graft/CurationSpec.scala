@@ -350,4 +350,25 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(none.forall(r => r._3 == 0L && r._4 == 0L))
   }
+
+  test("sourceInterleave: round-robin schedule, contiguous positions, layout-independent") {
+    val docs = Seq(
+      (1L, "alpha text one", "s1"), (2L, "beta text two", "s1"),
+      (3L, "gamma text three", "s1"),
+      (4L, "delta text four", "s2"), (5L, "epsilon text five", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.sourceInterleave(docs, "doc_id", "text", "source")
+      .orderBy("global_pos")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.map(_._4) == (1L to 5L))
+    // schedule = (rank 1: s1, s2), (rank 2: s1, s2), (rank 3: s1)
+    assert(got.map(r => (r._3, r._2)) == Seq(
+      (1L, "s1"), (1L, "s2"), (2L, "s1"), (2L, "s2"), (3L, "s1")))
+    // each source's docs appear in hash order, all distinct
+    assert(got.map(_._1).distinct.size == 5)
+    val again = Curation.sourceInterleave(docs.repartition(7), "doc_id",
+        "text", "source")
+      .orderBy("global_pos").as[(Long, String, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }

@@ -137,4 +137,42 @@ class EvalMetricsSpec extends SparkSpec {
     // ece = (1*50000 + 2*350000 + 1*0) / 4 = 187500, mce = 350000
     assert(got == (4L, 3L, 187500L, 350000L))
   }
+
+  test("isotonicCalibrationPpm: textbook pooling, minimax model parity, monotone") {
+    // rates per bin: 40%, 20%, 60% -> PAVA pools the violator pair to
+    // 30%, 30%, 60%
+    def rows(bin: Int, n: Int, pos: Int) = {
+      val s = bin * 100000L + 50000L
+      Seq.fill(pos)((s, 1L)) ++ Seq.fill(n - pos)((s, 0L))
+    }
+    val fix = rows(0, 5, 2) ++ rows(1, 5, 1) ++ rows(2, 5, 3)
+    val got = EvalMetrics.isotonicCalibrationPpm(fix.toDF("s", "l"),
+        col("s"), col("l"), bins = 10)
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 5L, 400000L, 300000L),
+      (1L, 5L, 200000L, 300000L),
+      (2L, 5L, 600000L, 600000L)))
+    // random weighted fixture vs an independent minimax spelling
+    val rnd = new scala.util.Random(11)
+    val fix2 = (0 until 8).flatMap { b =>
+      val n = rnd.nextInt(9) + 1
+      rows(b, n, rnd.nextInt(n + 1))
+    }
+    val got2 = EvalMetrics.isotonicCalibrationPpm(fix2.toDF("s", "l")
+        .repartition(5), col("s"), col("l"), bins = 10)
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect().toSeq
+    val cells = fix2.groupBy(t => t._1 / 100000).toSeq.sortBy(_._1)
+      .map { case (b, rs) => (b, rs.size.toLong, rs.count(_._2 == 1L).toLong) }
+    val bs = cells.map(_._1)
+    def rate(k: Int, j: Int): Long = {
+      val seg = cells.filter(c => c._1 >= bs(k) && c._1 <= bs(j))
+      seg.map(_._3).sum * 1000000L / seg.map(_._2).sum
+    }
+    val model = bs.indices.map { i =>
+      (0 to i).map { k => (i until bs.size).map(j => rate(k, j)).min }.max
+    }
+    assert(got2.map(_._4) == model)
+    assert(got2.map(_._4) == got2.map(_._4).sorted, "fitted must be monotone")
+  }
 }
