@@ -270,6 +270,22 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Attribution: first/last/linear credit of purchase value to the
+    // touches in a 2 h lookback — credit always sums to the total.
+    "q197_attribution" -> ((s, d) =>
+      Behavior.attribution(Tables.events(s, d), "user_id", "ts",
+          "event_id", "event_type",
+          expr("greatest(floor(value * 1000), 0)"),
+          conversionType = "purchase", lookbackSec = 7200L)
+        .orderBy(col("event_type"))),
+
+    // Rate spikes: 6 h buckets vs each type's own uniform Poisson
+    // baseline at 3.0 sigma, square-root-free.
+    "q198_rate_spikes" -> ((s, d) =>
+      Behavior.rateSpikes(Tables.events(s, d), "event_type", "ts",
+          bucketSec = 21600L, kTenths = 30L)
+        .orderBy(col("event_type"), col("bucket"))),
+
     // Isotonic calibration: the monotone fix for the quality score's
     // probabilities — binned PAVA via the minimax closed form.
     "q195_isotonic" -> ((s, d) =>
@@ -2265,6 +2281,66 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Attribution: user-key pair join, ROW_NUMBER first/last, v//n
+    // linear with the remainder on the last touch.
+    "q197_attribution" ->
+      """WITH b AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id AS tie, event_type AS t,
+        |    greatest(CAST(floor(value * 1000) AS BIGINT), 0) AS v FROM events),
+        |c AS (SELECT u, sec AS cs, tie AS ct, v FROM b WHERE t = 'purchase'),
+        |tc AS (SELECT u, sec AS tsx, tie AS tt, t FROM b WHERE t <> 'purchase'),
+        |p AS (SELECT c.u, c.cs, c.ct, c.v, tc.tsx, tc.tt, tc.t,
+        |    (tc.tsx IS NOT NULL AND tc.tsx >= c.cs - 7200
+        |      AND (tc.tsx < c.cs OR (tc.tsx = c.cs AND tc.tt < c.ct))) AS iw
+        |  FROM c LEFT JOIN tc ON tc.u = c.u),
+        |pc AS (SELECT u, cs, ct, v,
+        |    CAST(COUNT(CASE WHEN iw THEN 1 END) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2, 3, 4),
+        |fl AS (SELECT u, cs, ct, t AS ft FROM (
+        |  SELECT u, cs, ct, t, ROW_NUMBER() OVER (PARTITION BY u, cs, ct
+        |    ORDER BY tsx ASC, tt ASC) AS rn FROM p WHERE iw) WHERE rn = 1),
+        |ll AS (SELECT u, cs, ct, t AS lt FROM (
+        |  SELECT u, cs, ct, t, ROW_NUMBER() OVER (PARTITION BY u, cs, ct
+        |    ORDER BY tsx DESC, tt DESC) AS rn FROM p WHERE iw) WHERE rn = 1),
+        |fc AS (SELECT fl.ft AS event_type, CAST(SUM(pc.v) AS BIGINT) AS first_touch_q
+        |  FROM pc JOIN fl USING (u, cs, ct) GROUP BY 1),
+        |lc AS (SELECT ll.lt AS event_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |    CAST(SUM(pc.v) AS BIGINT) AS last_touch_q,
+        |    CAST(SUM(pc.v - (pc.v // pc.n) * pc.n) AS BIGINT) AS rem
+        |  FROM pc JOIN ll USING (u, cs, ct) WHERE pc.n > 0 GROUP BY 1),
+        |ln AS (SELECT p.t AS event_type, CAST(SUM(pc.v // pc.n) AS BIGINT) AS lin
+        |  FROM p JOIN pc USING (u, cs, ct) WHERE p.iw GROUP BY 1),
+        |f AS (SELECT event_type,
+        |    COALESCE(lc.n_conversions, 0) AS n_conversions,
+        |    COALESCE(fc.first_touch_q, 0) AS first_touch_q,
+        |    COALESCE(lc.last_touch_q, 0) AS last_touch_q,
+        |    COALESCE(ln.lin, 0) + COALESCE(lc.rem, 0) AS linear_q
+        |  FROM fc FULL JOIN lc USING (event_type) FULL JOIN ln USING (event_type)),
+        |un AS (SELECT '(unattributed)' AS event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |    CAST(COALESCE(SUM(v), 0) AS BIGINT) AS tot FROM pc WHERE n = 0)
+        |SELECT * FROM f
+        |UNION ALL SELECT event_type, n_conversions, tot, tot, tot FROM un
+        |WHERE n_conversions > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // Rate spikes: per-type uniform baseline over its own bucket span,
+    // cross-multiplied Poisson bound in HUGEINT.
+    "q198_rate_spikes" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |bl AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot,
+        |    CAST(MAX(bucket) - MIN(bucket) + 1 AS BIGINT) AS nb FROM c GROUP BY 1)
+        |SELECT c.event_type, c.bucket, c.n,
+        |  CAST((bl.tot * 1000) // bl.nb AS BIGINT) AS expected_milli,
+        |  CAST(CASE WHEN c.n * bl.nb > bl.tot AND
+        |      (CAST(c.n AS HUGEINT) * bl.nb - bl.tot)
+        |        * (CAST(c.n AS HUGEINT) * bl.nb - bl.tot) * 100
+        |        > CAST(30 AS HUGEINT) * 30 * bl.tot * bl.nb
+        |    THEN 1 ELSE 0 END AS BIGINT) AS spike
+        |FROM c JOIN bl USING (event_type) ORDER BY event_type, bucket""".stripMargin,
 
     // Isotonic: prefix sums, floored pooled rates, minimax over
     // (k <= i <= j) triples.

@@ -305,6 +305,127 @@ object Behavior {
           .as("slope_ppm"))
   }
 
+  /** X170: conversion attribution — first-touch / last-touch / linear
+    * credit of each conversion's value to the touch events that
+    * preceded it inside a lookback window: the revenue-attribution
+    * triple every growth team reconciles, next to [[funnel]] (which
+    * counts) and [[transitionMatrixPpm]] (which sequences). Values are
+    * 10³-quantized longs; linear credit is v div n per touch with the
+    * remainder assigned to the LAST touch (documented, oracle-mirrored
+    * — no float splitting). Conversions with no in-window touch roll
+    * up under the `(unattributed)` row so credit always sums to the
+    * converted total.
+    *
+    * Shape: conversions and touches are two scan-pushed filters of the
+    * same stream; candidates come from the user-key equi-join with the
+    * window range predicate (the as-of/X34 shape — never a cross
+    * join); per-conversion argmin/argmax are window-free struct
+    * min/max; the rollup key is |touch types|-sized and map-side
+    * combinable.
+    *
+    * @return (event_type, n_conversions, first_touch_q, last_touch_q,
+    *         linear_q) — one row per crediting touch type
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, typeCol: String, valueExpr: Column,
+                  conversionType: String, lookbackSec: Long): DataFrame = {
+    require(lookbackSec > 0, s"non-positive lookback: $lookbackSec")
+    val base = events.select(col(userCol).as("__u"),
+        floor(unix_timestamp(col(tsCol))).cast("long").as("__sec"),
+        col(tieCol).as("__tie"), col(typeCol).as("__t"),
+        valueExpr.cast("long").as("__v"))
+      .localCheckpoint(eager = false) // forked: conversions + touches
+    val conv = base.filter(col("__t") === conversionType)
+      .select(col("__u"), col("__sec").as("__cs"), col("__tie").as("__ct"),
+        col("__v"))
+    val touch = base.filter(col("__t") =!= conversionType)
+      .select(col("__u"), col("__sec").as("__ts"), col("__tie").as("__tt"),
+        col("__t"))
+    val paired = conv.join(touch, Seq("__u"), "left")
+      .withColumn("__in", col("__ts").isNotNull &&
+        col("__ts") >= col("__cs") - lookbackSec &&
+        (col("__ts") < col("__cs") ||
+          (col("__ts") === col("__cs") && col("__tt") < col("__ct"))))
+    // per conversion: touch count + first/last touch identity
+    val perConv = paired.groupBy(col("__u"), col("__cs"), col("__ct"),
+        col("__v"))
+      .agg(sum(when(col("__in"), 1L).otherwise(0L)).as("__n"),
+        min(when(col("__in"),
+          struct(col("__ts"), col("__tt"), col("__t")))).as("__first"),
+        max(when(col("__in"),
+          struct(col("__ts"), col("__tt"), col("__t")))).as("__last"))
+      .localCheckpoint(eager = false) // forked: 3 credit rollups + unattributed
+    val unattributed = perConv.filter(col("__n") === 0)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_conversions"),
+        coalesce(sum(col("__v")), lit(0L)).as("__tot"))
+      .select(lit("(unattributed)").as("event_type"), col("n_conversions"),
+        col("__tot").as("first_touch_q"), col("__tot").as("last_touch_q"),
+        col("__tot").as("linear_q"))
+    val firstCredit = perConv.filter(col("__n") > 0)
+      .groupBy(col("__first.__t").as("event_type"))
+      .agg(sum(col("__v")).as("first_touch_q"))
+    val lastCredit = perConv.filter(col("__n") > 0)
+      .groupBy(col("__last.__t").as("event_type"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("__v")).as("last_touch_q"),
+        // linear remainder rides with the last touch
+        sum(col("__v") - expr("(__v div __n) * __n")).as("__rem"))
+    // linear base: every in-window touch earns v div n
+    val linearCredit = paired.filter(col("__in"))
+      .join(perConv.select(col("__u"), col("__cs"), col("__ct"), col("__n")),
+        Seq("__u", "__cs", "__ct"))
+      .groupBy(col("__t").as("event_type"))
+      .agg(sum(expr("__v div __n")).as("__lin"))
+    firstCredit
+      .join(lastCredit, Seq("event_type"), "full_outer")
+      .join(linearCredit, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_conversions"), lit(0L)).as("n_conversions"),
+        coalesce(col("first_touch_q"), lit(0L)).as("first_touch_q"),
+        coalesce(col("last_touch_q"), lit(0L)).as("last_touch_q"),
+        (coalesce(col("__lin"), lit(0L)) + coalesce(col("__rem"), lit(0L)))
+          .as("linear_q"))
+      .unionByName(unattributed.filter(col("n_conversions") > 0))
+  }
+
+  /** X171: rate-spike audit — which (type, time-bucket) cells run hot
+    * against their type's own uniform Poisson baseline: the feed-health
+    * check that catches replayed batches, bot bursts and duplicated
+    * ingestion BEFORE they skew every downstream rate. Spike iff
+    * n > λ + k·√λ with λ = total/buckets, spelled without the square
+    * root by cross-multiplication:
+    *
+    *   (n·nb − tot)² · 100 > k² · tot · nb     (and n·nb > tot)
+    *
+    * with k in tenths — exact integers end to end. The baseline span
+    * is the type's own observed [min, max] bucket range, so quiet
+    * types aren't judged against loud ones. One map-side-combinable
+    * (type, bucket) count + a |types|-row baseline join. Spike-only by
+    * construction (missing buckets produce no row to flag).
+    *
+    * @return (event_type, bucket, n, expected_milli, spike)
+    */
+  def rateSpikes(events: DataFrame, typeCol: String, tsCol: String,
+                 bucketSec: Long, kTenths: Long): DataFrame = {
+    require(bucketSec > 0 && kTenths >= 0,
+      s"bad spike parameters: bucket $bucketSec, k $kTenths")
+    val cnt = events.select(col(typeCol).as("event_type"),
+        expr(s"floor(unix_timestamp(${tsCol})) div $bucketSec").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // forked: baseline + labeling
+    val baseline = cnt.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("__tot"),
+        (max(col("bucket")) - min(col("bucket")) + 1).as("__nb"))
+    cnt.join(baseline, Seq("event_type"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        expr("(__tot * 1000) div __nb").as("expected_milli"),
+        (col("n") * col("__nb") > col("__tot") &&
+          expr("""(cast(n as decimal(38,0)) * __nb - __tot)
+                 | * (cast(n as decimal(38,0)) * __nb - __tot) * 100""".stripMargin)
+            > expr(s"cast($kTenths as decimal(38,0)) * $kTenths * __tot * __nb"))
+          .cast("long").as("spike"))
+  }
+
   /** X148: grade correlation — Spearman's rank correlation in the one
     * spelling whose arithmetic survives corpus scale. Average ranks are
     * quantized to `grades` = B quantile buckets (the rank's grade), and

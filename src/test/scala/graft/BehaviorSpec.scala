@@ -340,4 +340,47 @@ class BehaviorSpec extends SparkSpec {
     assert(got._3 == brute(rows.map(r => (r._2, r._3))))
     assert(got._3 > 500000L, "strongly correlated fixture reads high")
   }
+
+  test("attribution: first/last/linear with remainder on last, unattributed bucket") {
+    def e(u: Long, t: String, hm: String, id: Long, v: Double) =
+      (u, t, ts(s"2024-01-01 $hm:00"), id, v)
+    val ev = Seq(
+      e(1L, "view", "10:00", 1L, 0.0),
+      e(1L, "click", "10:30", 2L, 0.0),
+      e(1L, "view", "10:45", 7L, 0.0),            // 3 touches -> odd split
+      e(1L, "purchase", "11:00", 3L, 10.0),       // v = 10000
+      e(2L, "purchase", "11:00", 4L, 5.0),        // no touches at all
+      e(3L, "view", "08:00", 5L, 0.0),            // outside the 2 h window
+      e(3L, "purchase", "11:00", 6L, 2.0)
+    ).toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = Behavior.attribution(ev, "user_id", "ts", "event_id",
+        "event_type", expr("greatest(floor(value * 1000), 0)"),
+        conversionType = "purchase", lookbackSec = 7200L)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // 10000 div 3 = 3333 per touch; remainder 1 rides the LAST touch
+    // (the 10:45 view), which is also last-touch credit holder
+    assert(got == Seq(
+      ("(unattributed)", 2L, 7000L, 7000L, 7000L),
+      ("click", 0L, 0L, 0L, 3333L),
+      ("view", 1L, 10000L, 10000L, 6667L)))
+    // credit conservation: every model sums to the converted total
+    assert(got.map(_._3).sum == 17000L && got.map(_._4).sum == 17000L &&
+      got.map(_._5).sum == 17000L)
+  }
+
+  test("rateSpikes: hot bucket flagged against the type's own baseline") {
+    val ev = (0 until 10).flatMap { b =>
+      val reps = if (b == 5) 20 else 1
+      (0 until reps).map(i =>
+        (1L, "a", new java.sql.Timestamp((b * 3600L + i) * 1000L), 0.0))
+    }.toDF("user_id", "event_type", "ts", "value")
+    val got = Behavior.rateSpikes(ev, "event_type", "ts",
+        bucketSec = 3600L, kTenths = 30L)
+      .orderBy("bucket").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 10)
+    assert(got.forall(_._4 == 2900L))       // expected_milli = 29/10
+    assert(got.filter(_._5 == 1L).map(_._2) == Seq(5L))
+    assert(got.find(_._2 == 5L).get._3 == 20L)
+  }
 }
