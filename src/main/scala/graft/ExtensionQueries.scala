@@ -270,6 +270,25 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // kNN label agreement over the LSH neighbor frame: the label-noise
+    // detector — low-agreement points are review candidates.
+    "q199_label_noise" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.labelAgreement(
+          Similarity.lshTopK(e, e, "vec_id", "embedding", k = 5),
+          e.select(col("vec_id"), col("label")),
+          "vec_id", "label", minAgreePpm = 400000L)
+        .orderBy(col("query_id"))
+    }),
+
+    // Conversion-lag percentiles per first-touch channel: the
+    // time-to-convert distribution attribution credit hides.
+    "q200_conversion_lag" -> ((s, d) =>
+      Behavior.conversionLag(Tables.events(s, d), "user_id", "ts",
+          "event_id", "event_type", conversionType = "purchase",
+          lookbackSec = 7200L, pcts = Seq(50, 90))
+        .orderBy(col("event_type"), col("pct"))),
+
     // Attribution: first/last/linear credit of purchase value to the
     // touches in a 2 h lookback — credit always sums to the total.
     "q197_attribution" -> ((s, d) =>
@@ -2281,6 +2300,49 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Label noise: the q27 LSH chain with every vector as query,
+    // top-5, label join, agreement fold.
+    "q199_label_noise" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label, $signBucketSql AS bucket FROM embeddings),
+         |sc AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "e2.embedding")} AS cosine
+         |  FROM e q JOIN e e2 USING (bucket) WHERE e2.vec_id <> q.vec_id),
+         |rk AS (SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM sc),
+         |top AS (SELECT query_id, neighbor_id FROM rk WHERE rnk <= 5),
+         |j AS (SELECT t.query_id, CAST(ql.label AS VARCHAR) AS l,
+         |    CASE WHEN CAST(nl.label AS VARCHAR) = CAST(ql.label AS VARCHAR) THEN 1 ELSE 0 END AS agree
+         |  FROM top t JOIN embeddings ql ON ql.vec_id = t.query_id
+         |  JOIN embeddings nl ON nl.vec_id = t.neighbor_id),
+         |a AS (SELECT query_id, l, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(agree) AS BIGINT) AS na FROM j GROUP BY 1, 2)
+         |SELECT query_id, l AS label, n AS n_neighbors, na AS n_agree,
+         |  CAST((na * 1000000) // n AS BIGINT) AS agree_ppm,
+         |  CAST(CASE WHEN (na * 1000000) // n < 400000 THEN 1 ELSE 0 END AS BIGINT) AS suspect
+         |FROM a ORDER BY query_id""".stripMargin,
+
+    // Conversion lag: q197's pairing, first touch by ROW_NUMBER, the
+    // q56 rank formula for the percentiles.
+    "q200_conversion_lag" ->
+      """WITH b AS (SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id AS tie, event_type AS t FROM events),
+        |c AS (SELECT u, sec AS cs, tie AS ct FROM b WHERE t = 'purchase'),
+        |tc AS (SELECT u, sec AS tsx, tie AS tt, t FROM b WHERE t <> 'purchase'),
+        |p AS (SELECT c.u, c.cs, c.ct, tc.tsx, tc.tt, tc.t
+        |  FROM c JOIN tc ON tc.u = c.u
+        |  WHERE tc.tsx >= c.cs - 7200
+        |    AND (tc.tsx < c.cs OR (tc.tsx = c.cs AND tc.tt < c.ct))),
+        |f AS (SELECT t, cs - tsx AS value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY u, cs, ct
+        |    ORDER BY tsx ASC, tt ASC) AS rn FROM p) WHERE rn = 1),
+        |r AS (SELECT t AS event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY t ORDER BY value) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY t) AS n FROM f)
+        |SELECT event_type, CAST(pct AS BIGINT) AS pct, value
+        |FROM r, (SELECT unnest([50, 90]) AS pct)
+        |WHERE rnk = (n * pct + 99) // 100
+        |ORDER BY event_type, pct""".stripMargin,
 
     // Attribution: user-key pair join, ROW_NUMBER first/last, v//n
     // linear with the remainder on the last touch.

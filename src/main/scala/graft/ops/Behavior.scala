@@ -387,6 +387,41 @@ object Behavior {
       .unionByName(unattributed.filter(col("n_conversions") > 0))
   }
 
+  /** X173: conversion-lag quantiles — how long before a conversion its
+    * FIRST in-window touch happened, as exact per-touch-type
+    * percentiles: the time-to-convert distribution [[attribution]]'s
+    * credit totals hide (two channels can earn equal credit with
+    * 5-minute vs 5-day lags — different products). Pairing is
+    * [[attribution]]'s user-key join + struct-min first touch; the
+    * quantiles are [[Profiler.discreteQuantiles]]' q56 compaction, so
+    * rank windows read |distinct lags| per type, never conversions.
+    *
+    * @return (event_type, pct, value) — value in seconds
+    */
+  def conversionLag(events: DataFrame, userCol: String, tsCol: String,
+                    tieCol: String, typeCol: String, conversionType: String,
+                    lookbackSec: Long, pcts: Seq[Int]): DataFrame = {
+    require(lookbackSec > 0, s"non-positive lookback: $lookbackSec")
+    val base = events.select(col(userCol).as("__u"),
+        floor(unix_timestamp(col(tsCol))).cast("long").as("__sec"),
+        col(tieCol).as("__tie"), col(typeCol).as("__t"))
+      .localCheckpoint(eager = false) // forked: conversions + touches
+    val conv = base.filter(col("__t") === conversionType)
+      .select(col("__u"), col("__sec").as("__cs"), col("__tie").as("__ct"))
+    val touch = base.filter(col("__t") =!= conversionType)
+      .select(col("__u"), col("__sec").as("__ts"), col("__tie").as("__tt"),
+        col("__t"))
+    val firstTouch = conv.join(touch, Seq("__u"))
+      .filter(col("__ts") >= col("__cs") - lookbackSec &&
+        (col("__ts") < col("__cs") ||
+          (col("__ts") === col("__cs") && col("__tt") < col("__ct"))))
+      .groupBy(col("__u"), col("__cs"), col("__ct"))
+      .agg(min(struct(col("__ts"), col("__tt"), col("__t"))).as("__f"))
+      .select(col("__f.__t").as("event_type"),
+        (col("__cs") - col("__f.__ts")).as("__lag"))
+    Profiler.discreteQuantiles(firstTouch, "event_type", col("__lag"), pcts)
+  }
+
   /** X171: rate-spike audit — which (type, time-bucket) cells run hot
     * against their type's own uniform Poisson baseline: the feed-health
     * check that catches replayed batches, bot bursts and duplicated

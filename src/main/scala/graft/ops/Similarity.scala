@@ -378,6 +378,40 @@ object Similarity {
     *         `proj` is the quantized projection onto plane `pos`,
     *         `srp_sig` packs the `outDims` sign bits
     */
+  /** X172: kNN label agreement — the confident-learning-style label
+    * NOISE detector: for each labeled point, the share of its nearest
+    * neighbors carrying the same label; a point whose neighborhood
+    * disagrees is a mislabel candidate (or sits on a genuine class
+    * boundary — either way, the row a curator reviews first). Takes
+    * ANY neighbor frame — brute-force ([[bruteForceTopK]]), LSH
+    * ([[lshTopK]]), IVF — so the scale path is whatever ANN tier the
+    * corpus already earned; this operator itself is two id-key joins
+    * (AQE-planned) and one map-side-combinable per-query fold.
+    *
+    * @param neighbors (query_id, neighbor_id) pairs from any kNN op
+    * @return (query_id, label, n_neighbors, n_agree, agree_ppm,
+    *         suspect) — suspect = 1 when agree_ppm < `minAgreePpm`
+    */
+  def labelAgreement(neighbors: DataFrame, labels: DataFrame, idCol: String,
+                     labelCol: String, minAgreePpm: Long): DataFrame = {
+    require(minAgreePpm >= 0 && minAgreePpm <= 1000000L,
+      s"agreement threshold out of [0, 1e6]: $minAgreePpm")
+    val lab = labels.select(col(idCol).as("__id"),
+      col(labelCol).cast("string").as("__l"))
+    neighbors.select(col("query_id"), col("neighbor_id"))
+      .join(lab.select(col("__id").as("query_id"), col("__l").as("__ql")),
+        Seq("query_id"))
+      .join(lab.select(col("__id").as("neighbor_id"), col("__l").as("__nl")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__ql"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum((col("__nl") === col("__ql")).cast("long")).as("n_agree"))
+      .select(col("query_id"), col("__ql").as("label"), col("n_neighbors"),
+        col("n_agree"),
+        expr("(n_agree * 1000000) div n_neighbors").as("agree_ppm"))
+      .withColumn("suspect", (col("agree_ppm") < minAgreePpm).cast("long"))
+  }
+
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
                     dims: Int, outDims: Int): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")

@@ -383,4 +383,24 @@ class BehaviorSpec extends SparkSpec {
     assert(got.filter(_._5 == 1L).map(_._2) == Seq(5L))
     assert(got.find(_._2 == 5L).get._3 == 20L)
   }
+
+  test("conversionLag: first in-window touch sets the lag, per-channel quantiles") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L, 0.0),
+      (1L, "purchase", ts("2024-01-01 10:30:00"), 2L, 1.0),   // lag 1800, view
+      (2L, "click", ts("2024-01-01 09:00:00"), 3L, 0.0),
+      (2L, "view", ts("2024-01-01 09:10:00"), 4L, 0.0),
+      (2L, "purchase", ts("2024-01-01 10:00:00"), 5L, 1.0),   // lag 3600, click
+      (3L, "view", ts("2024-01-01 06:00:00"), 6L, 0.0),       // outside window
+      (3L, "purchase", ts("2024-01-01 10:00:00"), 7L, 1.0)
+    ).toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = Behavior.conversionLag(ev, "user_id", "ts", "event_id",
+        "event_type", conversionType = "purchase", lookbackSec = 7200L,
+        pcts = Seq(50, 100))
+      .orderBy("event_type", "pct")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", 50L, 3600L), ("click", 100L, 3600L),
+      ("view", 50L, 1800L), ("view", 100L, 1800L)))
+  }
 }

@@ -324,4 +324,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.mmrSelect(tiny, "vec_id", "embedding", qv, k = 9)
       .count() == 3)
   }
+
+  test("labelAgreement: neighborhood vote, ppm floor, suspect threshold") {
+    import org.apache.spark.sql.functions.col
+    val nb = Seq((1L, 11L), (1L, 12L), (1L, 13L), (2L, 11L), (2L, 13L))
+      .toDF("query_id", "neighbor_id")
+    val labels = Seq((1L, "a"), (2L, "b"), (11L, "a"), (12L, "b"), (13L, "a"))
+      .toDF("id", "lab")
+    val got = graft.ops.Similarity.labelAgreement(nb, labels, "id", "lab",
+        minAgreePpm = 700000L)
+      .orderBy("query_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 3L, 2L, 666666L, 1L),   // 2/3 agree -> floor ppm, suspect
+      (2L, "b", 2L, 0L, 0L, 1L)))       // boundary/mislabel candidate
+  }
 }
