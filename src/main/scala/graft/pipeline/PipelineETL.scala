@@ -69,29 +69,46 @@ class PipelineETL(spark: SparkSession, store: graft.store.TableStore, cfg: Engin
       try body finally phaseSeconds(name) = (System.nanoTime() - t0) / 1e9
     }
 
-    // S6 pre-conversion (pre_processor.py:51-84): xlsx workbooks dropped
-    // into the staging dir are expanded to one `;`-CSV per sheet (accent-
-    // stripped names) so the filename routing below treats workbook tabs
-    // and pre-staged CSVs identically. A CSV that already exists wins —
-    // conversion never clobbers explicit input. Failures are isolated
-    // PER SHEET (O2): a corrupt sheet part must not lose the workbook's
-    // other, readable sheets; an unreadable workbook (can't even list
-    // sheets) is isolated per file.
+    // S6 pre-conversion (pre_processor.py:51-84): workbooks dropped into
+    // the staging dir — OOXML `.xlsx` or legacy BIFF8 `.xls`, matching
+    // the reference whitelist (`config.py:24`) — are expanded to one
+    // `;`-CSV per sheet (accent-stripped names) so the filename routing
+    // below treats workbook tabs and pre-staged CSVs identically. A CSV
+    // that already exists wins — conversion never clobbers explicit
+    // input. Failures are isolated PER SHEET (O2): a corrupt sheet part
+    // must not lose the workbook's other, readable sheets; an unreadable
+    // workbook (can't even list sheets) is isolated per file.
     phase("preconvert") {
       Option(new java.io.File(stagingDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.toLowerCase.endsWith(".xlsx"))
+        .filter { f =>
+          val n = f.getName.toLowerCase
+          f.isFile && (n.endsWith(".xlsx") || n.endsWith(".xls"))
+        }
         .sortBy(_.getName)
         .foreach { f =>
           isolated(f.getName) {
-            val wb = new graft.ingest.XlsxToCsv.Workbook(f.toPath)
-            try wb.sheetNames.foreach { sheet =>
+            // one open workbook per file (shared-string table parsed
+            // once), dispatched on the container magic
+            val (names, convert, close):
+                (Seq[String], (String, java.nio.file.Path) => Unit, () => Unit) =
+              if (graft.ingest.XlsxToCsv.isLegacyXls(f.toPath)) {
+                val wb = new graft.ingest.BiffToCsv.Workbook(f.toPath)
+                (wb.sheetNames,
+                  (s, p) => { wb.convertSheet(s, p, cfg("CSV_SEPARATOR").head); () },
+                  () => wb.close())
+              } else {
+                val wb = new graft.ingest.XlsxToCsv.Workbook(f.toPath)
+                (wb.sheetNames,
+                  (s, p) => { wb.convertSheet(s, p, cfg("CSV_SEPARATOR").head); () },
+                  () => wb.close())
+              }
+            try names.foreach { sheet =>
               isolated(s"${f.getName}!$sheet") {
                 val out = new java.io.File(stagingDir,
                   graft.ingest.XlsxToCsv.asciiName(sheet) + ".csv")
-                if (!out.exists())
-                  wb.convertSheet(sheet, out.toPath, cfg("CSV_SEPARATOR").head)
+                if (!out.exists()) convert(sheet, out.toPath)
               }
-            } finally wb.close()
+            } finally close()
           }
         }
     }

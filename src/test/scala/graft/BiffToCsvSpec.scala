@@ -237,6 +237,71 @@ class BiffToCsvSpec extends AnyFunSuite {
   private def tmp(prefix: String): Path =
     Files.createTempDirectory(prefix)
 
+  // ---- general sheet builder (positioned typed cells) -------------------
+
+  private sealed trait BCell
+  private case class BNum(v: Double) extends BCell
+  private case class BStr(s: String) extends BCell
+  private case object BErr extends BCell
+
+  /** BIFF8 workbook stream from (sheet name, rows of (0-based row,
+    * cells of (0-based col, cell))) — strings as inline LABELs
+    * (compressed latin-1 when all chars fit, UTF-16 otherwise). */
+  private def biffWorkbook(sheets: Seq[(String, Seq[(Int, Seq[(Int, BCell)])])]): Array[Byte] = {
+    def bof(dt: Int) = {
+      val p = ArrayBuffer.empty[Byte]
+      u16(p, 0x0600); u16(p, dt); u16(p, 0); u16(p, 0); u32(p, 0); u32(p, 0)
+      rec(0x0809, p)
+    }
+    val eof = rec(0x000A, ArrayBuffer.empty[Byte])
+    def label(rw: Int, cl: Int, str: String): ArrayBuffer[Byte] = {
+      val p = ArrayBuffer.empty[Byte]
+      u16(p, rw); u16(p, cl); u16(p, 0)
+      u16(p, str.length)
+      if (str.forall(_ <= 0xFF)) { p += 0; str.foreach(c => p += c.toByte) }
+      else { p += 1; str.foreach(c => u16(p, c.toInt)) }
+      rec(0x0204, p)
+    }
+    def sheetStream(rows: Seq[(Int, Seq[(Int, BCell)])]): ArrayBuffer[Byte] = {
+      val b = ArrayBuffer.empty[Byte] ++ bof(0x0010)
+      rows.foreach { case (rw, cells) =>
+        cells.foreach {
+          case (cl, BNum(v)) =>
+            val p = ArrayBuffer.empty[Byte]
+            u16(p, rw); u16(p, cl); u16(p, 0); f64(p, v)
+            b ++= rec(0x0203, p)
+          case (cl, BStr(s)) => b ++= label(rw, cl, s)
+          case (cl, BErr) =>
+            val p = ArrayBuffer.empty[Byte]
+            u16(p, rw); u16(p, cl); u16(p, 0); p += 0x2A; p += 1
+            b ++= rec(0x0205, p)
+        }
+      }
+      b ++= eof
+      b
+    }
+    def boundsheet(pos: Long, name: String) = {
+      val p = ArrayBuffer.empty[Byte]
+      u32(p, pos); u16(p, 0)
+      p += name.length.toByte
+      if (name.forall(_ <= 0xFF)) { p += 0; name.foreach(c => p += c.toByte) }
+      else { p += 1; name.foreach(c => u16(p, c.toInt)) }
+      rec(0x0085, p)
+    }
+    val streams = sheets.map { case (_, rows) => sheetStream(rows) }
+    // globals sized with placeholder positions first, then rebuilt with
+    // the real offsets (boundsheet length is position-independent)
+    def globals(positions: Seq[Long]) = {
+      val g = ArrayBuffer.empty[Byte] ++ bof(0x0005)
+      sheets.map(_._1).zip(positions).foreach { case (n, p) => g ++= boundsheet(p, n) }
+      g ++= eof
+      g
+    }
+    val gLen = globals(sheets.map(_ => 0L)).length
+    val positions = streams.scanLeft(gLen.toLong)((acc, s) => acc + s.length).init
+    (globals(positions) ++ streams.flatten).toArray
+  }
+
   private val ExpectedSheet1 = Seq(
     "42.5;300;alpha;",
     "123.45;;;",
@@ -307,5 +372,50 @@ class BiffToCsvSpec extends AnyFunSuite {
       BiffToCsv.sheetNames(book)
     }
     assert(e.getMessage.contains("BIFF5"))
+  }
+
+  test("pipeline end-to-end: a staging dir holding ONLY a legacy .xls loads the warehouse") {
+    import graft.store.TableStore
+    import graft.config.EngineConfig
+    import graft.pipeline.PipelineETL
+    val spark = TestSpark.spark
+    val staging = tmp("biff_e2e_staging")
+    // the XlsxToCsvSpec golden workbook, re-expressed as BIFF8 cells
+    val analitico: Seq[(Int, Seq[(Int, BCell)])] = Seq(
+      0 -> Seq(0 -> BStr("SINAPI - Composições Analítico")),
+      9 -> Seq(0 -> BStr("Código da Composição"), 1 -> BStr("Tipo Item"),
+        2 -> BStr("Código do Item"), 3 -> BStr("Coeficiente"),
+        4 -> BStr("Descrição"), 5 -> BStr("Unidade")),
+      10 -> Seq(0 -> BNum(100), 1 -> BStr("COMPOSICAO_PAI"),
+        4 -> BStr("ALVENARIA DE VEDAÇÃO"), 5 -> BStr("M2")),
+      11 -> Seq(0 -> BNum(100), 1 -> BStr("INSUMO"), 2 -> BNum(1),
+        3 -> BStr("2,5"), 4 -> BStr("AREIA MÉDIA"), 5 -> BStr("M3")),
+      12 -> Seq(0 -> BNum(100), 1 -> BStr("INSUMO"), 2 -> BNum(2),
+        3 -> BStr("3,0"), 4 -> BStr("CIMENTO CP-II"), 5 -> BStr("KG")))
+    val isd: Seq[(Int, Seq[(Int, BCell)])] = Seq(
+      0 -> Seq(0 -> BStr("SINAPI - Preços de Insumos")),
+      2 -> Seq(0 -> BStr("Código do Insumo"), 1 -> BStr("Descrição do Insumo"),
+        2 -> BStr("Unidade"), 3 -> BStr("SP"), 4 -> BStr("RJ")),
+      3 -> Seq(0 -> BNum(1), 1 -> BStr("AREIA MÉDIA"), 2 -> BStr("M3"),
+        3 -> BStr("120,50"), 4 -> BStr("130,00")),
+      // the error cell must coerce-drop, exactly like the xlsx t="e"
+      4 -> Seq(0 -> BNum(2), 1 -> BStr("CIMENTO CP-II"), 2 -> BStr("KG"),
+        3 -> BStr("0,89"), 4 -> BErr))
+    val xls = staging.resolve("SINAPI_REFERENCIA_2025_01.xls")
+    Files.write(xls, cfbRegular(biffWorkbook(
+      Seq("Analítico" -> analitico, "ISD" -> isd))))
+    val store = new TableStore(spark, Files.createTempDirectory("biff_e2e_wh").toString)
+    val report = new PipelineETL(spark, store, EngineConfig.load(env = Map.empty))
+      .run(staging.toString, 2025, 1)
+    assert(report.sheetErrors.isEmpty, report.sheetErrors)
+    assert(report.status == "SUCESSO", report)
+    val edges = store.read("composicao_insumos")
+      .select("composicao_pai_codigo", "insumo_filho_codigo")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(edges == Set((100, 1), (100, 2)))
+    val precos = store.read("precos_insumos_mensal")
+      .select("insumo_codigo", "uf", "preco_mediano")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDecimal(2).doubleValue()))
+    assert(precos.toSet == Set((1, "SP", 120.50), (1, "RJ", 130.00), (2, "SP", 0.89)))
   }
 }
