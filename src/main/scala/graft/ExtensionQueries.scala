@@ -270,6 +270,15 @@ object ExtensionQueries {
       Quantize.pqCodes(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("sub"))),
 
+    // Quantile-shift drift: event-value p50/p90 before vs after the
+    // period midpoint, per type — the drift view TVD can't localize.
+    "q201_quantile_shift" -> ((s, d) =>
+      Profiler.quantileShift(Tables.events(s, d), "event_type",
+          expr("floor(value * 1000)"),
+          expr("floor(unix_timestamp(ts)) >= 1706054400"),
+          pcts = Seq(50, 90))
+        .orderBy(col("event_type"), col("pct"))),
+
     // kNN label agreement over the LSH neighbor frame: the label-noise
     // detector — low-agreement points are review candidates.
     "q199_label_noise" -> ((s, d) => {
@@ -2300,6 +2309,21 @@ object ExtensionQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn FROM d)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
         |FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // Quantile shift: the q56 rank formula per (side, group), joined.
+    "q201_quantile_shift" ->
+      """WITH b AS (SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS v,
+        |    CAST(floor(epoch(ts)) AS BIGINT) >= 1706054400 AS aft FROM events),
+        |r AS (SELECT g, aft, v, ROW_NUMBER() OVER (PARTITION BY g, aft ORDER BY v) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY g, aft) AS n FROM b),
+        |q AS (SELECT g, aft, CAST(pct AS BIGINT) AS pct, v FROM r,
+        |    (SELECT unnest([50, 90]) AS pct)
+        |  WHERE rnk = (n * pct + 99) // 100)
+        |SELECT bf.g AS event_type, bf.pct, bf.v AS v_before, af.v AS v_after,
+        |  af.v - bf.v AS shift
+        |FROM (SELECT * FROM q WHERE NOT aft) bf
+        |JOIN (SELECT * FROM q WHERE aft) af ON af.g = bf.g AND af.pct = bf.pct
+        |ORDER BY event_type, bf.pct""".stripMargin,
 
     // Label noise: the q27 LSH chain with every vector as query,
     // top-5, label join, agreement fold.

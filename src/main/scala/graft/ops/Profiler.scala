@@ -792,6 +792,31 @@ object Profiler {
         (col("n_rows") + col("__m.nc")).as("violation_rows"))
   }
 
+  /** X174: quantile-shift drift — per (group, percentile), the exact
+    * quantile BEFORE vs AFTER a split predicate and their signed
+    * difference: the location/scale view of distribution drift that
+    * [[histogramDriftPpm]]'s L1 mass distance cannot localize (a 2×
+    * tail stretch and a small median slide can share one TVD — their
+    * quantile shifts look nothing alike). Both sides run the q56
+    * compaction, so rank windows read |distinct values| per (group,
+    * side); groups present on only one side are dropped (no drift is
+    * DEFINED for them — documented, inner join).
+    *
+    * @return (group, pct, v_before, v_after, shift)
+    */
+  def quantileShift(df: DataFrame, groupCol: String, valueCol: Column,
+                    afterCol: Column, pcts: Seq[Int]): DataFrame = {
+    val tagged = df.select(col(groupCol), valueCol.cast("long").as("__v"),
+        afterCol.cast("boolean").as("__after"))
+      .localCheckpoint(eager = false) // forked: the two sides
+    val before = discreteQuantiles(tagged.filter(!col("__after")),
+      groupCol, col("__v"), pcts).withColumnRenamed("value", "v_before")
+    val after = discreteQuantiles(tagged.filter(col("__after")),
+      groupCol, col("__v"), pcts).withColumnRenamed("value", "v_after")
+    before.join(after, Seq(groupCol, "pct"))
+      .withColumn("shift", col("v_after") - col("v_before"))
+  }
+
   /** X162: robust z-score — [[madOutliers]]' fences turned into a
     * per-row FEATURE: z = (v − median)/MAD in signed tenths, the
     * 50%-breakdown standardization that survives the garbage columns

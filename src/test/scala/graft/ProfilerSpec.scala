@@ -486,4 +486,19 @@ class ProfilerSpec extends SparkSpec {
       ("k", 11L, 7L, 7L, 0L, 0L), ("k", 12L, 7L, 7L, 0L, 0L),
       ("k", 13L, 7L, 7L, 0L, 0L), ("k", 14L, 9L, 7L, 0L, 0L)))
   }
+
+  test("quantileShift: exact per-side quantiles, signed shift, one-sided groups drop") {
+    // group g: before 1..10, after 11..20 -> p50 shifts 5 -> 15
+    val g = (1 to 10).map(v => ("g", v.toLong, false)) ++
+      (11 to 20).map(v => ("g", v.toLong, true))
+    // group only-before: must be absent from the output
+    val ob = (1 to 5).map(v => ("ob", v.toLong, false))
+    val got = Profiler.quantileShift((g ++ ob).toDF("grp", "v", "aft")
+        .repartition(4), "grp", col("v"), col("aft"), pcts = Seq(50, 100))
+      .orderBy("grp", "pct")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("g", 50L, 5L, 15L, 10L),
+      ("g", 100L, 10L, 20L, 10L)))
+  }
 }
