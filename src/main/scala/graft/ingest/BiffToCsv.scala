@@ -209,6 +209,7 @@ object BiffToCsv {
     def u16(): Int = u8() | (u8() << 8)
     def u32(): Long = u16().toLong | (u16().toLong << 16)
     def skip(n: Int): Unit = {
+      if (n < 0) fail(s"SST: negative skip count $n")
       var left = n
       while (left > 0) {
         ensure1()
@@ -253,6 +254,12 @@ object BiffToCsv {
       val compressed = (grbit & 1) == 0
       val cRun = if ((grbit & 8) != 0) u16() else 0
       val cbExt = if ((grbit & 4) != 0) u32() else 0L
+      // cbExt is a 32-bit unsigned length; bound it by the whole stream
+      // so a corrupt value fails loudly instead of truncating to a
+      // negative Int (which skip would otherwise silently no-op on,
+      // leaving the SST cursor misaligned → garbage strings).
+      if (cbExt > wb.length)
+        fail(s"SST: ExtRst length $cbExt exceeds stream size ${wb.length}")
       val s = readChars(cch, compressed)
       skip(cRun * 4)
       skip(cbExt.toInt)

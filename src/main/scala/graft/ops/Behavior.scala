@@ -324,7 +324,13 @@ object Behavior {
     * combinable.
     *
     * @return (event_type, n_conversions, first_touch_q, last_touch_q,
-    *         linear_q) — one row per crediting touch type
+    *         linear_q) — one row per crediting touch type.
+    *         `n_conversions` is the LAST-touch conversion count: the
+    *         number of conversions whose final in-window touch is this
+    *         type. A type that appears only as first touch therefore
+    *         reports n_conversions = 0 beside a nonzero first_touch_q
+    *         — read first/last/linear columns for the credit, not the
+    *         count (deterministic, oracle-mirrored).
     */
   def attribution(events: DataFrame, userCol: String, tsCol: String,
                   tieCol: String, typeCol: String, valueExpr: Column,
@@ -444,7 +450,13 @@ object Behavior {
     require(bucketSec > 0 && kTenths >= 0,
       s"bad spike parameters: bucket $bucketSec, k $kTenths")
     val cnt = events.select(col(typeCol).as("event_type"),
-        expr(s"floor(unix_timestamp(${tsCol})) div $bucketSec").as("bucket"))
+        floor(unix_timestamp(col(tsCol))).cast("long").as("__sec"))
+      // sign-split FLOOR bucket: pre-1970 epochs bucket exactly as the
+      // oracle's flooring `//`, not Spark's truncating div
+      .select(col("event_type"), expr(
+        s"""CASE WHEN __sec >= 0 THEN __sec div $bucketSec
+           |ELSE -(((-__sec) + $bucketSec - 1) div $bucketSec) END""".stripMargin)
+        .as("bucket"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(eager = false) // forked: baseline + labeling

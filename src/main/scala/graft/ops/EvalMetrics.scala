@@ -63,7 +63,11 @@ object EvalMetrics {
     * [0, 10⁶] ppm) bucket into `bins` equal cells; each cell reports
     * its empirical positive rate next to its mean claimed score, and
     * the signed gap between them (positive = under-confident). ONE
-    * map-side-combinable aggregate on the bin key.
+    * map-side-combinable aggregate on the bin key. Scores outside the
+    * ppm domain still bin deterministically: the bin and the mean use
+    * the sign-split FLOOR division, so a negative score lands in a
+    * negative bin in Spark exactly as DuckDB's flooring `//` places it
+    * — no cross-engine divergence outside [0, 10⁶].
     *
     * @return (bin, n, mean_score_ppm, pos_rate_ppm, gap_ppm)
     */
@@ -72,13 +76,17 @@ object EvalMetrics {
     require(bins >= 1, s"non-positive bin count: $bins")
     df.select(scoreExpr.cast("long").as("__s"),
         (labelExpr.cast("long") =!= 0L).cast("long").as("__l"))
-      .select(least(lit(bins - 1L), expr(s"(__s * $bins) div 1000000"))
+      .select(least(lit(bins - 1L), expr(
+        s"""CASE WHEN __s >= 0 THEN (__s * $bins) div 1000000
+           |ELSE -(((-__s) * $bins + 999999) div 1000000) END""".stripMargin))
         .as("bin"), col("__s"), col("__l"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__s")).as("__ss"),
         sum(col("__l")).as("__sl"))
       .select(col("bin"), col("n"),
-        expr("__ss div n").as("mean_score_ppm"),
+        expr("""CASE WHEN __ss >= 0 THEN __ss div n
+               |ELSE -(((-__ss) + n - 1) div n) END""".stripMargin)
+          .as("mean_score_ppm"),
         expr("(__sl * 1000000) div n").as("pos_rate_ppm"))
       .withColumn("gap_ppm", col("pos_rate_ppm") - col("mean_score_ppm"))
   }

@@ -572,6 +572,7 @@ object TermStats {
     val grams = docs
       .select(col(idCol), explode(array_distinct(TextFeatures.shingleHashes(
         TextFeatures.shingles(TextFeatures.tokens(col(textCol)), n)))).as("__g"))
+      .localCheckpoint(eager = false) // forked: gram-df aggregate + scoring join
     val gramDf = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     grams.join(gramDf, "__g")
       .groupBy(col(idCol))

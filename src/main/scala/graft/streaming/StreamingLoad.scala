@@ -382,7 +382,9 @@ object StreamingLoad {
     require(bins >= 1, s"non-positive bin count: $bins")
     rows.select(col(scoreCol).cast("long").as("s"),
         (col(labelCol).cast("long") =!= 0L).cast("long").as("l"))
-      .select(least(lit(bins - 1L), expr(s"(s * $bins) div 1000000"))
+      .select(least(lit(bins - 1L), expr(
+        s"""CASE WHEN s >= 0 THEN (s * $bins) div 1000000
+           |ELSE -(((-s) * $bins + 999999) div 1000000) END""".stripMargin))
         .as("bin"), col("s"), col("l"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
@@ -393,8 +395,8 @@ object StreamingLoad {
           var (n, ss, sl) = state.getOption.getOrElse((0L, 0L, 0L))
           it.foreach { case (_, s, l) => n += 1; ss += s; sl += l }
           state.update((n, ss, sl))
-          val mean = ss / n            // all scores non-negative ppm
-          val rate = sl * 1000000L / n
+          val mean = Math.floorDiv(ss, n) // flooring, matches batch op
+          val rate = sl * 1000000L / n    // sl >= 0 by construction
           CalibOut(bin, n, mean, rate, rate - mean)
       }
   }
