@@ -177,6 +177,18 @@ object StressScale {
       println(f"[stress] knn_brute dims=$dims rows=$nq ${(System.nanoTime() - tq) / 1e9}%.1f s")
     }
 
+    // BPE batched-merge stress (VERDICT r8 task 3): 256 merges over the
+    // sf0.1 corpus must cost a handful of driver round-trips, not 256
+    // sequential jobs — the batch acceptance rule does the collapsing.
+    locally {
+      val t = System.nanoTime()
+      val (table, trips) = ops.BpeTrainer.trainMergesWithRounds(
+        docs, "text", rounds = 256, batchK = 64)
+      val n = table.count()
+      val s = (System.nanoTime() - t) / 1e9
+      println(f"[stress] bpe_256merges merges=$n driver_round_trips=$trips $s%.1f s")
+    }
+
     // Sequence-packing stress: 5M docs / 2.75G tokens through the
     // two-pass distributed prefix sum — the path a single-partition
     // window could not survive.

@@ -30,13 +30,48 @@ import graft.functions.TextFeatures
 object BpeTrainer {
 
   /** Train `rounds` merges over the corpus's token stream.
+    *
+    * Driver round-trips are BATCHED: each Spark job collects the top
+    * `batchK` pairs (by freq desc, left asc, right asc) and accepts the
+    * longest prefix that is provably identical to running the merges
+    * one-at-a-time, so a production 32k-merge run is hundreds of jobs,
+    * not 32k. The acceptance rule is conservative enough to be exact,
+    * not merely heuristic:
+    *
+    *  - walk candidates in rank order; STOP at the first candidate
+    *    sharing a symbol with an already-accepted pair (from there on,
+    *    counts may have changed);
+    *  - a non-first candidate is accepted only if its count is
+    *    STRICTLY greater than (a) the count at the stop point and
+    *    (b) the batch's last collected count when the table was
+    *    truncated at `batchK` — because a merge (a,b)→ab can only
+    *    create new pairs (x,ab)/(ab,y) whose counts are bounded by the
+    *    old counts of (x,a)/(b,y), i.e. by the best INTERACTING pair,
+    *    and can only shrink the counts of other interacting pairs.
+    *    Strictness keeps exact count ties (where the new symbol's
+    *    lexicographic name could reorder the tie-break) on the safe
+    *    sequential path.
+    *
+    * With `batchK = 1` the loop is byte-identical to the classic
+    * one-merge-per-job trainer; any `batchK` yields the same merge
+    * table (pinned by BpeBatchSpec against the sequential path).
+    *
     * @return (rnk, left, right, freq): the merge table in training
     *         order — rank r's pair counts are computed AFTER merges
     *         1..r-1 are applied. Stops early (fewer rows) if no pair
     *         remains.
     */
-  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
+                  batchK: Int = 64): DataFrame =
+    trainMergesWithRounds(docs, textCol, rounds, batchK)._1
+
+  /** [[trainMerges]] plus the number of driver round-trips (Spark jobs)
+    * the batching actually spent — the structural cost a 32k-merge
+    * production run cares about (StressScale records it). */
+  def trainMergesWithRounds(docs: DataFrame, textCol: String, rounds: Int,
+                            batchK: Int = 64): (DataFrame, Int) = {
     require(rounds >= 1, "BPE training needs at least one round")
+    require(batchK >= 1, s"non-positive merge batch size: $batchK")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val spark = docs.sparkSession
     // the corpus → word-frequency vocabulary collapse: the ONLY
@@ -47,9 +82,11 @@ object BpeTrainer {
       .select(split(col("__w"), "").as("__syms"), col("__n"))
       .localCheckpoint()
     val merges = ArrayBuffer.empty[(Long, String, String, Long)]
-    var round = 1
     var exhausted = false
-    while (round <= rounds && !exhausted) {
+    var trips = 0
+    while (merges.size < rounds && !exhausted) {
+      trips += 1
+      val k = math.min(batchK, rounds - merges.size)
       val top = words.filter(size(col("__syms")) >= 2)
         .select(col("__n"), explode(transform(
           sequence(lit(1), size(col("__syms")) - 1),
@@ -58,31 +95,74 @@ object BpeTrainer {
         .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
         .agg(sum(col("__n")).as("f"))
         .orderBy(col("f").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+        .limit(k).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((round.toLong, l, r, f))
-        val merged = l + r
-        // greedy leftmost merge as a left-to-right fold: join the
-        // current symbol into the accumulator's last element whenever
-        // (last, current) is the winning pair
-        words = words.select(
-            aggregate(col("__syms"),
-              array().cast("array<string>"),
+        // collected fewer than k rows → the table is complete and no
+        // unseen pair lurks below the batch; otherwise unseen counts
+        // are bounded by the last collected one
+        val truncatedFloor = if (top.length < k) -1L else top.last.getLong(2)
+        val accepted = ArrayBuffer.empty[(String, String, Long)]
+        val usedSyms = scala.collection.mutable.Set.empty[String]
+        var stopped = false
+        var i = 0
+        while (i < top.length && !stopped) {
+          val (l, r, f) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (accepted.isEmpty) {
+            // the round's argmax is always sequentially correct
+            accepted += ((l, r, f)); usedSyms += l; usedSyms += r
+          } else if (usedSyms(l) || usedSyms(r)) {
+            stopped = true // counts beyond this point may have moved
+          } else if (f > truncatedFloor &&
+            (i + 1 >= top.length || f > interactFloor(top, i, usedSyms))) {
+            accepted += ((l, r, f)); usedSyms += l; usedSyms += r
+          } else {
+            stopped = true
+          }
+          i += 1
+        }
+        accepted.foreach { case (l, r, f) =>
+          merges += ((merges.size + 1L, l, r, f))
+        }
+        // greedy leftmost merge as a left-to-right fold, chained in
+        // rank order for the accepted batch: join the current symbol
+        // into the accumulator's last element whenever (last, current)
+        // is the winning pair. Chunked 16 folds per projection so the
+        // nested-aggregate expression tree stays codegen-sized; each
+        // chunk ends in a LAZY checkpoint barrier, so lineage is a few
+        // vocab-sized hops per batch, never a 32k-deep expression.
+        accepted.grouped(16).foreach { chunk =>
+          val folded = chunk.foldLeft(col("__syms")) { case (c, (l, r, _)) =>
+            aggregate(c, array().cast("array<string>"),
               (acc, s) => when(
                 size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-                .otherwise(concat(acc, array(s)))).as("__syms"),
-            col("__n"))
-          // LAZY: the next round's pair count (or the caller's action)
-          // materializes the chain; lineage stays one fold per round
-          .localCheckpoint(eager = false)
-        round += 1
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(s))))
+          }
+          words = words.select(folded.as("__syms"), col("__n"))
+            .localCheckpoint(eager = false)
+        }
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("rnk", "left", "right", "freq")
+    (merges.toSeq.toDF("rnk", "left", "right", "freq"), trips)
+  }
+
+  /** Max count among NOT-yet-walked batch rows that share a symbol with
+    * the accepted set — the exact bound on any pair count a previously
+    * accepted merge could have created or left standing among
+    * interacting pairs. -1 when nothing below interacts. */
+  private def interactFloor(top: Array[org.apache.spark.sql.Row], upto: Int,
+                            used: scala.collection.Set[String]): Long = {
+    var m = -1L
+    var j = upto + 1
+    while (j < top.length) {
+      if (used(top(j).getString(0)) || used(top(j).getString(1)))
+        m = math.max(m, top(j).getLong(2))
+      j += 1
+    }
+    m
   }
 
   /** Apply an ORDERED merge table to the corpus vocabulary — the

@@ -100,6 +100,27 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  test("batched merge rounds == sequential one-merge-per-job path") {
+    // the batched-acceptance rule must be EXACT, not heuristic: any
+    // batchK yields the same merge table as batchK = 1 (and both equal
+    // the in-memory reference)
+    val rnd = new Random(43L)
+    val alphabet = "abcdefgh"
+    val tokens = (1 to 500).map(_ =>
+      (1 to (rnd.nextInt(7) + 2)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = tokens.grouped(40).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val sequential = BpeTrainer.trainMerges(docs, "text", 24, batchK = 1)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(sequential == model(tokens, 24))
+    Seq(4, 16, 64).foreach { k =>
+      val batched = BpeTrainer.trainMerges(docs, "text", 24, batchK = k)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(batched == sequential, s"batchK=$k diverged from sequential")
+    }
+  }
+
   test("training stops early when no pair remains") {
     val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text") // all 1-char words
     val got = BpeTrainer.trainMerges(docs, "text", 5).collect()
