@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, EvalMetrics, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quantize, RangeJoin, Relational, Similarity, Sketches, Spectral, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, EvalMetrics, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quality, Quantize, RangeJoin, Relational, Similarity, Sketches, SkewJoin, Spectral, TermStats, TextDedup}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -1880,6 +1880,52 @@ object ExtensionQueries {
           "user_id", "ts", "event_id", "value", stepSec = 21600L)
         .select(col("key").as("user_id"), col("bucket"), col("v"), col("stale"))
         .orderBy(col("user_id"), col("bucket"))),
+
+    // Salted skew join (X15): the hot-key remedy proven OUTPUT-identical
+    // to the plain equi-join — the oracle IS the plain join, so the
+    // salt/replicate/drop plumbing cannot silently change semantics.
+    "q202_salted_join" -> ((s, d) => {
+      val facts = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_partkey").as("p_partkey"))
+      val dims = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      SkewJoin.saltedJoin(facts, dims, "p_partkey", salt = 8,
+          saltSource = Seq(col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("l_quantity"), col("p_brand"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("l_quantity"), col("p_brand"))
+    }),
+
+    // Declarative quality audit (X18): FK orphans, null keys and PK
+    // duplicate groups as one violation-count frame — the engine-side
+    // spelling of the reference's PostgreSQL constraints.
+    "q203_quality_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      Quality.audit(Seq(
+          "fk_lineitem_orders" ->
+            li.select(col("l_orderkey").as("k")).distinct()
+              .join(o.select(col("o_orderkey").as("k")), Seq("k"), "left_anti"),
+          "fk_orders_customer" ->
+            o.select(col("o_custkey").as("k")).distinct()
+              .join(c.select(col("c_custkey").as("k")), Seq("k"), "left_anti"),
+          "null_orderkey_lineitem" -> li.filter(col("l_orderkey").isNull),
+          "pk_dup_lineitem" ->
+            li.groupBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+              .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)))
+        .select(col("check").as("check_name"), col("violations"))
+        .orderBy(col("check_name"))
+    }),
+
+    // Scrub composition: q190 locates the leaked spans, this CUTS them
+    // and re-digests the remainder — the X163→X26 decontamination loop
+    // closed end-to-end over the whole corpus.
+    "q204_scrub_spans" -> ((s, d) =>
+      Contamination.scrubSpans(docsFanned(s, d),
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -5338,5 +5384,56 @@ object ExtensionQueries {
         |WINDOW win AS (PARTITION BY user_id ORDER BY bucket
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, bucket""".stripMargin,
+
+    // Salted join: the oracle is the PLAIN equi-join — salting must be
+    // output-invisible.
+    "q202_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, l.l_quantity,
+        |  p.p_brand
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, p.p_partkey, l.l_quantity,
+        |  p.p_brand""".stripMargin,
+
+    // Quality audit: each check as a scalar violation count, anti-join
+    // spelling (never NOT IN — null keys must count as orphans, not
+    // poison the predicate).
+    "q203_quality_audit" ->
+      """SELECT 'fk_lineitem_orders' AS check_name, CAST(count(*) AS BIGINT) AS violations
+        |FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.k)
+        |UNION ALL
+        |SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT)
+        |FROM (SELECT DISTINCT o_custkey AS k FROM orders) o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.k)
+        |UNION ALL
+        |SELECT 'null_orderkey_lineitem', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'pk_dup_lineitem', CAST(count(*) AS BIGINT) FROM (
+        |  SELECT 1 FROM lineitem
+        |  GROUP BY l_orderkey, l_partkey, l_linenumber HAVING count(*) > 1)
+        |ORDER BY check_name""".stripMargin,
+
+    // Scrub: q190's window/hit chain, then cut covered 1-based token
+    // indices (p <= i <= p+4) and re-digest the space-rejoined rest.
+    "q204_scrub_spans" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |ev AS (SELECT DISTINCT ${dh("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS g
+         |  FROM (SELECT toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM tok WHERE doc_id % 10 = 0 AND len(toks) >= 5)),
+         |win AS (SELECT doc_id, i AS pos,
+         |    ${dh("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS h
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM tok WHERE len(toks) >= 5)),
+         |hit AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
+         |  FROM win WHERE h IN (SELECT g FROM ev) GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |    list_filter(t.toks, (x, i) ->
+         |      NOT len(list_filter(COALESCE(h.ps, []), p -> p <= i AND i < p + 5)) > 0) AS kept
+         |  FROM tok t LEFT JOIN hit h USING (doc_id) WHERE len(t.toks) >= 1)
+         |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(CASE WHEN len(kept) = 0 THEN 0
+         |       ELSE ${dh("array_to_string(kept, ' ')")} END AS BIGINT) AS scrub_digest
+         |FROM k ORDER BY doc_id""".stripMargin,
   )
 }

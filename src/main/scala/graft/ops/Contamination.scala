@@ -152,6 +152,61 @@ object Contamination {
     * @return (doc_id, n_tokens, n_hit_windows, covered_tokens,
     *         coverage_ppm) for every doc with ≥ 1 hit
     */
+  /** Span scrub — the composition [[contaminationSpans]] promises:
+    * locate every eval-set n-gram hit, CUT the covered token extent
+    * out of the document, and re-digest what remains — so the corpus
+    * keeps the document minus the benchmark text instead of dropping
+    * it whole (the recall-preserving decontamination a 100 TB corpus
+    * wants: most contaminated pages are 99% original).
+    *
+    * Shape: the window probe is [[contaminationSpans]]' semi-join
+    * (clean corpus volume never leaves the scan); hit START positions
+    * compact to one sorted per-doc array (≤ tokens-per-doc, bounded by
+    * document length, never corpus-proportional); the cut is a
+    * per-row lambda fold over (token, hit-array) — no shuffle carries
+    * text except the doc-keyed hit join. Docs with no hit pass through
+    * with their full token stream re-digested, so the output is the
+    * WHOLE scrubbed corpus, not just the contaminated slice.
+    *
+    * @return (doc_id, n_tokens, n_kept, scrub_digest) for every doc
+    *         with ≥ 1 token; `scrub_digest` is the polynomial hash of
+    *         the space-rejoined kept tokens (0 when nothing is kept —
+    *         the fully-benchmark document)
+    */
+  def scrubSpans(corpus: DataFrame, evalSet: DataFrame,
+                 idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"span n-gram size must be positive: $n")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val evalGrams = evalSet.select(
+      explode(array_distinct(transform(
+        shingles(tokens(col(textCol)), n), s => charHash(s)))).as("__g"))
+      .distinct()
+    val toks = corpus
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .localCheckpoint(eager = false) // forked: window probe + scrub join
+    val hits = toks.filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - lit(n - 1)), i => struct(
+          i.as("pos"),
+          charHash(concat_ws(" ", slice(col("__toks"), i, lit(n))))
+            .as("h")))).as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"), col("__w.h").as("__g"))
+      .join(evalGrams, Seq("__g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__hits"))
+    toks.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        filter(col("__toks"), (_, i) => !exists(
+          coalesce(col("__hits"), array().cast("array<int>")),
+          p => p <= i + 1 && i + 1 < p + n)).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        when(size(col("__kept")) === 0, lit(0L))
+          .otherwise(charHash(concat_ws(" ", col("__kept"))))
+          .as("scrub_digest"))
+  }
+
   def contaminationSpans(corpus: DataFrame, evalSet: DataFrame,
                          idCol: String, textCol: String,
                          n: Int): DataFrame = {

@@ -18,6 +18,24 @@ object Quality {
 
   final case class Check(name: String, violations: Long)
 
+  /** Declarative frame-level audit: each entry names a check and gives
+    * the DataFrame of its VIOLATING rows; the result is one row per
+    * check with the violation count (0 = healthy). The distributed
+    * companion to [[run]]'s warehouse suite — usable on any frames,
+    * not just the staged warehouse, so the FK/PK/domain discipline is
+    * oracle-checkable on the raw tables too. Scale shape: each check
+    * is an independent count aggregate (anti-joins/group-filters stay
+    * inside the check's own frame); the union concatenates |checks|
+    * single-row aggregates — no cross-check shuffle exists.
+    */
+  def audit(checks: Seq[(String, org.apache.spark.sql.DataFrame)]): org.apache.spark.sql.DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    checks.map { case (name, bad) =>
+      bad.agg(count(lit(1)).cast("long").as("violations"))
+        .select(lit(name).as("check"), col("violations"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Count of child-side keys with no parent row (FK orphan anti-join). */
   private def orphans(store: TableStore, child: String, childKey: String,
                       parent: String, parentKey: String): Long =
