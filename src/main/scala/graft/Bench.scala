@@ -70,10 +70,23 @@ object Bench {
       // every pass failed → the sentinel itself surfaces in the JSON
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Tail-survivable JSON: the driver's BENCH artifact keeps only the
+    // LAST ~2 KB of stdout, so the whole line must fit there or the
+    // per-query map is lost (r8 lost 142 of 201 times and the line
+    // start, leaving the artifact unparseable). Contract: "qtimes" is
+    // the COMPLETE per-query list, 3-decimal seconds, ordered by
+    // SORTED QUERY NAME ascending — the same deterministic order the
+    // suite runs in, so index i ↔ sorted(queries.keys)(i); "queries"
+    // spells out only the slowest six by full name for direct reading;
+    // "n" is the query count; "sf" keeps the basename only.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slow = results.sortBy(-_._2).take(6)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qtimes = results.map(r => fmt(r._2)).mkString("[", ",", "]")
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$slow,"qtimes":$qtimes,"qorder":"sorted query names asc","sf":"$sfName"}""")
     spark.stop()
   }
 }
