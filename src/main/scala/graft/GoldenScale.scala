@@ -83,6 +83,8 @@ object GoldenScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("golden_warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -132,6 +134,37 @@ object GoldenScale {
           println(s"[golden] $name FAILED: ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").take(200)}")
       }
+    }
+    // X16 bucketed-layout guard promoted to the golden sweep (VERDICT
+    // r8 task 2): the co-located join must stay exchange-free on the
+    // SCALED fact table, not just the spec's 1000-row fixture. Same
+    // non-vacuous marker as TableStoreSpec ("Exchange hashpartitioning"
+    // is how a shuffle prints; "ShuffleExchange" never appears).
+    // runs in the full sweep, or selectably via GOLDEN_ONLY=bucketed
+    if (only.forall(_.exists(p => "bucketed".startsWith(p)))) {
+      spark.sql("DROP TABLE IF EXISTS golden_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS golden_bucket_b")
+      val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val buckets = cpus.toInt
+      li.write.mode("overwrite").bucketBy(buckets, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("golden_bucket_a")
+      li.write.mode("overwrite").bucketBy(buckets, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("golden_bucket_b")
+      val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+      val old = spark.conf.get(bcastKey)
+      spark.conf.set(bcastKey, "-1")
+      try {
+        val j = spark.table("golden_bucket_a").groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("qa"))
+          .join(spark.table("golden_bucket_b").groupBy("l_orderkey")
+            .agg(sum(col("l_quantity")).as("qb")), Seq("l_orderkey"))
+        val n = j.count()
+        val plan = j.queryExecution.executedPlan.toString
+        val shuffled = plan.contains("Exchange hashpartitioning")
+        if (shuffled) failures += 1
+        println(s"[golden] bucketed_join rows=$n zero_exchange=${!shuffled}")
+      } finally spark.conf.set(bcastKey, old)
     }
     println(s"[golden] done: ${names.size - failures}/${names.size} queries green at 10x sf0.1")
     spark.stop()

@@ -317,6 +317,23 @@ object Multimodal {
     * batching, frame indexing, sampled emission — is exactly what a
     * real keyframe extractor plugs into). Empty payloads emit no
     * frames. */
+  /** Container-magic sniff for video payloads — the fail-fast first
+    * step of the BiffToCsv arc: a RIFF/AVI or ISO-BMFF (MP4/MOV/3GP)
+    * payload must fail NAMING its container, never garbage-decode as
+    * text. Returns the container name, or None for non-video bytes.
+    * Full demux can follow the CFB/BIFF pattern when a real corpus
+    * needs it; until then upstream pipelines demux to frame payloads.
+    */
+  def sniffVideoContainer(payload: Array[Byte]): Option[String] = {
+    def ascii(off: Int, len: Int): String =
+      if (payload.length < off + len) ""
+      else new String(payload, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+    if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ") Some("AVI (RIFF)")
+    else if (ascii(4, 4) == "ftyp")
+      Some(s"ISO-BMFF/MP4 (ftyp brand '${ascii(8, 4).trim}')")
+    else None
+  }
+
   def frameSample(media: Dataset[MediaRow], everyK: Int,
                   frameLen: Int = 100): Dataset[FrameSample] = {
     require(everyK >= 1 && frameLen >= 1, "frame sampling needs positive k and frame length")
@@ -324,6 +341,13 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
+        sniffVideoContainer(r.payload).foreach { fmt =>
+          throw new graft.ingest.UnsupportedFormatException(
+            s"doc ${r.doc_id}: $fmt video container — no container " +
+              "demuxer exists in this environment; demux to frame " +
+              "payloads upstream (or extend Multimodal with a real " +
+              "parser, the BiffToCsv pattern)")
+        }
         val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
           .codePoints().toArray
         val nFrames = (cps.length + frameLen - 1) / frameLen

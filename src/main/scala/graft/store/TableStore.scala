@@ -202,6 +202,13 @@ class TableStore(val spark: SparkSession, val root: String) {
     * network for repeated fact-fact joins at 100 TB. Bucket metadata
     * lives in the session catalog, so this goes through saveAsTable
     * rather than the path-based writers above.
+    *
+    * The bucket columns must equal the FULL equi-join key of the
+    * downstream join: Spark's co-partition check
+    * (`spark.sql.requireAllClusterKeysForCoPartition`, default true)
+    * rejects a subset match, shuffles both sides anyway, and then the
+    * planner disables the bucketed scan ("Bucketed: false") — i.e. a
+    * partial-key bucketing silently buys nothing.
     */
   def writeBucketed(tableName: String, df: DataFrame, buckets: Int,
                     keys: Seq[String]): Unit =

@@ -363,4 +363,82 @@ class ModelCheckSpec extends SparkSpec {
       assert(dist == model, s"trial $trial distributed")
     }
   }
+
+  // ---- overflow-bound red paths (VERDICT r8 task 8) --------------------
+  // The DECIMAL(38,0) family documents loud magnitude bounds; each case
+  // proves the raise actually FIRES just past its bound (not a silent
+  // wrap), and — where cheap — that the boundary value itself passes.
+
+  private def raisedMessage(body: => Unit): String = {
+    val e = intercept[Throwable](body)
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+  }
+
+  test("corrSignedR2Ppm raises past the 3e15 |num| bound, passes below") {
+    // x = y = {0, 2e9}: num = n·Σxx − (Σx)² = 4e18 > 3e15 (moments stay
+    // inside long: 2·4e18 < Long.MaxValue)
+    val hot = Seq((1L, 0L), (1L, 2000000000L)).toDF("g", "x")
+    val msg = raisedMessage(
+      graft.ops.Behavior.corrSignedR2Ppm(hot, "g", col("x"), col("x")).collect())
+    assert(msg.contains("signed-R2 magnitude bound"), s"got: $msg")
+    // in-bound control: num = 1e12 — the guard must NOT fire
+    val cool = Seq((1L, 0L), (1L, 1000000L)).toDF("g", "x")
+    val ok = graft.ops.Behavior.corrSignedR2Ppm(cool, "g", col("x"), col("x"))
+      .collect()
+    assert(ok.length == 1 && ok(0).getLong(2) == 1000000L) // perfect corr
+  }
+
+  test("Spectral magnitude require fires on an over-scale embedding") {
+    val dims = 4
+    val bound = Long.MaxValue / graft.ops.Spectral.Scale / dims
+    // element 3e6 quantizes to 3e12 > the dims=4 bound (~2.3e12)
+    val hot = Seq((0L, Array.fill(dims)(3e6.toFloat)),
+        (1L, Array.fill(dims)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Spectral.topComponentScores(hot, "vec_id", "embedding", 1)
+        .collect())
+    assert(e.getMessage.contains("overflow") &&
+      e.getMessage.contains(bound.toString), s"got: ${e.getMessage}")
+    // just-below control: element under the pre-quantization bound runs
+    val cool = Seq((0L, Array.fill(dims)(1e6.toFloat)),
+        (1L, Array.fill(dims)(0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.ops.Spectral.topComponentScores(cool, "vec_id", "embedding", 1)
+      .count() == 2)
+  }
+
+  test("adjustedRandPpm raises at 5e7+1 rows, silent at exactly 5e7") {
+    val over = spark.range(50000001L)
+      .select(lit(0L).as("la"), lit(0L).as("lb"))
+    val msg = raisedMessage(
+      graft.ops.Clustering.adjustedRandPpm(over, "la", "lb").collect())
+    assert(msg.contains("ARI magnitude bound"), s"got: $msg")
+    val at = spark.range(50000000L)
+      .select(lit(0L).as("la"), lit(0L).as("lb"))
+    val ok = graft.ops.Clustering.adjustedRandPpm(at, "la", "lb").collect()
+    // single-cell table: den2 = 0 → defined ARI of 1e6, no raise
+    assert(ok.length == 1 && ok(0).getAs[Long]("ari_ppm") == 1000000L)
+  }
+
+  test("spearmanGradePpm raises past the 3e6 per-group row bound") {
+    val over = spark.range(3000001L)
+      .select(lit(1L).as("g"), col("id").as("x"), col("id").as("y"))
+    val msg = raisedMessage(
+      graft.ops.Behavior.spearmanGradePpm(over, "g", col("x"), col("y"))
+        .collect())
+    assert(msg.contains("group-size bound"), s"got: $msg")
+  }
+
+  test("domainMarkersPpm raises past 5e7 total occurrences") {
+    // 25e6+1 docs × 2 tokens = 5e7+2 occurrences, one hot token per side
+    val over = spark.range(25000001L)
+      .select((col("id") % 2 === 0).as("is_target"),
+        lit("tok tok").as("text"))
+    val msg = raisedMessage(
+      graft.ops.TermStats.domainMarkersPpm(over, "text", "is_target",
+        minCount = 1, topK = 5).collect())
+    assert(msg.contains("phi2 magnitude bound"), s"got: $msg")
+  }
 }

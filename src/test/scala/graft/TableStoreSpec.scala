@@ -184,8 +184,12 @@ class TableStoreSpec extends SparkSpec {
       .toDF("codigo", "seq", "payload")
     val facts2 = (1 to 1000).map(i => (i % 97, i, s"b$i"))
       .toDF("codigo", "seq", "payload2")
-    store.writeBucketed("graft_bucket_l", facts1, 4, Seq("codigo"))
-    store.writeBucketed("graft_bucket_r", facts2, 4, Seq("codigo"))
+    // bucket columns must equal the FULL equi-join key: Spark's
+    // co-partition check (requireAllClusterKeysForCoPartition, default
+    // true) rejects a subset match, shuffles both sides, and then
+    // disables the bucketed scan entirely
+    store.writeBucketed("graft_bucket_l", facts1, 4, Seq("codigo", "seq"))
+    store.writeBucketed("graft_bucket_r", facts2, 4, Seq("codigo", "seq"))
     val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(bcastKey)
     spark.conf.set(bcastKey, "-1") // force SMJ so the exchange check is meaningful
@@ -193,9 +197,18 @@ class TableStoreSpec extends SparkSpec {
       val joined = spark.table("graft_bucket_l")
         .join(spark.table("graft_bucket_r"), Seq("codigo", "seq"))
       assert(joined.count() == 1000)
+      // marker-based check, proven NON-VACUOUS by the unbucketed
+      // control below: shuffles print as "Exchange hashpartitioning"
+      // (plain "ShuffleExchange" never appears in a plan string, so the
+      // r8 spelling of this assert could not fail)
       val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange"),
+      assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle:\n$plan")
+      val control = facts1.join(facts2, Seq("codigo", "seq"))
+      assert(control.count() == 1000)
+      val planU = control.queryExecution.executedPlan.toString
+      assert(planU.contains("Exchange hashpartitioning"),
+        s"control: unbucketed SMJ must show the shuffle marker:\n$planU")
     } finally spark.conf.set(bcastKey, old)
   }
 
