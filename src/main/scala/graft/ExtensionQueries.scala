@@ -1342,7 +1342,7 @@ object ExtensionQueries {
         .select((col("doc_id") + 40000).as("doc_id"),
           concat(substring(col("s"), 1, 10), expr("substring(s, 12)")).as("s"))
       FuzzyJoin.editDistanceJoin(base.unionByName(mut), "doc_id", "s",
-          maxDist = 2, q = 4, minLen = 12)
+          maxDist = 2, minLen = 12)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1535,7 +1535,7 @@ object ExtensionQueries {
         .select((col("doc_id") + 40000).as("doc_id"),
           concat(substring(col("s"), 1, 10), expr("substring(s, 12)")).as("s"))
       val pairs = FuzzyJoin.editDistanceJoin(base.unionByName(mut), "doc_id",
-        "s", maxDist = 2, q = 4, minLen = 12)
+        "s", maxDist = 2, minLen = 12)
       graft.ops.ConnectedComponents.labels(
           pairs.select(col("id_a").as("a"), col("id_b").as("b")))
         .select(col("node").as("doc_id"), col("cluster_id").as("entity_id"))

@@ -26,6 +26,17 @@ object StressScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition headroom: start wide so big-stage aggregates and
+      // sorts never funnel millions of keys through one task (the r9
+      // 100x probe measured pageRank's edge distinct going 28x super-
+      // linear on exactly this cliff: 7.5M keys/partition at width 16
+      // spills; width 256 restored ~linear scaling, 420 -> 255 s).
+      // AQE coalesces small stages back down to the advisory size, so
+      // sf0.001-sized queries pay nothing. A real cluster sizes this
+      // to data volume; 8 threads of headroom per core is the local
+      // stand-in.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(128, cpus.toInt * 8))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,10 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFeatures
 
 /** X65: edit-distance similarity self-join — the fuzzy-key matcher a
   * catalog pipeline needs when the same item arrives under slightly
@@ -14,87 +12,111 @@ import graft.functions.TextFeatures
   * at training-data scale the same operator is the URL/title/near-key
   * variant of the dedup family.
   *
-  * Algorithm: Ed-Join positional q-gram prefix filtering (Xiao, Wang &
-  * Lin VLDB'08: prefix principle + location-based mismatch filter;
-  * Gravano et al. VLDB'01 count bound), then a BANDED `levenshtein`
-  * confirm:
+  * Algorithm: PassJoin segment partitioning (Li, Deng, Wang & Feng,
+  * PVLDB 5(3) 2011: pigeonhole over an even string partition), then a
+  * BANDED `levenshtein` confirm:
   *
-  *  1. every string's POSITIONAL q-gram hashes (duplicates kept,
-  *     tagged with their 0-based start offset), plus each gram's
-  *     global occurrence frequency (one vocab-bounded aggregate);
-  *  2. each string keeps only its (d·q + 1) RAREST gram occurrences
-  *     under the total order (df ASC, gram ASC, pos ASC) — its prefix
-  *     signature. One edit destroys at most q positional grams, so d
-  *     edits destroy at most d·q of them; at least one of the first
-  *     d·q+1 survives in both strings, shifted by at most d positions
-  *     — the positional signature join is LOSSLESS;
-  *  3. candidate pairs = prefix-gram equi-join with BOTH residual
-  *     filters: length |len_a − len_b| ≤ d (an indel changes length
-  *     by 1) and location |pos_a − pos_b| ≤ d (d indels shift a
-  *     surviving gram by at most d). The location filter is what
-  *     saves flat-vocabulary corpora, where even the rarest grams
-  *     are frequent: a shared gram only counts when it sits in the
-  *     same neighborhood of both strings (measured 28× candidate cut
-  *     on the sf0.1 corpus: 9.34M → 331k pairs for 2120 true pairs);
+  *  1. every string of length L is cut into d+1 contiguous segments
+  *     (the last L mod (d+1) of them one char longer). d edits cannot
+  *     touch all d+1 segments, so for any pair within d edits at
+  *     least one segment of either string survives VERBATIM in the
+  *     other, shifted by at most d positions (the net indel balance
+  *     left of it) — segment equality is a LOSSLESS candidate key;
+  *  2. the probe side enumerates, per string t, every substring that
+  *     could be such a surviving segment: partner lengths
+  *     L' ∈ [len(t)−d, len(t)+d] that actually occur in the corpus
+  *     (broadcast semi-join on the ≤|len domain| distinct lengths),
+  *     segment index i ∈ [0, d], shift ∈ [−d, d] — ≤ (2d+1)²·(d+1)
+  *     probe rows per string, each a bounds-checked substring;
+  *  3. candidate pairs = ONE equi-join of the (d+1)·n segment rows
+  *     with the probe rows on (partner length, segment index, segment
+  *     text). Unlike any q-gram prefix scheme, the key carries
+  *     ~(minLen div (d+1)) characters of position-pinned content, so
+  *     flat-vocabulary and templated corpora cannot funnel the join
+  *     through a handful of hot grams (the r9 100× probe measured the
+  *     positional-q-gram predecessor at 14.2 BILLION enumerated pairs
+  *     on 667k 30-char strings — Σ df² over 4-char keys — where the
+  *     segment key enumerates output-proportional candidates);
   *  4. exact confirm: join texts back by id, keep
   *     `levenshtein(a, b, d)` ≥ 0 — the thresholded form runs the
   *     O(d·len) banded diagonal, not the O(len²) full matrix, and
   *     still returns the exact distance for every kept pair.
   *
-  * Scale shape: the only joins are equi-joins on fixed-width gram
-  * hashes and ids; candidate volume is Σ df² over PREFIX gram
-  * occurrences only — the d·q+1 rarest per string — further thinned
-  * by the position and length bands. Text rides only through the
-  * final bounded confirm join. No cross join, no window over more
-  * than |grams-per-string| rows.
+  * Scale shape: the only joins are equi-joins on (length, index,
+  * segment-text) keys and ids, plus one broadcast semi-join on the
+  * tiny distinct-length domain; candidate volume is Σ over segment
+  * keys of build·probe group products — output-proportional for any
+  * corpus whose identical-substring groups are bounded. Text rides
+  * only through the final bounded confirm join. No cross join, no
+  * window at all.
   */
 object FuzzyJoin {
 
-  /** Hashes of all q-length substrings of `s` (1-based positions). */
-  private[ops] def gramHashes(s: Column, q: Int): Column =
-    transform(sequence(lit(1), greatest(length(s) - (q - 1), lit(0))),
-      i => TextFeatures.charHash(s.substr(i, lit(q))))
+  /** 1-based start of 0-based segment `i` under the PassJoin even
+    * partition of a length-`len` string into `m` segments: the first
+    * m − (len mod m) segments have length len div m, the rest one
+    * more. SQL-spelled so both the build and probe sides share one
+    * definition. */
+  private def segStartSql(len: String, i: String, m: Int): String =
+    s"$i * ($len div $m) + greatest(0, $i - ($m - $len % $m)) + 1"
+
+  private def segLenSql(len: String, i: String, m: Int): String =
+    s"($len div $m) + (case when $i >= $m - $len % $m then 1 else 0 end)"
 
   /** All pairs (id_a < id_b) within `maxDist` edits, with the distance.
     *
-    * Strings shorter than `minLen` are dropped (mirrored by oracles):
-    * the count bound minLen − q + 1 − maxDist·q must stay ≥ 1 for the
-    * gram signature to be guaranteed non-trivial.
+    * Strings shorter than `minLen` are dropped (mirrored by oracles);
+    * minLen ≥ maxDist+1 keeps every segment nonempty, so the segment
+    * signature is guaranteed non-trivial.
     *
     * @return (id_a, id_b, dist)
     */
   def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
-                       maxDist: Int, q: Int = 2, minLen: Int = 12): DataFrame = {
+                       maxDist: Int, minLen: Int = 12): DataFrame = {
     require(maxDist >= 1, "editDistanceJoin needs maxDist >= 1")
-    require(q >= 2, "editDistanceJoin needs q >= 2")
-    require(minLen - q + 1 - maxDist * q >= 1,
-      s"count bound (minLen-q+1-maxDist*q) must be >= 1; got " +
-        s"${minLen - q + 1 - maxDist * q} for minLen=$minLen q=$q maxDist=$maxDist")
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val prefixLen = maxDist * q + 1
+    require(minLen >= maxDist + 1,
+      s"minLen must be >= maxDist+1 so every PassJoin segment is " +
+        s"nonempty; got minLen=$minLen maxDist=$maxDist")
+    val k = maxDist
+    val m = k + 1
 
     val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(length(col("s")) >= minLen)
-    // Positional grams: duplicates kept, each occurrence tagged with
-    // its start offset — the Ed-Join location filter needs them.
-    val grams = s
-      .select(col("id"), length(col("s")).as("len"),
-        posexplode(gramHashes(col("s"), q)).as(Seq("p", "g")))
-    // Global gram rarity — the shared total order the prefix principle
-    // needs. Vocab-bounded aggregate; the join back is left to AQE.
-    val gramDf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val prefix = grams.join(gramDf, "g")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("df").asc, col("g").asc, col("p").asc)))
-      .filter(col("__rn") <= prefixLen)
-      .select(col("id"), col("len"), col("g"), col("p"))
+      .withColumn("len", length(col("s")))
 
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          abs(col("a.len") - col("b.len")) <= maxDist &&
-          abs(col("a.p") - col("b.p")) <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Build side: the d+1 segments of every string, keyed by the
+    // string's OWN length (the partner-length coordinate of the key).
+    val segs = s
+      .select(col("id").as("aid"), col("s").as("sa"),
+        col("len").as("plen"), explode(sequence(lit(0), lit(k))).as("i"))
+      .select(col("aid"), col("plen"), col("i"),
+        expr(s"substring(sa, ${segStartSql("plen", "i", m)}, " +
+          s"${segLenSql("plen", "i", m)})").as("seg"))
+
+    // Probe side: candidate partner lengths that EXIST in the corpus
+    // (equi semi-join against the tiny distinct-length frame — never a
+    // nested-loop band join), then segment index × shift fan-out with
+    // substring bounds enforced before extraction.
+    val lens = s.select(col("len").as("plen")).distinct()
+    val probes = s
+      .select(col("id").as("bid"), col("s").as("sb"), col("len").as("blen"),
+        explode(sequence(col("len") - k, col("len") + k)).as("plen"))
+      .join(broadcast(lens), Seq("plen"), "left_semi")
+      .select(col("bid"), col("sb"), col("blen"), col("plen"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .select(col("bid"), col("sb"), col("blen"), col("plen"), col("i"),
+        explode(sequence(lit(-k), lit(k))).as("sh"))
+      .select(col("bid"), col("sb"), col("blen"), col("plen"), col("i"),
+        (expr(segStartSql("plen", "i", m)) + col("sh")).as("st"),
+        expr(segLenSql("plen", "i", m)).as("sl"))
+      .filter(col("st") >= 1 && col("st") + col("sl") - 1 <= col("blen"))
+      .select(col("bid"), col("plen"), col("i"),
+        expr("substring(sb, st, sl)").as("seg"))
+
+    val cand = segs.join(probes, Seq("plen", "i", "seg"))
+      .filter(col("aid") =!= col("bid"))
+      .select(least(col("aid"), col("bid")).as("id_a"),
+        greatest(col("aid"), col("bid")).as("id_b"))
       .distinct()
 
     cand

@@ -53,10 +53,10 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == Set((3L, 4L, 1L)))
   }
 
-  test("rejects parameterizations whose count bound collapses") {
+  test("rejects parameterizations with empty segments") {
     intercept[IllegalArgumentException] {
       FuzzyJoin.editDistanceJoin(Seq((1L, "x")).toDF("id", "s"),
-        "id", "s", maxDist = 3, q = 3, minLen = 10)
+        "id", "s", maxDist = 10, minLen = 10)
     }
   }
 
