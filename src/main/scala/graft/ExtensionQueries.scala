@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, EvalMetrics, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quality, Quantize, RangeJoin, Relational, Similarity, Sketches, SkewJoin, Spectral, TermStats, TextDedup}
+import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, EvalMetrics, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quality, Quantize, RangeJoin, Relational, Similarity, Sketches, SkewJoin, Spectral, TermStats, TextDedup, VideoContainers}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -82,16 +82,36 @@ object ExtensionQueries {
   private val minhashMemo =
     scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
 
+  /** Persistent-RDD ids backing the memoized frames — the set
+    * [[BlockRelease]] must NOT unpersist between queries (a released
+    * localCheckpoint is unrecoverable: its lineage was truncated).
+    * Captured from the checkpointed frame's own LogicalRDD — NOT by
+    * diffing the block store around the build, which over-captures the
+    * chain's internal lazy checkpoints (transient by design; the
+    * ContextCleaner reclaims them asynchronously, so a diff-captured
+    * set decays under it). */
+  private val memoRddIds = scala.collection.mutable.Set.empty[Int]
+
   /** Drop all memoized frames. The released DataFrame references let
-    * Spark's ContextCleaner reclaim the checkpoint RDD blocks. */
-  def clearMemos(): Unit = synchronized { minhashMemo.clear() }
+    * Spark's ContextCleaner reclaim the checkpoint RDD blocks (or
+    * [[BlockRelease.releaseTransient]] reclaims them synchronously once
+    * the protection set is emptied here). */
+  def clearMemos(): Unit = synchronized { minhashMemo.clear(); memoRddIds.clear() }
+
+  def protectedRddIds: Set[Int] = synchronized { memoRddIds.toSet }
 
   private[graft] def memoSize: Int = synchronized { minhashMemo.size }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame = synchronized {
-    minhashMemo.getOrElseUpdate((s, d),
-      TextDedup.minhashCandidates(demoCorpus(Tables.documents(s, d)), "doc_id", "text")
-        .localCheckpoint())
+    minhashMemo.getOrElseUpdate((s, d), {
+      val df = TextDedup.minhashCandidates(
+        demoCorpus(Tables.documents(s, d)), "doc_id", "text").localCheckpoint()
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => memoRddIds += lr.rdd.id
+        case _ => ()
+      }
+      df
+    })
   }
 
   /** Exercised by q22/q36 and MemoSpec (package-private seam). */
@@ -1926,6 +1946,27 @@ object ExtensionQueries {
           Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
+
+    // Real container parse end-to-end: synthetic MP4s (even ids) and
+    // AVIs (odd ids) — dims/frames/duration pure functions of doc_id —
+    // encoded AND parsed by the dependency-free box/chunk readers; the
+    // oracle recomputes the parsed metadata arithmetically, so any
+    // container-layer breakage (wrong header field, wrong fixed-point
+    // shift, bad sample table) hash-mismatches.
+    "q205_video_meta" -> ((s, d) =>
+      VideoContainers.videoMeta(
+          VideoContainers.syntheticVideos(docsFanned(s, d), "doc_id"))
+        .toDF().orderBy(col("doc_id"))),
+
+    // Real container frame DEMUX: every 2nd frame per payload sliced
+    // out of the container's own sample extents (AVI movi chunks, MP4
+    // stsz/stco tables) and byte-folded; the oracle recomputes each
+    // frame's deterministic bytes, so a single mis-sliced frame
+    // boundary hash-mismatches.
+    "q206_video_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+          VideoContainers.syntheticVideos(docsFanned(s, d), "doc_id"), 2)
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -5435,5 +5476,29 @@ object ExtensionQueries {
          |  CAST(CASE WHEN len(kept) = 0 THEN 0
          |       ELSE ${dh("array_to_string(kept, ' ')")} END AS BIGINT) AS scrub_digest
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Mirrors VideoContainers.videoMeta over syntheticVideos: container
+    // by id parity, dims/frames by modulus, duration = 40 ms x frames
+    // (25 fps in both the AVI avih clock and the MP4 mvhd timescale).
+    "q205_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+        |  CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 9 + 1 AS INTEGER) AS height,
+        |  CAST(doc_id % 12 + 1 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 12 + 1) * 40 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.frameSample over syntheticVideos (every 2nd
+    // frame): frame i's byte j = (doc_id*31 + i*7 + j*13) mod 256 over
+    // frameLen = doc_id%20+5, folded with the engine's polynomial hash.
+    "q206_video_frames" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    range(0, doc_id % 20 + 5), j -> (doc_id*31 + i*7 + j*13) % 256)),
+        |    (a, x) -> (a*31 + x) % 1000000007) AS frame_hash
+        |FROM documents, unnest(range(0, doc_id % 12 + 1)) t(i)
+        |WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -308,22 +308,11 @@ object Multimodal {
     }
   }
 
-  /** The FRAME-SAMPLE stage: media payloads split into fixed-size
-    * frames, keeping every `everyK`-th — the video-keyframe access
-    * pattern over the container's real codec surface (no video library
-    * exists in this environment, so `text/plain` media stand in: a
-    * frame is a 100-CODE-POINT window, matching the oracle's
-    * code-point `substring`; the Spark-side plumbing — per-partition
-    * batching, frame indexing, sampled emission — is exactly what a
-    * real keyframe extractor plugs into). Empty payloads emit no
-    * frames. */
-  /** Container-magic sniff for video payloads — the fail-fast first
-    * step of the BiffToCsv arc: a RIFF/AVI or ISO-BMFF (MP4/MOV/3GP)
-    * payload must fail NAMING its container, never garbage-decode as
-    * text. Returns the container name, or None for non-video bytes.
-    * Full demux can follow the CFB/BIFF pattern when a real corpus
-    * needs it; until then upstream pipelines demux to frame payloads.
-    */
+  /** Container-magic sniff for video payloads — the dispatch key of the
+    * frame-sample stage: a RIFF/AVI or ISO-BMFF (MP4/MOV/3GP) payload
+    * routes to [[VideoContainers]]' real container demux, never
+    * garbage-decodes as text. Returns the container name, or None for
+    * non-video bytes. */
   def sniffVideoContainer(payload: Array[Byte]): Option[String] = {
     def ascii(off: Int, len: Int): String =
       if (payload.length < off + len) ""
@@ -334,6 +323,17 @@ object Multimodal {
     else None
   }
 
+  /** The FRAME-SAMPLE stage: every `everyK`-th frame per payload — the
+    * video-keyframe access pattern. Payloads carrying a real container
+    * magic (RIFF/AVI, ISO-BMFF/MP4) demux through
+    * [[VideoContainers.demuxFrames]] — the container's own frame
+    * extents, hashed as unsigned bytes — and a truncated/corrupt
+    * container fails NAMING the format (never a garbage row).
+    * `text/plain` payloads frame as 100-CODE-POINT windows (matching
+    * the oracle's code-point `substring`). Empty payloads emit no
+    * frames. Per-partition batching throughout; only sampled frame
+    * HASHES leave the stage, so downstream shuffles carry
+    * |kept frames| rows, not payload bytes. */
   def frameSample(media: Dataset[MediaRow], everyK: Int,
                   frameLen: Int = 100): Dataset[FrameSample] = {
     require(everyK >= 1 && frameLen >= 1, "frame sampling needs positive k and frame length")
@@ -341,24 +341,32 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        sniffVideoContainer(r.payload).foreach { fmt =>
-          throw new graft.ingest.UnsupportedFormatException(
-            s"doc ${r.doc_id}: $fmt video container — no container " +
-              "demuxer exists in this environment; demux to frame " +
-              "payloads upstream (or extend Multimodal with a real " +
-              "parser, the BiffToCsv pattern)")
+        if (sniffVideoContainer(r.payload).isDefined)
+          (try VideoContainers.demuxFrames(r.payload).toArray
+          catch {
+            case e: graft.ingest.UnsupportedFormatException =>
+              throw new graft.ingest.UnsupportedFormatException(
+                s"doc ${r.doc_id}: ${e.getMessage}")
+          }).iterator.zipWithIndex
+            .filter(_._2 % everyK == 0)
+            .map { case (frame, i) =>
+              var h = 0L
+              frame.foreach(b => h = (h * 31 + (b & 0xff)) % TextDecoder.HashMod)
+              FrameSample(r.doc_id, i.toLong, h)
+            }
+        else {
+          val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+            .codePoints().toArray
+          val nFrames = (cps.length + frameLen - 1) / frameLen
+          (0 until nFrames).iterator
+            .filter(_ % everyK == 0)
+            .map { i =>
+              val frame = cps.slice(i * frameLen, math.min((i + 1) * frameLen, cps.length))
+              var h = 0L
+              frame.foreach(cp => h = (h * 31 + cp) % TextDecoder.HashMod)
+              FrameSample(r.doc_id, i.toLong, h)
+            }
         }
-        val cps = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-          .codePoints().toArray
-        val nFrames = (cps.length + frameLen - 1) / frameLen
-        (0 until nFrames).iterator
-          .filter(_ % everyK == 0)
-          .map { i =>
-            val frame = cps.slice(i * frameLen, math.min((i + 1) * frameLen, cps.length))
-            var h = 0L
-            frame.foreach(cp => h = (h * 31 + cp) % TextDecoder.HashMod)
-            FrameSample(r.doc_id, i.toLong, h)
-          }
       }
     }
   }

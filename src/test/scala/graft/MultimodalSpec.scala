@@ -36,27 +36,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sniffVideoContainer(Array[Byte](1, 2, 3)).isEmpty)
   }
 
-  test("frameSample fails fast on an AVI payload, naming the container") {
+  test("frameSample fails fast on a CORRUPT AVI payload, naming the container") {
+    // carries the RIFF/'AVI ' magic but no hdrl/movi structure
     val rows = Seq(MediaRow(7L, avi, "video/avi", avi.length.toLong))
       .toDS()
     val e = intercept[org.apache.spark.SparkException] {
       Multimodal.frameSample(rows, everyK = 1).collect()
     }
     val root = Option(e.getCause).getOrElse(e)
-    assert(root.isInstanceOf[UnsupportedFormatException] ||
-      e.getMessage.contains("AVI (RIFF)"),
-      s"expected a named UnsupportedFormatException, got $root")
     val msg = Option(root.getMessage).getOrElse("") + e.getMessage
-    assert(msg.contains("AVI (RIFF)") && msg.contains("doc 7"))
+    assert(msg.contains("RIFF/AVI") && msg.contains("doc 7"),
+      s"expected a doc-scoped RIFF/AVI error, got $root")
   }
 
-  test("frameSample fails fast on an MP4 payload, naming the brand") {
+  test("frameSample fails fast on a CORRUPT MP4 payload, naming the container") {
+    // ftyp magic followed by a box that overruns the payload
     val rows = Seq(MediaRow(9L, mp4, "video/mp4", mp4.length.toLong)).toDS()
     val e = intercept[org.apache.spark.SparkException] {
       Multimodal.frameSample(rows, everyK = 1).collect()
     }
     val root = Option(e.getCause).getOrElse(e)
     val msg = Option(root.getMessage).getOrElse("") + e.getMessage
-    assert(msg.contains("ISO-BMFF/MP4") && msg.contains("isom"))
+    assert(msg.contains("ISO-BMFF/MP4") && msg.contains("doc 9"),
+      s"expected a doc-scoped ISO-BMFF/MP4 error, got $root")
+  }
+
+  test("frameSample demuxes REAL container frames (AVI and MP4)") {
+    import graft.ops.VideoContainers
+    val rows = Seq(
+      MediaRow(2L, VideoContainers.encodeMp4(4, 3, 5, 7, 2L), "video/mp4", 0L),
+      MediaRow(3L, VideoContainers.encodeAvi(4, 3, 5, 7, 3L), "video/x-msvideo", 0L))
+      .toDS()
+    val got = Multimodal.frameSample(rows, everyK = 2).collect()
+      .map(f => (f.doc_id, f.frame_idx, f.frame_hash)).toSet
+    def hash(seed: Long, i: Int): Long =
+      (0 until 7).foldLeft(0L)((a, j) =>
+        (a * 31 + VideoContainers.frameByte(seed, i, j)) % 1000000007L)
+    val want = (for (id <- Seq(2L, 3L); i <- Seq(0, 2, 4))
+      yield (id, i.toLong, hash(id, i))).toSet
+    assert(got == want)
   }
 }
