@@ -55,11 +55,16 @@ object Bench {
       // comparable.
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // isolate queries from each other: name the jobs (so a
-        // regression is attributable in the event log / UI), and collect
-        // the prior query's garbage OUTSIDE this query's timed window —
-        // the r4 bench billed ~48 s of array-churn GC from q37/q42 to
-        // q18, which merely ran next.
+        // regression is attributable in the event log / UI), release
+        // prior queries' checkpoint blocks deterministically (the
+        // ContextCleaner frees them only after a GC notices the dead
+        // reference, so they otherwise pile up across a 200-query
+        // pass — memo-protected frames survive), and collect the prior
+        // query's garbage OUTSIDE this query's timed window — the r4
+        // bench billed ~48 s of array-churn GC from q37/q42 to q18,
+        // which merely ran next.
         spark.sparkContext.setJobDescription(name)
+        BlockRelease.releaseTransient(spark)
         System.gc()
         val t0 = System.nanoTime()
         // A failed query records a NEGATIVE sentinel, not its (fast)

@@ -99,6 +99,7 @@ object HeavyScale {
   private def run(spark: SparkSession, name: String,
                   dir: String): (Long, Double, Map[String, Int]) = {
     ExtensionQueries.clearMemos()
+    BlockRelease.releaseTransient(spark) // memos cleared → releases all
     System.gc()
     spark.sparkContext.setJobDescription(s"heavy:$name:$dir")
     val t0 = System.nanoTime()
