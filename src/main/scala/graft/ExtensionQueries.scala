@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, TextFeatures}
-import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, EvalMetrics, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quality, Quantize, RangeJoin, Relational, Similarity, Sketches, SkewJoin, Spectral, TermStats, TextDedup, VideoContainers}
+import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contamination, Curation, EvalMetrics, FuzzyJoin, GraphRank, Multimodal, Packing, Profiler, Quality, Quantize, RangeJoin, Relational, Similarity, Sketches, SkewJoin, Spectral, TermStats, TextDedup, VideoContainers, ZOrder}
 
 /** Beyond-reference operators for large-scale training-data pipelines
   * (SURVEY §7.6): dedup family, similarity search, text analysis,
@@ -1967,6 +1967,31 @@ object ExtensionQueries {
       Multimodal.frameSample(
           VideoContainers.syntheticVideos(docsFanned(s, d), "doc_id"), 2)
         .toDF().orderBy(col("doc_id"), col("frame_idx"))),
+
+    // Z-order key: the Morton bit-interleave over two 8-bit dims —
+    // pure codegen'd shift/mask projection, bit-exact against the
+    // oracle's arithmetic respelling.
+    "q207_zorder_key" -> ((s, d) =>
+      ZOrder.withZ(
+          Tables.documents(s, d).select(col("doc_id"),
+            (col("doc_id") % 256).as("a"),
+            (octet_length(col("text")) % 256).as("b")),
+          Seq("a", "b"), 8)
+        .select(col("doc_id"), col("z"))
+        .orderBy(col("doc_id"))),
+
+    // Z-order pruning stats: rows bucketed by the top 4 z bits, per-
+    // bucket min/max/count of each dimension — the footer stats a
+    // min/max-pruned scan consults; tight spans on BOTH dims are the
+    // layout's whole point (ZOrderSpec pins the locality property; this
+    // pins the stats frame itself against the oracle).
+    "q208_zorder_stats" -> ((s, d) =>
+      ZOrder.pruningStats(
+          Tables.documents(s, d).select(col("doc_id"),
+            (col("doc_id") % 256).as("a"),
+            (octet_length(col("text")) % 256).as("b")),
+          Seq("a", "b"), 8, log2Buckets = 4)
+        .orderBy(col("bucket"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -5500,5 +5525,27 @@ object ExtensionQueries {
         |FROM documents, unnest(range(0, doc_id % 12 + 1)) t(i)
         |WHERE i % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Mirrors ZOrder.zValue (bits=8, d=2): bit k of dim i lands at
+    // position 2k+i — non-overlapping bits, so a plain SUM respells
+    // the bitwise OR.
+    "q207_zorder_key" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 8), k -> (((doc_id % 256) >> k) & 1) << (2*k)))
+        |  + list_sum(list_transform(range(0, 8), k -> (((strlen(text) % 256) >> k) & 1) << (2*k + 1)))
+        |  AS BIGINT) AS z
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors ZOrder.pruningStats (top 4 z bits → 16 buckets).
+    "q208_zorder_stats" ->
+      """WITH zz AS (SELECT doc_id, doc_id % 256 AS a, strlen(text) % 256 AS b,
+        |    CAST(list_sum(list_transform(range(0, 8), k -> (((doc_id % 256) >> k) & 1) << (2*k)))
+        |    + list_sum(list_transform(range(0, 8), k -> (((strlen(text) % 256) >> k) & 1) << (2*k + 1)))
+        |    AS BIGINT) AS z
+        |  FROM documents)
+        |SELECT z >> 12 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+        |  CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
+        |FROM zz GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }
