@@ -1992,6 +1992,30 @@ object ExtensionQueries {
             (octet_length(col("text")) % 256).as("b")),
           Seq("a", "b"), 8, log2Buckets = 4)
         .orderBy(col("bucket"))),
+
+    // X178 quantile sketch, the cells: log-linear histogram of byte
+    // lengths per doc_id%8 group — binary exponent + 4 mantissa bits,
+    // every cell key an exact integer spelling the oracle reproduces
+    // with length(bin(v)).
+    "q209_qsketch_cells" -> ((s, d) =>
+      Sketches.qsketchCells(
+          Tables.documents(s, d).select((col("doc_id") % 8).as("grp"),
+            octet_length(col("text")).cast("long").as("v")),
+          "grp", col("v"), subBits = 4)
+        .orderBy(col("grp"), col("e"), col("m"))),
+
+    // X178 quantile sketch, the read side: p50/p90/p99 off the cells —
+    // first cell whose cumulative count reaches ceil(pct·n/100), lower
+    // bound + width in pure shifts; windows read the ≤1k-cell sketch,
+    // never the corpus.
+    "q210_qsketch_quantiles" -> ((s, d) =>
+      Sketches.qsketchQuantiles(
+          Sketches.qsketchCells(
+            Tables.documents(s, d).select((col("doc_id") % 8).as("grp"),
+              octet_length(col("text")).cast("long").as("v")),
+            "grp", col("v"), subBits = 4),
+          "grp", Seq(50, 90, 99), subBits = 4)
+        .orderBy(col("grp"), col("pct"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -5547,5 +5571,41 @@ object ExtensionQueries {
         |  CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
         |  CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
         |FROM zz GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Mirrors Sketches.qsketchCells (subBits=4): e = binary exponent
+    // via length(bin(v)), m = v >> max(e-4, 0); v=0 → sentinel (-1, 0).
+    "q209_qsketch_cells" ->
+      """WITH v AS (SELECT doc_id % 8 AS grp, CAST(strlen(text) AS BIGINT) AS v
+        |  FROM documents)
+        |SELECT grp,
+        |  CAST(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS BIGINT) AS e,
+        |  CAST(v >> greatest(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END - 4, 0) AS BIGINT) AS m,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM v GROUP BY 1, 2, 3 ORDER BY grp, e, m""".stripMargin,
+
+    // Mirrors Sketches.qsketchQuantiles off the same cells: first cell
+    // (by (e,m), respelled as the scalar e*32+m — unique since m < 32)
+    // whose cumulative count reaches ceil(pct·n/100), cross-multiplied.
+    "q210_qsketch_quantiles" ->
+      """WITH v AS (SELECT doc_id % 8 AS grp, CAST(strlen(text) AS BIGINT) AS v
+        |  FROM documents),
+        |c AS (SELECT grp,
+        |    CAST(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS BIGINT) AS e,
+        |    CAST(v >> greatest(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END - 4, 0) AS BIGINT) AS m,
+        |    count(*) AS cnt
+        |  FROM v GROUP BY 1, 2, 3),
+        |w AS (SELECT grp, e, m,
+        |    sum(cnt) OVER (PARTITION BY grp ORDER BY e, m) AS cum,
+        |    sum(cnt) OVER (PARTITION BY grp) AS n
+        |  FROM c),
+        |q AS (SELECT grp, pct, max(n) AS n,
+        |    min_by(e, e * 32 + m) AS qe, min_by(m, e * 32 + m) AS qm
+        |  FROM w, unnest([50, 90, 99]) t(pct)
+        |  WHERE cum * 100 >= pct * n
+        |  GROUP BY 1, 2)
+        |SELECT grp, CAST(pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n,
+        |  CAST(qm << greatest(qe - 4, 0) AS BIGINT) AS est,
+        |  CAST(1 << greatest(qe - 4, 0) AS BIGINT) AS width
+        |FROM q ORDER BY grp, pct""".stripMargin,
   )
 }

@@ -327,4 +327,98 @@ object Sketches {
         expr(s"(709 * $m * $m * ${full}L) DIV " +
           s"(1000 * (__s + ($m - n_occupied) * ${full}L))").as("est"))
   }
+
+  /** X178: log-linear histogram quantile sketch — the bounded-state,
+    * mergeable quantile tier next to KMV (cardinality) and count-min
+    * (frequency). The q56 exact-quantile compaction reads every
+    * distinct value; at 100 TB a latency histogram can have billions
+    * of distinct values, and THIS is the structure that caps the state
+    * instead: the HdrHistogram / DDSketch bucket family (Masson et al.,
+    * "DDSketch: a fast and fully-mergeable quantile sketch", VLDB
+    * 2019), spelled deterministically on integers so it is bit-exact
+    * on any engine — where DDSketch buckets by a floating log, this
+    * sketch buckets by the BINARY exponent (exact: the length of the
+    * value's binary spelling) plus the top `subBits` mantissa bits.
+    *
+    * Cell key for v ≥ 1: e = bitlen(v) − 1, m = v >> max(e − subBits, 0)
+    * (v = 0 gets the sentinel cell (−1, 0)). Cell extent is
+    * [m << shift, (m+1) << shift) with shift = max(e − subBits, 0), so
+    * every cell's relative width is ≤ 2^−subBits — the sketch's
+    * whole error contract. Per group the live cells number at most
+    * 1 + 2^subBits·(64 − subBits) (≈ 1 k at subBits = 4) no matter how
+    * many rows went in; counts add, so partial aggregation map-side
+    * combines and sketches of shards merge by summing cnt — the same
+    * mergeability contract the other two sketches carry.
+    *
+    * Negative values raise loudly (the [[graft.ops.ZOrder]] domain
+    * discipline) — a signed metric must be shifted by its caller,
+    * because a silent two's-complement bitlen would interleave
+    * negatives above positives.
+    *
+    * @return (`groupCol`, e, m, cnt) — the sketch, ≤ ~2^subBits·64 rows/group
+    */
+  def qsketchCells(df: DataFrame, groupCol: String, valueExpr: Column,
+                   subBits: Int = 4): DataFrame =
+    qsketchKeyRows(df, groupCol, valueExpr, subBits)
+      .groupBy(col(groupCol), col("e"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The per-value (group, e, m) cell projection shared by the batch
+    * sketch and the streaming twin — one codegen'd expression, no
+    * shuffle of its own. */
+  private[graft] def qsketchKeyRows(df: DataFrame, groupCol: String,
+                                    valueExpr: Column, subBits: Int): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"qsketch needs 1 <= subBits <= 16, got $subBits")
+    val v0 = valueExpr.cast("long")
+    val v = when(v0 < 0,
+      raise_error(concat(lit("qsketch value out of [0, 2^63): "),
+        v0.cast("string"))))
+      .otherwise(v0)
+    df.select(col(groupCol), v.as("__v"))
+      .withColumn("e", when(col("__v") === 0L, lit(-1L))
+        .otherwise(length(bin(col("__v"))).cast("long") - 1L))
+      .withColumn("__sh", greatest(col("e") - subBits, lit(0L)))
+      .select(col(groupCol), col("e"),
+        expr("shiftright(__v, cast(__sh AS int))").as("m"))
+  }
+
+  /** Quantile estimates read off a [[qsketchCells]] sketch: for each
+    * requested percentile, the first cell (in (e, m) order) whose
+    * cumulative count reaches ceil(pct·n/100) — the type-1 inverse
+    * CDF on the cell grid. The true pct-quantile provably lies inside
+    * the chosen cell, so `est ≤ q_true < est + width` and the relative
+    * error is ≤ 2^−subBits (pinned in SketchesSpec against exact
+    * quantiles). The ceil comparison is cross-multiplied
+    * (cum·100 ≥ pct·n) — no division anywhere.
+    *
+    * Physical shape: the q56 compact-below-the-window discipline by
+    * construction — both windows read the SKETCH (≤ ~1 k rows/group),
+    * never the corpus; the percentile fan-out is a literal-array
+    * explode; the pick is a struct-min aggregate, not a second window.
+    *
+    * @param cells a [[qsketchCells]] frame (or any cnt-sum merge of several)
+    * @return (`groupCol`, pct, n, est, width) — one row per (group, pct)
+    */
+  def qsketchQuantiles(cells: DataFrame, groupCol: String,
+                       pcts: Seq[Int], subBits: Int = 4): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100]: $pcts")
+    val byCell = Window.partitionBy(groupCol).orderBy(col("e").asc, col("m").asc)
+    val whole = Window.partitionBy(groupCol)
+    cells
+      .withColumn("__cum", sum(col("cnt")).over(byCell))
+      .withColumn("__n", sum(col("cnt")).over(whole))
+      .select(col(groupCol), col("e"), col("m"), col("__cum"), col("__n"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .filter(col("__cum") * 100L >= col("pct") * col("__n"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min(struct(col("e"), col("m"))).as("__c"),
+        max(col("__n")).as("n"))
+      .select(col(groupCol), col("pct"), col("n"),
+        expr(s"shiftleft(__c.m, cast(greatest(__c.e - $subBits, 0L) AS int))")
+          .as("est"),
+        expr(s"shiftleft(1L, cast(greatest(__c.e - $subBits, 0L) AS int))")
+          .as("width"))
+  }
 }

@@ -222,6 +222,37 @@ object StreamingLoad {
       }
   }
 
+  final case class QsketchOut(group: String, e: Long, m: Long, cnt: Long)
+
+  /** Streaming twin of [[graft.ops.Sketches.qsketchCells]]: the
+    * log-linear quantile histogram as keyed state — one LONG per
+    * occupied (group, e, m) cell, ≤ ~2^subBits·64 cells per group
+    * whatever the stream's value range (the sketch's whole point).
+    * Cell counts add — commutative and associative — so the
+    * post-stream cells equal the batch sketch over the union of all
+    * micro-batches under any arrival order or trigger boundary
+    * (pinned by spec), and [[graft.ops.Sketches.qsketchQuantiles]]
+    * reads quantiles off the emitted cells at any trigger: a
+    * continuously-current latency/length distribution over the feed.
+    */
+  def qsketchStream(rows: DataFrame, groupCol: String, valueCol: String,
+                    subBits: Int = 4): Dataset[QsketchOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    graft.ops.Sketches
+      .qsketchKeyRows(rows.select(col(groupCol).cast("string").as("g"),
+        col(valueCol)), "g", col(valueCol), subBits)
+      .as[(String, Long, Long)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .mapGroupsWithState[Long, QsketchOut](GroupStateTimeout.NoTimeout) {
+        (key: (String, Long, Long), rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          QsketchOut(key._1, key._2, key._3, next)
+      }
+  }
+
   // ---- custom state: dataset content digest (mapGroupsWithState) -------
 
   final case class DigestOut(shard: Long, n_rows: Long, xor_h: Long,

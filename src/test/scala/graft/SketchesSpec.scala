@@ -133,4 +133,74 @@ class SketchesSpec extends SparkSpec {
       .select(col("exact"), col("cm_est")).as[(Long, Long)].collect().head
     assert(r2._1 == 0L)
   }
+
+  test("qsketch cells: exact keys, bounded, mergeable (sum of halves = whole)") {
+    // values spanning exponents 0..~40, plus zeros and exact small values
+    val vals = (0 to 2000).map(i => (i.toLong,
+      if (i % 50 == 0) 0L else (i.toLong * i * i) % (1L << 40)))
+    val df = vals.toDF("id", "v")
+    // every key obeys the cell grammar: e=-1 only with m=0; small e exact
+    // (m = v < 2^e+1); large e normalized (m in [16, 32) for subBits=4)
+    val keyed = Sketches.qsketchCells(df.select(lit("g").as("g"), col("v")),
+      "g", col("v"), subBits = 4).as[(String, Long, Long, Long)].collect()
+    assert(keyed.forall { case (_, e, m, _) =>
+      if (e == -1L) m == 0L
+      else if (e < 4L) m >= (1L << e) && m < (1L << (e + 1))
+      else m >= 16L && m < 32L
+    })
+    // bounded: ≤ 1 zero cell + 16 exact cells + 16 per exponent 4..40
+    assert(keyed.length <= 1 + 16 + 16 * 37)
+    assert(keyed.map(_._4).sum == 2001L)
+    // mergeable: half sketches sum to the whole
+    val g = df.select(lit("g").as("g"), col("v"), col("id"))
+    def cellMap(d: org.apache.spark.sql.DataFrame) =
+      Sketches.qsketchCells(d, "g", col("v"), subBits = 4)
+        .as[(String, Long, Long, Long)].collect()
+        .map { case (_, e, m, n) => (e, m) -> n }.toMap
+    val h1 = cellMap(g.filter(col("id") <= 1000))
+    val h2 = cellMap(g.filter(col("id") > 1000))
+    val merged = (h1.keySet ++ h2.keySet).map(k =>
+      k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
+    assert(merged == cellMap(g))
+    // deterministic across partitionings
+    assert(cellMap(g.repartition(13)) == cellMap(g))
+  }
+
+  test("qsketch quantiles: the true quantile lies inside the chosen cell") {
+    // adversarial mix: heavy ties, zeros, powers of two, wide spread
+    val vals = (1 to 5000).map(i => ("g", ((i.toLong * 2654435761L) % (1L << 30))))
+      .toDF("g", "v")
+    val pcts = Seq(1, 10, 25, 50, 75, 90, 99, 100)
+    val cells = Sketches.qsketchCells(vals, "g", col("v"), subBits = 4)
+    val out = Sketches.qsketchQuantiles(cells, "g", pcts, subBits = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (_, p, n, est, w) => p -> ((n, est, w)) }.toMap
+    assert(out.keySet == pcts.map(_.toLong).toSet)
+    val sorted = vals.as[(String, Long)].collect().map(_._2).sorted
+    pcts.foreach { p =>
+      val (n, est, w) = out(p.toLong)
+      assert(n == 5000L)
+      val exact = sorted(((5000L * p + 99) / 100 - 1).toInt) // type-1 quantile
+      assert(est <= exact && exact < est + w,
+        s"p$p: exact $exact outside cell [$est, ${est + w})")
+      assert(w <= math.max(est >> 4, 1L) * 2, // width ≤ 2^-4 relative (est ≥ 16·w/2)
+        s"p$p: cell width $w too wide for lower bound $est")
+    }
+    // all-zero group: every quantile is the sentinel cell [0, 1)
+    val zeros = (1 to 10).map(_ => ("z", 0L)).toDF("g", "v")
+    val zq = Sketches.qsketchQuantiles(
+        Sketches.qsketchCells(zeros, "g", col("v")), "g", Seq(50, 100))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(zq.forall { case (_, _, n, est, w) => n == 10L && est == 0L && w == 1L })
+  }
+
+  test("qsketch rejects negative values loudly") {
+    val df = Seq(("g", -3L)).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Sketches.qsketchCells(df, "g", col("v")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("qsketch value out of")))
+  }
 }

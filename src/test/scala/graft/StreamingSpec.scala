@@ -182,6 +182,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming qsketch cells converge to the batch sketch across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingLoad.qsketchStream(mem.toDF().toDF("g", "v"), "g", "v",
+        subBits = 4)
+      .writeStream.format("memory").queryName("qsketch_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // values arrive across two triggers with overlap, ties, and a zero
+      mem.addData((0 to 600).map(i => ("a", (i.toLong * i) % 100000L)): _*)
+      q.processAllAvailable()
+      mem.addData((300 to 1000).map(i => ("a", (i.toLong * i) % 100000L)): _*)
+      q.processAllAvailable()
+      // last emission per cell = count over the union of batches
+      val finalCells = spark.table("qsketch_test")
+        .groupBy($"group", $"e", $"m")
+        .agg(org.apache.spark.sql.functions.max($"cnt").as("cnt"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val batch = graft.ops.Sketches.qsketchCells(
+          ((0 to 600) ++ (300 to 1000)).map(i => ("a", (i.toLong * i) % 100000L))
+            .toDF("g", "v"), "g", col("v"), subBits = 4)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(finalCells == batch)
+      // state bounded: ≤ 1 + 2^4 + 16 cells per exponent 4..16 (v < 10^5)
+      assert(finalCells.size <= 1 + 16 + 16 * 13)
+      // quantiles read off the streamed cells match the batch read side
+      val streamQ = graft.ops.Sketches.qsketchQuantiles(
+          spark.table("qsketch_test").groupBy($"group", $"e", $"m")
+            .agg(org.apache.spark.sql.functions.max($"cnt").as("cnt"))
+            .withColumnRenamed("group", "g"),
+          "g", Seq(50, 99), subBits = 4)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batchQ = graft.ops.Sketches.qsketchQuantiles(
+          graft.ops.Sketches.qsketchCells(
+            ((0 to 600) ++ (300 to 1000)).map(i => ("a", (i.toLong * i) % 100000L))
+              .toDF("g", "v"), "g", col("v"), subBits = 4),
+          "g", Seq(50, 99), subBits = 4)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(streamQ == batchQ)
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup equals the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
