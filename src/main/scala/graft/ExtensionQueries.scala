@@ -2016,6 +2016,19 @@ object ExtensionQueries {
             "grp", col("v"), subBits = 4),
           "grp", Seq(50, 90, 99), subBits = 4)
         .orderBy(col("grp"), col("pct"))),
+
+    // X178 weighted read: byte-length quantiles weighted by characters
+    // contributed — one huge doc outweighs a thousand stubs, the
+    // curation view; cnt = Σ n_chars per cell, read side unchanged.
+    "q211_qsketch_weighted" -> ((s, d) =>
+      Sketches.qsketchQuantiles(
+          Sketches.qsketchCellsWeighted(
+            Tables.documents(s, d).select((col("doc_id") % 4).as("grp"),
+              octet_length(col("text")).cast("long").as("v"),
+              col("n_chars").cast("long").as("w")),
+            "grp", col("v"), col("w"), subBits = 4),
+          "grp", Seq(50, 90, 99), subBits = 4)
+        .orderBy(col("grp"), col("pct"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -5593,6 +5606,30 @@ object ExtensionQueries {
         |    CAST(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS BIGINT) AS e,
         |    CAST(v >> greatest(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END - 4, 0) AS BIGINT) AS m,
         |    count(*) AS cnt
+        |  FROM v GROUP BY 1, 2, 3),
+        |w AS (SELECT grp, e, m,
+        |    sum(cnt) OVER (PARTITION BY grp ORDER BY e, m) AS cum,
+        |    sum(cnt) OVER (PARTITION BY grp) AS n
+        |  FROM c),
+        |q AS (SELECT grp, pct, max(n) AS n,
+        |    min_by(e, e * 32 + m) AS qe, min_by(m, e * 32 + m) AS qm
+        |  FROM w, unnest([50, 90, 99]) t(pct)
+        |  WHERE cum * 100 >= pct * n
+        |  GROUP BY 1, 2)
+        |SELECT grp, CAST(pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n,
+        |  CAST(qm << greatest(qe - 4, 0) AS BIGINT) AS est,
+        |  CAST(1 << greatest(qe - 4, 0) AS BIGINT) AS width
+        |FROM q ORDER BY grp, pct""".stripMargin,
+
+    // q210's pipeline with cnt = sum(n_chars) instead of count(*).
+    "q211_qsketch_weighted" ->
+      """WITH v AS (SELECT doc_id % 4 AS grp, CAST(strlen(text) AS BIGINT) AS v,
+        |    CAST(n_chars AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT grp,
+        |    CAST(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS BIGINT) AS e,
+        |    CAST(v >> greatest(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END - 4, 0) AS BIGINT) AS m,
+        |    sum(w) AS cnt
         |  FROM v GROUP BY 1, 2, 3),
         |w AS (SELECT grp, e, m,
         |    sum(cnt) OVER (PARTITION BY grp ORDER BY e, m) AS cum,

@@ -210,6 +210,26 @@ object StressScale {
       "doc_id", col("tok"), 4096L).count()
     val s3 = (System.nanoTime() - t3) / 1e9
     println(f"[stress] packing_5m rows=$np $s3%.1f s")
+
+    // Quantile-sketch stress: 50M values spanning ~40 binary exponents
+    // into 4 groups — the sketch's claim is that cell count stays at
+    // the ~1k-per-group bound no matter the row volume (50M rows here;
+    // the same bound at 100 TB), with the whole build one map-side-
+    // combinable aggregate.
+    locally {
+      val t = System.nanoTime()
+      val vals = spark.range(50000000L).select((col("id") % 4).as("g"),
+        ((col("id") * 2654435761L).bitwiseAND(lit((1L << 40) - 1))).as("v"))
+      val cells = ops.Sketches.qsketchCells(vals, "g", col("v")).localCheckpoint()
+      val nCells = cells.count()
+      val sB = (System.nanoTime() - t) / 1e9
+      val tQ = System.nanoTime()
+      val nQ = ops.Sketches.qsketchQuantiles(cells, "g", Seq(50, 90, 99)).count()
+      val sQ = (System.nanoTime() - tQ) / 1e9
+      val bound = 4 * (1 + 16 + 16 * 37) // groups × (zero + exact + 16/exponent)
+      println(f"[stress] qsketch_50m cells=$nCells (bound $bound) build $sB%.1f s " +
+        f"quantile_rows=$nQ read $sQ%.1f s")
+    }
     spark.stop()
   }
 }

@@ -363,11 +363,35 @@ object Sketches {
       .groupBy(col(groupCol), col("e"), col("m"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[qsketchCells]] with a per-row weight: cnt = Σ weight instead of
+    * a row count, so [[qsketchQuantiles]] reads WEIGHTED quantiles —
+    * "the p90 document length by TOKENS CONTRIBUTED, not by document
+    * count", the curation view where one 100k-token doc outweighs a
+    * thousand stubs. Weights must be non-negative longs (negative
+    * weights would make the cumulative non-monotone and the quantile
+    * read meaningless — raised loudly); zero-weight rows keep their
+    * cell alive with cnt contribution 0, harmless to the read side.
+    * Same bounded-cell and sum-merge contracts as the unweighted build.
+    */
+  def qsketchCellsWeighted(df: DataFrame, groupCol: String, valueExpr: Column,
+                           weightExpr: Column, subBits: Int = 4): DataFrame = {
+    val w0 = weightExpr.cast("long")
+    val w = when(w0 < 0,
+      raise_error(concat(lit("qsketch weight out of [0, 2^63): "),
+        w0.cast("string"))))
+      .otherwise(w0)
+    qsketchKeyRows(df.withColumn("__qw", w), groupCol, valueExpr, subBits,
+        carry = Seq("__qw"))
+      .groupBy(col(groupCol), col("e"), col("m"))
+      .agg(sum(col("__qw")).as("cnt"))
+  }
+
   /** The per-value (group, e, m) cell projection shared by the batch
     * sketch and the streaming twin — one codegen'd expression, no
     * shuffle of its own. */
   private[graft] def qsketchKeyRows(df: DataFrame, groupCol: String,
-                                    valueExpr: Column, subBits: Int): DataFrame = {
+                                    valueExpr: Column, subBits: Int,
+                                    carry: Seq[String] = Nil): DataFrame = {
     require(subBits >= 1 && subBits <= 16,
       s"qsketch needs 1 <= subBits <= 16, got $subBits")
     val v0 = valueExpr.cast("long")
@@ -375,12 +399,13 @@ object Sketches {
       raise_error(concat(lit("qsketch value out of [0, 2^63): "),
         v0.cast("string"))))
       .otherwise(v0)
-    df.select(col(groupCol), v.as("__v"))
+    val kept = carry.map(col)
+    df.select(col(groupCol) +: v.as("__v") +: kept: _*)
       .withColumn("e", when(col("__v") === 0L, lit(-1L))
         .otherwise(length(bin(col("__v"))).cast("long") - 1L))
       .withColumn("__sh", greatest(col("e") - subBits, lit(0L)))
-      .select(col(groupCol), col("e"),
-        expr("shiftright(__v, cast(__sh AS int))").as("m"))
+      .select(col(groupCol) +: col("e") +:
+        expr("shiftright(__v, cast(__sh AS int))").as("m") +: kept: _*)
   }
 
   /** Quantile estimates read off a [[qsketchCells]] sketch: for each

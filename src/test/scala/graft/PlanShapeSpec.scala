@@ -227,4 +227,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Join") || plan.contains("join"),
       s"expected an equi-join on (key, bin):\n$plan")
   }
+
+  test("qsketch: map-side partial agg below the cell shuffle; windows read the sketch") {
+    // The cell build must partial-aggregate BEFORE its exchange (each
+    // executor ships ≤ ~1k cells per group, never its raw values), and
+    // the quantile read's windows must sit ABOVE the cell aggregate —
+    // the windows see the bounded sketch, never the corpus.
+    val df = (1 to 800).map(i => (s"g${i % 3}", (i.toLong * i) % 100000L))
+      .toDF("g", "v")
+    val cellPlan = planOf(Sketches.qsketchCells(df, "g", col("v")))
+    val partialAt = cellPlan.indexOf("partial_count")
+    val exchangeAt = cellPlan.indexOf("Exchange hashpartitioning")
+    assert(partialAt >= 0 && exchangeAt >= 0 && partialAt > exchangeAt,
+      s"expected partial_count BELOW the cell exchange (plan reads top-down):\n$cellPlan")
+    val qPlan = planOf(Sketches.qsketchQuantiles(
+      Sketches.qsketchCells(df, "g", col("v")), "g", Seq(50, 99)))
+    val winAt = qPlan.indexOf("Window")
+    val aggAt = qPlan.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"expected the cell HashAggregate BELOW the quantile windows:\n$qPlan")
+    assert(!qPlan.contains("Exchange SinglePartition"),
+      s"quantile read degraded to a single-partition pass:\n$qPlan")
+  }
 }

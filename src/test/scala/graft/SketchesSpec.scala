@@ -194,6 +194,50 @@ class SketchesSpec extends SparkSpec {
     assert(zq.forall { case (_, _, n, est, w) => n == 10L && est == 0L && w == 1L })
   }
 
+  test("qsketch weighted: weight-1 equals unweighted; weighted quantile in-cell") {
+    val rows = (1 to 2000).map(i =>
+      ("g", (i.toLong * 7919L) % 50000L, (i % 13).toLong))
+    val df = rows.toDF("g", "v", "w")
+    // weight ≡ 1 must be byte-identical to the unweighted build
+    val unit = Sketches.qsketchCellsWeighted(
+        df.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        "g", col("v"), col("w"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val plain = Sketches.qsketchCells(df, "g", col("v"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(unit == plain)
+    // weighted cells sum the weights
+    val wcells = Sketches.qsketchCellsWeighted(df, "g", col("v"), col("w"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(wcells.map(_._4).sum == rows.map(_._3).sum)
+    // weighted p50/p99: the exact weighted type-1 quantile (first value
+    // whose cumulative weight reaches ceil(pct·W/100)) lies in the cell
+    val out = Sketches.qsketchQuantiles(
+        Sketches.qsketchCellsWeighted(df, "g", col("v"), col("w")),
+        "g", Seq(50, 99))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (_, p, n, est, w) => p -> ((n, est, w)) }.toMap
+    val totalW = rows.map(_._3).sum
+    val sortedVW = rows.map(r => (r._2, r._3)).sortBy(_._1)
+    Seq(50L, 99L).foreach { p =>
+      val (n, est, w) = out(p)
+      assert(n == totalW)
+      val need = (totalW * p + 99) / 100
+      var cum = 0L
+      val exact = sortedVW.find { case (_, wt) => { cum += wt; cum >= need } }.get._1
+      assert(est <= exact && exact < est + w,
+        s"weighted p$p: exact $exact outside [$est, ${est + w})")
+    }
+    // negative weight raises loudly
+    val bad = Seq(("g", 5L, -1L)).toDF("g", "v", "w")
+    val ex = intercept[Exception] {
+      Sketches.qsketchCellsWeighted(bad, "g", col("v"), col("w")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("qsketch weight out of")))
+  }
+
   test("qsketch rejects negative values loudly") {
     val df = Seq(("g", -3L)).toDF("g", "v")
     val ex = intercept[Exception] {
