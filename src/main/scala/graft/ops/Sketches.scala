@@ -422,6 +422,11 @@ object Sketches {
     * never the corpus; the percentile fan-out is a literal-array
     * explode; the pick is a struct-min aggregate, not a second window.
     *
+    * Degenerate weighted input: a group whose cells sum to n = 0 (all
+    * weights zero) reports its SMALLEST cell with n = 0 for every
+    * percentile — 0 ≥ ceil(pct·0/100) holds everywhere, so the
+    * struct-min picks the first cell, identically on any engine.
+    *
     * @param cells a [[qsketchCells]] frame (or any cnt-sum merge of several)
     * @return (`groupCol`, pct, n, est, width) — one row per (group, pct)
     */
