@@ -415,7 +415,10 @@ object Sketches {
     * the chosen cell, so `est ≤ q_true < est + width` and the relative
     * error is ≤ 2^−subBits (pinned in SketchesSpec against exact
     * quantiles). The ceil comparison is cross-multiplied
-    * (cum·100 ≥ pct·n) — no division anywhere.
+    * (cum·100 ≥ pct·n) — no division anywhere — and runs in
+    * DECIMAL(38,0): a long cum·100 would wrap past n ≈ 9.2·10^16,
+    * silently disagreeing with a 128-bit SQL engine; the lift costs
+    * nothing because the frame is the ≤ ~1 k-cell sketch.
     *
     * Physical shape: the q56 compact-below-the-window discipline by
     * construction — both windows read the SKETCH (≤ ~1 k rows/group),
@@ -441,7 +444,8 @@ object Sketches {
       .withColumn("__n", sum(col("cnt")).over(whole))
       .select(col(groupCol), col("e"), col("m"), col("__cum"), col("__n"),
         explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
-      .filter(col("__cum") * 100L >= col("pct") * col("__n"))
+      .filter(col("__cum").cast("decimal(38,0)") * 100 >=
+        col("pct").cast("decimal(38,0)") * col("__n"))
       .groupBy(col(groupCol), col("pct"))
       .agg(min(struct(col("e"), col("m"))).as("__c"),
         max(col("__n")).as("n"))

@@ -238,6 +238,28 @@ class SketchesSpec extends SparkSpec {
     assert(msgs(ex).exists(m => m != null && m.contains("qsketch weight out of")))
   }
 
+  test("qsketch quantile read survives cum*100 past the long range") {
+    // Three cells with 4e17 weight each: total weight 1.2e18 fits a
+    // long, but cum·100 = 1.2e20 does NOT — a long cross-multiply
+    // wraps negative and silently excludes every qualifying cell. The
+    // DECIMAL(38,0) comparison must keep picking the true cells.
+    val w = 400000000000000000L // 4e17
+    val df = Seq(("g", 100L, w), ("g", 1000L, w), ("g", 10000L, w))
+      .toDF("g", "v", "w")
+    val out = Sketches.qsketchQuantiles(
+        Sketches.qsketchCellsWeighted(df, "g", col("v"), col("w")),
+        "g", Seq(34, 67, 100))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (_, p, n, est, wd) => p -> ((n, est, wd)) }.toMap
+    assert(out(34L)._1 == 3 * w)
+    // p34 needs cum ≥ ceil(.34·3w) > w → second value's cell (1000);
+    // p67 → third (10000); p100 → third
+    Seq(34L -> 1000L, 67L -> 10000L, 100L -> 10000L).foreach { case (p, v) =>
+      val (_, est, wd) = out(p)
+      assert(est <= v && v < est + wd, s"p$p: $v outside [$est, ${est + wd})")
+    }
+  }
+
   test("qsketch rejects negative values loudly") {
     val df = Seq(("g", -3L)).toDF("g", "v")
     val ex = intercept[Exception] {
