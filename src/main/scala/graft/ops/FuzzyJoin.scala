@@ -83,6 +83,11 @@ object FuzzyJoin {
     val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(length(col("s")) >= minLen)
       .withColumn("len", length(col("s")))
+      // Forked FIVE ways (segments, length domain, probes, both
+      // payload re-attaches): materialize once so the caller's corpus
+      // lineage — possibly an expensive construction — is computed
+      // once, not five times (the q93/tokenRankScore fork discipline).
+      .localCheckpoint(eager = false)
 
     // Build side: the d+1 segments of every string, keyed by the
     // string's OWN length (the partner-length coordinate of the key).
