@@ -98,6 +98,10 @@ object TermStats {
       .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .filter(col("term").isin(queryTerms.map(lit(_)): _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      // Forked: the score join AND the df aggregate — without this the
+      // corpus-volume explode under the aggregate runs twice (the q93
+      // fork discipline); post-agg the frame is ≤ |docs|·|queryTerms|.
+      .localCheckpoint(eager = false)
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val tfPart = (col("tf") * lit(k1 + 1)) /
