@@ -363,8 +363,13 @@ object TermStats {
       .select(col(idCol).as("doc_id"), TextFeatures.tokens(col(textCol)).as("__toks"))
       .localCheckpoint() // forked: unigram and bigram occurrence passes
     val uni = toks.select(explode(col("__toks")).as("t"))
+    // Totals derive from the grouped counts (Σ c == row count of the
+    // explode), so each corpus-volume explode is consumed exactly ONCE
+    // and the forks ride the vocab-bounded count frames — without
+    // this, uni and big each ran twice (count pass + total pass).
     val c1 = uni.groupBy("t").agg(count(lit(1)).as("c"))
-    val uTot = uni.agg(count(lit(1)).cast("decimal(38,0)").as("u"))
+      .localCheckpoint(eager = false) // forked: total + both unigram joins
+    val uTot = c1.agg(sum(col("c")).cast("decimal(38,0)").as("u"))
     val big = toks.filter(size(col("__toks")) >= 2)
       .select(explode(transform(
         sequence(lit(1), size(col("__toks")) - 1), i => struct(
@@ -372,7 +377,8 @@ object TermStats {
           element_at(col("__toks"), i + 1).as("b")))).as("__b"))
       .select(col("__b.a").as("a"), col("__b.b").as("b"))
     val c2 = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val nTot = big.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+      .localCheckpoint(eager = false) // forked: total + the scored join
+    val nTot = c2.agg(sum(col("c_ab")).cast("decimal(38,0)").as("n"))
     c2.filter(col("c_ab") >= minCount)
       .join(c1.withColumnRenamed("t", "a").withColumnRenamed("c", "c_a"), Seq("a"))
       .join(c1.withColumnRenamed("t", "b").withColumnRenamed("c", "c_b"), Seq("b"))
