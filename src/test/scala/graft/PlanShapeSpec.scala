@@ -228,6 +228,40 @@ class PlanShapeSpec extends SparkSpec {
       s"expected an equi-join on (key, bin):\n$plan")
   }
 
+  test("materialized forks stay single-pass: edit join, BM25, PMI") {
+    // Each of these operators forks a frame derived from a corpus-
+    // volume subtree; the fork is local-checkpointed so the subtree
+    // runs ONCE. The physical symptom of a lost checkpoint is the
+    // duplicated Generate/scan — pin the count.
+    def gens(plan: String): Int = "Generate ".r.findAllIn(plan).size
+    // editDistanceJoin: input forked 5 ways; the only Generates left
+    // are the build-side and probe-side enumerations (3: segments +
+    // probe lengths + probe indices... counted on the actual shape)
+    val docs = (1 to 60).map(i => (i.toLong, s"abcdefgh${i % 7}jklmnop${i}xyz"))
+      .toDF("doc_id", "s")
+    val ejPlan = planOf(graft.ops.FuzzyJoin.editDistanceJoin(docs, "doc_id", "s", 2))
+    assert(ejPlan.contains("ExistingRDD"),
+      s"edit-join input must be materialized (checkpoint scan):\n$ejPlan")
+    // bm25Rank: the tf fork reads a checkpoint, so NO corpus-token
+    // explode is visible above the barrier — a lost checkpoint would
+    // surface the explode (twice) in this plan
+    val corpus = (1 to 80).map(i => (i.toLong, s"alpha beta w${i % 9} gamma"))
+      .toDF("doc_id", "text")
+    val bmPlan = planOf(graft.ops.TermStats.bm25Rank(corpus, "doc_id", "text",
+      Seq("alpha", "w3", "w5")))
+    assert(gens(bmPlan) == 0 && bmPlan.contains("ExistingRDD"),
+      s"bm25's corpus explode must sit behind the tf checkpoint barrier " +
+        s"(got ${gens(bmPlan)} visible Generates):\n$bmPlan")
+    // pmiCollocations: unigram and bigram explodes each sit behind their
+    // count frame's checkpoint; totals derive from the counts — zero
+    // visible Generates, two checkpoint scans
+    val pmiPlan = planOf(graft.ops.TermStats.pmiCollocations(corpus, "doc_id", "text",
+      minCount = 1, topK = 5))
+    assert(gens(pmiPlan) == 0 && pmiPlan.contains("ExistingRDD"),
+      s"PMI's gram explodes must sit behind the count checkpoints " +
+        s"(got ${gens(pmiPlan)} visible Generates):\n$pmiPlan")
+  }
+
   test("qsketch: map-side partial agg below the cell shuffle; windows read the sketch") {
     // The cell build must partial-aggregate BEFORE its exchange (each
     // executor ships ≤ ~1k cells per group, never its raw values), and
