@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFeatures._
@@ -632,5 +632,47 @@ object Curation {
     base.join(rates, Seq("bucket"))
       .select(col("doc_id"), col("bucket"), col("accept_ppm"),
         (col("__h") % 1000000L < col("accept_ppm")).cast("long").as("kept"))
+  }
+
+  /** X179: leave-one-out target encoding — the leakage-safe categorical
+    * feature (Micci-Barreca, SIGKDD Expl. 2001): each row's key is
+    * replaced by the mean target of the OTHER rows sharing it,
+    * `(Σ_group − v) div (n − 1)`, so a row never sees its own label
+    * (plain group-mean encoding leaks the target straight into the
+    * feature — the classic CV contamination). Milli-unit quantization
+    * with the house sign-split division (truncation toward zero on
+    * both engines); a singleton key reads NULL — there is no "other
+    * rows" mean, and silently substituting a global prior would hide
+    * the very sparsity a curator must see.
+    *
+    * Shape: ONE map-side-combinable (sum, count) aggregate on the key,
+    * joined back to row volume by the same key (AQE-planned — the
+    * stats side is |keys| rows, never force-broadcast); the encode is
+    * a codegen'd projection. Nothing else moves — the same two-step
+    * every 100 TB feature pipeline can afford. Aggregate magnitude is
+    * bounded loudly at |Σ| ≤ 9·10¹⁵ so the ×1000 quantization can
+    * never wrap a long.
+    *
+    * @return input keys + (id, v, n, loo_milli); `n` is the key's row
+    *         count, `loo_milli` NULL iff n = 1
+    */
+  def targetEncodeLoo(df: DataFrame, keyCols: Seq[String], idCol: String,
+                      targetCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "target encoding needs at least one key column")
+    val rows = df.select(
+      keyCols.map(col) :+ col(idCol).as("id") :+ targetCol.cast("long").as("v"): _*)
+    val stats = rows.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("v")).as("__sum"), count(lit(1)).as("n"))
+      .withColumn("__sum",
+        when(abs(col("__sum")) > 9000000000000000L, raise_error(concat(
+          lit("targetEncodeLoo: group sum exceeds the 9e15 quantization bound: "),
+          col("__sum")))).otherwise(col("__sum")))
+    rows.join(stats, keyCols)
+      .select(keyCols.map(col) ++ Seq(col("id"), col("v"), col("n"),
+        when(col("n") === 1, lit(null).cast("long"))
+          .when(col("__sum") - col("v") >= 0,
+            expr("((__sum - v) * 1000) div (n - 1)"))
+          .otherwise(-expr("((v - __sum) * 1000) div (n - 1)"))
+          .as("loo_milli")): _*)
   }
 }

@@ -323,4 +323,67 @@ object EvalMetrics {
               | else -(((-__num) * 1000000) div __den) end""".stripMargin)
             .cast("long")).as("kappa_ppm"))
   }
+
+  /** X180: ROUGE-N (Lin, ACL-W 2004) — the clipped n-gram overlap that
+    * scores a candidate text against its reference per pair: recall is
+    * Σ_g min(count_cand(g), count_ref(g)) over the reference's gram
+    * occurrences (the original ROUGE), precision the same numerator
+    * over the candidate's, F1 their harmonic mean — all exact ppm
+    * rationals. The pipeline use is summarization/extraction QA at
+    * corpus scale: a snapshot-diff or scrub pass emits (old, new)
+    * pairs, and ROUGE says how much survived. Multiset semantics (the
+    * "clip") matter: a candidate repeating one reference gram 50×
+    * scores 50/|ref| on a bag-union spelling but min(50, c_ref) here.
+    *
+    * Shape: the pair frame's tokenization is materialized ONCE and
+    * forks into the two side-tagged gram streams (fixed-width hashes
+    * ride, never gram text — a collision merges grams identically on
+    * both engines, dedup-family convention); occurrence counts are one
+    * map-side-combinable aggregate on (pair, side, gram); totals and
+    * the clipped intersection are two folds off that frame, joined
+    * back on the pair key. Shuffle ∝ token occurrences, no pair×gram
+    * blowup, no driver state. Pairs with under n tokens on either
+    * side are absent by contract (their gram bag is undefined).
+    *
+    * @return (pair_id, cand_grams, ref_grams, hit_grams,
+    *         precision_ppm, recall_ppm, f1_ppm)
+    */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"ROUGE gram size must be positive: $n")
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    import graft.functions.TextFeatures.{charHash, tokens}
+    val toks = pairs.select(col(idCol).as("pair_id"),
+        tokens(col(candCol)).as("__ct"), tokens(col(refCol)).as("__rt"))
+      .localCheckpoint(eager = false) // forked: the two gram streams
+    def sideGrams(c: String, tag: Int): DataFrame = toks
+      .filter(size(col(c)) >= n)
+      .select(col("pair_id"), lit(tag).as("__side"),
+        explode(transform(sequence(lit(1), size(col(c)) - lit(n - 1)),
+          i => charHash(concat_ws(" ", slice(col(c), i, lit(n))))))
+          .as("__g"))
+    val counts = sideGrams("__ct", 0).unionByName(sideGrams("__rt", 1))
+      .groupBy(col("pair_id"), col("__side"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false) // forked: totals + clipped overlap
+    val totals = counts.groupBy(col("pair_id")).agg(
+        sum(when(col("__side") === 0, col("__c"))).as("cand_grams"),
+        sum(when(col("__side") === 1, col("__c"))).as("ref_grams"))
+      .filter(col("cand_grams").isNotNull && col("ref_grams").isNotNull)
+    val clip = counts.groupBy(col("pair_id"), col("__g")).agg(
+        sum(when(col("__side") === 0, col("__c"))).as("__ca"),
+        sum(when(col("__side") === 1, col("__c"))).as("__cr"))
+      .filter(col("__ca").isNotNull && col("__cr").isNotNull)
+      .groupBy(col("pair_id"))
+      .agg(sum(least(col("__ca"), col("__cr"))).as("__hit"))
+    totals.join(clip, Seq("pair_id"), "left")
+      .select(col("pair_id"), col("cand_grams"), col("ref_grams"),
+        coalesce(col("__hit"), lit(0L)).as("hit_grams"))
+      .withColumn("precision_ppm", expr("(hit_grams * 1000000) div cand_grams"))
+      .withColumn("recall_ppm", expr("(hit_grams * 1000000) div ref_grams"))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") === 0, lit(0L))
+          .otherwise(expr(
+            "(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)")))
+  }
 }

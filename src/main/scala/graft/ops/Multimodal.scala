@@ -250,6 +250,59 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash row: the 64-bit content key an image
+    * corpus dedups on (metadata width/height ride for pruning). */
+  final case class ImageHash(doc_id: Long, width: Int, height: Int,
+                             dhash: Long)
+
+  /** X182: perceptual image dHash — the difference-hash of the
+    * near-dup-image literature (Krawetz's dHash; the pHash family's
+    * cheapest member): decode, nearest-neighbor-resize to `tw`×`th`
+    * (integer source-pixel selection — bit-identical on any JVM, and
+    * arithmetically mirrorable by an oracle), take the integer BT.601
+    * luma 299R+587G+114B per pixel, and emit one bit per horizontal
+    * neighbor pair — bit (y·(tw−1)+x) set iff luma(x+1,y) > luma(x,y).
+    * Identical content at different encodings/scales collides; the
+    * hash is the equi-join key that turns image near-dup into the same
+    * bucket-join shape as text dedup (group by dhash, or band it like
+    * SimHash for small hamming radii) — never a pixel-space cross
+    * join. Default 9×8 = exactly 64 bits.
+    *
+    * Per-partition batched decode like every codec stage; metadata
+    * columns (width/height of the ORIGINAL image) ride along so a
+    * downstream dedup can prune before comparing payloads.
+    */
+  def imageDHash(media: Dataset[MediaRow], tw: Int = 9,
+                 th: Int = 8): Dataset[ImageHash] = {
+    require(tw >= 2 && th >= 1 && (tw - 1) * th <= 64,
+      s"dHash grid must emit 1..64 bits, got ${tw}x$th")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      def luma(rgb: Int): Int =
+        299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)
+      rows.map { r =>
+        val src = ImageDecoder.decode(r.payload)
+        val img = ImageDecoder.resizeNearest(src, tw, th)
+        var h = 0L
+        var bit = 0
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw - 1) {
+            if (luma(img.getRGB(x + 1, y)) > luma(img.getRGB(x, y)))
+              h |= 1L << bit
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(r.doc_id, src.getWidth, src.getHeight, h)
+      }
+    }
+  }
+
   final case class FrameSample(doc_id: Long, frame_idx: Long, frame_hash: Long)
 
   /** Decoded audio metadata + content checksum: the prune/verify

@@ -828,6 +828,83 @@ object TextDedup {
         sum(col("__wsum") - col("__surv.w")).as("tokens_removed"))
   }
 
+  /** X181: intra-corpus exact-substring self-dedup (the ExactSubstr
+    * pass of Lee et al., ACL 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): every `windowTokens`-token window that
+    * occurs MORE than once corpus-wide keeps its FIRST occurrence (the
+    * minimal (doc_id, pos) in the deterministic total order) and is CUT
+    * from every later one — within the same document or across
+    * documents — then the remainder is re-digested. The difference
+    * from document-level dedup: a boilerplate header shared by a
+    * million pages costs each page its header, not the page; the
+    * difference from [[dupSpanCoverage]]: that MEASURES, this ACTS.
+    *
+    * Shape: the token frame is materialized ONCE and forks into the
+    * window probe and the scrub join (the q93 lesson). Windows ride as
+    * fixed-width hashes — |tokens|-bounded, one start per token, never
+    * quadratic; keep-first is a window-free MIN over the encoded
+    * occurrence key `doc_id · 2²² + pos` on the hash key (map-side
+    * combinable — no rank window, no self-join); later occurrences'
+    * start positions compact to one bounded per-doc array; the cut is
+    * a per-row lambda fold. A hash collision merges two windows
+    * identically on both engines (dedup-family convention, mirrored by
+    * the oracle). The occurrence encoding is guarded loudly: docs are
+    * capped at 2²² tokens and ids at 2⁴⁰ so the key can never wrap —
+    * a longer document belongs in chunked ingestion.
+    *
+    * @return (doc_id, n_tokens, n_kept, scrub_digest) for every doc
+    *         with ≥ 1 token; `scrub_digest` is the polynomial hash of
+    *         the space-rejoined kept tokens (0 when nothing is kept)
+    */
+  def selfScrub(docs: DataFrame, idCol: String, textCol: String,
+                windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1,
+      s"self-scrub window must be at least one token: $windowTokens")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val posCap = 1L << 22
+    val idCap = 1L << 40
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .withColumn("doc_id",
+        when(col("doc_id") < 0 || col("doc_id") >= idCap, raise_error(concat(
+          lit("selfScrub: doc id out of [0, 2^40): "), col("doc_id"))))
+          .otherwise(col("doc_id")))
+      .withColumn("__toks",
+        when(size(col("__toks")) >= posCap, raise_error(concat(
+          lit("selfScrub: document exceeds the 2^22-token cap: "),
+          col("doc_id")))).otherwise(col("__toks")))
+      .localCheckpoint(eager = false) // forked: window probe + scrub join
+    val wins = toks.filter(size(col("__toks")) >= windowTokens)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - lit(windowTokens - 1)),
+        i => struct(i.as("pos"),
+          charHash(concat_ws(" ", slice(col("__toks"), i, lit(windowTokens))))
+            .as("h")))).as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"),
+        (col("doc_id") * posCap + col("__w.pos")).as("__occ"),
+        col("__w.h").as("__h"))
+      .localCheckpoint(eager = false) // forked: first-occurrence min + probe
+    val firsts = wins.groupBy(col("__h"))
+      .agg(min(col("__occ")).as("__f"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+    val hits = wins.join(firsts, Seq("__h"))
+      .filter(col("__occ") =!= col("__f"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__hits"))
+    toks.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        filter(col("__toks"), (_, i) => !exists(
+          coalesce(col("__hits"), array().cast("array<int>")),
+          p => p <= i + 1 && i + 1 < p + windowTokens)).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        when(size(col("__kept")) === 0, lit(0L))
+          .otherwise(charHash(concat_ws(" ", col("__kept"))))
+          .as("scrub_digest"))
+  }
+
   def sourceOverlapMatrix(pairs: DataFrame, docSource: DataFrame,
                           idCol: String, sourceCol: String): DataFrame = {
     val src = docSource.select(col(idCol).as("__id"), col(sourceCol).as("__s"))

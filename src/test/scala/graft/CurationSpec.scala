@@ -371,4 +371,52 @@ class CurationSpec extends SparkSpec {
       .orderBy("global_pos").as[(Long, String, Long, Long)].collect().toSeq
     assert(again == got)
   }
+
+  test("targetEncodeLoo: leave-one-out means, singleton NULL, sign-split") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 33L),
+      ("b", 4L, 5L),
+      ("c", 5L, -7L), ("c", 6L, 4L)
+    ).toDF("k", "id", "v")
+    val out = Curation.targetEncodeLoo(df, Seq("k"), "id", col("v"))
+      .select("k", "id", "v", "n", "loo_milli")
+      .as[(String, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._2 -> r).toMap
+    // a: sum 63 -> (63-10)*1000 div 2, (63-20)*1000 div 2, (63-33)*1000 div 2
+    assert(out(1L)._5.contains(26500L))
+    assert(out(2L)._5.contains(21500L))
+    assert(out(3L)._5.contains(15000L))
+    assert(out(4L)._5.isEmpty, "singleton key has no leave-one-out mean")
+    // c: sum -3; (−3−(−7))=4 -> 4000; (−3−4)=−7 -> −7000 (sign-split)
+    assert(out(5L)._5.contains(4000L))
+    assert(out(6L)._5.contains(-7000L))
+    assert(out(5L)._4 == 2L && out(4L)._4 == 1L, "n rides along")
+  }
+
+  test("targetEncodeLoo: truncation toward zero on both signs") {
+    val df = Seq(
+      ("p", 1L, 0L), ("p", 2L, 3L), ("p", 3L, 4L),   // id1: 7*1000 div 2 = 3500
+      ("m", 4L, 0L), ("m", 5L, -3L), ("m", 6L, -4L)  // id4: -(7000 div 2) = -3500
+    ).toDF("k", "id", "v")
+    val out = Curation.targetEncodeLoo(df, Seq("k"), "id", col("v"))
+      .select("id", "loo_milli").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L).contains(3500L) && out(4L).contains(-3500L))
+    // 1 div 3 case: (1)*1000 div 2 = 500 each way
+    val df2 = Seq(("z", 1L, 0L), ("z", 2L, 0L), ("z", 3L, 1L)).toDF("k", "id", "v")
+    val o2 = Curation.targetEncodeLoo(df2, Seq("k"), "id", col("v"))
+      .select("id", "loo_milli").as[(Long, Option[Long])].collect().toMap
+    assert(o2(1L).contains(500L) && o2(3L).contains(0L))
+  }
+
+  test("targetEncodeLoo: group-sum quantization bound raises loudly") {
+    val df = Seq(("a", 1L, 5000000000000000L), ("a", 2L, 5000000000000000L))
+      .toDF("k", "id", "v")
+    val e = intercept[Throwable] {
+      Curation.targetEncodeLoo(df, Seq("k"), "id", col("v")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("9e15 quantization bound"))
+  }
 }

@@ -175,4 +175,60 @@ class EvalMetricsSpec extends SparkSpec {
     assert(got2.map(_._4) == model)
     assert(got2.map(_._4) == got2.map(_._4).sorted, "fitted must be monotone")
   }
+
+  test("rougeN: clipping, identical/disjoint extremes, short sides absent") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"), // identical -> P=R=F=1e6
+      (2L, "a b x", "a b c"),     // one of two bigrams shared
+      (3L, "p q", "x y z"),       // no overlap -> all 0
+      (4L, "solo", "a b c"),      // candidate under n tokens -> absent
+      (5L, "w w w w", "w w")      // 'w w' x3 vs x1: clip at 1
+    ).toDF("pair_id", "cand", "ref")
+    val out = EvalMetrics.rougeN(pairs, "pair_id", "cand", "ref", 2)
+      .select("pair_id", "cand_grams", "ref_grams", "hit_grams",
+        "precision_ppm", "recall_ppm", "f1_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3L, 3L, 1000000L, 1000000L, 1000000L)))
+    assert(out(2L) == ((2L, 2L, 2L, 1L, 500000L, 500000L, 500000L)))
+    assert(out(3L) == ((3L, 1L, 2L, 0L, 0L, 0L, 0L)))
+    assert(!out.contains(4L), "sub-n candidate has no defined gram bag")
+    // clip: hit=min(3,1)=1; P=1e6 div 3; R=1e6; F=(2PR) div (P+R)
+    assert(out(5L) == ((5L, 3L, 1L, 1L, 333333L, 1000000L, 499999L)))
+  }
+
+  test("rougeN == brute-force clipped-multiset model on random pairs") {
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val n = 2
+    val pairs = (0 until 50).map { i =>
+      def txt() = (0 until rnd.nextInt(12))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, txt(), txt())
+    }
+    def bag(t: String): Map[String, Long] = {
+      val ts = t.split(" ").filter(_.nonEmpty)
+      if (ts.length < n) Map.empty
+      else ts.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    }
+    val model = pairs.flatMap { case (id, c, r) =>
+      val (cb, rb) = (bag(c), bag(r))
+      if (cb.isEmpty || rb.isEmpty) None
+      else {
+        val hit = cb.keySet.intersect(rb.keySet).toSeq
+          .map(g => math.min(cb(g), rb(g))).sum
+        val (ct, rt) = (cb.values.sum, rb.values.sum)
+        val p = hit * 1000000L / ct
+        val q = hit * 1000000L / rt
+        val f = if (p + q == 0) 0L else 2 * p * q / (p + q)
+        Some((id, ct, rt, hit, p, q, f))
+      }
+    }.toSet
+    val got = EvalMetrics.rougeN(
+        pairs.toDF("pair_id", "cand", "ref").repartition(7),
+        "pair_id", "cand", "ref", n)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == model)
+  }
 }

@@ -441,4 +441,40 @@ class ModelCheckSpec extends SparkSpec {
         minCount = 1, topK = 5).collect())
     assert(msg.contains("phi2 magnitude bound"), s"got: $msg")
   }
+
+  test("selfScrub == keep-first brute force on random duplicate-heavy corpora") {
+    val rnd = new Random(20260815L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val n = 3
+    (1 to 3).foreach { trial =>
+      // duplicate-heavy: small vocab forces cross-doc AND within-doc
+      // window repeats; a third of docs clone another verbatim
+      val texts = (0 until 40).map(_ => (0 until rnd.nextInt(14))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (rnd.nextInt(3) == 0) texts(rnd.nextInt(texts.size)) else t)
+      }
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toVector }
+      val occ = toks.flatMap { case (id, ts) =>
+        if (ts.size >= n) (1 to ts.size - n + 1)
+          .map(p => (ts.slice(p - 1, p - 1 + n).mkString(" "), id, p))
+        else Nil
+      }
+      val marked = occ.groupBy(_._1).values
+        .flatMap(os => if (os.size > 1) os.sortBy(o => (o._2, o._3)).tail else Nil)
+        .toSeq.groupBy(_._2).map { case (id, os) => id -> os.map(_._3).toSet }
+      val model = toks.collect { case (id, ts) if ts.nonEmpty =>
+        val hits = marked.getOrElse(id, Set.empty[Int])
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !hits.exists(p => p <= i + 1 && i + 1 < p + n) => t }
+        (id, ts.size.toLong, kept.size.toLong,
+          if (kept.isEmpty) 0L else polyhash(kept.mkString(" ")))
+      }.toSet
+      val got = TextDedup.selfScrub(
+          docs.toDF("doc_id", "text").repartition(7), "doc_id", "text", n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == model, s"trial $trial")
+    }
+  }
 }

@@ -76,4 +76,49 @@ class MultimodalSpec extends SparkSpec {
       yield (id, i.toLong, hash(id, i))).toSet
     assert(got == want)
   }
+
+  test("imageDHash: real decode path == arithmetic gradient model; clones collide") {
+    // model: luma of synthetic pixel (sx, sy) of image `id`
+    def lum(id: Long, sx: Int, sy: Int): Int = {
+      val r = ((id + sx * 31 + sy * 17) % 256).toInt
+      val g = (((id >> 3) + sx) % 256).toInt
+      val b = ((id + sy) % 256).toInt
+      299 * r + 587 * g + 114 * b
+    }
+    def model(id: Long): Long = {
+      val w = (id % 16 + 1).toInt
+      val h = (id % 7 + 1).toInt
+      var hash = 0L; var bit = 0
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val sy = y * h / 8
+        if (lum(id, (x + 1) * w / 9, sy) > lum(id, x * w / 9, sy))
+          hash |= 1L << bit
+        bit += 1
+      }
+      hash
+    }
+    val ids = Seq(0L, 3L, 10L, 17L, 112L, 255L)
+    val got = Multimodal.imageDHash(
+        Multimodal.syntheticImages(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(r => r.doc_id -> r).toMap
+    ids.foreach { id =>
+      assert(got(id).dhash == model(id), s"id $id")
+      assert(got(id).width == (id % 16 + 1).toInt &&
+        got(id).height == (id % 7 + 1).toInt)
+    }
+    // identical payload (same id encoded twice) -> identical hash
+    val twice = Multimodal.imageDHash(
+        Multimodal.syntheticImages(Seq(42L, 42L).toDF("doc_id"), "doc_id"))
+      .collect().map(_.dhash).toSet
+    assert(twice.size == 1, "clone images collide on dhash")
+  }
+
+  test("imageDHash: rejects grids that overflow the 64-bit hash") {
+    val media = Multimodal.syntheticImages(Seq(1L).toDF("doc_id"), "doc_id")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDHash(media, tw = 10, th = 8)
+    }
+    // 9x8 and smaller grids are fine
+    assert(Multimodal.imageDHash(media, tw = 5, th = 4).collect().length == 1)
+  }
 }

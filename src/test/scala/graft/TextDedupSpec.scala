@@ -329,6 +329,61 @@ class TextDedupSpec extends SparkSpec {
     assert(out.keySet == Set(2L, 3L), "singletons contribute nothing")
   }
 
+  test("selfScrub: clones and copied suffixes cut, first occurrence survives") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fix = Seq(
+      (1L, a),                       // first occurrence of every window
+      (2L, a),                       // exact clone -> fully scrubbed
+      (3L, "intro words then " + a), // copied tail -> cut, intro kept
+      (4L, "unique content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.selfScrub(fix, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def ph(s: String): Long = {
+      var h = 0L; s.foreach(c => h = (h * 31 + c.toInt) % 1000000007L); h
+    }
+    assert(out(1L) == ((1L, 10L, 10L, ph(a))), "first occurrence intact")
+    assert(out(2L) == ((2L, 10L, 0L, 0L)), "clone fully scrubbed")
+    assert(out(3L) == ((3L, 13L, 3L, ph("intro words then"))),
+      "copied span cut, original prefix kept")
+    assert(out(4L)._3 == 7L, "unique doc intact")
+  }
+
+  test("selfScrub: a within-document repeat keeps only its first occurrence") {
+    val fix = Seq((7L, "a b c d e x a b c d e")).toDF("doc_id", "text")
+    val out = TextDedup.selfScrub(fix, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Long)].collect().head
+    def ph(s: String): Long = {
+      var h = 0L; s.foreach(c => h = (h * 31 + c.toInt) % 1000000007L); h
+    }
+    // the 'a b c d e' window repeats at pos 7 -> tokens 7..11 cut
+    assert(out == ((7L, 11L, 6L, ph("a b c d e x"))))
+  }
+
+  test("selfScrub: sub-window docs pass through re-digested, empty docs absent") {
+    val fix = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextDedup.selfScrub(fix, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def ph(s: String): Long = {
+      var h = 0L; s.foreach(c => h = (h * 31 + c.toInt) % 1000000007L); h
+    }
+    // 2-token docs have no 5-windows: both survive whole even as clones
+    assert(out(1L) == ((1L, 2L, 2L, ph("tiny doc"))))
+    assert(out(2L) == ((2L, 2L, 2L, ph("tiny doc"))))
+    assert(!out.contains(3L), "zero-token doc absent")
+  }
+
+  test("selfScrub: negative doc id raises loudly") {
+    val bad = Seq((-1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      TextDedup.selfScrub(bad, "doc_id", "text", 5).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("doc id out of"))
+  }
+
   test("sourceOverlapMatrix: unordered source pairs, diagonal kept, counts exact") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (6L, 7L))
       .toDF("id_a", "id_b")
