@@ -2029,6 +2029,63 @@ object ExtensionQueries {
             "grp", col("v"), col("w"), subBits = 4),
           "grp", Seq(50, 90, 99), subBits = 4)
         .orderBy(col("grp"), col("pct"))),
+
+    // ExactSubstr self-dedup (Lee et al. 2022) over the clone+trunc
+    // corpus: every 5-token window occurring more than once keeps only
+    // its first (doc_id, pos) occurrence — clones scrub to nothing,
+    // truncations lose their copied prefix, originals survive whole.
+    "q212_self_scrub" -> ((s, d) =>
+      TextDedup.selfScrub(demoCorpus(docsFanned(s, d)), "doc_id", "text", 5)
+        .orderBy(col("doc_id"))),
+
+    // ROUGE-2 of each document's 60% prefix against the full text —
+    // the snapshot-QA shape: precision ~1 (clip catches repeats),
+    // recall ~ the retained share.
+    "q213_rouge" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextFeatures.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("__toks"), lit(1),
+            floor(size(col("__toks")) * 3 / 5).cast("int"))).as("cand"),
+          col("text").as("ref"))
+      EvalMetrics.rougeN(t, "doc_id", "cand", "ref", 2)
+        .orderBy(col("pair_id"))
+    }),
+
+    // Leave-one-out target encoding of (returnflag, linestatus) against
+    // quantity, collapsed to the distinct (key, v, loo) combinations so
+    // the per-row join-back is exercised but the output stays readable.
+    "q214_target_encode" -> ((s, d) =>
+      Curation.targetEncodeLoo(
+          Tables.lineitem(s, d).select(col("l_returnflag"),
+            col("l_linestatus"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+            col("l_quantity")),
+          Seq("l_returnflag", "l_linestatus"), "rid", col("l_quantity"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("v"),
+          col("n"), col("loo_milli"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"), col("v"))),
+
+    // Perceptual dHash through the REAL codec path (PNG encode →
+    // ImageIO decode → integer nearest-neighbor resize → BT.601 luma
+    // gradient); the oracle recomputes the 64 bits arithmetically from
+    // the synthetic gradient, so any codec/resize/luma defect flips
+    // bits and hash-mismatches.
+    "q215_image_dhash" -> ((s, d) =>
+      Multimodal.imageDHash(
+          Multimodal.syntheticImages(Tables.documents(s, d), "doc_id"))
+        .toDF().orderBy(col("doc_id"))),
+
+    // The dedup action table off the perceptual hash: one row per
+    // (dims, dhash) content class with the kept representative.
+    "q216_dhash_dups" -> ((s, d) =>
+      Multimodal.imageDHash(
+          Multimodal.syntheticImages(Tables.documents(s, d), "doc_id"))
+        .toDF().groupBy(col("width"), col("height"), col("dhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .orderBy(col("width"), col("height"), col("dhash"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2072,6 +2129,28 @@ object ExtensionQueries {
   /** Polynomial code-point hash — DuckDB spelling of TextFeatures.charHash. */
   private def dh(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a*31 + x) % 1000000007)"
+
+  /** DuckDB BT.601 luma of the synthetic-gradient pixel (`sx`, `sy`) of
+    * image `doc_id` — mirrors ImageDecoder.encodePng's RGB arithmetic. */
+  private def dhLum(sx: String, sy: String): String =
+    s"(299*((doc_id + ($sx)*31 + ($sy)*17) % 256) + " +
+      s"587*(((doc_id // 8) + ($sx)) % 256) + 114*((doc_id + ($sy)) % 256))"
+
+  /** The 64-bit dHash of synthetic image `doc_id` with dims (w, h),
+    * recomputed arithmetically: bit b compares the resized lumas at
+    * grid (x, y) = (b%8, b//8) vs (b%8+1, b//8) through the integer
+    * nearest-neighbor source-pixel selection. Bit 63 is spelled as the
+    * Long.MIN literal — DuckDB raises on `1 << 63` where Spark's
+    * `|=` wraps, and the two's-complement sum is exact either way. */
+  private def dhashExpr: String = {
+    val sx1 = "((b % 8) * w) // 9"
+    val sx2 = "(((b % 8) + 1) * w) // 9"
+    val sy = "((b // 8) * h) // 8"
+    s"CAST(list_sum(list_transform(range(0, 64), b -> " +
+      s"CASE WHEN ${dhLum(sx2, sy)} > ${dhLum(sx1, sy)} " +
+      s"THEN CASE WHEN b = 63 THEN (-9223372036854775807 - 1) " +
+      s"ELSE 1::BIGINT << b END ELSE 0::BIGINT END)) AS BIGINT)"
+  }
 
   private val corpusCte =
     """corpus AS (
@@ -5644,5 +5723,85 @@ object ExtensionQueries {
         |  CAST(qm << greatest(qe - 4, 0) AS BIGINT) AS est,
         |  CAST(1 << greatest(qe - 4, 0) AS BIGINT) AS width
         |FROM q ORDER BY grp, pct""".stripMargin,
+
+    // Mirrors TextDedup.selfScrub over the clone+trunc corpus: keep
+    // the minimal doc_id*2^22+pos occurrence per duplicated window,
+    // cut every later one, re-digest (q204's scrub tail verbatim).
+    "q212_self_scrub" ->
+      s"""WITH $corpusCte, $tokCte,
+         |win AS (SELECT doc_id, i AS pos,
+         |    ${dh("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS h
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+         |        FROM tok WHERE len(toks) >= 5)),
+         |f AS (SELECT h, min(doc_id * 4194304 + pos) AS fk
+         |  FROM win GROUP BY h HAVING count(*) > 1),
+         |hit AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
+         |  FROM win JOIN f USING (h) WHERE doc_id * 4194304 + pos <> fk
+         |  GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |    list_filter(t.toks, (x, i) ->
+         |      NOT len(list_filter(COALESCE(h.ps, []), p -> p <= i AND i < p + 5)) > 0) AS kept
+         |  FROM tok t LEFT JOIN hit h USING (doc_id) WHERE len(t.toks) >= 1)
+         |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(CASE WHEN len(kept) = 0 THEN 0
+         |       ELSE ${dh("array_to_string(kept, ' ')")} END AS BIGINT) AS scrub_digest
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Mirrors EvalMetrics.rougeN(n=2) of the 60% prefix vs the full
+    // text: clipped bigram-multiset overlap in exact ppm.
+    "q213_rouge" ->
+      s"""WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+         |p AS (SELECT doc_id,
+         |    list_slice(toks, 1, CAST((len(toks)*3)//5 AS INT)) AS ct, toks AS rt
+         |  FROM tok),
+         |cg AS (SELECT doc_id, ${dh("array_to_string(list_slice(ct, i, i + 1), ' ')")} AS g, count(*) AS c
+         |  FROM (SELECT doc_id, ct, unnest(range(1, len(ct))) AS i FROM p WHERE len(ct) >= 2)
+         |  GROUP BY 1, 2),
+         |rg AS (SELECT doc_id, ${dh("array_to_string(list_slice(rt, i, i + 1), ' ')")} AS g, count(*) AS c
+         |  FROM (SELECT doc_id, rt, unnest(range(1, len(rt))) AS i FROM p WHERE len(rt) >= 2)
+         |  GROUP BY 1, 2),
+         |clip AS (SELECT doc_id, SUM(LEAST(cg.c, rg.c)) AS hit
+         |  FROM cg JOIN rg USING (doc_id, g) GROUP BY 1),
+         |m AS (SELECT p.doc_id, len(ct) - 1 AS cn, len(rt) - 1 AS rn, COALESCE(hit, 0) AS hit
+         |  FROM p LEFT JOIN clip ON p.doc_id = clip.doc_id
+         |  WHERE len(ct) >= 2 AND len(rt) >= 2),
+         |fm AS (SELECT doc_id, cn, rn, hit,
+         |    (hit * 1000000) // cn AS pp, (hit * 1000000) // rn AS rp FROM m)
+         |SELECT doc_id AS pair_id, CAST(cn AS BIGINT) AS cand_grams,
+         |  CAST(rn AS BIGINT) AS ref_grams, CAST(hit AS BIGINT) AS hit_grams,
+         |  CAST(pp AS BIGINT) AS precision_ppm, CAST(rp AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN pp + rp = 0 THEN 0 ELSE (2 * pp * rp) // (pp + rp) END AS BIGINT) AS f1_ppm
+         |FROM fm ORDER BY pair_id""".stripMargin,
+
+    // Mirrors Curation.targetEncodeLoo on (returnflag, linestatus) ×
+    // quantity: (sum − v)·1000 div (n − 1), singleton NULL, collapsed
+    // to distinct combinations (all values non-negative, so DuckDB's
+    // flooring // equals Spark's truncating div).
+    "q214_target_encode" ->
+      """WITH r AS (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        |s AS (SELECT l_returnflag, l_linestatus, SUM(v) AS sm, COUNT(*) AS n FROM r GROUP BY 1, 2)
+        |SELECT r.l_returnflag, r.l_linestatus, r.v, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN n = 1 THEN NULL
+        |       WHEN sm - v >= 0 THEN ((sm - v) * 1000) // (n - 1)
+        |       ELSE -(((v - sm) * 1000) // (n - 1)) END AS BIGINT) AS loo_milli,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM r JOIN s USING (l_returnflag, l_linestatus)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Mirrors Multimodal.imageDHash over syntheticImages: the 64
+    // gradient-comparison bits recomputed arithmetically.
+    "q215_image_dhash" ->
+      s"""WITH z AS (SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 7 + 1 AS h FROM documents)
+         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  $dhashExpr AS dhash
+         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the q216 dedup rollup of the same hash.
+    "q216_dhash_dups" ->
+      s"""WITH z AS (SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 7 + 1 AS h FROM documents),
+         |hh AS (SELECT doc_id, w, h, $dhashExpr AS dhash FROM z)
+         |SELECT CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, dhash,
+         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_doc
+         |FROM hh GROUP BY 1, 2, 3 ORDER BY width, height, dhash""".stripMargin,
   )
 }
