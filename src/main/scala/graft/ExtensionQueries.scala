@@ -2086,6 +2086,26 @@ object ExtensionQueries {
         .toDF().groupBy(col("width"), col("height"), col("dhash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
         .orderBy(col("width"), col("height"), col("dhash"))),
+
+    // Audio clip/silence QA through the REAL javax.sound decode; the
+    // oracle recomputes every sample magnitude arithmetically.
+    "q217_audio_quality" -> ((s, d) =>
+      Multimodal.audioQuality(
+          Multimodal.syntheticAudio(Tables.documents(s, d), "doc_id"))
+        .toDF().orderBy(col("doc_id"))),
+
+    // Energy-shape fingerprint of the same decoded PCM — the audio
+    // dedup key (bit w: window w+1 louder than window w).
+    "q218_audio_ehash" -> ((s, d) =>
+      Multimodal.audioEnergyHash(
+          Multimodal.syntheticAudio(Tables.documents(s, d), "doc_id"))
+        .toDF().orderBy(col("doc_id"))),
+
+    // Luma-stat image QA over the real decoded raster (no resize).
+    "q219_image_quality" -> ((s, d) =>
+      Multimodal.imageQuality(
+          Multimodal.syntheticImages(Tables.documents(s, d), "doc_id"))
+        .toDF().orderBy(col("doc_id"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -5803,5 +5823,51 @@ object ExtensionQueries {
          |SELECT CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, dhash,
          |  CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keep_doc
          |FROM hh GROUP BY 1, 2, 3 ORDER BY width, height, dhash""".stripMargin,
+
+    // Mirrors Multimodal.audioQuality over syntheticAudio: sample i of
+    // doc is u16 (doc_id·31 + i·7) mod 65536, magnitude via the
+    // two's-complement fold, defaults clip=32700 / silence=100.
+    "q217_audio_quality" ->
+      """WITH s AS (SELECT doc_id, (doc_id*31 + i*7) % 65536 AS u
+        |  FROM documents, unnest(range(0, doc_id % 50 + 10)) t(i)),
+        |a AS (SELECT doc_id, CASE WHEN u < 32768 THEN u ELSE 65536 - u END AS amp FROM s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(amp) AS BIGINT) AS peak,
+        |  CAST(sum(amp) // count(*) AS BIGINT) AS mean_amp,
+        |  CAST(count(*) FILTER (WHERE amp >= 32700) AS BIGINT) AS n_clipped,
+        |  CAST(count(*) FILTER (WHERE amp <= 100) AS BIGINT) AS n_silent
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.audioEnergyHash (window 8, complete windows
+    // only): bit w set iff window w+1's magnitude sum beats window w's.
+    "q218_audio_ehash" ->
+      """WITH s AS (SELECT doc_id, i, (doc_id*31 + i*7) % 65536 AS u
+        |  FROM documents, unnest(range(0, doc_id % 50 + 10)) t(i)),
+        |a AS (SELECT doc_id, i, CASE WHEN u < 32768 THEN u ELSE 65536 - u END AS amp FROM s),
+        |n AS (SELECT doc_id, count(*) AS ns FROM a GROUP BY 1),
+        |w AS (SELECT a.doc_id, i // 8 AS w, SUM(amp) AS e
+        |  FROM a JOIN n USING (doc_id) WHERE i // 8 < ns // 8 GROUP BY 1, 2),
+        |h AS (SELECT x.doc_id,
+        |    COALESCE(SUM(CASE WHEN y.e > x.e THEN 1::BIGINT << CAST(x.w AS INT) ELSE 0::BIGINT END), 0) AS ehash
+        |  FROM w x JOIN w y ON x.doc_id = y.doc_id AND y.w = x.w + 1
+        |  WHERE x.w < 64 GROUP BY 1)
+        |SELECT n.doc_id, CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(ns // 8 AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(h.ehash, 0) AS BIGINT) AS ehash
+        |FROM n LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.imageQuality over syntheticImages: BT.601
+    // luma stats of the full gradient raster.
+    "q219_image_quality" ->
+      """WITH z AS (SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 7 + 1 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    299*((doc_id + x*31 + y*17) % 256) + 587*((doc_id // 8 + x) % 256)
+        |    + 114*((doc_id + y) % 256) AS l
+        |  FROM z, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y))
+        |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(l) // count(*) AS BIGINT) AS mean_luma,
+        |  CAST(min(l) AS BIGINT) AS min_luma, CAST(max(l) AS BIGINT) AS max_luma
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -339,6 +339,26 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Decoded sample magnitudes |s| of the PCM16LE stream: u16 pairs
+      * → two's-complement signed value → absolute value. The amplitude
+      * domain every QA/fingerprint stage shares (and the oracle
+      * mirrors: `u < 32768 ? u : 65536 − u`). */
+    def amplitudes(payload: Array[Byte]): Array[Int] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val bytes = in.readAllBytes()
+        val out = new Array[Int](bytes.length / 2)
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val u = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+          out(i / 2) = if (u < 32768) u else 65536 - u
+          i += 2
+        }
+        out
+      } finally in.close()
+    }
+
     /** Parse + decode through AudioSystem (format, frame count, PCM
       * bytes), folding the unsigned 16-bit samples with the engine's
       * polynomial hash. */
@@ -358,6 +378,127 @@ object Multimodal {
         AudioMeta(docId, fmt.getSampleRate.toInt, fmt.getChannels,
           in.getFrameLength, h)
       } finally in.close()
+    }
+  }
+
+  /** Audio energy-fingerprint row: bounded windows + the comparison-bit
+    * hash an audio corpus dedups on. */
+  final case class AudioHash(doc_id: Long, n_samples: Long, n_windows: Long,
+                             ehash: Long)
+
+  /** X183: audio energy dHash — [[imageDHash]]'s audio twin (the
+    * Shazam-family intuition with the cheapest possible frame feature):
+    * decode the REAL PCM stream, sum sample magnitudes over fixed
+    * `windowSamples`-sample windows (complete windows only), and emit
+    * one bit per consecutive-window comparison — bit w set iff
+    * E(w+1) > E(w), first 64 comparisons. Level-invariant-ish (a
+    * re-encoded or slightly renormalized copy keeps its energy SHAPE),
+    * integer-exact, and the output is an equi-join key: audio near-dup
+    * becomes group-by-ehash, the same shape as text/image dedup —
+    * never a sample-space cross join. Per-partition batched decode,
+    * zero shuffle.
+    */
+  def audioEnergyHash(media: Dataset[MediaRow],
+                      windowSamples: Int = 8): Dataset[AudioHash] = {
+    require(windowSamples >= 1,
+      s"energy window must be at least one sample: $windowSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val amps = AudioCodec.amplitudes(r.payload)
+        val nw = amps.length / windowSamples
+        val e = Array.tabulate(nw) { w =>
+          var s = 0L
+          var i = w * windowSamples
+          val end = i + windowSamples
+          while (i < end) { s += amps(i); i += 1 }
+          s
+        }
+        var h = 0L
+        var w = 0
+        while (w < nw - 1 && w < 64) {
+          if (e(w + 1) > e(w)) h |= 1L << w
+          w += 1
+        }
+        AudioHash(r.doc_id, amps.length.toLong, nw.toLong, h)
+      }
+    }
+  }
+
+  /** Audio QA row: the clip/silence prune columns of an audio corpus. */
+  final case class AudioQuality(doc_id: Long, n_samples: Long, peak: Long,
+                                mean_amp: Long, n_clipped: Long,
+                                n_silent: Long)
+
+  /** X184: audio QA — clipping and silence detection over the REAL
+    * decoded PCM: peak and mean magnitude, samples at/above
+    * `clipLevel` (distortion), samples at/below `silenceLevel` (dead
+    * air). The audio counterpart of the text quality gate: a corpus
+    * drops or flags tracks that are mostly silence or clipped before
+    * anyone pays for feature extraction. All integer (mean is a
+    * truncating div), per-partition batched decode, zero shuffle.
+    */
+  def audioQuality(media: Dataset[MediaRow], clipLevel: Int = 32700,
+                   silenceLevel: Int = 100): Dataset[AudioQuality] = {
+    require(clipLevel >= 0 && silenceLevel >= 0 && silenceLevel < clipLevel,
+      s"need 0 <= silenceLevel < clipLevel, got $silenceLevel / $clipLevel")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val amps = AudioCodec.amplitudes(r.payload)
+        var peak = 0L; var sum = 0L; var nc = 0L; var ns = 0L
+        amps.foreach { a =>
+          if (a > peak) peak = a
+          sum += a
+          if (a >= clipLevel) nc += 1
+          if (a <= silenceLevel) ns += 1
+        }
+        AudioQuality(r.doc_id, amps.length.toLong, peak,
+          if (amps.isEmpty) 0L else sum / amps.length, nc, ns)
+      }
+    }
+  }
+
+  /** Image QA row: the dark/blank/low-contrast prune columns. */
+  final case class ImageQuality(doc_id: Long, width: Int, height: Int,
+                                mean_luma: Long, min_luma: Long,
+                                max_luma: Long)
+
+  /** X185: image QA — integer BT.601 luma statistics (×1000 scale)
+    * over the REAL decoded raster, no resize: mean (dark/bright),
+    * min/max (contrast range — max−min ≈ 0 is the blank/solid-color
+    * detector). The prune stage an image corpus runs before any
+    * expensive embedding: all integer, per-partition batched decode,
+    * zero shuffle, metadata rides along.
+    */
+  def imageQuality(media: Dataset[MediaRow]): Dataset[ImageQuality] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      def luma(rgb: Int): Int =
+        299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)
+      rows.map { r =>
+        val img = ImageDecoder.decode(r.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val l = luma(img.getRGB(x, y))
+            if (l < mn) mn = l
+            if (l > mx) mx = l
+            sum += l
+            x += 1
+          }
+          y += 1
+        }
+        ImageQuality(r.doc_id, w, h, sum / (w.toLong * h), mn.toLong,
+          mx.toLong)
+      }
     }
   }
 

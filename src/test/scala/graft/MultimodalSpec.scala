@@ -113,6 +113,56 @@ class MultimodalSpec extends SparkSpec {
     assert(twice.size == 1, "clone images collide on dhash")
   }
 
+  test("audioEnergyHash and audioQuality == arithmetic PCM model") {
+    def amps(id: Long): Seq[Int] = (0 until (id % 50 + 10).toInt).map { i =>
+      val u = ((id * 31 + i.toLong * 7) % 65536).toInt
+      if (u < 32768) u else 65536 - u
+    }
+    val ids = Seq(0L, 7L, 13L, 49L, 58L)
+    val media = Multimodal.syntheticAudio(ids.toDF("doc_id"), "doc_id")
+    val gotH = Multimodal.audioEnergyHash(media)
+      .collect().map(r => r.doc_id -> r).toMap
+    val gotQ = Multimodal.audioQuality(media)
+      .collect().map(r => r.doc_id -> r).toMap
+    ids.foreach { id =>
+      val a = amps(id)
+      val nw = a.length / 8
+      val e = (0 until nw).map(w => a.slice(w * 8, w * 8 + 8).map(_.toLong).sum)
+      var h = 0L
+      (0 until math.min(nw - 1, 64)).foreach(w =>
+        if (e(w + 1) > e(w)) h |= 1L << w)
+      assert(gotH(id) ==
+        Multimodal.AudioHash(id, a.length.toLong, nw.toLong, h), s"hash id $id")
+      assert(gotQ(id) == Multimodal.AudioQuality(id, a.length.toLong,
+        a.max.toLong, a.map(_.toLong).sum / a.length,
+        a.count(_ >= 32700).toLong, a.count(_ <= 100).toLong), s"qa id $id")
+    }
+  }
+
+  test("imageQuality == arithmetic gradient model") {
+    def lum(id: Long, sx: Int, sy: Int): Long =
+      299 * ((id + sx * 31 + sy * 17) % 256) +
+        587 * (((id >> 3) + sx) % 256) + 114 * ((id + sy) % 256)
+    val ids = Seq(1L, 20L, 111L)
+    val got = Multimodal.imageQuality(
+        Multimodal.syntheticImages(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(r => r.doc_id -> r).toMap
+    ids.foreach { id =>
+      val w = (id % 16 + 1).toInt
+      val h = (id % 7 + 1).toInt
+      val ls = for (y <- 0 until h; x <- 0 until w) yield lum(id, x, y)
+      assert(got(id) == Multimodal.ImageQuality(id, w, h,
+        ls.sum / ls.size, ls.min, ls.max), s"id $id")
+    }
+  }
+
+  test("audio ops reject degenerate parameters") {
+    val media = Multimodal.syntheticAudio(Seq(1L).toDF("doc_id"), "doc_id")
+    intercept[IllegalArgumentException](Multimodal.audioEnergyHash(media, 0))
+    intercept[IllegalArgumentException](
+      Multimodal.audioQuality(media, clipLevel = 50, silenceLevel = 100))
+  }
+
   test("imageDHash: rejects grids that overflow the 64-bit hash") {
     val media = Multimodal.syntheticImages(Seq(1L).toDF("doc_id"), "doc_id")
     intercept[IllegalArgumentException] {
