@@ -2106,6 +2106,22 @@ object ExtensionQueries {
       Multimodal.imageQuality(
           Multimodal.syntheticImages(Tables.documents(s, d), "doc_id"))
         .toDF().orderBy(col("doc_id"))),
+
+    // The X186 incremental composition as two id-ordered arrivals
+    // (originals, then clones+truncs): the union of the two steps'
+    // scrubbed outputs must equal one-shot q212 — the oracle IS
+    // q212's SQL, so any drift between the incremental and batch
+    // spellings hash-mismatches.
+    "q220_self_scrub_inc" -> ((s, d) => {
+      val corpus = demoCorpus(docsFanned(s, d))
+      val step1 = TextDedup.selfScrubStep(
+        corpus.filter(col("doc_id") < 10000),
+        TextDedup.emptyScrubIndex(s), "doc_id", "text", 5)
+      val step2 = TextDedup.selfScrubStep(
+        corpus.filter(col("doc_id") >= 10000),
+        step1.index, "doc_id", "text", 5)
+      step1.scrubbed.unionByName(step2.scrubbed).orderBy(col("doc_id"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2155,6 +2171,30 @@ object ExtensionQueries {
   private def dhLum(sx: String, sy: String): String =
     s"(299*((doc_id + ($sx)*31 + ($sy)*17) % 256) + " +
       s"587*(((doc_id // 8) + ($sx)) % 256) + 114*((doc_id + ($sy)) % 256))"
+
+  /** One-shot self-scrub SQL — shared verbatim by q212 (one-shot) and
+    * q220 (the incremental composition, which must land on the same
+    * answer): keep the minimal doc_id·2²²+pos occurrence per
+    * duplicated 5-window, cut every later one, re-digest. */
+  private lazy val selfScrubSql: String =
+    s"""WITH $corpusCte, $tokCte,
+       |win AS (SELECT doc_id, i AS pos,
+       |    ${dh("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS h
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+       |        FROM tok WHERE len(toks) >= 5)),
+       |f AS (SELECT h, min(doc_id * 4194304 + pos) AS fk
+       |  FROM win GROUP BY h HAVING count(*) > 1),
+       |hit AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
+       |  FROM win JOIN f USING (h) WHERE doc_id * 4194304 + pos <> fk
+       |  GROUP BY doc_id),
+       |k AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |    list_filter(t.toks, (x, i) ->
+       |      NOT len(list_filter(COALESCE(h.ps, []), p -> p <= i AND i < p + 5)) > 0) AS kept
+       |  FROM tok t LEFT JOIN hit h USING (doc_id) WHERE len(t.toks) >= 1)
+       |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN len(kept) = 0 THEN 0
+       |       ELSE ${dh("array_to_string(kept, ' ')")} END AS BIGINT) AS scrub_digest
+       |FROM k ORDER BY doc_id""".stripMargin
 
   /** The 64-bit dHash of synthetic image `doc_id` with dims (w, h),
     * recomputed arithmetically: bit b compares the resized lumas at
@@ -5747,25 +5787,11 @@ object ExtensionQueries {
     // Mirrors TextDedup.selfScrub over the clone+trunc corpus: keep
     // the minimal doc_id*2^22+pos occurrence per duplicated window,
     // cut every later one, re-digest (q204's scrub tail verbatim).
-    "q212_self_scrub" ->
-      s"""WITH $corpusCte, $tokCte,
-         |win AS (SELECT doc_id, i AS pos,
-         |    ${dh("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS h
-         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
-         |        FROM tok WHERE len(toks) >= 5)),
-         |f AS (SELECT h, min(doc_id * 4194304 + pos) AS fk
-         |  FROM win GROUP BY h HAVING count(*) > 1),
-         |hit AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
-         |  FROM win JOIN f USING (h) WHERE doc_id * 4194304 + pos <> fk
-         |  GROUP BY doc_id),
-         |k AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |    list_filter(t.toks, (x, i) ->
-         |      NOT len(list_filter(COALESCE(h.ps, []), p -> p <= i AND i < p + 5)) > 0) AS kept
-         |  FROM tok t LEFT JOIN hit h USING (doc_id) WHERE len(t.toks) >= 1)
-         |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
-         |  CAST(CASE WHEN len(kept) = 0 THEN 0
-         |       ELSE ${dh("array_to_string(kept, ' ')")} END AS BIGINT) AS scrub_digest
-         |FROM k ORDER BY doc_id""".stripMargin,
+    "q212_self_scrub" -> selfScrubSql,
+
+    // The incremental composition must land exactly on the one-shot
+    // answer — same corpus, same SQL.
+    "q220_self_scrub_inc" -> selfScrubSql,
 
     // Mirrors EvalMetrics.rougeN(n=2) of the 60% prefix vs the full
     // text: clipped bigram-multiset overlap in exact ppm.

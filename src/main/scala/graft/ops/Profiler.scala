@@ -295,6 +295,38 @@ object Profiler {
         col("n_groups_below"), col("n_rows_at_risk"), col("min_group_size"))
   }
 
+  /** X187: l-diversity audit (Machanavajjhala TKDD'07) — the attack
+    * X145's k-anonymity cannot see: a quasi-identifier class can hold
+    * k ≥ 100 rows and still leak everything if all 100 share ONE
+    * sensitive value (the homogeneity attack — the attacker needs no
+    * row pinpointed, just the class). One number per release: how many
+    * classes, how many rows, sit below l distinct sensitive values.
+    *
+    * Same cost contract as X145: one map-side-combinable aggregate
+    * onto the QI key (count + exact count-distinct over the sensitive
+    * column — Spark's two-phase hash distinct, never a window), one
+    * single-row fold. The QI key space is the state bound.
+    *
+    * @return one row (l_threshold, n_groups, n_rows, n_groups_below,
+    *         n_rows_at_risk, min_l)
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversityAudit needs quasi-identifier columns")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be at least 2: $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col(sensitiveCol)).as("lv"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_rows"),
+        sum(when(col("lv") < l, 1L).otherwise(0L)).as("n_groups_below"),
+        sum(when(col("lv") < l, col("sz")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("lv")).as("min_l"))
+      .select(lit(l).as("l_threshold"), col("n_groups"), col("n_rows"),
+        col("n_groups_below"), col("n_rows_at_risk"), col("min_l"))
+  }
+
   /** X140: dataset card — the one-row corpus summary a release ships
     * with (the quantitative core of a Datasheets/Data-Card document,
     * Gebru et al. 2021): volume, diversity, duplication, and central

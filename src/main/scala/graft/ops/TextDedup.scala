@@ -860,32 +860,8 @@ object TextDedup {
                 windowTokens: Int): DataFrame = {
     require(windowTokens >= 1,
       s"self-scrub window must be at least one token: $windowTokens")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val posCap = 1L << 22
-    val idCap = 1L << 40
-    val toks = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= 1)
-      .withColumn("doc_id",
-        when(col("doc_id") < 0 || col("doc_id") >= idCap, raise_error(concat(
-          lit("selfScrub: doc id out of [0, 2^40): "), col("doc_id"))))
-          .otherwise(col("doc_id")))
-      .withColumn("__toks",
-        when(size(col("__toks")) >= posCap, raise_error(concat(
-          lit("selfScrub: document exceeds the 2^22-token cap: "),
-          col("doc_id")))).otherwise(col("__toks")))
-      .localCheckpoint(eager = false) // forked: window probe + scrub join
-    val wins = toks.filter(size(col("__toks")) >= windowTokens)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("__toks")) - lit(windowTokens - 1)),
-        i => struct(i.as("pos"),
-          charHash(concat_ws(" ", slice(col("__toks"), i, lit(windowTokens))))
-            .as("h")))).as("__w"))
-      .select(col("doc_id"), col("__w.pos").as("pos"),
-        (col("doc_id") * posCap + col("__w.pos")).as("__occ"),
-        col("__w.h").as("__h"))
-      .localCheckpoint(eager = false) // forked: first-occurrence min + probe
+    val toks = scrubToks(docs, idCol, textCol)
+    val wins = scrubWins(toks, windowTokens)
     val firsts = wins.groupBy(col("__h"))
       .agg(min(col("__occ")).as("__f"), count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
@@ -893,6 +869,47 @@ object TextDedup {
       .filter(col("__occ") =!= col("__f"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("__hits"))
+    scrubCut(toks, hits, windowTokens)
+  }
+
+  /** Capped, checkpointed (doc_id, __toks) frame shared by the scrub
+    * family — forked into the window probe and the scrub join. */
+  private def scrubToks(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .withColumn("doc_id",
+        when(col("doc_id") < 0 || col("doc_id") >= ScrubIdCap,
+          raise_error(concat(
+            lit("selfScrub: doc id out of [0, 2^40): "), col("doc_id"))))
+          .otherwise(col("doc_id")))
+      .withColumn("__toks",
+        when(size(col("__toks")) >= ScrubPosCap, raise_error(concat(
+          lit("selfScrub: document exceeds the 2^22-token cap: "),
+          col("doc_id")))).otherwise(col("__toks")))
+      .localCheckpoint(eager = false) // forked: window probe + scrub join
+  }
+
+  /** Checkpointed window-occurrence frame (doc_id, pos, __occ, __h) —
+    * forked into the first-occurrence aggregate and the mark probe. */
+  private def scrubWins(toks: DataFrame, windowTokens: Int): DataFrame =
+    toks.filter(size(col("__toks")) >= windowTokens)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - lit(windowTokens - 1)),
+        i => struct(i.as("pos"),
+          charHash(concat_ws(" ", slice(col("__toks"), i, lit(windowTokens))))
+            .as("h")))).as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"),
+        (col("doc_id") * ScrubPosCap + col("__w.pos")).as("__occ"),
+        col("__w.h").as("__h"))
+      .localCheckpoint(eager = false)
+
+  /** The cut + re-digest tail shared by one-shot and incremental. */
+  private def scrubCut(toks: DataFrame, hits: DataFrame,
+                       windowTokens: Int): DataFrame =
     toks.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
         filter(col("__toks"), (_, i) => !exists(
@@ -903,6 +920,76 @@ object TextDedup {
         when(size(col("__kept")) === 0, lit(0L))
           .otherwise(charHash(concat_ws(" ", col("__kept"))))
           .as("scrub_digest"))
+
+  private val ScrubPosCap = 1L << 22
+  private val ScrubIdCap = 1L << 40
+
+  /** Persistable first-occurrence window index — [[selfScrubStep]]'s
+    * state: one (__h, __occ) row per DISTINCT window ever seen (occ =
+    * the window's first occurrence key). |index| = |distinct windows|,
+    * hash-keyed, shard-mergeable by min — the exact analogue of
+    * [[corpusBandIndex]] for the substring-dedup tier. */
+  def selfScrubIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1,
+      s"self-scrub window must be at least one token: $windowTokens")
+    scrubWins(scrubToks(corpus, idCol, textCol), windowTokens)
+      .groupBy(col("__h")).agg(min(col("__occ")).as("__occ"))
+  }
+
+  /** The empty window index a fresh corpus starts from. */
+  def emptyScrubIndex(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__h",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__occ",
+          org.apache.spark.sql.types.LongType))))
+
+  final case class IncrementalScrub(scrubbed: DataFrame, index: DataFrame)
+
+  /** X186: the incremental [[selfScrub]] step — what a continuously
+    * ingesting pipeline runs per batch arrival: cut from each new
+    * document every window the CORPUS has already seen (one equi-join
+    * against the persisted index — history is never re-tokenized) plus
+    * every within-batch repeat (the batch's own keep-first, so clones
+    * arriving together don't slip through), then hand back the grown
+    * index for the next arrival.
+    *
+    * Sequential composition is exact when batches arrive in increasing
+    * doc-id order (the ingestion contract): step(B₂, step(B₁, ∅).index)
+    * scrubs exactly like the one-shot selfScrub(B₁ ∪ B₂) — pinned in
+    * spec over random batch cuts. Out-of-order ids keep a coherent
+    * semantic — the EARLIER BATCH wins regardless of id — which is
+    * what an append-only corpus means by "first".
+    *
+    * Shape: batch windows computed once (lazy checkpoint) and forked
+    * three ways (batch-first aggregate, mark probe, index growth); the
+    * index is touched only through the __h equi-join and the growth
+    * anti-join — both hash-keyed, never corpus-proportional in the
+    * batch's cost.
+    */
+  def selfScrubStep(newDocs: DataFrame, windowIndex: DataFrame,
+                    idCol: String, textCol: String,
+                    windowTokens: Int): IncrementalScrub = {
+    require(windowTokens >= 1,
+      s"self-scrub window must be at least one token: $windowTokens")
+    val toks = scrubToks(newDocs, idCol, textCol)
+    val wins = scrubWins(toks, windowTokens)
+    val firstsB = wins.groupBy(col("__h")).agg(min(col("__occ")).as("__f"))
+      .localCheckpoint(eager = false) // forked: mark probe + index growth
+    val marked = wins
+      .join(windowIndex.select(col("__h"), lit(1).as("__idx")),
+        Seq("__h"), "left")
+      .join(firstsB, Seq("__h"))
+      .filter(col("__idx").isNotNull || col("__occ") =!= col("__f"))
+      .select(col("doc_id"), col("pos"))
+    val hits = marked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__hits"))
+    val grown = windowIndex.unionByName(
+      firstsB.join(windowIndex.select(col("__h")), Seq("__h"), "left_anti")
+        .select(col("__h"), col("__f").as("__occ")))
+    IncrementalScrub(scrubCut(toks, hits, windowTokens), grown)
   }
 
   def sourceOverlapMatrix(pairs: DataFrame, docSource: DataFrame,

@@ -374,6 +374,47 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.contains(3L), "zero-token doc absent")
   }
 
+  test("selfScrubStep: sequential batches == one-shot; index grows to corpus") {
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until rnd.nextInt(14))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val n = 3
+    val oneShot = TextDedup.selfScrub(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    var idx = TextDedup.emptyScrubIndex(spark)
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    Seq(0 until 10, 10 until 20, 20 until 30).foreach { r =>
+      val step = TextDedup.selfScrubStep(
+        docs.slice(r.start, r.end).toDF("doc_id", "text"), idx,
+        "doc_id", "text", n)
+      got ++= step.scrubbed.as[(Long, Long, Long, Long)].collect()
+      idx = step.index.localCheckpoint()
+    }
+    assert(got.toSet == oneShot, "sequential == combined")
+    val full = TextDedup.selfScrubIndex(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .as[(Long, Long)].collect().toSet
+    assert(idx.as[(Long, Long)].collect().toSet == full,
+      "grown index == whole-corpus index")
+  }
+
+  test("selfScrubStep: the earlier batch wins regardless of id order") {
+    val s1 = TextDedup.selfScrubStep(
+      Seq((100L, "x y z w v")).toDF("doc_id", "text"),
+      TextDedup.emptyScrubIndex(spark), "doc_id", "text", 5)
+    val s2 = TextDedup.selfScrubStep(
+      Seq((1L, "x y z w v")).toDF("doc_id", "text"), // smaller id, LATER
+      s1.index, "doc_id", "text", 5)
+    assert(s1.scrubbed.as[(Long, Long, Long, Long)].collect().head._3 == 5L,
+      "first-batch doc keeps its text")
+    assert(s2.scrubbed.as[(Long, Long, Long, Long)].collect().head._3 == 0L,
+      "later-batch clone is scrubbed even with a smaller id")
+  }
+
   test("selfScrub: negative doc id raises loudly") {
     val bad = Seq((-1L, "a b c d e f")).toDF("doc_id", "text")
     val e = intercept[Throwable] {
