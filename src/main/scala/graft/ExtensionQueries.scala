@@ -2122,6 +2122,29 @@ object ExtensionQueries {
         step1.index, "doc_id", "text", 5)
       step1.scrubbed.unionByName(step2.scrubbed).orderBy(col("doc_id"))
     }),
+
+    // l-diversity audit at l=10 over the (nation, segment) QI with the
+    // account balance as the sensitive attribute — the homogeneity-
+    // attack number k-anonymity (q172) cannot see.
+    "q221_l_diversity" -> ((s, d) =>
+      Profiler.lDiversityAudit(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 10L)),
+
+    // Char-trigram concentration: per-doc Simpson index + distinct
+    // ratio in exact ppm — templated text reads high, encoded noise
+    // reads low with a wide gram set.
+    "q222_chargram_conc" -> ((s, d) =>
+      TermStats.charGramConcentration(
+          Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy(col("doc_id"))),
+
+    // Graded Kendall τ-b (B=100): ordinal concordance of event value
+    // with time per event type — C−D exact on the grade grid via
+    // bounded quadrant sweeps, never a pair join.
+    "q223_kendall_grade" -> ((s, d) =>
+      Behavior.kendallGradePpm(Tables.events(s, d), "event_type",
+          expr("floor(unix_timestamp(ts))"), expr("floor(value * 1000)"))
+        .orderBy(col("event_type"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -5792,6 +5815,87 @@ object ExtensionQueries {
     // The incremental composition must land exactly on the one-shot
     // answer — same corpus, same SQL.
     "q220_self_scrub_inc" -> selfScrubSql,
+
+    // Mirrors Profiler.lDiversityAudit: QI class sizes + exact distinct
+    // sensitive values per class, below-l rollup.
+    "q221_l_diversity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS lv
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(10 AS BIGINT) AS l_threshold,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN lv < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below,
+        |  CAST(SUM(CASE WHEN lv < 10 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(MIN(lv) AS BIGINT) AS min_l
+        |FROM g""".stripMargin,
+
+    // Mirrors TermStats.charGramConcentration (n=3): trigrams ride the
+    // polynomial hash, Simpson = Σc²·10⁶ // n² exact in HUGEINT.
+    "q222_chargram_conc" ->
+      s"""WITH p AS (SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS i
+         |    FROM documents WHERE len(text) >= 3),
+         |c AS (SELECT doc_id, ${dh("substring(text, i, 3)")} AS g,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM p GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    SUM(CAST(c AS HUGEINT) * c) AS ss
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_grams, n_distinct,
+         |  CAST((ss * 1000000) // (CAST(n_grams AS HUGEINT) * n_grams) AS BIGINT)
+         |    AS concentration_ppm,
+         |  CAST((CAST(n_distinct AS HUGEINT) * 1000000) // n_grams AS BIGINT)
+         |    AS distinct_ppm
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Behavior.kendallGradePpm (B=100): q175's grade tables,
+    // then C−D exact on the grade grid via the same two bounded window
+    // sweeps; τ-b² on doubled denominators, two-step floor division.
+    "q223_kendall_grade" ->
+      """WITH b AS (SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) AS x,
+        |    CAST(floor(value * 1000) AS BIGINT) AS y FROM events),
+        |cx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |gx AS (SELECT g, x, (100 * (2 * SUM(c) OVER (PARTITION BY g ORDER BY x) - c))
+        |      // (2 * SUM(c) OVER (PARTITION BY g)) AS gx FROM cx),
+        |cy AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |gy AS (SELECT g, y, (100 * (2 * SUM(c) OVER (PARTITION BY g ORDER BY y) - c))
+        |      // (2 * SUM(c) OVER (PARTITION BY g)) AS gy FROM cy),
+        |j AS (SELECT b.g, gx.gx, gy.gy FROM b
+        |  JOIN gx ON gx.g = b.g AND gx.x = b.x
+        |  JOIN gy ON gy.g = b.g AND gy.y = b.y),
+        |cells AS (SELECT g, gx, gy, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2, 3),
+        |dense AS (SELECT xs.g, xs.gx, ys.gy, COALESCE(cells.c, 0) AS c
+        |  FROM (SELECT DISTINCT g, gx FROM cells) xs
+        |  JOIN (SELECT DISTINCT g, gy FROM cells) ys ON ys.g = xs.g
+        |  LEFT JOIN cells ON cells.g = xs.g AND cells.gx = xs.gx AND cells.gy = ys.gy),
+        |s1 AS (SELECT g, gx, gy, c, COALESCE(SUM(c) OVER (PARTITION BY g, gy ORDER BY gx
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS sgt FROM dense),
+        |s2 AS (SELECT g, gx, gy, c,
+        |    COALESCE(SUM(sgt) OVER (PARTITION BY g, gx ORDER BY gy
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS spp,
+        |    COALESCE(SUM(sgt) OVER (PARTITION BY g, gx ORDER BY gy
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spm
+        |  FROM s1),
+        |numt AS (SELECT g, SUM(CAST(c AS HUGEINT) * spp) - SUM(CAST(c AS HUGEINT) * spm) AS num
+        |  FROM s2 GROUP BY 1),
+        |tx AS (SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1)) AS tx FROM
+        |  (SELECT g, gx, SUM(c) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |ty AS (SELECT g, SUM(CAST(t AS HUGEINT) * (t - 1)) AS ty FROM
+        |  (SELECT g, gy, SUM(c) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |d AS (SELECT tot.g, n, num,
+        |    CAST(n AS HUGEINT) * (n - 1) - tx.tx AS dx,
+        |    CAST(n AS HUGEINT) * (n - 1) - ty.ty AS dy
+        |  FROM tot JOIN numt ON numt.g = tot.g
+        |  JOIN tx ON tx.g = tot.g JOIN ty ON ty.g = tot.g)
+        |SELECT g AS event_type, n AS n_points,
+        |  CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+        |       WHEN num >= 0 THEN (((num * num * 4) // dx) * 1000000) // dy
+        |       ELSE -((((num * num * 4) // dx) * 1000000) // dy) END AS BIGINT)
+        |    AS kendall_tau2_signed_ppm
+        |FROM d ORDER BY event_type""".stripMargin,
 
     // Mirrors EvalMetrics.rougeN(n=2) of the 60% prefix vs the full
     // text: clipped bigram-multiset overlap in exact ppm.

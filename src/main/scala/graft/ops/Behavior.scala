@@ -544,6 +544,107 @@ object Behavior {
           .as("spearman_r2_signed_ppm"))
   }
 
+  /** X189: graded Kendall τ-b — the CONCORDANCE rank correlation next
+    * to X136's graded Spearman: Spearman asks "do the ranks move
+    * together linearly", Kendall asks the ordinal question directly —
+    * of all comparable pairs, how many agree in direction minus how
+    * many disagree. It is the statistic behind ranking-eval agreement
+    * (judge-vs-judge, model-vs-human preference orderings) because a
+    * single far outlier moves it by exactly its pair count, not its
+    * magnitude.
+    *
+    * Same scale discipline as Spearman: values collapse to `grades`
+    * quantile grades first (the q56 compaction + doubled-rank grade,
+    * ties kept), so the per-group state is a ≤ grades² contingency
+    * grid regardless of corpus size — and on that grid C−D is EXACT
+    * via two bounded window sweeps (suffix-sum over gx within each
+    * gy row, then suffix/prefix over gy within each gx column: the
+    * strictly-greater and greater-x-smaller-y quadrant counts per
+    * cell). No pair self-join, no per-row window — every window
+    * partition holds ≤ `grades` rows by construction. Tie terms come
+    * from the grid marginals; τ-b² rides the doubled denominators
+    * d = n(n−1) − Σt(t−1) so no halving ever truncates, reported as
+    * the signed square sign(C−D)·(4(C−D)²·10⁶) div (dx·dy) in exact
+    * ppm (two-step DIV, DECIMAL(38,0) — the X135 convention).
+    *
+    * @return (groupCol, n_points, kendall_tau2_signed_ppm)
+    */
+  def kendallGradePpm(df: DataFrame, groupCol: String, xExpr: Column,
+                      yExpr: Column, grades: Int = 100): DataFrame = {
+    require(grades >= 2, s"need at least 2 grades: $grades")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("__g"),
+      xExpr.cast("long").as("__x"), yExpr.cast("long").as("__y"))
+      .localCheckpoint(eager = false) // forked: two grade tables + join-back
+    def gradeTable(c: String, out: String) = {
+      val wCum = Window.partitionBy("__g").orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("__g")
+      base.groupBy(col("__g"), col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .select(col("__g"), col(c),
+          expr(s"($grades * (2 * __cum - __c)) div (2 * __n)").as(out))
+    }
+    val cells = base
+      .join(gradeTable("__x", "__gx"), Seq("__g", "__x"))
+      .join(gradeTable("__y", "__gy"), Seq("__g", "__y"))
+      .groupBy(col("__g"), col("__gx"), col("__gy"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false) // forked: dense grid + marginals
+    // The suffix-sum sweep is only exact on a DENSE grid: the gy-column
+    // window must see a row for EVERY (gx, gy') the group occupies, or
+    // quadrant mass at absent cells is silently dropped. Densify to the
+    // group's |gx-values|·|gy-values| grid (≤ grades² rows per group by
+    // construction — the bounded-state contract survives).
+    val dense = cells.select(col("__g"), col("__gx")).distinct()
+      .join(cells.select(col("__g"), col("__gy")).distinct(), Seq("__g"))
+      .join(cells, Seq("__g", "__gx", "__gy"), "left")
+      .na.fill(0L, Seq("__c"))
+    // Quadrant sweep: __sgt = mass strictly right in this gy row; then
+    // summing it strictly above / strictly below the gy column gives
+    // the concordant / discordant quadrant per cell. Partitions hold
+    // ≤ grades rows (distinct gx per (g, gy), distinct gy per (g, gx)).
+    val wRight = Window.partitionBy("__g", "__gy").orderBy(col("__gx"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wUp = Window.partitionBy("__g", "__gx").orderBy(col("__gy"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wDown = Window.partitionBy("__g", "__gx").orderBy(col("__gy"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val num = dense
+      .withColumn("__sgt", coalesce(sum(col("__c")).over(wRight), lit(0L)))
+      .withColumn("__spp", coalesce(sum(col("__sgt")).over(wUp), lit(0L)))
+      .withColumn("__spm", coalesce(sum(col("__sgt")).over(wDown), lit(0L)))
+      .groupBy(col("__g"))
+      .agg((sum(expr("cast(__c as decimal(38,0)) * __spp"))
+        - sum(expr("cast(__c as decimal(38,0)) * __spm"))).as("__num"))
+    def tieTerm(c: String, out: String) = cells
+      .groupBy(col("__g"), col(c)).agg(sum(col("__c")).as("__t"))
+      .groupBy(col("__g"))
+      .agg(sum(expr("cast(__t as decimal(38,0)) * (__t - 1)")).as(out))
+    val tot = cells.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_points"))
+    tot.join(num, Seq("__g"))
+      .join(tieTerm("__gx", "__tx"), Seq("__g"))
+      .join(tieTerm("__gy", "__ty"), Seq("__g"))
+      .select(col("__g"), col("n_points"), col("__num"),
+        (expr("cast(n_points as decimal(38,0)) * (n_points - 1)")
+          - col("__tx")).as("__dx"),
+        (expr("cast(n_points as decimal(38,0)) * (n_points - 1)")
+          - col("__ty")).as("__dy"))
+      .select(col("__g").as(groupCol), col("n_points"),
+        when(col("n_points") > 100000000L, raise_error(lit(
+          "kendallGradePpm group-size bound: 1e8 rows per group keeps " +
+            "4·num² inside DECIMAL(38,0) — sample the group first")))
+          .when(col("__dx") === 0 || col("__dy") === 0, lit(0L))
+          .otherwise(expr("sign(__num)").cast("long") *
+            // two-step DIV (the X136 discipline): 4num² div dx lands
+            // ≤ dy ≈ n², so the 10⁶ scale-up re-enters DECIMAL(38,0).
+            expr("(cast((__num * __num * 4) div __dx as decimal(38,0)) * 1000000) div __dy")
+              .cast("long"))
+          .as("kendall_tau2_signed_ppm"))
+  }
+
   /** X84: first-order Markov transition matrix over per-user event
     * sequences — the behavioral fingerprint (which action follows
     * which) that powers next-step prediction baselines, bot detection

@@ -157,6 +157,45 @@ object TermStats {
       .withColumn("dup_trigram_frac_q", expr("dup_trigram_n * 1000000 DIV n_trigrams"))
   }
 
+  /** X188: char-n-gram concentration — the LOG-FREE per-document
+    * character-distribution profile that separates three populations
+    * the token-grain gates (X27 repetition, X9 quality ratios) cannot:
+    * stamped/templated text reads HIGH concentration (few grams own the
+    * mass), natural prose sits in a language-typical band, and encoded
+    * noise (base64/hex blobs, minified payloads) reads LOW concentration
+    * with a HIGH distinct ratio — near-uniform over a wide gram set.
+    * Concentration is the Simpson index Σc²·10⁶ div n² (X122's exact
+    * rational at the per-doc char grain — no entropy logarithm), so both
+    * engines land the same integer.
+    *
+    * Dataflow: grams ride as polynomial hashes (the shuffle key is a
+    * long, never the gram text), ONE map-side-combinable (doc, gram)
+    * count, one doc-grain rollup; DECIMAL(38,0) squares so the 2²²-token
+    * documents the dedup tier admits cannot overflow.
+    *
+    * @return (doc_id, n_grams, n_distinct, concentration_ppm,
+    *         distinct_ppm) for docs with at least `n` chars
+    */
+  def charGramConcentration(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"char-gram width must be at least 1: $n")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("__t")) - lit(n - 1)),
+        i => TextFeatures.charHash(col("__t").substr(i, lit(n))))).as("__g"))
+      .groupBy(col("doc_id"), col("__g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("__ss"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        expr("(__ss * 1000000) div (cast(n_grams as decimal(38,0)) * n_grams)")
+          .cast("long").as("concentration_ppm"),
+        expr("(cast(n_distinct as decimal(38,0)) * 1000000) div n_grams")
+          .cast("long").as("distinct_ppm"))
+  }
+
   /** Inverted index (posting lists): term → document frequency + the
     * ordered list of containing doc ids — the retrieval-side artifact a
     * curation pipeline materializes once and probes many times.

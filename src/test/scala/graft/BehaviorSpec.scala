@@ -341,6 +341,63 @@ class BehaviorSpec extends SparkSpec {
     assert(got._3 > 500000L, "strongly correlated fixture reads high")
   }
 
+  test("kendallGradePpm: monotone 1e6, reversed -1e6, constant 0") {
+    val mono = (1 to 40).map(i => ("m", i.toLong, i.toLong * i * i))
+    val rev  = (1 to 40).map(i => ("r", i.toLong, 1000L - i * i))
+    val const = (1 to 40).map(i => ("c", i.toLong, 7L))
+    val got = Behavior.kendallGradePpm(
+        (mono ++ rev ++ const).toDF("g", "x", "y").repartition(5),
+        "g", col("x"), col("y"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map("m" -> 1000000L, "r" -> -1000000L, "c" -> 0L))
+  }
+
+  test("kendallGradePpm: ties match the all-pairs BigInt model on a seeded fixture") {
+    val B = 100L
+    def brute(rows: Seq[(Long, Long)]): Long = {
+      val n = rows.size.toLong
+      def grades(vs: Seq[Long]): Map[Long, Long] = {
+        val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val sorted = cnt.keys.toSeq.sorted
+        var cum = 0L
+        sorted.map { v =>
+          cum += cnt(v)
+          v -> (B * (2 * cum - cnt(v))) / (2 * n)
+        }.toMap
+      }
+      val gx = grades(rows.map(_._1)); val gy = grades(rows.map(_._2))
+      val pts = rows.map { case (x, y) => (gx(x), gy(y)) }
+      var c = 0L; var d = 0L; var eqx = 0L; var eqy = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.size) {
+        val sx = java.lang.Long.signum(pts(j)._1 - pts(i)._1)
+        val sy = java.lang.Long.signum(pts(j)._2 - pts(i)._2)
+        if (sx == 0) eqx += 1
+        if (sy == 0) eqy += 1
+        if (sx * sy > 0) c += 1 else if (sx * sy < 0) d += 1
+      }
+      val num = BigInt(c - d)
+      val dx = BigInt(n) * (n - 1) - 2 * BigInt(eqx)
+      val dy = BigInt(n) * (n - 1) - 2 * BigInt(eqy)
+      if (dx == 0 || dy == 0) 0L
+      else {
+        val mag = (((num * num * 4) / dx) * 1000000) / dy
+        (if (num < 0) -mag else mag).toLong
+      }
+    }
+    val rnd = new scala.util.Random(91)
+    val rows = (1 to 300).map { _ =>
+      val x = rnd.nextInt(12).toLong            // heavy ties on x
+      val y = x * 3 + rnd.nextInt(20) - 10      // correlated, tied y
+      ("t", x, y)
+    }
+    val got = Behavior.kendallGradePpm(rows.toDF("g", "x", "y")
+        .repartition(7), "g", col("x"), col("y"))
+      .as[(String, Long, Long)].collect().head
+    assert(got._2 == 300L)
+    assert(got._3 == brute(rows.map(r => (r._2, r._3))))
+    assert(got._3 > 300000L, "strongly concordant fixture reads high")
+  }
+
   test("attribution: first/last/linear with remainder on last, unattributed bucket") {
     def e(u: Long, t: String, hm: String, id: Long, v: Double) =
       (u, t, ts(s"2024-01-01 $hm:00"), id, v)

@@ -335,6 +335,25 @@ class ProfilerSpec extends SparkSpec {
     assert(out == ((10L, 4L, 26L, 2L, 4L, 1L)))
   }
 
+  test("lDiversityAudit: homogeneous classes flagged even when k-anonymous") {
+    import graft.ops.Profiler
+    // class A: 10 rows, ONE sensitive value (k-anonymous at 10, l=1);
+    // class B: 4 rows, 4 distinct values; class C: 5 rows, 2 values.
+    val df = (Seq.fill(10)(("en", "s1", 100.0)) ++
+      (1 to 4).map(i => ("en", "s2", i * 1.5)) ++
+      Seq(("es", "s1", 1.0), ("es", "s1", 1.0), ("es", "s1", 2.0),
+        ("es", "s1", 2.0), ("es", "s1", 2.0)))
+      .toDF("lang", "source", "bal")
+    val out = Profiler.lDiversityAudit(df, Seq("lang", "source"), "bal", 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // l-values: A=1, B=4, C=2 -> below 3: A and C (15 rows at risk)
+    assert(out == ((3L, 3L, 19L, 2L, 15L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Profiler.lDiversityAudit(df, Seq("lang", "bal"), "bal", 3L)
+    }
+    assert(e.getMessage.contains("quasi-identifier"))
+  }
+
   test("dataCard: one-row summary reconciles with hand computation") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"),      // exact dup pair

@@ -458,4 +458,24 @@ class TermStatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(gotPart._5 == expPart)
   }
+
+  test("charGramConcentration: stamped high, uniform low, short docs absent") {
+    val docs = Seq(
+      (1L, "aaaa"),   // bigrams aa,aa,aa: one gram owns everything
+      (2L, "abcd"),   // bigrams ab,bc,cd all distinct: minimal Simpson
+      (3L, "a"))      // below the gram width -> absent
+      .toDF("doc_id", "text")
+    val out = TermStats.charGramConcentration(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 1L, 1000000L, 333333L)))
+    assert(out(2L) == ((2L, 3L, 3L, 333333L, 1000000L)))
+    assert(!out.contains(3L))
+    // invariants on a mixed doc: Simpson in [1/d, 1] scaled, counts add up
+    val m = TermStats.charGramConcentration(
+        Seq((9L, "abab xyxy abab")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(m._2 == 12L && m._3 >= 1L && m._3 <= m._2)
+    assert(m._4 >= 1000000L / m._3 && m._4 <= 1000000L)
+  }
 }
