@@ -283,4 +283,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!qPlan.contains("Exchange SinglePartition"),
       s"quantile read degraded to a single-partition pass:\n$qPlan")
   }
+
+  test("kendall: dense grid stays on equi-joins, windows keyed by group") {
+    // The grid densification is a per-group cross of the two distinct
+    // grade sets — it must compile to equi-joins on the group key (the
+    // fan-out is the ≤ grades² bounded state, NOT a cartesian), and
+    // every sweep window must partition by (group, grade) — a global
+    // window would funnel the grid through one task.
+    val rows = (1 to 400).map(i => (s"g${i % 2}", i.toLong % 37, i.toLong % 11))
+    val plan = planOf(graft.ops.Behavior.kendallGradePpm(
+      rows.toDF("g", "x", "y"), "g", col("x"), col("y")))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"kendall grid degraded to a nested loop:\n$plan")
+    assert(!plan.contains("windowspecdefinition()"),
+      s"found an unpartitioned window:\n$plan")
+  }
+
+  test("charGramConcentration: gram counts partial-aggregate below their exchange") {
+    // The (doc, gram-hash) count must map-side combine BEFORE its
+    // shuffle — a stamped 4 MB doc ships its distinct grams, never a
+    // row per char position.
+    val docs = (1 to 50).map(i => (i.toLong, "ab" * 200)).toDF("doc_id", "text")
+    val plan = planOf(graft.ops.TermStats.charGramConcentration(
+      docs, "doc_id", "text", 3))
+    val partialAt = plan.indexOf("partial_count")
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    assert(partialAt >= 0 && exchangeAt >= 0 && partialAt > exchangeAt,
+      s"expected partial_count BELOW the gram exchange (plan reads top-down):\n$plan")
+  }
 }
