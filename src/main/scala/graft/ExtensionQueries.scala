@@ -2145,6 +2145,15 @@ object ExtensionQueries {
       Behavior.kendallGradePpm(Tables.events(s, d), "event_type",
           expr("floor(unix_timestamp(ts))"), expr("floor(value * 1000)"))
         .orderBy(col("event_type"))),
+
+    // t-closeness audit at t=0.25 over the (nation, segment) QI with
+    // cent-quantized account balance as the sensitive attribute —
+    // the skewness attack l-diversity (q221) cannot see: exact ordinal
+    // EMD class-vs-global on equal-width bins.
+    "q224_t_closeness" -> ((s, d) =>
+      Profiler.tClosenessAudit(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"),
+        expr("floor(c_acctbal * 100)"), 50000L, 250000L)),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -5896,6 +5905,44 @@ object ExtensionQueries {
         |       ELSE -((((num * num * 4) // dx) * 1000000) // dy) END AS BIGINT)
         |    AS kendall_tau2_signed_ppm
         |FROM d ORDER BY event_type""".stripMargin,
+
+    // Mirrors Profiler.tClosenessAudit: equal-width sign-split bins,
+    // densified class×bin grid, exact integer EMD vs the global
+    // distribution, above-t rollup.
+    "q224_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |cells AS (SELECT c_nationkey, c_mktsegment, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT c_nationkey, c_mktsegment,
+        |      CASE WHEN v >= 0 THEN v // 50000
+        |           ELSE -(((-v) + 49999) // 50000) END AS b FROM base)
+        |  GROUP BY 1, 2, 3),
+        |g AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cg FROM cells GROUP BY 1),
+        |gc AS (SELECT b, SUM(cg) OVER (ORDER BY b) AS cumg FROM g),
+        |gt AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(count(*) AS BIGINT) AS m FROM g),
+        |cls AS (SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS nc
+        |  FROM cells GROUP BY 1, 2),
+        |dense AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.nc, gc.b, gc.cumg,
+        |    COALESCE(cells.c, 0) AS c
+        |  FROM cls CROSS JOIN gc
+        |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+        |    AND cells.c_mktsegment = cls.c_mktsegment AND cells.b = gc.b),
+        |cum AS (SELECT c_nationkey, c_mktsegment, nc, cumg,
+        |    SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY b) AS cumc
+        |  FROM dense),
+        |emd AS (SELECT c_nationkey, c_mktsegment, nc,
+        |    CASE WHEN m = 1 THEN 0
+        |         ELSE (SUM(ABS(CAST(cumc AS HUGEINT) * ng - CAST(cumg AS HUGEINT) * nc))
+        |               * 1000000) // (CAST(m - 1 AS HUGEINT) * nc * ng) END AS e
+        |  FROM cum CROSS JOIN gt GROUP BY c_nationkey, c_mktsegment, nc, m, ng)
+        |SELECT CAST(250000 AS BIGINT) AS t_ppm,
+        |  (SELECT CAST(m AS BIGINT) FROM gt) AS n_buckets,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(nc) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN e > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_above,
+        |  CAST(SUM(CASE WHEN e > 250000 THEN nc ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(MAX(e) AS BIGINT) AS max_emd_ppm
+        |FROM emd""".stripMargin,
 
     // Mirrors EvalMetrics.rougeN(n=2) of the 60% prefix vs the full
     // text: clipped bigram-multiset overlap in exact ppm.

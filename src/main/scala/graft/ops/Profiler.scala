@@ -327,6 +327,81 @@ object Profiler {
         col("n_groups_below"), col("n_rows_at_risk"), col("min_l"))
   }
 
+  /** X190: t-closeness audit (Li ICDE'07) — the leak X187's l-diversity
+    * still misses: a QI class can hold l = 5 distinct salaries and
+    * still out its members if all five sit in the top percentile (the
+    * skewness attack — diversity without representativeness). The
+    * statistic is the ordinal earth-mover's distance between each
+    * class's sensitive distribution and the GLOBAL one; classes with
+    * EMD > t fail.
+    *
+    * Exact integer EMD on equal-width value bins: bin = sign-split
+    * floor DIV of the sensitive value by `binWidth` (the
+    * [[histogramCells]] mergeable-counter contract — pick binWidth so
+    * the global bin count stays ≲10³), EMD = Σᵢ|cumc_i·n_g −
+    * cumg_i·n_c|·10⁶ div ((m−1)·n_c·n_g) over the densified class×bin
+    * grid — cross-engine exact, no floats.
+    *
+    * Shape: ONE count aggregate onto the (QI, bin) key, the global
+    * histogram rolled up FROM those cells (the corpus is scanned
+    * once), densification = |classes|·m rows with the ≤ m global bin
+    * list broadcast, per-class cum windows see ≤ m rows, one
+    * single-row fold. Never a raw-volume window, never a pair join.
+    *
+    * @return one row (t_ppm, n_buckets, n_groups, n_rows,
+    *         n_groups_above, n_rows_at_risk, max_emd_ppm)
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveExpr: Column, binWidth: Long,
+                      tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "tClosenessAudit needs quasi-identifier columns")
+    require(binWidth >= 1, s"bin width must be positive: $binWidth")
+    require(tPpm >= 0 && tPpm <= 1000000, s"t must be a ppm in [0, 1e6]: $tPpm")
+    val cells = df
+      .select((qiCols.map(col) :+ sensitiveExpr.cast("long").as("__v")): _*)
+      .withColumn("__b", expr(
+        s"""CASE WHEN __v >= 0 THEN __v div $binWidth
+           |ELSE -(((-__v) + $binWidth - 1) div $binWidth) END""".stripMargin))
+      .groupBy((qiCols.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false) // forked: global rollup + class totals + densify
+    val global = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cg"))
+      .withColumn("__cumg", sum(col("__cg")).over(
+        Window.partitionBy(lit(1)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(eager = false) // forked: densify + totals (≤ m rows)
+    val gt = global.agg(sum(col("__cg")).as("__ng"), count(lit(1)).as("__m"))
+    val classes = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__nc"))
+    val wc = Window.partitionBy(qiCols.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes
+      .crossJoin(broadcast(global.select(col("__b"), col("__cumg"))))
+      .join(cells, qiCols :+ "__b", "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__cumc", sum(col("__c")).over(wc))
+      .crossJoin(broadcast(gt))
+      .groupBy((qiCols.map(col) ++ Seq(col("__nc"), col("__ng"), col("__m"))): _*)
+      .agg(sum(abs(expr(
+        "cast(__cumc as decimal(38,0)) * __ng - cast(__cumg as decimal(38,0)) * __nc")))
+        .as("__sd"))
+      .select(col("__nc"), col("__m"),
+        when(col("__m") === 1, lit(0L))
+          .otherwise(expr(
+            """(__sd * 1000000) div (cast(__m - 1 as decimal(38,0))
+              | * cast(__nc as decimal(38,0)) * __ng)""".stripMargin)
+            .cast("long"))
+          .as("__emd"))
+      .agg(min(col("__m")).as("n_buckets"),
+        count(lit(1)).as("n_groups"), sum(col("__nc")).as("n_rows"),
+        sum(when(col("__emd") > tPpm, 1L).otherwise(0L)).as("n_groups_above"),
+        sum(when(col("__emd") > tPpm, col("__nc")).otherwise(0L)).as("n_rows_at_risk"),
+        max(col("__emd")).as("max_emd_ppm"))
+      .select(lit(tPpm).as("t_ppm"), col("n_buckets"), col("n_groups"),
+        col("n_rows"), col("n_groups_above"), col("n_rows_at_risk"),
+        col("max_emd_ppm"))
+  }
+
   /** X140: dataset card — the one-row corpus summary a release ships
     * with (the quantitative core of a Datasheets/Data-Card document,
     * Gebru et al. 2021): volume, diversity, duplication, and central

@@ -354,6 +354,26 @@ class ProfilerSpec extends SparkSpec {
     assert(e.getMessage.contains("quasi-identifier"))
   }
 
+  test("tClosenessAudit: EMD exact on a hand grid; mirrored class passes") {
+    import graft.ops.Profiler
+    // bins of width 10: A all in bin 0, B all in bin 1, C split 2/2 —
+    // C mirrors the global 6/6 distribution exactly (EMD 0); A and B
+    // each read |4·12−6·4|·1e6/(1·4·12) = 500000.
+    val rows = Seq.fill(4)(("A", "x", 3L)) ++ Seq.fill(4)(("B", "x", 13L)) ++
+      Seq.fill(2)(("C", "x", 7L)) ++ Seq.fill(2)(("C", "x", 17L))
+    val out = Profiler.tClosenessAudit(rows.toDF("qa", "qb", "v"),
+        Seq("qa", "qb"), col("v"), 10L, 400000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(out == ((400000L, 2L, 3L, 12L, 2L, 8L, 500000L)))
+    // negative values bin sign-split floor; a lone class IS the global
+    // distribution, so EMD = 0 even across the sign boundary
+    val solo = Profiler.tClosenessAudit(
+        Seq(("A", -10L), ("A", 5L)).toDF("q", "v"), Seq("q"), col("v"),
+        10L, 0L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(solo == ((0L, 2L, 1L, 2L, 0L, 0L, 0L)))
+  }
+
   test("dataCard: one-row summary reconciles with hand computation") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"),      // exact dup pair
