@@ -2154,6 +2154,16 @@ object ExtensionQueries {
       Profiler.tClosenessAudit(Tables.customer(s, d),
         Seq("c_nationkey", "c_mktsegment"),
         expr("floor(c_acctbal * 100)"), 50000L, 250000L)),
+
+    // Matryoshka width sweep: recall@3 of truncated-cosine top-k at
+    // widths 8/16/32/64 vs the full 64-dim truth — the storage-vs-
+    // recall pricing table, one corpus×queries pass for all widths.
+    "q225_matryoshka" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.matryoshkaRecall(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 3, Seq(8, 16, 32, 64))
+        .orderBy(col("dims"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2339,6 +2349,15 @@ object ExtensionQueries {
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, x) -> a + x)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** cosSql over the first `d` dimensions only — the matryoshka
+    * truncation: identical per-element double arithmetic and ascending
+    * fold order, just fewer terms. */
+  private def cosSqlD(a: String, b: String, d: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${d + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, x) -> a + x)"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
@@ -5943,6 +5962,36 @@ object ExtensionQueries {
         |  CAST(SUM(CASE WHEN e > 250000 THEN nc ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
         |  CAST(MAX(e) AS BIGINT) AS max_emd_ppm
         |FROM emd""".stripMargin,
+
+    // Mirrors Similarity.matryoshkaRecall: truncated-cosine top-3 per
+    // width vs the full-width truth, micro-averaged per width.
+    "q225_matryoshka" -> {
+      val per = Seq(8, 16, 32, 64).map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dims, query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+           |    ORDER BY ${cosSqlD("qe", "ce", d)} DESC, neighbor_id ASC) AS rnk FROM pr)
+           |  WHERE rnk <= 3""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |pr AS (SELECT query_id, neighbor_id, qe, ce FROM q, c WHERE neighbor_id <> query_id),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosSqlD("qe", "ce", 64)} DESC, neighbor_id ASC) AS rnk FROM pr)
+         |  WHERE rnk <= 3),
+         |ap AS ($per),
+         |ht AS (SELECT dims, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM ap JOIN tr USING (query_id, neighbor_id) GROUP BY 1),
+         |dn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+         |dm AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dims)
+         |SELECT dm.dims, dn.n_truth,
+         |  CAST(COALESCE(ht.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN dn.n_truth = 0 THEN 0
+         |       ELSE COALESCE(ht.n_hit, 0) * 1000000 // dn.n_truth END AS BIGINT)
+         |    AS recall_ppm
+         |FROM dm CROSS JOIN dn LEFT JOIN ht ON ht.dims = dm.dims
+         |ORDER BY dm.dims""".stripMargin
+    },
 
     // Mirrors EvalMetrics.rougeN(n=2) of the 60% prefix vs the full
     // text: clipped bigram-multiset overlap in exact ppm.

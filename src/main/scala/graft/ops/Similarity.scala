@@ -280,6 +280,61 @@ object Similarity {
       .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_truth"))
   }
 
+  /** X191: matryoshka dimension sweep — "how many dimensions can we
+    * afford to store?" answered with a measured recall table instead
+    * of a guess (the MRL deployment decision, Kusupati NeurIPS'22):
+    * for each candidate prefix width d, the exact top-k under
+    * truncated cosine is graded against the full-width truth, exactly
+    * like [[annRecallReport]] grades the LSH path. A 4× storage /
+    * bandwidth / cache saving is real money at 10⁹ vectors; this is
+    * the table that prices its recall cost.
+    *
+    * ONE corpus×queries pass scores every width (the pair frame is
+    * the dominant cost — the slice-cosines ride it together via one
+    * explode); per-(width, query) top-k through the same
+    * WindowGroupLimit-pushed rank the brute-force baseline uses;
+    * micro-averaged rollup per width. Queries are a broadcast sample
+    * by contract (the X6 discipline).
+    *
+    * @return (dims, n_truth, n_hit, recall_ppm) — one row per width
+    */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"matryoshka widths must be positive: $dims")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false) // forked: hit join + denominator
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        explode(array(dims.map(d => struct(lit(d.toLong).as("dims"),
+          cosine(slice(col("__qv"), 1, d), slice(col("__cv"), 1, d))
+            .as("cos"))): _*)).as("__s"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__s.dims").as("dims"), col("__s.cos").as("cos"))
+    val approx = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("dims", "query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("dims"), col("query_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("dims")).agg(count(lit(1)).as("n_hit"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .select(explode(array(dims.map(d => lit(d.toLong)): _*)).as("dims"),
+        col("n_truth"))
+      .join(hits, Seq("dims"), "left")
+      .select(col("dims"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm",
+        when(col("n_truth") === 0, lit(0L))
+          .otherwise(expr("n_hit * 1000000 DIV n_truth")))
+  }
+
   /** X132: Maximal Marginal Relevance selection (Carbonell & Goldstein
     * SIGIR'98) — the relevance-AND-diversity top-k that prompt-set and
     * eval-set curation needs where plain kNN returns k near-copies:

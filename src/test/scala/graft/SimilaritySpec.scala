@@ -339,4 +339,21 @@ class SimilaritySpec extends SparkSpec {
       (1L, "a", 3L, 2L, 666666L, 1L),   // 2/3 agree -> floor ppm, suspect
       (2L, "b", 2L, 0L, 0L, 1L)))       // boundary/mislabel candidate
   }
+
+  test("matryoshkaRecall: prefix-blind neighbor lost at low width, found at full") {
+    // id 1's discriminating mass sits in the TAIL dims (prefix ⊥ the
+    // query), id 2's in the HEAD: width 2 retrieves 2, width 4 the
+    // true neighbor 1 — recall prices the truncation.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 2f)),
+      (1L, Seq(0f, 0.1f, 0f, 1f)),
+      (2L, Seq(1f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.matryoshkaRecall(
+        vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 1, dims = Seq(2, 4))
+      .orderBy("dims")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 0L, 0L), (4L, 1L, 1L, 1000000L)))
+  }
 }
