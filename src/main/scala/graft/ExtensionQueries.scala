@@ -2164,6 +2164,18 @@ object ExtensionQueries {
           "vec_id", "embedding", 3, Seq(8, 16, 32, 64))
         .orderBy(col("dims"))
     }),
+
+    // Krippendorff's alpha over each user's first 8 event types (the
+    // multi-rater agreement gate; cap = the documented maxRaters
+    // contract, (ts, event_id) total order so the sample is stable).
+    "q226_krippendorff" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val capped = Tables.events(s, d)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .filter(col("__rn") <= 8)
+      EvalMetrics.krippendorffAlphaPpm(capped, "user_id", "event_type")
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -5992,6 +6004,34 @@ object ExtensionQueries {
          |FROM dm CROSS JOIN dn LEFT JOIN ht ON ht.dims = dm.dims
          |ORDER BY dm.dims""".stripMargin
     },
+
+    // Mirrors EvalMetrics.krippendorffAlphaPpm (L = lcm(1..11) = 27720):
+    // per-unit disagreement scaled through L exactly, one truncating
+    // division, units with >= 2 ratings only.
+    "q226_krippendorff" ->
+      """WITH capped AS (SELECT user_id, event_type FROM (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 8),
+        |uv AS (SELECT user_id AS u, event_type AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM capped GROUP BY 1, 2),
+        |un AS (SELECT u, CAST(SUM(c) AS BIGINT) AS m,
+        |    SUM(CAST(c AS HUGEINT) * c) AS ssq
+        |  FROM uv GROUP BY 1 HAVING SUM(c) >= 2),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(m) AS BIGINT) AS n_ratings,
+        |    SUM((CAST(m AS HUGEINT) * m - ssq) * (27720 // (m - 1))) AS sdo
+        |  FROM un),
+        |mg AS (SELECT SUM(CAST(cv AS HUGEINT) * cv) AS ssv FROM (
+        |  SELECT uv.v, SUM(uv.c) AS cv FROM uv JOIN un ON un.u = uv.u GROUP BY 1))
+        |SELECT n_units, n_ratings,
+        |  CAST(CASE WHEN n_units = 0 THEN 0
+        |       WHEN CAST(n_ratings AS HUGEINT) * n_ratings = ssv THEN 1000000
+        |       ELSE 1000000 - (CAST(n_ratings - 1 AS HUGEINT) * sdo * 1000000)
+        |         // (CAST(27720 AS HUGEINT)
+        |            * (CAST(n_ratings AS HUGEINT) * n_ratings - ssv)) END AS BIGINT)
+        |    AS alpha_ppm
+        |FROM f CROSS JOIN mg""".stripMargin,
 
     // Mirrors EvalMetrics.rougeN(n=2) of the 60% prefix vs the full
     // text: clipped bigram-multiset overlap in exact ppm.

@@ -386,4 +386,72 @@ object EvalMetrics {
           .otherwise(expr(
             "(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)")))
   }
+
+  /** X192: Krippendorff's alpha (nominal) — the multi-rater agreement
+    * statistic X156's Cohen's kappa cannot give: kappa needs exactly
+    * two raters rating everything; annotation QA at corpus scale has
+    * MANY raters, MISSING ratings, and varying raters-per-unit. Alpha
+    * handles all three (Krippendorff 2004, coincidence-matrix form):
+    *   α = 1 − (n−1)·Σ_u (m_u² − Σ_v n_uv²)/(m_u−1)
+    *           / (n² − Σ_v n_v²)
+    * over units with ≥ 2 ratings (n = total ratings on those units).
+    *
+    * EXACT integer arithmetic despite the per-unit fraction: every
+    * denominator m_u−1 divides L = lcm(1..maxRaters−1), so the
+    * disagreement sum scales through L as integers and ONE truncating
+    * division lands the ppm — Spark ≡ DuckDB bit-for-bit, no float
+    * accumulation order to match. maxRaters ≤ 13 keeps L ≤ 27720 and
+    * the product chain inside DECIMAL(38,0) (loud raise past either
+    * bound; n ≤ 10⁹ ratings documented).
+    *
+    * Shape: one (unit, value) count, two stacked map-side-combinable
+    * rollups (per-unit moments + value marginals from the SAME counts
+    * — the corpus is scanned once), a broadcast single-row fold. The
+    * unit key space is the state bound; no window anywhere.
+    *
+    * @return one row (n_units, n_ratings, alpha_ppm) — alpha_ppm is
+    *         signed (systematic disagreement reads negative); 10⁶ when
+    *         there is no value variation at all (D_e = 0)
+    */
+  def krippendorffAlphaPpm(df: DataFrame, unitCol: String, valueCol: String,
+                           maxRaters: Int = 12): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 13,
+      s"maxRaters must lie in [2, 13] (lcm bound): $maxRaters")
+    val L = (1 to (maxRaters - 1)).foldLeft(BigInt(1))(
+      (a, i) => a * i / a.gcd(BigInt(i))).toLong
+    val uv = df.select(col(unitCol).as("__u"), col(valueCol).as("__v"))
+      .groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false) // forked: unit moments + value marginals
+    val units = uv.groupBy(col("__u"))
+      .agg(sum(col("__c")).as("__m"),
+        sum(expr("cast(__c as decimal(38,0)) * __c")).as("__ssq"))
+      .filter(col("__m") >= 2)
+      .withColumn("__m",
+        when(col("__m") > maxRaters, raise_error(concat(
+          lit(s"krippendorffAlphaPpm: unit exceeds maxRaters=$maxRaters "
+            + "ratings (cap the ratings or raise the bound): "),
+          col("__u").cast("string")))).otherwise(col("__m")))
+      .localCheckpoint(eager = false) // forked: disagreement fold + marginal gate
+    val folded = units.agg(
+      count(lit(1)).as("n_units"), sum(col("__m")).as("n_ratings"),
+      sum((expr("cast(__m as decimal(38,0)) * __m") - col("__ssq"))
+        * expr(s"$L div (__m - 1)")).as("__sdo"))
+    val marg = uv.join(units.select(col("__u")), Seq("__u"), "left_semi")
+      .groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+      .agg(sum(expr("cast(__cv as decimal(38,0)) * __cv")).as("__ssv"))
+    folded.crossJoin(marg)
+      .select(col("n_units"), col("n_ratings"),
+        when(col("n_ratings") > 1000000000L, raise_error(lit(
+          "krippendorffAlphaPpm ratings bound: 1e9 total ratings keeps the "
+            + "product chain inside DECIMAL(38,0) — sample the units first")))
+          .when(col("n_units") === 0, lit(0L))
+          .when(expr("cast(n_ratings as decimal(38,0)) * n_ratings") === col("__ssv"),
+            lit(1000000L))
+          .otherwise(lit(1000000L) - expr(
+            s"""(cast(n_ratings - 1 as decimal(38,0)) * __sdo * 1000000)
+               | div (cast($L as decimal(38,0))
+               | * (cast(n_ratings as decimal(38,0)) * n_ratings - __ssv))""".stripMargin)
+            .cast("long"))
+          .as("alpha_ppm"))
+  }
 }

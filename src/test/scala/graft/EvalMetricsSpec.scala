@@ -231,4 +231,52 @@ class EvalMetricsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(got == model)
   }
+
+  test("krippendorffAlphaPpm: hand cases + BigInt model on a seeded fixture") {
+    def run(rs: Seq[(Long, String)]): (Long, Long, Long) =
+      EvalMetrics.krippendorffAlphaPpm(
+          rs.toDF("unit", "value").repartition(5), "unit", "value")
+        .as[(Long, Long, Long)].collect().head
+    def brute(ratings: Seq[(Long, String)]): Long = {
+      val byU = ratings.groupBy(_._1).filter(_._2.size >= 2)
+      if (byU.isEmpty) return 0L
+      val n = byU.values.map(_.size).sum
+      val nv = byU.values.flatten.toSeq.groupBy(_._2)
+        .view.mapValues(_.size.toLong)
+      val de = BigInt(n) * n - nv.values.map(c => BigInt(c) * c).sum
+      if (de == 0) return 1000000L
+      val L = BigInt(27720)
+      val sdo = byU.values.map { rs =>
+        val m = rs.size
+        val ssq = rs.groupBy(_._2).values.map(g => BigInt(g.size) * g.size).sum
+        (BigInt(m) * m - ssq) * (L / (m - 1))
+      }.sum
+      (BigInt(1000000) - (BigInt(n - 1) * sdo * 1000000) / (L * de)).toLong
+    }
+    // perfect within-unit agreement across varied values -> 1e6
+    assert(run(Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"), (2L, "b")))
+      == ((2L, 5L, 1000000L)))
+    // one agreeing pair + one disagreeing pair over a 3/1 margin:
+    // D_o = D_e = 1/2 -> exactly chance-level, alpha = 0
+    assert(run(Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b")))
+      == ((2L, 4L, 0L)))
+    // no value variation anywhere -> D_e = 0 convention, 1e6
+    assert(run(Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a")))
+      == ((2L, 4L, 1000000L)))
+    // single-rating units are excluded (unit 9 drops, result unchanged)
+    assert(run(Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (9L, "c")))
+      == ((2L, 4L, 0L)))
+    // seeded mixed fixture vs the exact rational model
+    val rnd = new scala.util.Random(20260815L)
+    val fixture = (1 to 40).flatMap { u =>
+      (0 until (2 + rnd.nextInt(7))).map(_ =>
+        (u.toLong, ("" + ('a' + rnd.nextInt(4)).toChar)))
+    }
+    val got = run(fixture)
+    assert(got._1 == 40L && got._3 == brute(fixture))
+    // systematic disagreement reads negative: two raters always differ
+    val anti = (1 to 12).map(u => (u.toLong, if (u % 2 == 0) "a" else "b")) ++
+      (1 to 12).map(u => (u.toLong, if (u % 2 == 0) "b" else "a"))
+    assert(run(anti)._3 < 0L)
+  }
 }
