@@ -2165,6 +2165,18 @@ object ExtensionQueries {
         .orderBy(col("dims"))
     }),
 
+    // The X193 incremental composition as two id-ordered arrivals
+    // (originals, then the +10000 clones): the union of the two steps'
+    // pair sets must equal one-shot q25 — the oracle IS q25's SQL.
+    "q227_neardup_inc" -> ((s, d) => {
+      val corpus = embCorpus(s, d)
+      val s1 = Similarity.nearDupStep(corpus.filter(col("vec_id") < 10000),
+        Similarity.emptyNearDupIndex(s), "vec_id", "embedding", 0.99)
+      val s2 = Similarity.nearDupStep(corpus.filter(col("vec_id") >= 10000),
+        s1.index, "vec_id", "embedding", 0.99)
+      s1.pairs.unionByName(s2.pairs).orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Krippendorff's alpha over each user's first 8 event types (the
     // multi-rater agreement gate; cap = the documented maxRaters
     // contract, (ts, event_id) total order so the sample is stable).
@@ -2364,6 +2376,15 @@ object ExtensionQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** One-shot near-dup pair SQL — shared verbatim by q25 (one-shot)
+    * and q227 (the incremental composition, which must land on the
+    * same pair set). */
+  private lazy val nearDupSql: String =
+    s"""WITH $embPairCtes
+       |SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
+       |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** cosSql over the first `d` dimensions only — the matryoshka
     * truncation: identical per-element double arithmetic and ascending
     * fold order, just fewer terms. */
@@ -2447,11 +2468,11 @@ object ExtensionQueries {
     // Similarity.nearDupCandidates: band b ∈ {0,1} buckets on the sign
     // pattern of dims [b*8+1, b*8+8]; buckets > cap are excluded; the
     // candidate set is the DISTINCT union over bands.
-    "q25_embedding_neardup" ->
-      s"""WITH $embPairCtes
-         |SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
-         |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.99
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q25_embedding_neardup" -> nearDupSql,
+
+    // The incremental composition must land exactly on the one-shot
+    // pair set — same corpus, same SQL (the q220/q212 contract).
+    "q227_neardup_inc" -> nearDupSql,
 
     // q25's pair graph at the same 0.99 threshold, collapsed to
     // connected components (min reachable id per node) — mirrors

@@ -209,6 +209,77 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
 
+  /** Banded (band, bucket, id, v) sign-LSH index frame of a corpus —
+    * [[nearDupStep]]'s persistable state: |corpus|·bands rows, keyed by
+    * the hash bucket, shard-mergeable by plain union. The embedding
+    * analogue of the dedup tier's band/window indexes. */
+  def nearDupIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   planes: Int = 8, bands: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        posexplode(array((0 until bands).map(j =>
+          signBucketAt(col(vecCol), planes, j * planes)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .select(col("band"), col("bucket"), col("id"), col("v"))
+  }
+
+  /** The empty banded index a fresh corpus starts from. */
+  def emptyNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                        elementType: org.apache.spark.sql.types.DataType =
+                          org.apache.spark.sql.types.FloatType): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("bucket", LongType), StructField("id", LongType),
+        StructField("v", ArrayType(elementType)))))
+  }
+
+  /** X193: incremental embedding near-dup — the per-arrival step of
+    * [[nearDupPairs]], the same production shape as the incremental
+    * text-dedup and self-scrub steps: each new vector probes the
+    * persisted banded index with ONE (band, bucket) equi-join (history
+    * is never re-bucketed), pairs within the batch the same way, exact
+    * cosine gates both, and the grown index comes back for the next
+    * arrival. Under the increasing-id arrival contract the union of
+    * step outputs IS the one-shot pair set (spec-pinned over random
+    * batch cuts; out-of-order ids keep earlier-arrival-wins pair
+    * orientation).
+    *
+    * Hot-bucket discipline: this step is cap-free by design — the
+    * arrival batch is small; the CAP belongs where the index is built
+    * or compacted (the one-shot path's `bucketCap`), not silently
+    * inside the probe where it would make sequential ≠ one-shot.
+    *
+    * @return pairs (id_a = earlier, id_b = newer, cosine ≥ threshold)
+    *         and the grown index
+    */
+  def nearDupStep(newVecs: DataFrame, index: DataFrame, idCol: String,
+                  vecCol: String, threshold: Double, planes: Int = 8,
+                  bands: Int = 2): IncrementalNearDup = {
+    val banded = nearDupIndex(newVecs, idCol, vecCol, planes, bands)
+      .localCheckpoint(eager = false) // forked: cross probe + within + growth
+    val cross = banded
+      .join(index.select(col("band"), col("bucket"),
+        col("id").as("id_a"), col("v").as("v_a")), Seq("band", "bucket"))
+      .select(col("id_a"), col("id").as("id_b"), col("v_a"), col("v").as("v_b"))
+      .distinct()
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    val within = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .distinct()
+    val pairs = cross.unionByName(within)
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    IncrementalNearDup(pairs, index.unionByName(banded))
+  }
+
+  final case class IncrementalNearDup(pairs: DataFrame, index: DataFrame)
+
   /** X121: hard-negative mining — per query, the top-k most similar
     * corpus vectors that are NOT near-duplicates of it: the highest-
     * value negatives for contrastive/retrieval training (in-batch

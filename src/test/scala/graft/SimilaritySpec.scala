@@ -356,4 +356,31 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((2L, 1L, 0L, 0L), (4L, 1L, 1L, 1000000L)))
   }
+
+  test("nearDupStep: sequential batches == one-shot; index grows to corpus") {
+    val rnd = new scala.util.Random(20260815L)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(16)((rnd.nextInt(9) - 4).toFloat / 4f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val oneShot = graft.ops.Similarity.nearDupPairs(df, "vec_id", "embedding",
+        0.5, planes = 4, bands = 2, bucketCap = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty, "fixture must produce pairs")
+    var idx = graft.ops.Similarity.emptyNearDupIndex(spark)
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    Seq(0 until 20, 20 until 45, 45 until 60).foreach { r =>
+      val step = graft.ops.Similarity.nearDupStep(
+        vecs.slice(r.start, r.end).toDF("vec_id", "embedding"), idx,
+        "vec_id", "embedding", 0.5, planes = 4, bands = 2)
+      got ++= step.pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      idx = step.index.localCheckpoint()
+    }
+    assert(got.toSet == oneShot, "sequential == combined")
+    val full = graft.ops.Similarity.nearDupIndex(df, "vec_id", "embedding", 4, 2)
+      .select("band", "bucket", "id").as[(Int, Long, Long)].collect().toSet
+    assert(idx.select("band", "bucket", "id")
+      .as[(Int, Long, Long)].collect().toSet == full,
+      "grown index == whole-corpus index")
+  }
 }
