@@ -2177,6 +2177,12 @@ object ExtensionQueries {
       s1.pairs.unionByName(s2.pairs).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Reshard-stability: what growing 7→8 shards costs under HRW
+    // (expected ~1/8 of rows move; hash-mod would move ~6/7) — one
+    // fold, zero shuffle.
+    "q228_reshard_stability" -> ((s, d) =>
+      Curation.reshardStability(Tables.orders(s, d), col("o_orderkey"), 7, 8)),
+
     // Krippendorff's alpha over each user's first 8 event types (the
     // multi-rater agreement gate; cap = the documented maxRaters
     // contract, (ts, event_id) total order so the sample is stable).
@@ -2374,6 +2380,17 @@ object ExtensionQueries {
     def dot(x: String, y: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, x) -> a + x)"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** DuckDB HRW shard of `key` (a VARCHAR-typed SQL expression) among
+    * `shards` — mirrors Curation.rendezvousShard: argmax of the
+    * polynomial hash of key#s, ties to the larger shard id. */
+  private def hrwSql(key: String, shards: Int): String = {
+    val items = (0 until shards).map { s =>
+      val h = dh(s"'$s#' || $key")
+      s"struct_pack(h := ($h) * ($h) % 1000000007, s := CAST($s AS BIGINT))"
+    }.mkString(", ")
+    s"list_reduce([$items], (a, x) -> CASE WHEN x.h > a.h OR (x.h = a.h AND x.s > a.s) THEN x ELSE a END).s"
   }
 
   /** One-shot near-dup pair SQL — shared verbatim by q25 (one-shot)
@@ -6025,6 +6042,18 @@ object ExtensionQueries {
          |FROM dm CROSS JOIN dn LEFT JOIN ht ON ht.dims = dm.dims
          |ORDER BY dm.dims""".stripMargin
     },
+
+    // Mirrors Curation.reshardStability: HRW argmax per shard count,
+    // moved fraction floor-ppm.
+    "q228_reshard_stability" ->
+      s"""SELECT CAST(7 AS BIGINT) AS from_shards, CAST(8 AS BIGINT) AS to_shards,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |  CAST(CASE WHEN count(*) = 0 THEN 0
+         |       ELSE SUM(CASE WHEN a <> b THEN 1 ELSE 0 END) * 1000000 // count(*)
+         |       END AS BIGINT) AS moved_ppm
+         |FROM (SELECT ${hrwSql("(o_orderkey::VARCHAR)", 7)} AS a,
+         |             ${hrwSql("(o_orderkey::VARCHAR)", 8)} AS b FROM orders)""".stripMargin,
 
     // Mirrors EvalMetrics.krippendorffAlphaPpm (L = lcm(1..11) = 27720):
     // per-unit disagreement scaled through L exactly, one truncating

