@@ -2177,6 +2177,14 @@ object ExtensionQueries {
       s1.pairs.unionByName(s2.pairs).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Measured Bloom FPR: 1500 customer keys in a 4 Kibit bitmap (k=2),
+    // probed with order keys known absent by hash — the load factor and
+    // false-positive rate the theoretical curve only approximates.
+    "q229_bloom_fpr" -> ((s, d) =>
+      graft.ops.BloomPrune.fprReport(Tables.customer(s, d), Tables.orders(s, d),
+        col("c_custkey").cast("string"), col("o_orderkey").cast("string"),
+        4096, 2)),
+
     // Reshard-stability: what growing 7→8 shards costs under HRW
     // (expected ~1/8 of rows move; hash-mod would move ~6/7) — one
     // fold, zero shuffle.
@@ -6042,6 +6050,28 @@ object ExtensionQueries {
          |FROM dm CROSS JOIN dn LEFT JOIN ht ON ht.dims = dm.dims
          |ORDER BY dm.dims""".stripMargin
     },
+
+    // Mirrors BloomPrune.fprReport: same polynomial hash, same affine
+    // position family (2j+3)·h+(5j+7) mod P mod m, absent-by-hash
+    // probes, exact bit membership.
+    "q229_bloom_fpr" ->
+      s"""WITH kh AS (SELECT DISTINCT ${dh("(c_custkey::VARCHAR)")} AS h FROM customer),
+         |pos AS (SELECT DISTINCT ((h * (2*j+3) + (5*j+7)) % 1000000007) % 4096 AS p
+         |  FROM kh, range(0, 2) t(j)),
+         |phh AS (SELECT DISTINCT ${dh("(o_orderkey::VARCHAR)")} AS h FROM orders),
+         |neg AS (SELECT h FROM phh WHERE h NOT IN (SELECT h FROM kh)),
+         |fpf AS (SELECT h, (SELECT count(*) FROM range(0, 2) t(j)
+         |    WHERE ((h * (2*j+3) + (5*j+7)) % 1000000007) % 4096 IN (SELECT p FROM pos))
+         |    AS hits FROM neg)
+         |SELECT CAST(4096 AS BIGINT) AS m_bits, CAST(2 AS BIGINT) AS k_hashes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM kh) AS n_keys,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pos) AS bits_set,
+         |  CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(SUM(CASE WHEN hits = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+         |  CAST(CASE WHEN count(*) = 0 THEN 0
+         |       ELSE SUM(CASE WHEN hits = 2 THEN 1 ELSE 0 END) * 1000000 // count(*)
+         |       END AS BIGINT) AS fpr_ppm
+         |FROM fpf""".stripMargin,
 
     // Mirrors Curation.reshardStability: HRW argmax per shard count,
     // moved fraction floor-ppm.

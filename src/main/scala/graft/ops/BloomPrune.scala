@@ -89,4 +89,43 @@ object BloomPrune {
     val bh = TextFeatures.charHash(bigKey)
     (big.count(), big.filter(mightContain(bh, bits, mBits, k)).count())
   }
+
+  /** X195: measured Bloom FPR — the calibration the theoretical
+    * (1−e^(−kn/m))^k curve approximates and deployments should verify:
+    * probe the bitmap with keys KNOWN absent (distinct probe hashes
+    * anti-joined against the key hashes — "absent" means by the same
+    * polynomial hash the filter keys on, the filter's own identity)
+    * and count how many pass anyway. The report is what sizes m before
+    * a 100 TB scan trusts the prune: bits_set/m is the load factor,
+    * fpr_ppm the measured rate — both exact, not modeled.
+    *
+    * Cost: the bitmap build (one bit_or aggregate, m/64-row collect),
+    * one hash anti-join on distinct probe keys, one fold with the
+    * probe inside codegen. No new scale shape — this is [[prunedSemiJoin]]'s
+    * machinery pointed at itself.
+    *
+    * @return one row (m_bits, k_hashes, n_keys, bits_set, n_probes,
+    *         n_fp, fpr_ppm) — n_probes counts true negatives only
+    */
+  def fprReport(keys: DataFrame, probes: DataFrame, keyExpr: Column,
+                probeExpr: Column, mBits: Int = 1 << 16,
+                k: Int = 2): DataFrame = {
+    val bits = bloomBits(keys, keyExpr, mBits, k)
+    val bitsSet = bits.map(java.lang.Long.bitCount(_).toLong).sum
+    graft.functions.GraftFunctions.register(keys.sparkSession)
+    val keyH = keys.select(TextFeatures.charHash(keyExpr).as("__h")).distinct()
+      .localCheckpoint(eager = false) // forked: anti join + key count
+    val neg = probes.select(TextFeatures.charHash(probeExpr).as("__h"))
+      .distinct()
+      .join(keyH, Seq("__h"), "left_anti")
+    neg.agg(count(lit(1)).as("n_probes"),
+        sum(when(mightContain(col("__h"), bits, mBits, k), 1L).otherwise(0L))
+          .as("n_fp"))
+      .crossJoin(broadcast(keyH.agg(count(lit(1)).as("n_keys"))))
+      .select(lit(mBits.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"),
+        col("n_keys"), lit(bitsSet).as("bits_set"),
+        col("n_probes"), col("n_fp"),
+        when(col("n_probes") === 0, lit(0L))
+          .otherwise(expr("n_fp * 1000000 DIV n_probes")).as("fpr_ppm"))
+  }
 }

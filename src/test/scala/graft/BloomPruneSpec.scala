@@ -40,4 +40,25 @@ class BloomPruneSpec extends SparkSpec {
       col("k"), col("bk"))
     assert(got.count() == 0L)
   }
+
+  test("fprReport matches the bit-level model; members never probed") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = 64; val k = 2
+    def hash(s: String): Long =
+      graft.functions.PolyHash.hash(UTF8String.fromString(s))
+    def positions(h: Long): Seq[Long] =
+      (0 until k).map(j => ((h * (2 * j + 3) + (5 * j + 7)) % 1000000007L) % m)
+    val keyStrs = (0 until 10).map(i => s"key$i")
+    val probeStrs = keyStrs ++ (0 until 200).map(i => s"probe$i")
+    val setBits = keyStrs.flatMap(s => positions(hash(s))).toSet
+    val keyHashes = keyStrs.map(hash).toSet
+    val negs = probeStrs.map(hash).distinct.filterNot(keyHashes)
+    val fps = negs.count(h => positions(h).forall(setBits))
+    val got = BloomPrune.fprReport(
+        keyStrs.toDF("kk"), probeStrs.toDF("pk"), col("kk"), col("pk"), m, k)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((m.toLong, k.toLong, 10L, setBits.size.toLong,
+      negs.size.toLong, fps.toLong, fps * 1000000L / negs.size)))
+    assert(fps > 0, "64-bit bitmap at 10 keys x 2 hashes must show FPs")
+  }
 }
