@@ -2177,6 +2177,16 @@ object ExtensionQueries {
       s1.pairs.unionByName(s2.pairs).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // HLL set-overlap matrix: user-base overlap between event types
+    // from the sketches alone — union by per-bucket register max,
+    // intersection/Jaccard by inclusion-exclusion.
+    "q230_hll_overlap" -> ((s, d) =>
+      Sketches.hllOverlap(
+          Sketches.hllRegisters(Tables.events(s, d), "event_type",
+            col("user_id").cast("string"), p = 6),
+          "event_type", p = 6)
+        .orderBy(col("g_a"), col("g_b"))),
+
     // Measured Bloom FPR: 1500 customer keys in a 4 Kibit bitmap (k=2),
     // probed with order keys known absent by hash — the load factor and
     // false-positive rate the theoretical curve only approximates.
@@ -6049,6 +6059,49 @@ object ExtensionQueries {
          |    AS recall_ppm
          |FROM dm CROSS JOIN dn LEFT JOIN ht ON ht.dims = dm.dims
          |ORDER BY dm.dims""".stripMargin
+    },
+
+    // Mirrors Sketches.hllOverlap over the q88 registers: per-bucket
+    // max union, the same integer harmonic estimate, clamped
+    // inclusion-exclusion.
+    "q230_hll_overlap" -> {
+      val vh = dh("CAST(user_id AS VARCHAR)")
+      s"""WITH h0 AS (SELECT event_type, $vh AS h FROM events),
+         |mx AS (SELECT event_type,
+         |    ((48271 * ((h * h) % 1000000007)) % 1000000007
+         |     + (16807 * h) % 1000000007) % 1000000007 AS m FROM h0),
+         |b AS (SELECT event_type, m % 64 AS bucket, m // 64 AS r FROM mx),
+         |rho AS (SELECT event_type, bucket,
+         |    CASE WHEN r = 0 THEN 30
+         |         ELSE least(30, bit_count((r & -r) - 1) + 1) END AS rho
+         |  FROM b),
+         |regs AS (SELECT event_type AS g, bucket, max(rho) AS register
+         |  FROM rho GROUP BY 1, 2),
+         |est AS (SELECT g, CAST((709 * 64 * 64 * CAST(1073741824 AS BIGINT)) //
+         |    (1000 * (SUM(CAST(1 AS BIGINT) << (30 - register))
+         |             + (64 - count(*)) * CAST(1073741824 AS BIGINT)))
+         |    AS BIGINT) AS est FROM regs GROUP BY g),
+         |pr AS (SELECT a.g AS g_a, b.g AS g_b
+         |  FROM (SELECT DISTINCT g FROM regs) a, (SELECT DISTINCT g FROM regs) b
+         |  WHERE a.g < b.g),
+         |ur AS (SELECT g_a, g_b, bucket, max(register) AS register FROM (
+         |  SELECT pr.g_a, pr.g_b, regs.bucket, regs.register
+         |    FROM pr JOIN regs ON regs.g = pr.g_a
+         |  UNION ALL
+         |  SELECT pr.g_a, pr.g_b, regs.bucket, regs.register
+         |    FROM pr JOIN regs ON regs.g = pr.g_b)
+         |  GROUP BY 1, 2, 3),
+         |ue AS (SELECT g_a, g_b, CAST((709 * 64 * 64 * CAST(1073741824 AS BIGINT)) //
+         |    (1000 * (SUM(CAST(1 AS BIGINT) << (30 - register))
+         |             + (64 - count(*)) * CAST(1073741824 AS BIGINT)))
+         |    AS BIGINT) AS est_union FROM ur GROUP BY 1, 2)
+         |SELECT ue.g_a, ue.g_b, ea.est AS est_a, eb.est AS est_b, ue.est_union,
+         |  greatest(0, ea.est + eb.est - ue.est_union) AS est_intersect,
+         |  CAST(CASE WHEN ue.est_union = 0 THEN 0
+         |       ELSE greatest(0, ea.est + eb.est - ue.est_union) * 1000000 // ue.est_union
+         |       END AS BIGINT) AS jaccard_est_ppm
+         |FROM ue JOIN est ea ON ea.g = ue.g_a JOIN est eb ON eb.g = ue.g_b
+         |ORDER BY ue.g_a, ue.g_b""".stripMargin
     },
 
     // Mirrors BloomPrune.fprReport: same polynomial hash, same affine

@@ -328,6 +328,70 @@ object Sketches {
           s"(1000 * (__s + ($m - n_occupied) * ${full}L))").as("est"))
   }
 
+  /** X196: HLL set-overlap matrix — "how much do these sources /
+    * cohorts / shards share?" answered from the SKETCHES alone, no
+    * exact dedup pass: HLL registers union by per-bucket max (the
+    * register table's native merge), so |A∪B| gets the same
+    * integer-exact estimate as the singles, and inclusion-exclusion
+    * prices the intersection and Jaccard — THE audience-overlap /
+    * corpus-contamination triage at 100 TB, where the exact pairwise
+    * answer would be a self-join nobody runs first.
+    *
+    * Estimates, not counts — the intersection difference inherits both
+    * sketches' error and clamps at 0; use the exact overlap operators
+    * (X74, X80) on the pairs this matrix flags. Deterministic: the
+    * register merge is a max (order-free) and every division is the
+    * floor DIV the singles use.
+    *
+    * Scale: pairwise work is |groups|²·m register rows (the
+    * histogram-drift pairing discipline) — comparing 50 shards never
+    * rescans a corpus; the register table is the only input.
+    *
+    * @return (g_a < g_b, est_a, est_b, est_union, est_intersect,
+    *         jaccard_est_ppm)
+    */
+  def hllOverlap(registers: DataFrame, groupCol: String,
+                 p: Int = 6): DataFrame = {
+    val m = 1L << p
+    val full = 1L << MaxRho
+    val regs = registers.withColumnRenamed(groupCol, "g")
+      .localCheckpoint(eager = false) // forked: singles + two pair probes
+    val singles = hllEstimate(regs, "g", p)
+      .select(col("g"), col("est"))
+      .localCheckpoint(eager = false) // probed twice (a side + b side)
+    val groups = regs.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(groups.select(col("g").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val unioned = pairs
+      .join(regs.select(col("g").as("g_a"), col("bucket"), col("register")),
+        Seq("g_a"))
+      .unionByName(pairs
+        .join(regs.select(col("g").as("g_b"), col("bucket"), col("register")),
+          Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("bucket"), col("register")))
+      .groupBy(col("g_a"), col("g_b"), col("bucket"))
+      .agg(max(col("register")).as("register"))
+    unioned
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("__occ"),
+        sum(expr(s"shiftleft(1L, cast($MaxRho - register AS int))")).as("__s"))
+      .select(col("g_a"), col("g_b"),
+        expr(s"(709 * $m * $m * ${full}L) DIV " +
+          s"(1000 * (__s + ($m - __occ) * ${full}L))").as("est_union"))
+      .join(singles.select(col("g").as("g_a"), col("est").as("est_a")),
+        Seq("g_a"))
+      .join(singles.select(col("g").as("g_b"), col("est").as("est_b")),
+        Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"))
+      .withColumn("jaccard_est_ppm",
+        when(col("est_union") === 0, lit(0L))
+          .otherwise(expr("(est_intersect * 1000000) DIV est_union")))
+  }
+
   /** X178: log-linear histogram quantile sketch — the bounded-state,
     * mergeable quantile tier next to KMV (cardinality) and count-min
     * (frequency). The q56 exact-quantile compaction reads every

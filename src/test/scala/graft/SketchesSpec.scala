@@ -118,6 +118,43 @@ class SketchesSpec extends SparkSpec {
       s"HLL estimate $est too far from $n")
   }
 
+  test("hllOverlap: register-level model, identical groups read jaccard 1e6") {
+    // A and C hold the SAME user set (identical sketches); B overlaps
+    // A on half its users.
+    val rows = (1 to 1000).map(i => ("A", s"u$i")) ++
+      (1 to 1000).map(i => ("C", s"u$i")) ++
+      (1 to 1000).map(i => ("B", s"u${i + 500}"))
+    val regs = Sketches.hllRegisters(rows.toDF("g", "v"), "g", col("v"), p = 6)
+    val got = Sketches.hllOverlap(regs, "g", p = 6)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // A == C: union sketch = the shared sketch, intersect = est, J = 1e6
+    val ac = got(("A", "C"))
+    assert(ac._3 == ac._4 && ac._4 == ac._5 && ac._6 == ac._3
+      && ac._7 == 1000000L)
+    // exact register-level model for every pair
+    val regRows = regs.as[(String, Long, Long)].collect()
+    val byG = regRows.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    def est(m: Map[Long, Long]): Long = {
+      val s = m.values.map(r => BigInt(1) << (30 - r.toInt)).sum +
+        BigInt(64 - m.size) * (BigInt(1) << 30)
+      ((BigInt(709) * 64 * 64 * (BigInt(1) << 30)) / (1000 * s)).toLong
+    }
+    for (a <- Seq("A", "B"); b <- Seq("B", "C") if a < b) {
+      val u = (byG(a).keySet ++ byG(b).keySet).map(k =>
+        k -> math.max(byG(a).getOrElse(k, 0L), byG(b).getOrElse(k, 0L))).toMap
+      val (ea, eb, eu) = (est(byG(a)), est(byG(b)), est(u))
+      val exp = (a, b, ea, eb, eu, math.max(0L, ea + eb - eu),
+        if (eu == 0) 0L else math.max(0L, ea + eb - eu) * 1000000L / eu)
+      assert(got((a, b)) == exp, s"pair ($a,$b)")
+    }
+    // the half-overlap pair reads a mid-range Jaccard, not 0 or 1
+    val ab = got(("A", "B"))
+    assert(ab._7 > 100000L && ab._7 < 900000L,
+      s"half-overlap jaccard out of band: ${ab._7}")
+  }
+
   test("cmJoinCardinality: exact on small key sets, estimate never below exact") {
     // A: key counts a=3, b=2; B: a=1, b=4, c=9 -> exact 3*1 + 2*4 = 11
     val a = (Seq.fill(3)("a") ++ Seq.fill(2)("b")).toDF("k")
