@@ -2177,6 +2177,13 @@ object ExtensionQueries {
       s1.pairs.unionByName(s2.pairs).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Pairwise two-sample KS over doc-length distributions by source —
+    // the binning-free drift test next to q76's histogram L1; exact
+    // integer max-CDF-gap on the compacted value domain.
+    "q231_ks_drift" -> ((s, d) =>
+      Profiler.ksStatPpm(Tables.documents(s, d), "source", col("n_chars"))
+        .orderBy(col("g_a"), col("g_b"))),
+
     // HLL set-overlap matrix: user-base overlap between event types
     // from the sketches alone — union by per-bucket register max,
     // intersection/Jaccard by inclusion-exclusion.
@@ -6060,6 +6067,31 @@ object ExtensionQueries {
          |FROM dm CROSS JOIN dn LEFT JOIN ht ON ht.dims = dm.dims
          |ORDER BY dm.dims""".stripMargin
     },
+
+    // Mirrors Profiler.ksStatPpm: pooled distinct values per pair,
+    // cum windows, D = max |cumA·nB − cumB·nA|, one floor division.
+    "q231_ks_drift" ->
+      """WITH c AS (SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |pr AS (SELECT a.g AS g_a, b.g AS g_b
+        |  FROM (SELECT DISTINCT g FROM c) a, (SELECT DISTINCT g FROM c) b
+        |  WHERE a.g < b.g),
+        |pv AS (SELECT DISTINCT g_a, g_b, v FROM (
+        |  SELECT pr.g_a, pr.g_b, c.v FROM pr JOIN c ON c.g = pr.g_a
+        |  UNION ALL SELECT pr.g_a, pr.g_b, c.v FROM pr JOIN c ON c.g = pr.g_b)),
+        |cum AS (SELECT pv.g_a, pv.g_b, pv.v,
+        |    SUM(COALESCE(ca.cnt, 0)) OVER (PARTITION BY pv.g_a, pv.g_b ORDER BY pv.v) AS cuma,
+        |    SUM(COALESCE(cb.cnt, 0)) OVER (PARTITION BY pv.g_a, pv.g_b ORDER BY pv.v) AS cumb
+        |  FROM pv LEFT JOIN c ca ON ca.g = pv.g_a AND ca.v = pv.v
+        |          LEFT JOIN c cb ON cb.g = pv.g_b AND cb.v = pv.v),
+        |d AS (SELECT cum.g_a, cum.g_b, ta.n AS na, tb.n AS nb,
+        |    MAX(ABS(CAST(cuma AS HUGEINT) * tb.n - CAST(cumb AS HUGEINT) * ta.n)) AS dd
+        |  FROM cum JOIN t ta ON ta.g = cum.g_a JOIN t tb ON tb.g = cum.g_b
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT g_a, g_b, na AS n_a, nb AS n_b,
+        |  CAST((dd * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm
+        |FROM d ORDER BY g_a, g_b""".stripMargin,
 
     // Mirrors Sketches.hllOverlap over the q88 registers: per-bucket
     // max union, the same integer harmonic estimate, clamped

@@ -269,6 +269,66 @@ object Profiler {
         col("n_below"), col("n_above"))
   }
 
+  /** X197: pairwise two-sample Kolmogorov–Smirnov statistic — the
+    * classical distribution-drift test next to X55's histogram L1:
+    * L1 on binned shares misses a small shift spread across many bins
+    * and depends on the bin width; KS is binning-free — the maximum
+    * CDF gap over the EXACT value domain — and is what a statistician
+    * reaches for when "did this column's distribution move between
+    * snapshots/sources/shards" must hold up.
+    *
+    * Exact integers end to end: D = max over pooled distinct values of
+    * |cumA·n_B − cumB·n_A|, reported as D·10⁶ div (n_A·n_B) — no CDF
+    * fractions ever materialize, so Spark ≡ DuckDB bit-for-bit.
+    *
+    * Scale shape: ONE corpus pass builds the (group, value) compaction
+    * (the q56 contract — windows see distinct values, never raw
+    * volume); all pairwise work runs on |pairs|·|pooled distinct
+    * values| rows with per-pair cum windows; comparing 50 snapshots
+    * never rescans a corpus. DECIMAL(38,0) cross-products so 10¹⁴-row
+    * groups cannot overflow.
+    *
+    * @return (g_a < g_b, n_a, n_b, ks_ppm) per group pair
+    */
+  def ksStatPpm(df: DataFrame, groupCol: String,
+                valueExpr: Column): DataFrame = {
+    val counts = df.select(col(groupCol).cast("string").as("g"),
+        valueExpr.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // forked: totals + two pair probes
+    val totals = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .localCheckpoint(eager = false) // probed twice (a side + b side)
+    val groups = counts.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(groups.select(col("g").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val pooled = pairs
+      .join(counts.select(col("g").as("g_a"), col("v")), Seq("g_a"))
+      .unionByName(pairs
+        .join(counts.select(col("g").as("g_b"), col("v")), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("v")))
+      .distinct()
+    val wCum = Window.partitionBy(col("g_a"), col("g_b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pooled
+      .join(counts.select(col("g").as("g_a"), col("v"), col("cnt").as("__ca")),
+        Seq("g_a", "v"), "left")
+      .join(counts.select(col("g").as("g_b"), col("v"), col("cnt").as("__cb")),
+        Seq("g_b", "v"), "left")
+      .join(totals.select(col("g").as("g_a"), col("n").as("__na")), Seq("g_a"))
+      .join(totals.select(col("g").as("g_b"), col("n").as("__nb")), Seq("g_b"))
+      .withColumn("__cuma", sum(coalesce(col("__ca"), lit(0L))).over(wCum))
+      .withColumn("__cumb", sum(coalesce(col("__cb"), lit(0L))).over(wCum))
+      .groupBy(col("g_a"), col("g_b"), col("__na"), col("__nb"))
+      .agg(max(abs(expr(
+        "cast(__cuma as decimal(38,0)) * __nb - cast(__cumb as decimal(38,0)) * __na")))
+        .as("__d"))
+      .select(col("g_a"), col("g_b"), col("__na").as("n_a"),
+        col("__nb").as("n_b"),
+        expr("(__d * 1000000) div (cast(__na as decimal(38,0)) * __nb)")
+          .cast("long").as("ks_ppm"))
+  }
+
   /** X145: k-anonymity audit (Sweeney 2002) — the re-identification
     * risk check that belongs next to X26's PII scrub: every
     * quasi-identifier combination whose group holds fewer than k rows

@@ -374,6 +374,39 @@ class ProfilerSpec extends SparkSpec {
     assert(solo == ((0L, 2L, 1L, 2L, 0L, 0L, 0L)))
   }
 
+  test("ksStatPpm: hand extremes + all-pairs BigInt model on a seeded fixture") {
+    import graft.ops.Profiler
+    def run(rows: Seq[(String, Long)]): Map[(String, String), (Long, Long, Long)] =
+      Profiler.ksStatPpm(rows.toDF("g", "v").repartition(5), "g", col("v"))
+        .as[(String, String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // identical distributions -> 0; fully separated -> exactly 1e6
+    val same = (1 to 30).flatMap(i => Seq(("A", i.toLong), ("B", i.toLong)))
+    assert(run(same)(("A", "B")) == ((30L, 30L, 0L)))
+    val split = (1 to 20).map(i => ("A", i.toLong)) ++
+      (1 to 10).map(i => ("B", i.toLong + 100))
+    assert(run(split)(("A", "B")) == ((20L, 10L, 1000000L)))
+    // seeded three-group fixture vs the exact rational model
+    val rnd = new scala.util.Random(20260816L)
+    val fx = (1 to 200).map(_ => ("A", rnd.nextInt(40).toLong)) ++
+      (1 to 150).map(_ => ("B", rnd.nextInt(40).toLong + 5)) ++
+      (1 to 80).map(_ => ("C", (rnd.nextInt(20) * 2).toLong))
+    def brute(a: Seq[Long], b: Seq[Long]): Long = {
+      val na = a.size.toLong; val nb = b.size.toLong
+      val vs = (a ++ b).distinct.sorted
+      val d = vs.map(v => (BigInt(a.count(_ <= v)) * nb -
+        BigInt(b.count(_ <= v)) * na).abs).max
+      ((d * 1000000) / (BigInt(na) * nb)).toLong
+    }
+    val byG = fx.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = run(fx)
+    for (a <- Seq("A", "B"); b <- Seq("B", "C") if a < b)
+      assert(got((a, b)) ==
+        ((byG(a).size.toLong, byG(b).size.toLong, brute(byG(a), byG(b)))),
+        s"pair ($a,$b)")
+    assert(got(("A", "B"))._3 > 0L)
+  }
+
   test("dataCard: one-row summary reconciles with hand computation") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"),      // exact dup pair
