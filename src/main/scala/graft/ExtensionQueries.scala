@@ -2167,7 +2167,8 @@ object ExtensionQueries {
 
     // The X193 incremental composition as two id-ordered arrivals
     // (originals, then the +10000 clones): the union of the two steps'
-    // pair sets must equal one-shot q25 — the oracle IS q25's SQL.
+    // pair sets must equal the UNCAPPED one-shot enumeration (the step
+    // is cap-free; the cap belongs at index compaction, not the probe).
     "q227_neardup_inc" -> ((s, d) => {
       val corpus = embCorpus(s, d)
       val s1 = Similarity.nearDupStep(corpus.filter(col("vec_id") < 10000),
@@ -2401,6 +2402,21 @@ object ExtensionQueries {
       |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
       |  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
+  /** [[embPairCtes]] without the hot-bucket cap: candidates straight
+    * off the banded index — the enumeration the cap-free incremental
+    * step ([[graft.ops.Similarity.nearDupStep]]) is contracted to. */
+  private val embPairCtesUncapped =
+    """ecorpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+      |bk AS (SELECT vec_id, embedding, b AS band,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), i ->
+      |    CASE WHEN embedding[b*8+i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+      |    (a, x) -> a + x) AS bucket
+      |  FROM ecorpus, range(0, 2) t(b)),
+      |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (a, x) -> a + x)"
@@ -2418,11 +2434,21 @@ object ExtensionQueries {
     s"list_reduce([$items], (a, x) -> CASE WHEN x.h > a.h OR (x.h = a.h AND x.s > a.s) THEN x ELSE a END).s"
   }
 
-  /** One-shot near-dup pair SQL — shared verbatim by q25 (one-shot)
-    * and q227 (the incremental composition, which must land on the
-    * same pair set). */
+  /** One-shot near-dup pair SQL (capped construction) — q25's oracle. */
   private lazy val nearDupSql: String =
     s"""WITH $embPairCtes
+       |SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
+       |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.99
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Cap-FREE near-dup pair SQL — q227's oracle. The incremental step
+    * is cap-free by design (the cap belongs at index build/compaction,
+    * not inside the probe), so its equivalence contract is against the
+    * UNCAPPED one-shot enumeration: on a corpus where any LSH bucket
+    * exceeds the one-shot `bucketCap`, q25 drops pairs that the step
+    * union rightly keeps. Same CTEs minus the bucket-count filter. */
+  private lazy val nearDupSqlUncapped: String =
+    s"""WITH $embPairCtesUncapped
        |SELECT id_a, id_b, ${cosSql("va", "vb")} AS cosine
        |FROM pairs WHERE ${cosSql("va", "vb")} >= 0.99
        |ORDER BY id_a, id_b""".stripMargin
@@ -2512,9 +2538,11 @@ object ExtensionQueries {
     // candidate set is the DISTINCT union over bands.
     "q25_embedding_neardup" -> nearDupSql,
 
-    // The incremental composition must land exactly on the one-shot
-    // pair set — same corpus, same SQL (the q220/q212 contract).
-    "q227_neardup_inc" -> nearDupSql,
+    // The incremental composition must land exactly on the UNCAPPED
+    // one-shot pair set — the step is cap-free by design, so its
+    // oracle must be too (scale-robust even when a bucket exceeds the
+    // one-shot path's bucketCap).
+    "q227_neardup_inc" -> nearDupSqlUncapped,
 
     // q25's pair graph at the same 0.99 threshold, collapsed to
     // connected components (min reachable id per node) — mirrors

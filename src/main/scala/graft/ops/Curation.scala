@@ -703,8 +703,11 @@ object Curation {
     * stats side is |keys| rows, never force-broadcast); the encode is
     * a codegen'd projection. Nothing else moves — the same two-step
     * every 100 TB feature pipeline can afford. Aggregate magnitude is
-    * bounded loudly at |Σ| ≤ 9·10¹⁵ so the ×1000 quantization can
-    * never wrap a long.
+    * bounded loudly at Σ|v| ≤ 9·10¹⁵ per key (summed in DECIMAL(38,0)
+    * so the bound check itself cannot wrap): that bounds |Σ − v| ≤
+    * Σ|v| even with mixed-sign targets, so the ×1000 quantization can
+    * never wrap a long — a |Σ| bound alone would pass cancelling
+    * groups whose individual |v| overflow the encode.
     *
     * @return input keys + (id, v, n, loo_milli); `n` is the key's row
     *         count, `loo_milli` NULL iff n = 1
@@ -715,11 +718,15 @@ object Curation {
     val rows = df.select(
       keyCols.map(col) :+ col(idCol).as("id") :+ targetCol.cast("long").as("v"): _*)
     val stats = rows.groupBy(keyCols.map(col): _*)
-      .agg(sum(col("v")).as("__sum"), count(lit(1)).as("n"))
+      .agg(sum(col("v")).as("__sum"),
+        sum(abs(col("v").cast("decimal(38,0)"))).as("__asum"),
+        count(lit(1)).as("n"))
       .withColumn("__sum",
-        when(abs(col("__sum")) > 9000000000000000L, raise_error(concat(
-          lit("targetEncodeLoo: group sum exceeds the 9e15 quantization bound: "),
-          col("__sum")))).otherwise(col("__sum")))
+        when(col("__asum") > lit(9000000000000000L).cast("decimal(38,0)"),
+          raise_error(concat(
+            lit("targetEncodeLoo: group sum of |v| exceeds the 9e15 quantization bound: "),
+            col("__asum").cast("string")))).otherwise(col("__sum")))
+      .drop("__asum")
     rows.join(stats, keyCols)
       .select(keyCols.map(col) ++ Seq(col("id"), col("v"), col("n"),
         when(col("n") === 1, lit(null).cast("long"))

@@ -374,11 +374,18 @@ object Similarity {
     require(dims.nonEmpty && dims.forall(_ >= 1),
       s"matryoshka widths must be positive: $dims")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // slice() silently clamps an oversized width to the full vector, so
+    // an out-of-domain dims entry would report full-width recall —
+    // raise loudly instead, consistent with the house discipline
+    val maxDim = dims.max
+    val checked = (v: Column) => when(size(v) < maxDim, raise_error(concat(
+      lit(s"matryoshkaRecall: width $maxDim exceeds stored embedding length "),
+      size(v).cast("string")))).otherwise(v)
     val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(eager = false) // forked: hit join + denominator
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), checked(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), checked(col(vecCol)).as("__cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

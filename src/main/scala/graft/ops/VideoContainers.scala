@@ -278,6 +278,10 @@ object VideoContainers {
             val h = r.le32(off2 + 36)
             if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
               fail(Avi, s"avih carries non-positive dimensions ${w}x$h")
+            // both fields are unvalidated 32-bit values; their product
+            // can exceed Long range — raise, never a garbage duration
+            if (usPerFrame > 0 && totalFrames > Long.MaxValue / usPerFrame)
+              fail(Avi, s"avih duration overflows: $usPerFrame us/frame x $totalFrames frames")
             meta = Some(VideoMeta(docId, "avi", w.toInt, h.toInt, totalFrames,
               usPerFrame * totalFrames / 1000))
           }
@@ -334,7 +338,7 @@ object VideoContainers {
   private final case class Mp4State(var timescale: Long = 0, var duration: Long = 0,
     var width: Int = 0, var height: Int = 0, var isVideoTrack: Boolean = false,
     var nSamples: Long = 0, var sizes: Array[Int] = Array.empty,
-    var chunkOff: Long = -1)
+    var chunkOff: Long = -1, var nChunks: Long = 0)
 
   private def walkMp4(r: R, st: Mp4State): Unit = {
     if (r.ascii(4, 4) != "ftyp") fail(Mp4, "payload lacks the ftyp box")
@@ -347,7 +351,7 @@ object VideoContainers {
           if (st.timescale <= 0) fail(Mp4, "mvhd timescale is zero")
         } else if (k2 == "trak") {
           var w = 0; var h = 0; var vide = false
-          var n = 0L; var sizes = Array.empty[Int]; var co = -1L
+          var n = 0L; var sizes = Array.empty[Int]; var co = -1L; var nch = 0L
           boxes(r, o2, e2) { (k3, o3, e3) =>
             if (k3 == "tkhd") {
               val ver = (r.be32(o3) >> 24).toInt
@@ -370,8 +374,10 @@ object VideoContainers {
                         Array.tabulate(n.toInt)(i => r.be32(o6 + 12 + i * 4).toInt)
                       }
                     val _ = e6
-                  } else if (k6 == "stco" && co < 0 && r.be32(o6 + 4) > 0)
-                    co = r.be32(o6 + 8)
+                  } else if (k6 == "stco" && co < 0) {
+                    nch = r.be32(o6 + 4)
+                    if (nch > 0) co = r.be32(o6 + 8)
+                  }
                 }
               }
             }
@@ -379,6 +385,7 @@ object VideoContainers {
           if (vide && !st.isVideoTrack) {
             st.isVideoTrack = true; st.width = w; st.height = h
             st.nSamples = n; st.sizes = sizes; st.chunkOff = co
+            st.nChunks = nch
           }
         }
       }
@@ -395,13 +402,18 @@ object VideoContainers {
   }
 
   /** MP4 frame demux: slice mdat at stco's first chunk offset by the
-    * stsz sample sizes (samples contiguous within the chunk). */
+    * stsz sample sizes (samples contiguous within the chunk). The
+    * contiguity assumption only holds for single-chunk layouts, so a
+    * multi-chunk stco fails loudly instead of silently mis-slicing
+    * (stco with one chunk forces stsc to map every sample there). */
   private def mp4Frames(r: R): Iterator[Array[Byte]] = {
     val st = Mp4State()
     walkMp4(r, st)
     if (st.nSamples == 0) Iterator.empty
     else {
       if (st.chunkOff < 0) fail(Mp4, "stsz declares samples but stco has no chunk offset")
+      if (st.nChunks > 1)
+        fail(Mp4, s"stco declares ${st.nChunks} chunks; only single-chunk sample layouts are demuxable")
       var off = st.chunkOff
       st.sizes.iterator.map { sz =>
         val f = r.slice(off.toInt, sz); off += sz; f

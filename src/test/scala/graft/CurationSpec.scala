@@ -420,6 +420,27 @@ class CurationSpec extends SparkSpec {
     assert(msgs.contains("9e15 quantization bound"))
   }
 
+  test("targetEncodeLoo: mixed-sign cancellation cannot sneak past the bound") {
+    // |Σ| = 0 here, but (Σ − v)·1000 on either row would wrap a long —
+    // the bound is on Σ|v|, so this raises instead of answering wrong.
+    val df = Seq(("a", 1L, 8000000000000000L), ("a", 2L, -8000000000000000L))
+      .toDF("k", "id", "v")
+    val e = intercept[Throwable] {
+      Curation.targetEncodeLoo(df, Seq("k"), "id", col("v")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("9e15 quantization bound"))
+    // in-bound mixed-sign control: Σ|v| = 8e15 passes and the ×1000
+    // encode stays inside long range on both rows
+    val ok = Seq(("a", 1L, 4000000000000000L), ("a", 2L, -4000000000000000L))
+      .toDF("k", "id", "v")
+    val out = Curation.targetEncodeLoo(ok, Seq("k"), "id", col("v"))
+      .select("id", "loo_milli").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(-4000000000000000000L))
+    assert(out(2L).contains(4000000000000000000L))
+  }
+
   test("rendezvousShard: minimal-move on growth, every shard occupied") {
     graft.functions.GraftFunctions.register(spark)
     val keys = (0 until 600).map(_.toLong).toDF("k")

@@ -357,6 +357,58 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((2L, 1L, 0L, 0L), (4L, 1L, 1L, 1000000L)))
   }
 
+  test("matryoshkaRecall: width beyond the stored vectors raises, never clamps") {
+    // slice() would silently clamp width 8 to the stored 4 dims and
+    // report full-width recall — the loud-out-of-domain discipline
+    // demands a raise instead.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 2f)),
+      (1L, Seq(0f, 0.1f, 0f, 1f)),
+      (2L, Seq(1f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Throwable] {
+      graft.ops.Similarity.matryoshkaRecall(
+        vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 1, dims = Seq(2, 8)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("width 8 exceeds stored embedding length"))
+    // exact-width control passes
+    assert(graft.ops.Similarity.matryoshkaRecall(
+      vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
+      k = 1, dims = Seq(4)).collect().length == 1)
+  }
+
+  test("nearDupStep union == UNCAPPED one-shot when a bucket exceeds the cap") {
+    // The step is cap-free by design (the cap belongs at index
+    // compaction, not the probe); its equivalence contract is against
+    // the uncapped enumeration. Force every vector into one hot
+    // bucket: a capped one-shot (bucketCap=1) drops all pairs, the
+    // uncapped one-shot and the step union keep them — q227's oracle
+    // must therefore be the uncapped spelling.
+    val vecs = (0 until 8).map(i => (i.toLong, Seq(1f, 1f, 1f, 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val uncapped = graft.ops.Similarity.nearDupPairs(df, "vec_id", "embedding",
+        0.99, planes = 4, bands = 1, bucketCap = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 28, "8 identical vectors -> all pairs")
+    val capped = graft.ops.Similarity.nearDupPairs(df, "vec_id", "embedding",
+        0.99, planes = 4, bands = 1, bucketCap = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty, "hot bucket over the cap is excluded one-shot")
+    var idx = graft.ops.Similarity.emptyNearDupIndex(spark)
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    Seq(0 until 3, 3 until 8).foreach { r =>
+      val step = graft.ops.Similarity.nearDupStep(
+        vecs.slice(r.start, r.end).toDF("vec_id", "embedding"), idx,
+        "vec_id", "embedding", 0.99, planes = 4, bands = 1)
+      got ++= step.pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      idx = step.index.localCheckpoint()
+    }
+    assert(got.toSet == uncapped, "step union == uncapped one-shot")
+  }
+
   test("nearDupStep: sequential batches == one-shot; index grows to corpus") {
     val rnd = new scala.util.Random(20260815L)
     val vecs = (0 until 60).map { i =>

@@ -92,4 +92,48 @@ class VideoContainersSpec extends AnyFunSuite {
       VideoContainers.parseMeta(1L, wav)
     }
   }
+
+  /** Index of the first occurrence of fourcc `id` in `b`. */
+  private def fourccAt(b: Array[Byte], id: String): Int = {
+    val pat = id.getBytes("US-ASCII")
+    (0 to b.length - 4).find(i => pat.indices.forall(j => b(i + j) == pat(j)))
+      .getOrElse(fail(s"fourcc $id not found"))
+  }
+
+  test("multi-chunk stco: metadata parses, frame demux refuses loudly") {
+    // The contiguous-slice demux is only sound for single-chunk
+    // layouts; flip stco's entry count to 2 and the demux must raise
+    // instead of silently mis-slicing (metadata stays parseable —
+    // it never touches sample bytes).
+    val mp4 = VideoContainers.encodeMp4(4, 3, 6, 17, 42L)
+    val stco = fourccAt(mp4, "stco")
+    // stco body: [ver/flags(4)][entry_count(4)][offsets...]
+    val patched = mp4.clone()
+    patched(stco + 4 + 7) = 2.toByte // count be32 low byte: 1 -> 2
+    assert(VideoContainers.parseMeta(9L, patched).n_frames == 6L)
+    val e = intercept[UnsupportedFormatException] {
+      VideoContainers.demuxFrames(patched).toArray
+    }
+    assert(e.getMessage.contains("2 chunks") &&
+      e.getMessage.contains("single-chunk"))
+    // single-chunk control stays demuxable
+    assert(VideoContainers.demuxFrames(mp4).length == 6)
+  }
+
+  test("adversarial avih duration product raises instead of wrapping") {
+    // usPerFrame and totalFrames near 2^32 overflow a signed long
+    // product; the parser must raise, never report a garbage duration.
+    val avi = VideoContainers.encodeAvi(4, 3, 6, 17, 42L)
+    val avih = fourccAt(avi, "avih")
+    val patched = avi.clone()
+    // avih body: usPerFrame at +0, totalFrames at +16 (le32 each)
+    for (off <- Seq(avih + 8, avih + 8 + 16); j <- 0 until 4)
+      patched(off + j) = 0xff.toByte
+    val e = intercept[UnsupportedFormatException] {
+      VideoContainers.parseMeta(9L, patched)
+    }
+    assert(e.getMessage.contains("duration overflows"))
+    // an in-bound product still parses (unpatched control)
+    assert(VideoContainers.parseMeta(9L, avi).duration_ms == 240L)
+  }
 }
