@@ -2185,6 +2185,41 @@ object ExtensionQueries {
       Profiler.ksStatPpm(Tables.documents(s, d), "source", col("n_chars"))
         .orderBy(col("g_a"), col("g_b"))),
 
+    // q231's bounded-state tier: the same pairwise KS read off X178
+    // qsketch cells — per-pair windows walk ≤ ~1k cells, never the
+    // pooled distinct values (the 100-TB continuous-column path).
+    "q232_ks_cells" -> ((s, d) =>
+      Profiler.ksStatFromCells(
+          Sketches.qsketchCells(
+            Tables.documents(s, d).select(col("source").as("grp"),
+              col("n_chars").cast("long").as("v")),
+            "grp", col("v"), subBits = 4),
+          "grp")
+        .orderBy(col("g_a"), col("g_b"))),
+
+    // q76's bounded-state tier: pairwise L1 on the qsketch cell shares
+    // — log-linear cells hold relative width <= 1/16 across the whole
+    // range where fixed-width bins must pick a scale.
+    "q233_drift_cells" -> ((s, d) =>
+      Profiler.driftFromCells(
+          Sketches.qsketchCells(
+            Tables.documents(s, d).select(col("source").as("grp"),
+              col("n_chars").cast("long").as("v")),
+            "grp", col("v"), subBits = 4),
+          "grp")
+        .orderBy(col("g_a"), col("g_b"))),
+
+    // WHERE the distribution moved: pairwise p50/p90/p99 shifts read
+    // off the same cells (true quantile inside the reported cell).
+    "q234_qshift_cells" -> ((s, d) =>
+      Profiler.quantileShiftFromCells(
+          Sketches.qsketchCells(
+            Tables.documents(s, d).select(col("source").as("grp"),
+              col("n_chars").cast("long").as("v")),
+            "grp", col("v"), subBits = 4),
+          "grp", Seq(50, 90, 99), subBits = 4)
+        .orderBy(col("g_a"), col("g_b"), col("pct"))),
+
     // HLL set-overlap matrix: user-base overlap between event types
     // from the sketches alone — union by per-bucket register max,
     // intersection/Jaccard by inclusion-exclusion.
@@ -2467,6 +2502,18 @@ object ExtensionQueries {
 
   private def stopList(lang: String): String =
     TextFeatures.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Shared qsketch cell build (subBits=4) of documents.n_chars by
+    * source — the q232/q233/q234 drift tier all read this one sketch,
+    * exactly as Sketches.qsketchCells spells it (e = binary exponent
+    * via length(bin(v)), m = v >> max(e−4, 0), v=0 → sentinel (−1,0)). */
+  private val docCellsCte =
+    """src AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |cells AS (SELECT g,
+      |    CAST(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS BIGINT) AS e,
+      |    CAST(v >> greatest(CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END - 4, 0) AS BIGINT) AS m,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM src GROUP BY 1, 2, 3)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q21_dedup_exact" ->
@@ -6120,6 +6167,75 @@ object ExtensionQueries {
         |SELECT g_a, g_b, na AS n_a, nb AS n_b,
         |  CAST((dd * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm
         |FROM d ORDER BY g_a, g_b""".stripMargin,
+
+    // Mirrors Profiler.ksStatFromCells over the same qsketch cell
+    // build as q209 (subBits=4, grouped by source on n_chars): pooled
+    // distinct CELLS per pair, cum windows in (e, m) order, the q231
+    // cross-multiplied max gap.
+    "q232_ks_cells" ->
+      s"""WITH $docCellsCte,
+         |t AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY 1),
+         |pr AS (SELECT a.g AS g_a, b.g AS g_b
+         |  FROM (SELECT DISTINCT g FROM cells) a, (SELECT DISTINCT g FROM cells) b
+         |  WHERE a.g < b.g),
+         |pv AS (SELECT DISTINCT g_a, g_b, e, m FROM (
+         |  SELECT pr.g_a, pr.g_b, c.e, c.m FROM pr JOIN cells c ON c.g = pr.g_a
+         |  UNION ALL SELECT pr.g_a, pr.g_b, c.e, c.m FROM pr JOIN cells c ON c.g = pr.g_b)),
+         |cum AS (SELECT pv.g_a, pv.g_b, pv.e, pv.m,
+         |    SUM(COALESCE(ca.cnt, 0)) OVER (PARTITION BY pv.g_a, pv.g_b ORDER BY pv.e, pv.m) AS cuma,
+         |    SUM(COALESCE(cb.cnt, 0)) OVER (PARTITION BY pv.g_a, pv.g_b ORDER BY pv.e, pv.m) AS cumb
+         |  FROM pv LEFT JOIN cells ca ON ca.g = pv.g_a AND ca.e = pv.e AND ca.m = pv.m
+         |          LEFT JOIN cells cb ON cb.g = pv.g_b AND cb.e = pv.e AND cb.m = pv.m),
+         |d AS (SELECT cum.g_a, cum.g_b, ta.n AS na, tb.n AS nb,
+         |    MAX(ABS(CAST(cuma AS HUGEINT) * tb.n - CAST(cumb AS HUGEINT) * ta.n)) AS dd
+         |  FROM cum JOIN t ta ON ta.g = cum.g_a JOIN t tb ON tb.g = cum.g_b
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT g_a, g_b, na AS n_a, nb AS n_b,
+         |  CAST((dd * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm
+         |FROM d ORDER BY g_a, g_b""".stripMargin,
+
+    // Mirrors Profiler.driftFromCells: per-cell floor-div shares over
+    // the same cells, pooled per pair, L1 of the share gaps (q76's
+    // spelling on the log-linear grid).
+    "q233_drift_cells" ->
+      s"""WITH $docCellsCte,
+         |t AS (SELECT g, SUM(cnt) AS n FROM cells GROUP BY 1),
+         |s AS (SELECT cells.g, e, m, cnt * 1000000 // n AS share
+         |  FROM cells JOIN t ON t.g = cells.g),
+         |pr AS (SELECT a.g AS g_a, b.g AS g_b
+         |  FROM (SELECT DISTINCT g FROM s) a, (SELECT DISTINCT g FROM s) b
+         |  WHERE a.g < b.g),
+         |pv AS (SELECT DISTINCT g_a, g_b, e, m FROM (
+         |  SELECT pr.g_a, pr.g_b, s.e, s.m FROM pr JOIN s ON s.g = pr.g_a
+         |  UNION ALL SELECT pr.g_a, pr.g_b, s.e, s.m FROM pr JOIN s ON s.g = pr.g_b))
+         |SELECT pv.g_a, pv.g_b,
+         |  CAST(SUM(ABS(COALESCE(sa.share, 0) - COALESCE(sb.share, 0))) AS BIGINT) AS l1_ppm
+         |FROM pv LEFT JOIN s sa ON sa.g = pv.g_a AND sa.e = pv.e AND sa.m = pv.m
+         |        LEFT JOIN s sb ON sb.g = pv.g_b AND sb.e = pv.e AND sb.m = pv.m
+         |GROUP BY 1, 2 ORDER BY g_a, g_b""".stripMargin,
+
+    // Mirrors Profiler.quantileShiftFromCells: q210's cell-grid
+    // quantile read per source, then the pairwise est_b - est_a.
+    "q234_qshift_cells" ->
+      s"""WITH $docCellsCte,
+         |w AS (SELECT g, e, m,
+         |    sum(cnt) OVER (PARTITION BY g ORDER BY e, m) AS cum,
+         |    sum(cnt) OVER (PARTITION BY g) AS n
+         |  FROM cells),
+         |q AS (SELECT g, pct,
+         |    min_by(e, e * 32 + m) AS qe, min_by(m, e * 32 + m) AS qm
+         |  FROM w, unnest([50, 90, 99]) t(pct)
+         |  WHERE cum * 100 >= pct * n
+         |  GROUP BY 1, 2),
+         |est AS (SELECT g, CAST(pct AS BIGINT) AS pct,
+         |    CAST(qm << greatest(qe - 4, 0) AS BIGINT) AS est,
+         |    CAST(1 << greatest(qe - 4, 0) AS BIGINT) AS width
+         |  FROM q)
+         |SELECT a.g AS g_a, b.g AS g_b, a.pct AS pct, a.est AS est_a,
+         |  b.est AS est_b, b.est - a.est AS shift,
+         |  greatest(a.width, b.width) AS width_max
+         |FROM est a JOIN est b ON a.pct = b.pct AND a.g < b.g
+         |ORDER BY g_a, g_b, a.pct""".stripMargin,
 
     // Mirrors Sketches.hllOverlap over the q88 registers: per-bucket
     // max union, the same integer harmonic estimate, clamped

@@ -329,6 +329,149 @@ object Profiler {
           .cast("long").as("ks_ppm"))
   }
 
+  /** X198: two-sample KS on qsketch cells — [[ksStatPpm]]'s bounded-
+    * state tier, and the operator that discharges its scale contract:
+    * the exact KS walks the pooled DISTINCT VALUES of each pair, which
+    * for a continuous column approaches |rows| and funnels one window
+    * partition; this one walks the pooled CELLS of an
+    * [[graft.ops.Sketches.qsketchCells]] sketch — at most
+    * ~2·2^subBits·64 rows per pair no matter how many rows went in.
+    * Same exact-integer spelling (D = max |cumA·n_B − cumB·n_A| in
+    * DECIMAL(38,0), one floor division at the end), just over the cell
+    * grid in (e, m) order (the grid is value-ordered by construction:
+    * e is the binary exponent, m the mantissa prefix).
+    *
+    * Error contract (spec-pinned against [[ksStatPpm]] on random
+    * fixtures): cell boundaries are achievable CDF points, so
+    * D_cells ≤ D_exact, and the exact sup inside a cell can exceed the
+    * boundary gap by at most that cell's mass share from each side:
+    * D_exact ≤ D_cells + max_cell(cnt_a/n_a + cnt_b/n_b) — with
+    * subBits = 4 every cell holds ≤ 1/16 relative value width, so the
+    * bracket tightens as mass spreads.
+    *
+    * Comparing 50 snapshots never rescans a corpus: build each
+    * snapshot's sketch once (mergeable, streamable —
+    * [[graft.streaming.StreamingLoad]] maintains the same cells), then
+    * every pairwise probe reads sketches.
+    *
+    * @param cells a [[graft.ops.Sketches.qsketchCells]] frame
+    *              (`groupCol`, e, m, cnt)
+    * @return (g_a < g_b, n_a, n_b, ks_ppm) per group pair
+    */
+  def ksStatFromCells(cells: DataFrame, groupCol: String): DataFrame = {
+    val counts = cells.select(col(groupCol).cast("string").as("g"),
+        col("e").cast("long").as("e"), col("m").cast("long").as("m"),
+        col("cnt").cast("long").as("cnt"))
+      .localCheckpoint(eager = false) // forked: totals + two pair probes
+    val totals = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .localCheckpoint(eager = false) // probed twice (a side + b side)
+    val groups = counts.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(groups.select(col("g").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val pooled = pairs
+      .join(counts.select(col("g").as("g_a"), col("e"), col("m")), Seq("g_a"))
+      .unionByName(pairs
+        .join(counts.select(col("g").as("g_b"), col("e"), col("m")), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("e"), col("m")))
+      .distinct()
+    val wCum = Window.partitionBy(col("g_a"), col("g_b"))
+      .orderBy(col("e").asc, col("m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pooled
+      .join(counts.select(col("g").as("g_a"), col("e"), col("m"),
+        col("cnt").as("__ca")), Seq("g_a", "e", "m"), "left")
+      .join(counts.select(col("g").as("g_b"), col("e"), col("m"),
+        col("cnt").as("__cb")), Seq("g_b", "e", "m"), "left")
+      .join(totals.select(col("g").as("g_a"), col("n").as("__na")), Seq("g_a"))
+      .join(totals.select(col("g").as("g_b"), col("n").as("__nb")), Seq("g_b"))
+      .withColumn("__cuma", sum(coalesce(col("__ca"), lit(0L))).over(wCum))
+      .withColumn("__cumb", sum(coalesce(col("__cb"), lit(0L))).over(wCum))
+      .groupBy(col("g_a"), col("g_b"), col("__na"), col("__nb"))
+      .agg(max(abs(expr(
+        "cast(__cuma as decimal(38,0)) * __nb - cast(__cumb as decimal(38,0)) * __na")))
+        .as("__d"))
+      .select(col("g_a"), col("g_b"), col("__na").as("n_a"),
+        col("__nb").as("n_b"),
+        expr("(__d * 1000000) div (cast(__na as decimal(38,0)) * __nb)")
+          .cast("long").as("ks_ppm"))
+  }
+
+  /** X199: pairwise L1 drift on qsketch cells — [[histogramDriftPpm]]'s
+    * bounded-state tier: the fixed-width binning trades bin count
+    * against range (a latency column spanning nine decades needs 10⁹
+    * unit bins or useless wide ones); the log-linear cell grid holds
+    * relative width ≤ 2^−subBits across the whole range in ≤ ~1k
+    * cells per group. Same exact-integer spelling as the histogram
+    * tier: share = cnt·10⁶ div n per cell, L1 = Σ |share_a − share_b|
+    * over the pooled cells — floor division per cell, so Spark ≡
+    * DuckDB bit-for-bit and the statistic is engine-portable.
+    *
+    * @param cells a [[graft.ops.Sketches.qsketchCells]] frame
+    *              (`groupCol`, e, m, cnt)
+    * @return (g_a < g_b, l1_ppm) per group pair; l1_ppm ∈ [0, 2·10⁶]
+    */
+  def driftFromCells(cells: DataFrame, groupCol: String): DataFrame = {
+    // the sketch is computed ONCE: totals and the share projection
+    // both read the checkpointed frame (the histogramDriftPpm shape)
+    val c = cells.select(col(groupCol).cast("string").as("g"),
+        col("e").cast("long").as("e"), col("m").cast("long").as("m"),
+        col("cnt").cast("long").as("cnt"))
+      .localCheckpoint(eager = false)
+    val norm = c
+      .join(c.groupBy(col("g")).agg(sum(col("cnt")).as("__n")), Seq("g"))
+      .select(col("g"), col("e"), col("m"),
+        expr("cnt * 1000000 DIV __n").as("share"))
+      .localCheckpoint(eager = false) // pairs, pooled cells, both probes
+    val groups = norm.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(groups.select(col("g").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val pooled = pairs
+      .join(norm.select(col("g").as("g_a"), col("e"), col("m")), Seq("g_a"))
+      .unionByName(pairs
+        .join(norm.select(col("g").as("g_b"), col("e"), col("m")), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("e"), col("m")))
+      .distinct()
+    pooled
+      .join(norm.select(col("g").as("g_a"), col("e"), col("m"),
+        col("share").as("__sa")), Seq("g_a", "e", "m"), "left")
+      .join(norm.select(col("g").as("g_b"), col("e"), col("m"),
+        col("share").as("__sb")), Seq("g_b", "e", "m"), "left")
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(sum(abs(coalesce(col("__sa"), lit(0L)) - coalesce(col("__sb"), lit(0L))))
+        .as("l1_ppm"))
+  }
+
+  /** X200: pairwise quantile shift on qsketch cells — [[quantileShift]]
+    * read off the sketch instead of the exact value compaction: each
+    * group's p50/p90/… comes from
+    * [[graft.ops.Sketches.qsketchQuantiles]] (true quantile provably
+    * inside the reported cell, relative error ≤ 2^−subBits), and every
+    * group pair reports est_b − est_a per percentile. The dashboard
+    * companion to [[ksStatFromCells]]: KS says THAT the distribution
+    * moved, this says WHERE (which tail, how far, in value units).
+    * All reads touch the ≤ ~1k-cell sketch — never the corpus.
+    *
+    * @param cells a [[graft.ops.Sketches.qsketchCells]] frame
+    * @return (g_a < g_b, pct, est_a, est_b, shift, width_max)
+    */
+  def quantileShiftFromCells(cells: DataFrame, groupCol: String,
+                             pcts: Seq[Int], subBits: Int = 4): DataFrame = {
+    val q = Sketches.qsketchQuantiles(cells, groupCol, pcts, subBits)
+      .select(col(groupCol).cast("string").as("g"), col("pct"),
+        col("est"), col("width"))
+      .localCheckpoint(eager = false) // probed twice (a side + b side)
+    q.select(col("g").as("g_a"), col("pct"), col("est").as("est_a"),
+        col("width").as("__wa"))
+      .join(q.select(col("g").as("g_b"), col("pct"), col("est").as("est_b"),
+        col("width").as("__wb")), Seq("pct"))
+      .filter(col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("pct"), col("est_a"), col("est_b"),
+        (col("est_b") - col("est_a")).as("shift"),
+        greatest(col("__wa"), col("__wb")).as("width_max"))
+  }
+
   /** X145: k-anonymity audit (Sweeney 2002) — the re-identification
     * risk check that belongs next to X26's PII scrub: every
     * quasi-identifier combination whose group holds fewer than k rows

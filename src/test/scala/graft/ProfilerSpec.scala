@@ -407,6 +407,111 @@ class ProfilerSpec extends SparkSpec {
     assert(got(("A", "B"))._3 > 0L)
   }
 
+  /** The in-memory qsketch cell key (subBits=4) of a non-negative v. */
+  private def cellOf(v: Long): (Long, Long) = {
+    if (v == 0L) (-1L, 0L)
+    else {
+      val e = 63L - java.lang.Long.numberOfLeadingZeros(v)
+      (e, v >> math.max(e - 4L, 0L))
+    }
+  }
+
+  test("ksStatFromCells: == BigInt cell model; bracketed by the exact KS") {
+    import graft.ops.{Profiler, Sketches}
+    val rnd = new scala.util.Random(20260817L)
+    val fx = (1 to 300).map(_ => ("A", rnd.nextInt(5000).toLong)) ++
+      (1 to 220).map(_ => ("B", rnd.nextInt(5000).toLong + 800)) ++
+      (1 to 90).map(_ => ("C", (rnd.nextInt(100) * 37).toLong))
+    val df = fx.toDF("g", "v").repartition(5)
+    val got = Profiler.ksStatFromCells(
+        Sketches.qsketchCells(df, "g", col("v"), subBits = 4), "g")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val byG = fx.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def cellsModel(a: Seq[Long], b: Seq[Long]): Long = {
+      val ca = a.groupBy(cellOf).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(cellOf).view.mapValues(_.size.toLong).toMap
+      val na = a.size.toLong; val nb = b.size.toLong
+      val keys = (ca.keySet ++ cb.keySet).toSeq.sorted
+      var cuma = 0L; var cumb = 0L; var d = BigInt(0)
+      keys.foreach { k =>
+        cuma += ca.getOrElse(k, 0L); cumb += cb.getOrElse(k, 0L)
+        d = d.max((BigInt(cuma) * nb - BigInt(cumb) * na).abs)
+      }
+      ((d * 1000000) / (BigInt(na) * nb)).toLong
+    }
+    def exactModel(a: Seq[Long], b: Seq[Long]): Long = {
+      val na = a.size.toLong; val nb = b.size.toLong
+      val d = (a ++ b).distinct.sorted.map(v =>
+        (BigInt(a.count(_ <= v)) * nb - BigInt(b.count(_ <= v)) * na).abs).max
+      ((d * 1000000) / (BigInt(na) * nb)).toLong
+    }
+    // the worst a cell can hide is its own mass share from each side
+    def bracketPpm(a: Seq[Long], b: Seq[Long]): Long = {
+      val ca = a.groupBy(cellOf).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(cellOf).view.mapValues(_.size.toLong).toMap
+      (ca.keySet ++ cb.keySet).toSeq.map(k =>
+        1000000L * ca.getOrElse(k, 0L) / a.size +
+          1000000L * cb.getOrElse(k, 0L) / b.size).max + 2L
+    }
+    for (p <- Seq(("A", "B"), ("A", "C"), ("B", "C"))) {
+      val (a, b) = (byG(p._1), byG(p._2))
+      val (na, nb, ks) = got(p)
+      assert((na, nb) == ((a.size.toLong, b.size.toLong)), s"totals $p")
+      assert(ks == cellsModel(a, b), s"cell model $p")
+      val exact = exactModel(a, b)
+      assert(ks <= exact && exact <= ks + bracketPpm(a, b),
+        s"bracket $p: cells $ks exact $exact bound ${bracketPpm(a, b)}")
+    }
+  }
+
+  test("ksStatFromCells: values hidden inside one cell read 0 — the contract's edge") {
+    import graft.ops.{Profiler, Sketches}
+    // 1024 and 1087 share cell (e=10, m=16): exact KS is 1e6, the
+    // cell read is 0, and the documented bracket (sa+sb = 2e6) holds —
+    // the resolution price the Scaladoc pins, not a wrong answer.
+    val df = ((1 to 10).map(_ => ("A", 1024L)) ++
+      (1 to 10).map(_ => ("B", 1087L))).toDF("g", "v")
+    val got = Profiler.ksStatFromCells(
+        Sketches.qsketchCells(df, "g", col("v"), subBits = 4), "g")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("A", "B", 10L, 10L, 0L)))
+  }
+
+  test("driftFromCells == BigInt share model; quantileShiftFromCells brackets exact quantiles") {
+    import graft.ops.{Profiler, Sketches}
+    val rnd = new scala.util.Random(20260818L)
+    val fx = (1 to 240).map(_ => ("A", rnd.nextInt(3000).toLong)) ++
+      (1 to 160).map(_ => ("B", rnd.nextInt(3000).toLong + 500))
+    val df = fx.toDF("g", "v").repartition(4)
+    val cells = Sketches.qsketchCells(df, "g", col("v"), subBits = 4)
+    val byG = fx.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // L1 on floor-div cell shares
+    val ca = byG("A").groupBy(cellOf).view.mapValues(_.size.toLong).toMap
+    val cb = byG("B").groupBy(cellOf).view.mapValues(_.size.toLong).toMap
+    val expL1 = (ca.keySet ++ cb.keySet).toSeq.map { k =>
+      math.abs(1000000L * ca.getOrElse(k, 0L) / byG("A").size -
+        1000000L * cb.getOrElse(k, 0L) / byG("B").size)
+    }.sum
+    val gotL1 = Profiler.driftFromCells(cells, "g")
+      .as[(String, String, Long)].collect().toSeq
+    assert(gotL1 == Seq(("A", "B", expL1)))
+    // each side's est must contain the exact discrete quantile
+    val shifts = Profiler.quantileShiftFromCells(cells, "g", Seq(50, 90), 4)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(shifts.length == 2)
+    def exactQ(vs: Seq[Long], pct: Int): Long = {
+      val s = vs.sorted
+      s((math.ceil(s.size.toDouble * pct / 100).toInt - 1).max(0))
+    }
+    shifts.foreach { case (ga, gb, pct, estA, estB, shift, wMax) =>
+      assert(shift == estB - estA)
+      val (qa, qb) = (exactQ(byG(ga), pct.toInt), exactQ(byG(gb), pct.toInt))
+      assert(estA <= qa && qa < estA + wMax, s"$ga p$pct: est $estA exact $qa")
+      assert(estB <= qb && qb < estB + wMax, s"$gb p$pct: est $estB exact $qb")
+    }
+  }
+
   test("dataCard: one-row summary reconciles with hand computation") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"),      // exact dup pair
