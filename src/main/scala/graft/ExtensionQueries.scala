@@ -2209,6 +2209,17 @@ object ExtensionQueries {
           "grp")
         .orderBy(col("g_a"), col("g_b"))),
 
+    // X201 index compaction under the hard gate: TTL (id >= 2000) +
+    // keep-50-earliest per (band, bucket) over the X193 banded
+    // embedding index — the maintenance pass that bounds a
+    // continuously-grown LSH index.
+    "q235_compact_index" -> ((s, d) =>
+      TextDedup.compactBandedIndex(
+          Similarity.nearDupIndex(Tables.embeddings(s, d), "vec_id", "embedding"),
+          maxBucket = 5, minId = 100)
+        .select(col("band").cast("long").as("band"), col("bucket"), col("id"))
+        .orderBy(col("band"), col("bucket"), col("id"))),
+
     // WHERE the distribution moved: pairwise p50/p90/p99 shifts read
     // off the same cells (true quantile inside the reported cell).
     "q234_qshift_cells" -> ((s, d) =>
@@ -6193,6 +6204,22 @@ object ExtensionQueries {
          |SELECT g_a, g_b, na AS n_a, nb AS n_b,
          |  CAST((dd * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm
          |FROM d ORDER BY g_a, g_b""".stripMargin,
+
+    // Mirrors TextDedup.compactBandedIndex over Similarity.nearDupIndex
+    // (planes=8, bands=2): TTL filter, then keep the 5 earliest ids
+    // per (band, bucket) by row_number.
+    "q235_compact_index" ->
+      """WITH bk AS (SELECT vec_id AS id, b AS band,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), i ->
+        |      CASE WHEN embedding[b*8+i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, x) -> a + x) AS bucket
+        |  FROM embeddings, range(0, 2) t(b)),
+        |f AS (SELECT * FROM bk WHERE id >= 100),
+        |r AS (SELECT band, bucket, id,
+        |    row_number() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+        |  FROM f)
+        |SELECT CAST(band AS BIGINT) AS band, bucket, id
+        |FROM r WHERE rn <= 5 ORDER BY band, bucket, id""".stripMargin,
 
     // Mirrors Profiler.driftFromCells: per-cell floor-div shares over
     // the same cells, pooled per pair, L1 of the share gaps (q76's

@@ -43,7 +43,16 @@ object StressScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    (4 to maxExp).foreach { exp =>
+    // Per-probe selection: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
+    // those probes, so a fresh JVM measures ONE operator instead of its
+    // neighbors' block-store pressure (the r9 isolation lesson). Names:
+    // cc, tree, dedup, power, dims, bpe, packing, qsketch, compaction.
+    // Unset = run everything (the full-table run).
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(name: String): Boolean = only.forall(_.contains(name))
+
+    if (want("cc")) (4 to maxExp).foreach { exp =>
       val n = math.pow(10, exp).toLong
       val chain = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
       val t0 = System.nanoTime()
@@ -55,6 +64,7 @@ object StressScale {
     }
 
     // 100k chains × depth 20: 2M (root,node) path rows, depth fixed.
+    if (want("tree")) locally {
     val k = 100000L
     val d = 20
     val edges = spark.range(k * (d - 1)).select(
@@ -65,6 +75,7 @@ object StressScale {
     val rows = paths.count()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[stress] tree_forest k=$k depth=$d rows=$rows rounds=$rounds $secs%.1f s")
+    }
 
     // Dedup-family stress: 10 near-dup variants of every sf0.1 document
     // (each copy appends one distinct token — texts all DISTINCT, so the
@@ -74,6 +85,7 @@ object StressScale {
     // band-bucket-bounded, not all-pairs (50k² = 2.5G pairs would hang).
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"))
+    if (want("dedup")) locally {
     val variants = (0 until 10).map(i =>
       docs.select((col("doc_id") * 10 + i).as("doc_id"),
         concat(col("text"), lit(s" uniq$i")).as("text")))
@@ -150,9 +162,11 @@ object StressScale {
         s"prefix_join_rows=$prefRows ppjoin_join_rows=$ppRows " +
         s"cand_pairs_after_filters=$survivors")
     }
+    }
 
     // Power-iteration stress: 1M synthetic 64-dim embeddings, 2 rounds —
     // per-round driver state is 64 values regardless of row count.
+    if (want("power")) locally {
     val t5 = System.nanoTime()
     val emb = spark.range(1000000L).select(col("id").as("vec_id"),
       transform(sequence(lit(1), lit(64)),
@@ -160,6 +174,7 @@ object StressScale {
     val ns = ops.Spectral.topComponentScores(emb, "vec_id", "embedding", 2).count()
     val s5 = (System.nanoTime() - t5) / 1e9
     println(f"[stress] power_iter_1m rows=$ns $s5%.1f s")
+    }
 
     // Dims-axis stress (VERDICT r7): the one untested scale dimension.
     // Spectral emits one aggregate COLUMN per dimension — at 1024 dims
@@ -167,7 +182,7 @@ object StressScale {
     // measured, not assumed. Clustering (posexplode keyed (cid,pos))
     // and Similarity (single fold expression) are dims-agnostic by
     // construction but get timed at the same points for the record.
-    Seq(64, 256, 1024).foreach { dims =>
+    if (want("dims")) Seq(64, 256, 1024).foreach { dims =>
       val rows = if (dims >= 1024) 50000L else 200000L
       val embD = spark.range(rows).select(col("id").as("vec_id"),
           transform(sequence(lit(1), lit(dims)),
@@ -191,7 +206,7 @@ object StressScale {
     // BPE batched-merge stress (VERDICT r8 task 3): 256 merges over the
     // sf0.1 corpus must cost a handful of driver round-trips, not 256
     // sequential jobs — the batch acceptance rule does the collapsing.
-    locally {
+    if (want("bpe")) locally {
       val t = System.nanoTime()
       val (table, trips) = ops.BpeTrainer.trainMergesWithRounds(
         docs, "text", rounds = 256, batchK = 64)
@@ -203,6 +218,7 @@ object StressScale {
     // Sequence-packing stress: 5M docs / 2.75G tokens through the
     // two-pass distributed prefix sum — the path a single-partition
     // window could not survive.
+    if (want("packing")) locally {
     val t3 = System.nanoTime()
     val np = ops.Packing.packSequences(
       spark.range(5000000L).select(col("id").as("doc_id"),
@@ -210,13 +226,14 @@ object StressScale {
       "doc_id", col("tok"), 4096L).count()
     val s3 = (System.nanoTime() - t3) / 1e9
     println(f"[stress] packing_5m rows=$np $s3%.1f s")
+    }
 
     // Quantile-sketch stress: 50M values spanning ~40 binary exponents
     // into 4 groups — the sketch's claim is that cell count stays at
     // the ~1k-per-group bound no matter the row volume (50M rows here;
     // the same bound at 100 TB), with the whole build one map-side-
     // combinable aggregate.
-    locally {
+    if (want("qsketch")) locally {
       val t = System.nanoTime()
       val vals = spark.range(50000000L).select((col("id") % 4).as("g"),
         ((col("id") * 2654435761L).bitwiseAND(lit((1L << 40) - 1))).as("v"))
@@ -229,6 +246,40 @@ object StressScale {
       val bound = 4 * (1 + 16 + 16 * 37) // groups × (zero + exact + 16/exponent)
       println(f"[stress] qsketch_50m cells=$nCells (bound $bound) build $sB%.1f s " +
         f"quantile_rows=$nQ read $sQ%.1f s")
+    }
+
+    // Index-compaction stress (VERDICT r9 task 2): 20 arrival batches
+    // of 20k embeddings each, heavily clustered (64 distinct sign
+    // patterns), grown through nearDupStep. Uncompacted the banded
+    // index grows linearly forever (batches·20k·bands rows); with a
+    // per-cycle compactBandedIndex(maxBucket=64) the persisted state
+    // must stay bounded by |buckets|·cap — the number that decides
+    // whether a year of daily arrivals is storable.
+    if (want("compaction")) locally {
+      val batchRows = 20000L
+      val dims = 16
+      def batchDf(b: Int) = spark.range(batchRows)
+        .select((col("id") + b * batchRows).as("vec_id"),
+          transform(sequence(lit(1), lit(dims)), j =>
+            when(((col("id") + b * batchRows) * 37 + j * 13) % 64 < 32,
+              lit(1f)).otherwise(lit(-1f))).as("embedding"))
+      val t = System.nanoTime()
+      var idx = ops.Similarity.emptyNearDupIndex(spark)
+      var idxC = ops.Similarity.emptyNearDupIndex(spark)
+      (0 until 20).foreach { b =>
+        val batch = batchDf(b).localCheckpoint()
+        idx = ops.Similarity.nearDupStep(batch, idx, "vec_id", "embedding",
+          0.999, planes = 8, bands = 2).index.localCheckpoint()
+        idxC = ops.TextDedup.compactBandedIndex(
+          ops.Similarity.nearDupStep(batch, idxC, "vec_id", "embedding",
+            0.999, planes = 8, bands = 2).index, maxBucket = 64)
+          .localCheckpoint()
+      }
+      val nFull = idx.count()
+      val nComp = idxC.count()
+      val s = (System.nanoTime() - t) / 1e9
+      println(f"[stress] index_compaction batches=20 rows_per_batch=$batchRows " +
+        f"full_index=$nFull compacted_index=$nComp $s%.1f s")
     }
     spark.stop()
   }

@@ -216,6 +216,61 @@ object TextDedup {
       corpusIndex.unionByName(batchIdx))
   }
 
+  /** X201: LSH index compaction — the maintenance operator the
+    * incremental family promises ("the cap belongs at index
+    * build/compaction, not inside the probe"): without it a
+    * continuously-ingested corpus grows its persisted index without
+    * bound. Works on ANY banded index carrying (band, bucket, id) —
+    * X46's [[corpusBandIndex]] rows and X193's
+    * [[graft.ops.Similarity.nearDupIndex]] rows alike; extra columns
+    * (signatures, vectors) ride along untouched.
+    *
+    * Two composable policies:
+    *  - TTL: drop rows with id < `minId`. Under the increasing-id
+    *    arrival contract the id IS the arrival clock, so this is
+    *    "expire entries older than the retention window".
+    *  - Hot-bucket cap: keep the `maxBucket` EARLIEST ids per
+    *    (band, bucket) — the canonical survivors, so a probe against
+    *    a capped bucket still pairs with the corpus' first
+    *    occurrences, which is what dup-of-earliest semantics needs.
+    *    A hot bucket is almost always one near-identical clone family;
+    *    members past the cap are represented by their earliest kin.
+    *
+    * Contract (spec-pinned): a probe against the compacted index
+    * returns a SUBSET of the probe against the uncompacted one — the
+    * sequential ≡ one-shot equivalence (q65/q227) is a property of
+    * UNCOMPACTED indexes only, by design.
+    *
+    * Cost: one row_number window partitioned by (band, bucket) over
+    * the INDEX (never the corpus); the hottest bucket bounds the
+    * single-task width — exactly the rows this operator exists to
+    * remove, paid once per compaction cycle, and the output stays
+    * bounded at ≤ |buckets|·maxBucket forever after.
+    */
+  def compactBandedIndex(index: DataFrame, maxBucket: Long,
+                         minId: Long = Long.MinValue): DataFrame = {
+    require(maxBucket >= 1, s"bucket cap must be at least 1: $maxBucket")
+    index.filter(col("id") >= minId)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band"), col("bucket")).orderBy(col("id").asc)))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+  }
+
+  /** X201 for the substring tier: TTL compaction of the
+    * [[selfScrubIndex]] window index. Each (__h, __occ) row is already
+    * unique per distinct window, so there is no bucket to cap — the
+    * growth driver is window diversity, and the policy is retention:
+    * drop windows FIRST SEEN before the watermark occurrence key
+    * (`minOcc` = doc_id·2²² for a doc-id watermark — the arrival clock
+    * the occ encoding carries). Probing a compacted index cuts a
+    * SUBSET of what the full index would cut: an expired window that
+    * re-appears is treated as fresh and becomes the new first
+    * occurrence — the retention tradeoff, stated, not silent.
+    */
+  def compactScrubIndex(index: DataFrame, minOcc: Long): DataFrame =
+    index.filter(col("__occ") >= minOcc)
+
   /** Streaming-safe banded signatures: same math as [[corpusBandIndex]]
     * but with NO localCheckpoint/repartition (illegal on a streaming
     * frame). Single-consumer plans only — a batch caller with a

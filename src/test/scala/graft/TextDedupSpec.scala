@@ -415,6 +415,77 @@ class TextDedupSpec extends SparkSpec {
       "later-batch clone is scrubbed even with a smaller id")
   }
 
+  test("compactBandedIndex: TTL + earliest-per-bucket cap; probe is a subset") {
+    // clone family: ids 0..9 share text (one hot bucket per band);
+    // ids 20..22 are distinct singletons.
+    val corpus = ((0 until 10).map(i => (i.toLong, "aa bb cc dd ee ff")) ++
+      Seq((20L, "xx yy zz ww vv uu"), (21L, "pp qq rr ss tt uu"),
+        (22L, "mm nn oo kk jj ii"))).toDF("doc_id", "text")
+    val full = TextDedup.corpusBandIndex(corpus, "doc_id", "text").localCheckpoint()
+    val compacted = TextDedup.compactBandedIndex(full, maxBucket = 3, minId = 2L)
+      .localCheckpoint()
+    // TTL: ids below the watermark are gone
+    assert(compacted.filter($"id" < 2L).count() == 0)
+    // cap: every (band, bucket) holds <= 3 rows, and the EARLIEST
+    // surviving ids (2, 3, 4 from the clone family's post-TTL rows)
+    val sizes = compacted.groupBy("band", "bucket").count()
+      .as[(Int, Long, Long)].collect()
+    assert(sizes.forall(_._3 <= 3L))
+    val cloneIds = compacted.filter($"id" < 10L).select("id")
+      .distinct().as[Long].collect().toSet
+    assert(cloneIds == Set(2L, 3L, 4L), s"earliest survivors, got $cloneIds")
+    // extra columns ride along
+    assert(compacted.columns.toSet == full.columns.toSet)
+    // probe subset contract: a batch probed against the compacted
+    // index finds a subset of the uncompacted probe's pairs
+    val batch = Seq((100L, "aa bb cc dd ee ff"), (101L, "mm nn oo kk jj ii"))
+      .toDF("doc_id", "text")
+    val pFull = TextDedup.incrementalDedupStep(batch, full, "doc_id", "text")
+      .pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pComp = TextDedup.incrementalDedupStep(batch, compacted, "doc_id", "text")
+      .pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pComp.nonEmpty && pComp.subsetOf(pFull), s"$pComp vs $pFull")
+    // the canonical earliest survivor is still hit through the cap
+    assert(pComp.contains((100L, 2L)))
+  }
+
+  test("compactBandedIndex: same contract on the embedding nearDupIndex") {
+    val vecs = ((0 until 6).map(i => (i.toLong, Seq(1f, 1f, 1f, 1f))) :+
+      (10L, Seq(-1f, -1f, -1f, -1f))).toDF("vec_id", "embedding")
+    val full = graft.ops.Similarity.nearDupIndex(vecs, "vec_id", "embedding",
+      planes = 4, bands = 1).localCheckpoint()
+    val compacted = TextDedup.compactBandedIndex(full, maxBucket = 2)
+      .localCheckpoint()
+    assert(compacted.filter($"id" < 10L).select("id")
+      .distinct().as[Long].collect().toSet == Set(0L, 1L))
+    val probe = Seq((50L, Seq(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val pFull = graft.ops.Similarity.nearDupStep(probe, full, "vec_id",
+        "embedding", 0.99, planes = 4, bands = 1)
+      .pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pComp = graft.ops.Similarity.nearDupStep(probe, compacted, "vec_id",
+        "embedding", 0.99, planes = 4, bands = 1)
+      .pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pComp == Set((0L, 50L), (1L, 50L)) && pComp.subsetOf(pFull))
+  }
+
+  test("compactScrubIndex: expired windows cut a subset; re-appearance is fresh") {
+    val s1 = TextDedup.selfScrubStep(
+      Seq((1L, "x y z w v")).toDF("doc_id", "text"),
+      TextDedup.emptyScrubIndex(spark), "doc_id", "text", 5)
+    val fullIdx = s1.index.localCheckpoint()
+    // watermark past doc 1's occ keys expires its windows
+    val compacted = TextDedup.compactScrubIndex(fullIdx, minOcc = 2L << 22)
+      .localCheckpoint()
+    assert(compacted.count() == 0 && fullIdx.count() == 1)
+    val clone = Seq((9L, "x y z w v")).toDF("doc_id", "text")
+    val cutFull = TextDedup.selfScrubStep(clone, fullIdx, "doc_id", "text", 5)
+      .scrubbed.as[(Long, Long, Long, Long)].collect().head
+    val cutComp = TextDedup.selfScrubStep(clone, compacted, "doc_id", "text", 5)
+      .scrubbed.as[(Long, Long, Long, Long)].collect().head
+    assert(cutFull._3 == 0L, "full index cuts the clone")
+    assert(cutComp._3 == 5L, "expired window re-appears as fresh — kept")
+  }
+
   test("selfScrub: negative doc id raises loudly") {
     val bad = Seq((-1L, "a b c d e f")).toDF("doc_id", "text")
     val e = intercept[Throwable] {
