@@ -253,6 +253,85 @@ object StreamingLoad {
       }
   }
 
+  final case class DriftOut(group: String, n_base: Long, n_live: Long,
+                            ks_ppm: Long, l1_ppm: Long)
+
+  /** Streaming drift monitor — the stream-side read path for the X198/
+    * X199 bounded-state drift tier (drift IS the streaming use case:
+    * "has production moved off the release baseline?" asked
+    * continuously, not at the next batch audit). Per group, keyed
+    * state holds the live qsketch cell map (≤ ~2^subBits·64 longs —
+    * the X178 bound, whatever the stream volume); each trigger folds
+    * the micro-batch's cell keys in and emits the exact-integer KS and
+    * L1 statistics against a PINNED baseline snapshot (a
+    * [[graft.ops.Sketches.qsketchCells]] frame of the reference
+    * corpus, collected once at query start — tiny by the same bound).
+    *
+    * The arithmetic is the batch operators' spelling verbatim (BigInt
+    * cross-multiplied max CDF gap; floor-div shares), so after any
+    * trigger the emission per group equals
+    * [[graft.ops.Profiler.ksStatFromCells]] /
+    * [[graft.ops.Profiler.driftFromCells]] over (baseline, union of
+    * all arrivals so far) — pinned by spec across trigger cuts like
+    * the other streaming twins. A group with NO baseline cells reads
+    * total drift by contract: ks_ppm = 10⁶, l1_ppm = Σ live shares
+    * (everything it carries is new).
+    */
+  def driftStream(rows: DataFrame, groupCol: String, valueCol: String,
+                  baselineCells: DataFrame, subBits: Int = 4): Dataset[DriftOut] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    // (e+1) << 32 | m sorts exactly like (e, m): e+1 ≥ 0, 0 ≤ m < 2^32
+    def enc(e: Long, m: Long): Long = ((e + 1) << 32) | m
+    // a qsketchCells frame: (group, e, m, cnt) with the group first
+    val base: Map[String, Map[Long, Long]] = baselineCells
+      .select(col(baselineCells.columns.head).cast("string").as("g"),
+        col("e").cast("long"), col("m").cast("long"), col("cnt").cast("long"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r =>
+        enc(r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap)
+      .toMap
+    graft.ops.Sketches
+      .qsketchKeyRows(rows.select(col(groupCol).cast("string").as("g"),
+        col(valueCol)), "g", col(valueCol), subBits)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, Long], DriftOut](GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          val cur = scala.collection.mutable.Map.empty[Long, Long] ++
+            state.getOption.getOrElse(Map.empty)
+          it.foreach { t =>
+            val k = enc(t._2, t._3)
+            cur.update(k, cur.getOrElse(k, 0L) + 1L)
+          }
+          state.update(cur.toMap)
+          val b = base.getOrElse(g, Map.empty)
+          val nb = b.valuesIterator.sum
+          val nl = cur.valuesIterator.sum
+          val keys = (b.keySet ++ cur.keySet).toSeq.sorted
+          if (nb == 0L || nl == 0L) {
+            // one side empty: total drift by contract (see Scaladoc)
+            val live = if (nl == 0L) b else cur
+            val n = math.max(nb, nl)
+            val l1 = live.valuesIterator.map(c => c * 1000000L / n).sum
+            DriftOut(g, nb, nl, 1000000L, l1)
+          } else {
+            var cumB = 0L; var cumL = 0L
+            var d = BigInt(0); var l1 = 0L
+            keys.foreach { k =>
+              val cb = b.getOrElse(k, 0L); val cl = cur.getOrElse(k, 0L)
+              cumB += cb; cumL += cl
+              d = d.max((BigInt(cumB) * nl - BigInt(cumL) * nb).abs)
+              l1 += math.abs(cb * 1000000L / nb - cl * 1000000L / nl)
+            }
+            DriftOut(g, nb, nl,
+              ((d * 1000000L) / (BigInt(nb) * nl)).toLong, l1)
+          }
+      }
+  }
+
   // ---- custom state: dataset content digest (mapGroupsWithState) -------
 
   final case class DigestOut(shard: Long, n_rows: Long, xor_h: Long,

@@ -225,6 +225,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift vs a pinned baseline equals the batch cell drift") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260819L)
+    val baseRows = (1 to 400).map(_ => ("a", rnd.nextInt(2000).toLong)) ++
+      (1 to 300).map(_ => ("b", rnd.nextInt(800).toLong))
+    val liveRows = (1 to 350).map(_ => ("a", rnd.nextInt(2000).toLong + 300)) ++
+      (1 to 250).map(_ => ("b", rnd.nextInt(800).toLong)) ++
+      (1 to 60).map(_ => ("c", rnd.nextInt(500).toLong)) // no baseline
+    val baseline = graft.ops.Sketches.qsketchCells(
+      baseRows.toDF("g", "v"), "g", col("v"), subBits = 4).localCheckpoint()
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingLoad.driftStream(mem.toDF().toDF("g", "v"), "g", "v",
+        baseline, subBits = 4)
+      .writeStream.format("memory").queryName("drift_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // three uneven trigger cuts
+      mem.addData(liveRows.take(200): _*); q.processAllAvailable()
+      mem.addData(liveRows.slice(200, 480): _*); q.processAllAvailable()
+      mem.addData(liveRows.drop(480): _*); q.processAllAvailable()
+      // last emission per group (n_live grows monotonically per group)
+      val last = spark.table("drift_test")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"group")
+            .orderBy($"n_live".desc)))
+        .filter($"rn" === 1).drop("rn")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      // batch twins: baseline as "a...", live union as "b..." so
+      // g_a = baseline side in the pairwise frames
+      def two(g: String) = baseline.filter(col("g") === g)
+        .select(org.apache.spark.sql.functions.lit("base").as("g"),
+          col("e"), col("m"), col("cnt"))
+        .unionByName(graft.ops.Sketches.qsketchCells(
+          liveRows.filter(_._1 == g).toDF("g", "v"), "g", col("v"), 4)
+          .select(org.apache.spark.sql.functions.lit("live").as("g"),
+            col("e"), col("m"), col("cnt")))
+      for (g <- Seq("a", "b")) {
+        val ks = graft.ops.Profiler.ksStatFromCells(two(g), "g")
+          .as[(String, String, Long, Long, Long)].collect().head
+        val l1 = graft.ops.Profiler.driftFromCells(two(g), "g")
+          .as[(String, String, Long)].collect().head
+        assert(last(g) == ((ks._3, ks._4, ks._5, l1._3)),
+          s"group $g: stream ${last(g)} vs batch (${ks._3},${ks._4},${ks._5},${l1._3})")
+      }
+      // group with no baseline reads total drift by contract
+      assert(last("c")._1 == 0L && last("c")._3 == 1000000L)
+      assert(last("c")._4 <= 1000000L && last("c")._4 > 990000L)
+    } finally q.stop()
+  }
+
   test("stream-static incremental dedup equals the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
