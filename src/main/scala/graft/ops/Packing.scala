@@ -37,6 +37,10 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Per-document token-count magnitude cap for [[packSequences]] —
+    * bounds the sequence() fan-out a corrupt count would explode. */
+  private val PackTokCap = 1L << 40
+
   /** @param docs   one row per document
     * @param idCol  unique orderable id — packing order and tiebreak
     * @param tokCol per-document token count (cast to long); rows with
@@ -49,8 +53,17 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, tokCol: Column,
                     budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    // A doc spans ≤ 1 + tok/budget sequences — no blow-up.
-    runningTotals(docs, idCol, tokCol)
+    // A doc spans ≤ 1 + tok/budget sequences — no blow-up FROM SANE
+    // INPUT; a corrupt token count (say 2^60) would still explode its
+    // sequence() fan-out and silently hang the job, so magnitude is
+    // bounded loudly at 2^40 tokens per document (a real document
+    // cannot carry a trillion tokens — past the cap the COUNT is the
+    // corruption, and the operator must say so, not enumerate it).
+    val guarded = when(tokCol.cast("long") > PackTokCap,
+      raise_error(concat(
+        lit("packSequences: token count exceeds the 2^40 magnitude cap: "),
+        col(idCol).cast("string")))).otherwise(tokCol.cast("long"))
+    runningTotals(docs, idCol, guarded)
       .withColumn("__start", col("__end") - col("__val"))
       .withColumn("seq_id",
         explode(expr(s"sequence(__start div ${budget}L, (__end - 1) div ${budget}L)")))
@@ -154,7 +167,17 @@ object Packing {
     val running = Array.fill(valCols.size)(0L)
     val offsets = totals.map { case (p, ts) =>
       val o = (p, running.toSeq)
-      ts.zipWithIndex.foreach { case (t, i) => running(i) += t }
+      ts.zipWithIndex.foreach { case (t, i) =>
+        // the driver fold is the one place the GLOBAL total lives;
+        // a silent wrap here would corrupt every downstream offset
+        running(i) =
+          try Math.addExact(running(i), t)
+          catch { case _: ArithmeticException =>
+            throw new IllegalArgumentException(
+              s"runningTotals: global sum of ${valCols(i)} overflows Long " +
+                "— the corpus total exceeds 2^63 units")
+          }
+      }
       o
     }.toSeq
     val offDf = offsets.map { case (p, os) => (p, os) }

@@ -442,6 +442,65 @@ class ModelCheckSpec extends SparkSpec {
     assert(msg.contains("phi2 magnitude bound"), s"got: $msg")
   }
 
+  test("selfScrub id cap: raises at 2^40, passes just below") {
+    val over = Seq(((1L << 40), "a b c d e")).toDF("doc_id", "text")
+    val msg = raisedMessage(
+      graft.ops.TextDedup.selfScrub(over, "doc_id", "text", 5).collect())
+    assert(msg.contains("doc id out of [0, 2^40)"), s"got: $msg")
+    val at = Seq(((1L << 40) - 1, "a b c d e")).toDF("doc_id", "text")
+    val ok = graft.ops.TextDedup.selfScrub(at, "doc_id", "text", 5).collect()
+    assert(ok.length == 1 && ok(0).getAs[Long]("n_kept") == 5L)
+  }
+
+  test("selfScrub token cap: a 2^22-token document raises loudly") {
+    // the occ encoding gives each doc 2^22 position slots; a document
+    // at the cap would collide into its neighbor's slots — raise, not
+    // a silently wrong first-occurrence order
+    val text = new StringBuilder
+    (0 until (1 << 22)).foreach(i => text.append("a "))
+    val over = Seq((1L, text.result().trim)).toDF("doc_id", "text")
+    val msg = raisedMessage(
+      graft.ops.TextDedup.selfScrub(over, "doc_id", "text", 5).collect())
+    assert(msg.contains("2^22-token cap"), s"got: $msg")
+  }
+
+  test("krippendorffAlphaPpm raises when a unit exceeds maxRaters, passes at it") {
+    val over = ((1 to 13).map(i => ("u1", i.toLong % 2)) ++
+      Seq(("u2", 0L), ("u2", 1L))).toDF("unit", "v")
+    val msg = raisedMessage(
+      graft.ops.EvalMetrics.krippendorffAlphaPpm(over, "unit", "v").collect())
+    assert(msg.contains("exceeds maxRaters=12"), s"got: $msg")
+    val at = ((1 to 12).map(i => ("u1", i.toLong % 2)) ++
+      Seq(("u2", 0L), ("u2", 1L))).toDF("unit", "v")
+    val ok = graft.ops.EvalMetrics.krippendorffAlphaPpm(at, "unit", "v").collect()
+    assert(ok.length == 1)
+  }
+
+  test("packSequences raises past the 2^40 token magnitude cap, packs at it") {
+    // past the cap the count IS the corruption: enumerating its
+    // sequence fan-out would hang, so the operator must raise instead
+    val over = Seq((1L, (1L << 40) + 1)).toDF("doc_id", "tok")
+    val msg = raisedMessage(
+      graft.ops.Packing.packSequences(over, "doc_id", col("tok"), 1L << 35)
+        .collect())
+    assert(msg.contains("2^40 magnitude cap"), s"got: $msg")
+    val at = Seq((1L, 1L << 40)).toDF("doc_id", "tok")
+    val ok = graft.ops.Packing.packSequences(at, "doc_id", col("tok"), 1L << 35)
+      .collect()
+    assert(ok.length == 32, "2^40 tokens at 2^35 budget span 32 sequences")
+  }
+
+  test("kendallGradePpm raises past the 1e8 per-group row bound") {
+    // constant grades keep the volume path cheap (map-side combine to
+    // one cell) while n_points still crosses the bound
+    val over = spark.range(100000001L)
+      .select(lit(1L).as("g"), lit(0L).as("x"), lit(0L).as("y"))
+    val msg = raisedMessage(
+      graft.ops.Behavior.kendallGradePpm(over, "g", col("x"), col("y"))
+        .collect())
+    assert(msg.contains("group-size bound"), s"got: $msg")
+  }
+
   test("selfScrub == keep-first brute force on random duplicate-heavy corpora") {
     val rnd = new Random(20260815L)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee")
