@@ -467,14 +467,28 @@ object Curation {
     * squaring mod p is the cheapest nonlinearity both engines compute
     * identically in 64-bit integers (h < 2³⁰ ⇒ h² < 2⁶⁰), and it
     * measures uniform (6-shard split of 600 small keys lands 92-109
-    * per shard; 7→8 growth moves 12.3% ≈ 1/8). */
+    * per shard — spec-asserted; 7→8 growth moves 12.3% ≈ 1/8).
+    *
+    * Practical shard-count bound: the projection materializes one
+    * (hash, shard) struct per shard PER ROW before the max folds them,
+    * so per-row cost and codegen size are linear in `shards` — built
+    * for hundreds-to-a-few-thousand shards (file/tar/bucket layouts),
+    * and capped loudly at 4096; a 10⁵-way layout wants a different
+    * operator (two-level rendezvous), not this projection. */
   def rendezvousShard(key: Column, shards: Int): Column = {
     require(shards >= 1, s"need at least one shard: $shards")
-    array_max(array((0 until shards).map(s =>
-      struct((charHash(concat(lit(s + "#"), key.cast("string")))
-        * charHash(concat(lit(s + "#"), key.cast("string"))) % 1000000007L)
-        .as("h"),
-        lit(s.toLong).as("s"))): _*)).getField("s")
+    require(shards <= 4096,
+      s"rendezvousShard is a per-row |shards|-struct projection — " +
+        s"practical cap 4096, got $shards (use a two-level layout beyond)")
+    // each shard's hash is computed ONCE into a named struct field;
+    // the squaring reads that field (no reliance on codegen
+    // common-subexpression elimination)
+    val salted = array((0 until shards).map(s =>
+      struct(charHash(concat(lit(s + "#"), key.cast("string"))).as("h0"),
+        lit(s.toLong).as("s"))): _*)
+    array_max(transform(salted, e =>
+      struct((e.getField("h0") * e.getField("h0") % 1000000007L).as("h"),
+        e.getField("s").as("s")))).getField("s")
   }
 
   /** X194: reshard-stability report — what a shard-count change COSTS

@@ -455,6 +455,13 @@ class CurationSpec extends SparkSpec {
     val occupied = keys.select(Curation.rendezvousShard(col("k"), 6).as("s"))
       .distinct().as[Long].collect().toSet
     assert(occupied == (0L to 5L).toSet, "600 keys occupy all 6 shards")
+    // the measured-balance claim from the Scaladoc, pinned: the
+    // squared-hash score spreads 600 keys to 92-109 per shard (the raw
+    // affine-in-salt hash would land EVERY key on the top shard)
+    val sizes = keys.select(Curation.rendezvousShard(col("k"), 6).as("s"))
+      .groupBy("s").count().as[(Long, Long)].collect().toMap
+    assert(sizes.values.forall(n => n >= 92L && n <= 109L),
+      s"per-shard sizes out of the measured band: $sizes")
   }
 
   test("reshardStability: fold matches the per-row diff count, floor ppm") {
