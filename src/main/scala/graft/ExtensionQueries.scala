@@ -2209,6 +2209,52 @@ object ExtensionQueries {
           "grp")
         .orderBy(col("g_a"), col("g_b"))),
 
+    // O1-O5 composition under the hard gate: a REAL PipelineETL.run
+    // over a staging fixture derived deterministically from `part`
+    // (two price sheets with first-sheet-wins overlap + a maintenance
+    // log whose latest event deactivates every 10th code), then the
+    // resulting insumos warehouse table — orchestration order, A4
+    // dedup, S10 upsert, and the J4/W1 status sync all in one row the
+    // DuckDB twin reproduces from the same parquet.
+    "q236_pipeline_e2e" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_e2e_staging")
+      val wh = java.nio.file.Files.createTempDirectory("graft_e2e_wh").toString
+      val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      def write(name: String, lines: Iterator[String]): Unit = {
+        val w = java.nio.file.Files.newBufferedWriter(dir.resolve(name),
+          java.nio.charset.StandardCharsets.UTF_8)
+        try lines.foreach { l => w.write(l); w.write("\n") } finally w.close()
+      }
+      write("ISD_202501.csv", Iterator(
+          "SINAPI - Preços de Insumos;;;;",
+          "Código do Insumo;Descrição do Insumo;Unidade;SP;RJ") ++
+        parts.iterator.filter(_._1 % 2 == 0)
+          .map { case (k, n) => s"$k;$n;UN;1,50;2,25" })
+      write("ICD_202501.csv", Iterator(
+          "SINAPI - Preços de Insumos (desonerado);;;;",
+          "Código do Insumo;Descrição do Insumo;Unidade;SP;RJ") ++
+        parts.iterator.filter(_._1 % 3 == 0)
+          .map { case (k, n) => s"$k;$n DESON;UN;1,10;2,10" })
+      write("Manutencoes_202501.csv", Iterator(
+          "SINAPI - Relatório de Manutenções;;;;",
+          "Referência;Tipo;Código;Descrição;Manutenção") ++
+        parts.iterator.filter(_._1 % 2 == 0)
+          .map { case (k, n) => s"01/2025;INSUMO;$k;$n;ALTERAÇÃO DE PREÇO" } ++
+        parts.iterator.filter(_._1 % 10 == 0)
+          .map { case (k, n) => s"02/2025;INSUMO;$k;$n;DESATIVAÇÃO" })
+      val store = new graft.store.TableStore(s, wh)
+      val report = new graft.pipeline.PipelineETL(s, store,
+        graft.config.EngineConfig.load(env = Map.empty)).run(dir.toString, 2025, 1)
+      require(report.status == "SUCESSO" && report.sheetErrors.isEmpty,
+        s"pipeline run failed: $report")
+      store.read("insumos")
+        .select(col("codigo").cast("long").as("codigo"), col("descricao"),
+          col("unidade"), col("status"))
+        .orderBy(col("codigo"))
+    }),
+
     // X201 index compaction under the hard gate: TTL (id >= 2000) +
     // keep-50-earliest per (band, bucket) over the X193 banded
     // embedding index — the maintenance pass that bounds a
@@ -6204,6 +6250,23 @@ object ExtensionQueries {
          |SELECT g_a, g_b, na AS n_a, nb AS n_b,
          |  CAST((dd * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm
          |FROM d ORDER BY g_a, g_b""".stripMargin,
+
+    // Mirrors the PipelineETL composition over the part-derived
+    // fixture: ISD (even keys) wins the catalog consolidation over ICD
+    // (multiples of 3, DESON-suffixed descriptions); every 10th code's
+    // latest maintenance event is the deactivation.
+    "q236_pipeline_e2e" ->
+      """WITH isd AS (SELECT CAST(p_partkey AS BIGINT) AS codigo, p_name AS descricao
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |icd AS (SELECT CAST(p_partkey AS BIGINT) AS codigo, p_name || ' DESON' AS descricao
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |cat AS (SELECT codigo, descricao FROM isd
+        |  UNION ALL
+        |  SELECT codigo, descricao FROM icd
+        |  WHERE codigo NOT IN (SELECT codigo FROM isd))
+        |SELECT codigo, descricao, 'UN' AS unidade,
+        |  CASE WHEN codigo % 10 = 0 THEN 'DESATIVADO' ELSE 'ATIVO' END AS status
+        |FROM cat ORDER BY codigo""".stripMargin,
 
     // Mirrors TextDedup.compactBandedIndex over Similarity.nearDupIndex
     // (planes=8, bands=2): TTL filter, then keep the 5 earliest ids
