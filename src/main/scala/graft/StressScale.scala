@@ -248,6 +248,83 @@ object StressScale {
         f"quantile_rows=$nQ read $sQ%.1f s")
     }
 
+    // Decade probe (VERDICT r9 task 5): the bounded-state family at
+    // 10^9 rows — one decade past the 50M qsketch probe, generated as
+    // ten lazy 10^8-row batches unioned (the container cannot HOLD a
+    // 10^9-row corpus; the sketches never need it held — each family
+    // is one map-side-combinable pass whose partials are the state
+    // bound). Values are distinct by construction (odd-multiplier
+    // bijection mod 2^44), so the true cardinality is known exactly
+    // and the state-vs-bound claim is checkable. KMV's bottom-k runs
+    // the two-level merge path (per-bucket bottom-k partials, then the
+    // final fold over 65k survivor rows) — the shard-merge shape, not
+    // a 4-task window over 10^9 rows.
+    if (want("decade")) locally {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(spark)
+      val batchRows = 100000000L
+      val big = (0 until 10).map(b => spark.range(batchRows).select(
+          (col("id") % 4).as("g"),
+          (((col("id") + lit(b * batchRows)) * 2654435761L)
+            .bitwiseAND(lit((1L << 44) - 1))).as("v")))
+        .reduce(_ unionByName _)
+      def timed[A](name: String)(body: => A): A = {
+        val t = System.nanoTime()
+        val r = body
+        println(f"[stress] decade_$name ${(System.nanoTime() - t) / 1e9}%.1f s")
+        r
+      }
+      timed("qsketch_1e9") {
+        val cells = ops.Sketches.qsketchCells(big, "g", col("v")).localCheckpoint()
+        val n = cells.count()
+        val tot = cells.agg(sum(col("cnt"))).head.getLong(0)
+        val bound = 4 * (1 + 16 + 16 * 40) // groups x (zero + exact + 16/exponent to 2^44)
+        println(s"[stress] decade_qsketch cells=$n (bound $bound) mass=$tot")
+      }
+      timed("hll_1e9") {
+        val regs = ops.Sketches.hllRegisters(big, "g",
+          col("v").cast("string"), p = 6).localCheckpoint()
+        val n = regs.count()
+        val est = ops.Sketches.hllEstimate(regs, "g")
+          .agg(sum(col("est"))).head.getLong(0)
+        println(s"[stress] decade_hll registers=$n (bound ${4 * 64}) " +
+          s"est_total=$est true=1000000000 (hash space 1e9+7 saturates)")
+      }
+      timed("countmin_1e9") {
+        val cm = ops.Sketches.countMinCellsOf(big.select(col("v")), col("v"))
+          .localCheckpoint()
+        val n = cm.count()
+        val tot = cm.groupBy(col("j")).agg(sum(col("cnt")).as("s"))
+          .agg(min(col("s"))).head.getLong(0)
+        println(s"[stress] decade_countmin cells=$n (bound ${3 * 512}) row_mass=$tot")
+      }
+      timed("digest_1e9") {
+        val dig = ops.Profiler.datasetDigest(big, col("v") % 64, Seq(col("v")))
+          .localCheckpoint()
+        val n = dig.count()
+        val rows = dig.agg(sum(col("n_rows"))).head.getLong(0)
+        println(s"[stress] decade_digest shards=$n (bound 64) rows=$rows")
+      }
+      timed("kmv_1e9") {
+        import graft.functions.TextFeatures
+        // level 1: per-(group, 256-bucket) bottom-64 — the mergeable
+        // shard partial (raw hash carried; mix orders both levels)
+        val hashed = big.select(col("g"),
+          TextFeatures.charHash(col("v").cast("string")).as("__h"))
+        val lvl1 = hashed
+          .withColumn("__b", col("__h") % 256)
+          .withColumn("__rnk", row_number().over(
+            Window.partitionBy(col("g"), col("__b"))
+              .orderBy(ops.Sketches.mix(col("__h")).asc)))
+          .filter(col("__rnk") <= 64)
+          .select(col("g"), col("__h"))
+        val est = ops.Sketches.kmvFromHashed(lvl1.distinct(), "g", "__h", k = 64)
+          .agg(sum(col("kmv_est"))).head.getLong(0)
+        println(s"[stress] decade_kmv survivors<=${4 * 256 * 64} est_total=$est " +
+          "(bottom-64 state per group; hash space 1e9+7 saturates at this n)")
+      }
+    }
+
     // Index-compaction stress (VERDICT r9 task 2): 20 arrival batches
     // of 20k embeddings each, heavily clustered (64 distinct sign
     // patterns), grown through nearDupStep. Uncompacted the banded
