@@ -111,6 +111,12 @@ object HeavyScale {
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/tmp/heavy"
     val bigCopies = if (args.length > 1) args(1).toInt else 100
+    // Both legs of every ratio must run the SAME CC algorithm: the 10x
+    // pair graphs of q36/q106 can sit under the 100k-edge driver fast
+    // path while the 100x legs take pointer doubling — that ratio would
+    // measure an algorithm switch, not scaling. Forced for this harness
+    // only (per-probe JVMs make it process-wide-safe).
+    sys.props("graft.cc.localThreshold") = "0"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

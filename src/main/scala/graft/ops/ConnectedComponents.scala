@@ -45,8 +45,16 @@ object ConnectedComponents {
     * each a blocking job. Larger graphs take the distributed
     * pointer-doubling path unchanged; pass 0 to force it (the chain
     * fixtures in [[ConnectedComponentsSpec]] and StressScale do, so the
-    * O(log n) round bound stays pinned on real executions). */
-  val LocalEdgeThreshold: Long = 100000L
+    * O(log n) round bound stays pinned on real executions).
+    *
+    * Measurement override: the `graft.cc.localThreshold` system
+    * property (read at call time) replaces the default, so scale
+    * harnesses (HeavyScale) can force BOTH legs of a ratio onto the
+    * distributed algorithm — a 10× leg on the driver fast path vs a
+    * 100× leg on pointer doubling would compare two algorithms, not
+    * one operator's scaling. Production callers never set it. */
+  def LocalEdgeThreshold: Long =
+    sys.props.get("graft.cc.localThreshold").map(_.toLong).getOrElse(100000L)
 
   /** As [[labels]], also returning the number of label-update rounds run
     * (each round = exactly one Spark job / driver round-trip), so tests
