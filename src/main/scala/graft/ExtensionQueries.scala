@@ -2209,6 +2209,39 @@ object ExtensionQueries {
           "grp")
         .orderBy(col("g_a"), col("g_b"))),
 
+    // X202 CUSUM: daily event counts per type against ref level 66 —
+    // the sequential "when did the level shift?" alarm next to the
+    // two-snapshot drift tests; exact prefix-identity integers.
+    "q237_cusum" -> ((s, d) =>
+      Behavior.cusumSeries(
+          Tables.events(s, d).groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+            .agg(count(lit(1)).as("n")),
+          "event_type", "day", col("n"), ref = 66L, threshold = 25L)
+        .orderBy(col("event_type"), col("t"))),
+
+    // X203 rank AUC on the same qsketch cells as q232: directional
+    // effect size P(len_a > len_b) in ppm, ties half-weighted.
+    "q238_auc_cells" -> ((s, d) =>
+      Profiler.aucFromCells(
+          Sketches.qsketchCells(
+            Tables.documents(s, d).select(col("source").as("grp"),
+              col("n_chars").cast("long").as("v")),
+            "grp", col("v"), subBits = 4),
+          "grp")
+        .orderBy(col("g_a"), col("g_b"))),
+
+    // X204 two-sample chi-square on the same cells: the homogeneity
+    // statistic (x1000) + dof, completing the drift panel.
+    "q239_chi2_cells" -> ((s, d) =>
+      Profiler.chi2FromCells(
+          Sketches.qsketchCells(
+            Tables.documents(s, d).select(col("source").as("grp"),
+              col("n_chars").cast("long").as("v")),
+            "grp", col("v"), subBits = 4),
+          "grp")
+        .orderBy(col("g_a"), col("g_b"))),
+
     // O1-O5 composition under the hard gate: a REAL PipelineETL.run
     // over a staging fixture derived deterministically from `part`
     // (two price sheets with first-sheet-wins overlap + a maintenance
@@ -6250,6 +6283,77 @@ object ExtensionQueries {
          |SELECT g_a, g_b, na AS n_a, nb AS n_b,
          |  CAST((dd * 1000000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_ppm
          |FROM d ORDER BY g_a, g_b""".stripMargin,
+
+    // Mirrors Behavior.cusumSeries over daily event counts: the
+    // prefix identity S_t = cum - min(0, running min) for both
+    // one-sided statistics, ref 66, threshold 25.
+    "q237_cusum" ->
+      """WITH dc AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, t, v,
+        |    SUM(v - 66) OVER (PARTITION BY event_type ORDER BY t) AS cum
+        |  FROM dc),
+        |mm AS (SELECT event_type, t, v, cum,
+        |    least(0, min(cum) OVER (PARTITION BY event_type ORDER BY t)) AS mn,
+        |    greatest(0, max(cum) OVER (PARTITION BY event_type ORDER BY t)) AS mx
+        |  FROM c)
+        |SELECT event_type, t, v,
+        |  CAST(cum - mn AS BIGINT) AS s_pos,
+        |  CAST(mx - cum AS BIGINT) AS s_neg,
+        |  CAST(cum - mn > 25 OR mx - cum > 25 AS BIGINT) AS alarm
+        |FROM mm ORDER BY event_type, t""".stripMargin,
+
+    // Mirrors Profiler.aucFromCells: doubled-U fold over the pooled
+    // cells, ties half-weighted via 2·cumB − cb.
+    "q238_auc_cells" ->
+      s"""WITH $docCellsCte,
+         |t AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY 1),
+         |pr AS (SELECT a.g AS g_a, b.g AS g_b
+         |  FROM (SELECT DISTINCT g FROM cells) a, (SELECT DISTINCT g FROM cells) b
+         |  WHERE a.g < b.g),
+         |pv AS (SELECT DISTINCT g_a, g_b, e, m FROM (
+         |  SELECT pr.g_a, pr.g_b, c.e, c.m FROM pr JOIN cells c ON c.g = pr.g_a
+         |  UNION ALL SELECT pr.g_a, pr.g_b, c.e, c.m FROM pr JOIN cells c ON c.g = pr.g_b)),
+         |cum AS (SELECT pv.g_a, pv.g_b, pv.e, pv.m,
+         |    COALESCE(ca.cnt, 0) AS ca, COALESCE(cb.cnt, 0) AS cb,
+         |    SUM(COALESCE(cb.cnt, 0)) OVER (PARTITION BY pv.g_a, pv.g_b ORDER BY pv.e, pv.m) AS cumb
+         |  FROM pv LEFT JOIN cells ca ON ca.g = pv.g_a AND ca.e = pv.e AND ca.m = pv.m
+         |          LEFT JOIN cells cb ON cb.g = pv.g_b AND cb.e = pv.e AND cb.m = pv.m),
+         |u AS (SELECT g_a, g_b, SUM(CAST(ca AS HUGEINT) * (2 * cumb - cb)) AS u2
+         |  FROM cum GROUP BY 1, 2)
+         |SELECT u.g_a, u.g_b, ta.n AS n_a, tb.n AS n_b,
+         |  CAST((u2 * 1000000) // (2 * CAST(ta.n AS HUGEINT) * tb.n) AS BIGINT) AS auc_ab_ppm
+         |FROM u JOIN t ta ON ta.g = u.g_a JOIN t tb ON tb.g = u.g_b
+         |ORDER BY g_a, g_b""".stripMargin,
+
+    // Mirrors Profiler.chi2FromCells: per-cell (ca·nb − cb·na)² floor-
+    // divided by the pooled cell mass, then the x1000 two-step fold.
+    "q239_chi2_cells" ->
+      s"""WITH $docCellsCte,
+         |t AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY 1),
+         |pr AS (SELECT a.g AS g_a, b.g AS g_b
+         |  FROM (SELECT DISTINCT g FROM cells) a, (SELECT DISTINCT g FROM cells) b
+         |  WHERE a.g < b.g),
+         |pv AS (SELECT DISTINCT g_a, g_b, e, m FROM (
+         |  SELECT pr.g_a, pr.g_b, c.e, c.m FROM pr JOIN cells c ON c.g = pr.g_a
+         |  UNION ALL SELECT pr.g_a, pr.g_b, c.e, c.m FROM pr JOIN cells c ON c.g = pr.g_b)),
+         |cc AS (SELECT pv.g_a, pv.g_b,
+         |    COALESCE(ca.cnt, 0) AS ca, COALESCE(cb.cnt, 0) AS cb
+         |  FROM pv LEFT JOIN cells ca ON ca.g = pv.g_a AND ca.e = pv.e AND ca.m = pv.m
+         |          LEFT JOIN cells cb ON cb.g = pv.g_b AND cb.e = pv.e AND cb.m = pv.m),
+         |s AS (SELECT cc.g_a, cc.g_b, ta.n AS na, tb.n AS nb,
+         |    COUNT(*) AS cells,
+         |    SUM((CAST(ca AS HUGEINT) * tb.n - CAST(cb AS HUGEINT) * ta.n)
+         |      * (CAST(ca AS HUGEINT) * tb.n - CAST(cb AS HUGEINT) * ta.n)
+         |      // (ca + cb)) AS ss
+         |  FROM cc JOIN t ta ON ta.g = cc.g_a JOIN t tb ON tb.g = cc.g_b
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT g_a, g_b, na AS n_a, nb AS n_b,
+         |  CAST(cells - 1 AS BIGINT) AS dof,
+         |  CAST((ss * 1000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS chi2_milli
+         |FROM s ORDER BY g_a, g_b""".stripMargin,
 
     // Mirrors the PipelineETL composition over the part-derived
     // fixture: ISD (even keys) wins the catalog consolidation over ICD

@@ -473,6 +473,60 @@ object Behavior {
           .cast("long").as("spike"))
   }
 
+  /** X202: CUSUM changepoint statistic (Page, Biometrika 1954) — the
+    * SEQUENTIAL drift alarm next to the distributional tier (X55 L1,
+    * X197/X198 KS, X174/X200 quantile shift): those ask "are these two
+    * snapshots different?"; CUSUM watches ONE ordered series and asks
+    * "when did this metric's level shift?" — small sustained shifts
+    * accumulate where X171's per-bucket spike test (which sees each
+    * bucket alone) stays silent.
+    *
+    * Exact integers via the prefix identity: the textbook recurrence
+    * S_t = max(0, S_{t−1} + (v_t − ref)) equals cum_t − min(0,
+    * min_{j≤t} cum_j) with cum the running sum of deviations — so both
+    * one-sided statistics (upward s_pos, downward s_neg) are two
+    * cumulative windows, no recursion, engine-exact. No post-alarm
+    * reset: rows after the first alarm mark the continuing excursion
+    * (restart monitoring by re-running from the changepoint if
+    * estimation is wanted).
+    *
+    * Input contract: a PRE-AGGREGATED series (one row per (group, t) —
+    * duplicate timestamps raise loudly; window-sum order over ties is
+    * layout-dependent, and a silently order-dependent alarm is the one
+    * thing a monitor must never be). The window therefore reads
+    * |series points| per group — the q56 compaction discipline (a
+    * billion raw events compact to their time-bucket counts BEFORE
+    * this operator).
+    *
+    * @param ref       reference level (target mean + allowance, the
+    *                  Page k); deviations are v − ref
+    * @param threshold alarm when either one-sided statistic exceeds it
+    * @return (`groupCol`, t, v, s_pos, s_neg, alarm) — one row per point
+    */
+  def cusumSeries(series: DataFrame, groupCol: String, tCol: String,
+                  valueExpr: Column, ref: Long, threshold: Long): DataFrame = {
+    require(threshold > 0, s"alarm threshold must be positive: $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(groupCol).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDup = Window.partitionBy(col(groupCol), col("t"))
+    series.select(col(groupCol), col(tCol).cast("long").as("t"),
+        valueExpr.cast("long").as("v"))
+      .withColumn("v",
+        when(count(lit(1)).over(wDup) > 1, raise_error(concat(
+          lit("cusumSeries: duplicate series point at t="), col("t").cast("string"),
+          lit(" — pre-aggregate to one row per (group, t)"))))
+          .otherwise(col("v")))
+      .withColumn("__cum", sum(col("v") - lit(ref)).over(wCum))
+      .withColumn("__mn", least(lit(0L), min(col("__cum")).over(wCum)))
+      .withColumn("__mx", greatest(lit(0L), max(col("__cum")).over(wCum)))
+      .select(col(groupCol), col("t"), col("v"),
+        (col("__cum") - col("__mn")).as("s_pos"),
+        (col("__mx") - col("__cum")).as("s_neg"),
+        (col("__cum") - col("__mn") > threshold ||
+          col("__mx") - col("__cum") > threshold).cast("long").as("alarm"))
+  }
+
   /** X148: grade correlation — Spearman's rank correlation in the one
     * spelling whose arithmetic survives corpus scale. Average ranks are
     * quantized to `grades` = B quantile buckets (the rank's grade), and

@@ -472,6 +472,124 @@ object Profiler {
         greatest(col("__wa"), col("__wb")).as("width_max"))
   }
 
+  /** X203: pairwise rank AUC on qsketch cells — the Mann-Whitney /
+    * common-language effect size P(A > B) + ½P(A = B) read off the
+    * sketch: where X198's KS answers "did it move?", this answers "by
+    * how much, directionally" in one probability (500000 ppm = no
+    * stochastic dominance; 1e6 = A entirely above B) — the effect-size
+    * number a drift ticket needs next to its test statistic, and the
+    * same quantity as the group-vs-group ROC AUC.
+    *
+    * Within-cell mass is TIED by construction (the sketch cannot order
+    * inside a cell), which is exactly the midrank convention — so the
+    * statistic is the exact Mann-Whitney of the cell-censored data,
+    * and its distance from the raw-data AUC is bounded by the shared
+    * cell mass (the X198 bracket argument). Doubled-U integer
+    * spelling: 2U_A = Σ_cells ca·(2·cumB − cb); auc = 2U·10⁶ div
+    * (2·n_a·n_b), all DECIMAL(38,0).
+    *
+    * @param cells a [[graft.ops.Sketches.qsketchCells]] frame
+    * @return (g_a < g_b, n_a, n_b, auc_ab_ppm) — P(a-value > b-value)
+    *         with ties half-weighted, in ppm
+    */
+  def aucFromCells(cells: DataFrame, groupCol: String): DataFrame = {
+    val counts = cells.select(col(groupCol).cast("string").as("g"),
+        col("e").cast("long").as("e"), col("m").cast("long").as("m"),
+        col("cnt").cast("long").as("cnt"))
+      .localCheckpoint(eager = false) // forked: totals + two pair probes
+    val totals = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .localCheckpoint(eager = false)
+    val groups = counts.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(groups.select(col("g").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val pooled = pairs
+      .join(counts.select(col("g").as("g_a"), col("e"), col("m")), Seq("g_a"))
+      .unionByName(pairs
+        .join(counts.select(col("g").as("g_b"), col("e"), col("m")), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("e"), col("m")))
+      .distinct()
+    val wCum = Window.partitionBy(col("g_a"), col("g_b"))
+      .orderBy(col("e").asc, col("m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pooled
+      .join(counts.select(col("g").as("g_a"), col("e"), col("m"),
+        col("cnt").as("__ca")), Seq("g_a", "e", "m"), "left")
+      .join(counts.select(col("g").as("g_b"), col("e"), col("m"),
+        col("cnt").as("__cb")), Seq("g_b", "e", "m"), "left")
+      .join(totals.select(col("g").as("g_a"), col("n").as("__na")), Seq("g_a"))
+      .join(totals.select(col("g").as("g_b"), col("n").as("__nb")), Seq("g_b"))
+      .withColumn("__cumb", sum(coalesce(col("__cb"), lit(0L))).over(wCum))
+      .groupBy(col("g_a"), col("g_b"), col("__na"), col("__nb"))
+      .agg(sum(expr(
+        """cast(coalesce(__ca, 0) as decimal(38,0))
+          | * (2 * __cumb - coalesce(__cb, 0))""".stripMargin)).as("__u2"))
+      .select(col("g_a"), col("g_b"), col("__na").as("n_a"),
+        col("__nb").as("n_b"),
+        expr("(__u2 * 1000000) div (2 * cast(__na as decimal(38,0)) * __nb)")
+          .cast("long").as("auc_ab_ppm"))
+  }
+
+  /** X204: pairwise two-sample chi-square on qsketch cells — the
+    * homogeneity statistic completing the drift panel (L1 = total
+    * share movement, KS = worst CDF gap, AUC = direction, χ² =
+    * cell-count-weighted significance shape): χ² = Σ_cells
+    * (ca·n_b − cb·n_a)² / ((ca+cb)·n_a·n_b), reported ×1000 (milli)
+    * with the two-step floor division spelled identically on both
+    * engines; dof = pooled cells − 1 rides along so a consumer can
+    * feed any χ² tail table.
+    *
+    * Bounded loudly at 10⁸ rows per group (the X189 discipline): the
+    * per-cell numerator then stays ≤ (ca+cb)·max(n)², the fold ≤
+    * 2·10⁸·10¹⁶ — comfortably inside DECIMAL(38,0) with the ×1000.
+    *
+    * @param cells a [[graft.ops.Sketches.qsketchCells]] frame
+    * @return (g_a < g_b, n_a, n_b, dof, chi2_milli)
+    */
+  def chi2FromCells(cells: DataFrame, groupCol: String): DataFrame = {
+    val counts = cells.select(col(groupCol).cast("string").as("g"),
+        col("e").cast("long").as("e"), col("m").cast("long").as("m"),
+        col("cnt").cast("long").as("cnt"))
+      .localCheckpoint(eager = false) // forked: totals + two pair probes
+    val totals = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .withColumn("n",
+        when(col("n") > 100000000L, raise_error(concat(
+          lit("chi2FromCells group-size bound: 1e8 rows per group keeps "
+            + "the x1000 fold inside DECIMAL(38,0) — sample the group: "),
+          col("g")))).otherwise(col("n")))
+      .localCheckpoint(eager = false)
+    val groups = counts.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(groups.select(col("g").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val pooled = pairs
+      .join(counts.select(col("g").as("g_a"), col("e"), col("m")), Seq("g_a"))
+      .unionByName(pairs
+        .join(counts.select(col("g").as("g_b"), col("e"), col("m")), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("e"), col("m")))
+      .distinct()
+    pooled
+      .join(counts.select(col("g").as("g_a"), col("e"), col("m"),
+        col("cnt").as("__ca")), Seq("g_a", "e", "m"), "left")
+      .join(counts.select(col("g").as("g_b"), col("e"), col("m"),
+        col("cnt").as("__cb")), Seq("g_b", "e", "m"), "left")
+      .join(totals.select(col("g").as("g_a"), col("n").as("__na")), Seq("g_a"))
+      .join(totals.select(col("g").as("g_b"), col("n").as("__nb")), Seq("g_b"))
+      .groupBy(col("g_a"), col("g_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__cells"),
+        sum(expr(
+          """(cast(coalesce(__ca, 0) as decimal(38,0)) * __nb
+            |  - cast(coalesce(__cb, 0) as decimal(38,0)) * __na)
+            | * (cast(coalesce(__ca, 0) as decimal(38,0)) * __nb
+            |  - cast(coalesce(__cb, 0) as decimal(38,0)) * __na)
+            | div (coalesce(__ca, 0) + coalesce(__cb, 0))""".stripMargin))
+          .as("__s"))
+      .select(col("g_a"), col("g_b"), col("__na").as("n_a"),
+        col("__nb").as("n_b"), (col("__cells") - 1L).as("dof"),
+        expr("(__s * 1000) div (cast(__na as decimal(38,0)) * __nb)")
+          .cast("long").as("chi2_milli"))
+  }
+
   /** X145: k-anonymity audit (Sweeney 2002) — the re-identification
     * risk check that belongs next to X26's PII scrub: every
     * quasi-identifier combination whose group holds fewer than k rows

@@ -460,4 +460,38 @@ class BehaviorSpec extends SparkSpec {
       ("click", 50L, 3600L), ("click", 100L, 3600L),
       ("view", 50L, 1800L), ("view", 100L, 1800L)))
   }
+
+  test("cusumSeries == the textbook max(0, S+d) recurrence; alarms on the shift") {
+    val rnd = new scala.util.Random(20260820L)
+    // group a shifts level +7 at t=50; group b stays centered
+    val series = for (g <- Seq("a", "b"); t <- 0 until 80) yield
+      (g, t.toLong,
+        (rnd.nextInt(21) - 10 + (if (g == "a" && t >= 50) 7 else 0)).toLong)
+    val got = Behavior.cusumSeries(series.toDF("g", "t", "v"),
+        "g", "t", col("v"), ref = 0L, threshold = 30L)
+      .orderBy("g", "t")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val byG = series.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for (g <- Seq("a", "b")) {
+      var sPos = 0L; var sNeg = 0L
+      val rows = got.filter(_._1 == g)
+      byG(g).zip(rows).foreach { case ((_, t, v), r) =>
+        sPos = math.max(0L, sPos + v)
+        sNeg = math.max(0L, sNeg - v)
+        assert(r == ((g, t, v, sPos, sNeg,
+          if (sPos > 30L || sNeg > 30L) 1L else 0L)), s"$g t=$t")
+      }
+    }
+    assert(got.filter(_._1 == "a").exists(_._6 == 1L), "shift must alarm")
+  }
+
+  test("cusumSeries: duplicate series points raise loudly") {
+    val dup = Seq(("a", 1L, 1L), ("a", 1L, 2L)).toDF("g", "t", "v")
+    val e = intercept[Throwable] {
+      Behavior.cusumSeries(dup, "g", "t", col("v"), 0L, 10L).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate series point"), s"got: $msgs")
+  }
 }

@@ -512,6 +512,83 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("aucFromCells == BigInt midrank model; identity and separation read exact") {
+    import graft.ops.{Profiler, Sketches}
+    val rnd = new scala.util.Random(20260821L)
+    val fx = (1 to 250).map(_ => ("A", rnd.nextInt(4000).toLong)) ++
+      (1 to 180).map(_ => ("B", rnd.nextInt(4000).toLong + 700))
+    val cells = Sketches.qsketchCells(fx.toDF("g", "v"), "g", col("v"), 4)
+    val got = Profiler.aucFromCells(cells, "g")
+      .as[(String, String, Long, Long, Long)].collect().head
+    val ca = fx.filter(_._1 == "A").map(t => cellOf(t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cb = fx.filter(_._1 == "B").map(t => cellOf(t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val na = 250L; val nb = 180L
+    var cumb = 0L; var u2 = BigInt(0)
+    (ca.keySet ++ cb.keySet).toSeq.sorted.foreach { k =>
+      val a = ca.getOrElse(k, 0L); val b = cb.getOrElse(k, 0L)
+      cumb += b
+      u2 += BigInt(a) * (2 * cumb - b)
+    }
+    val exp = (u2 * 1000000 / (BigInt(2) * na * nb)).toLong
+    assert(got == (("A", "B", na, nb, exp)))
+    // identical cell sets: no dominance -> exactly 500000
+    val same = (1 to 40).flatMap(i => Seq(("A", i.toLong * 7), ("B", i.toLong * 7)))
+    val sameGot = Profiler.aucFromCells(
+        Sketches.qsketchCells(same.toDF("g", "v"), "g", col("v"), 4), "g")
+      .as[(String, String, Long, Long, Long)].collect().head
+    assert(sameGot._5 == 500000L)
+    // full separation across cells: A below B -> 0
+    val split = (1 to 20).map(i => ("A", i.toLong)) ++
+      (1 to 20).map(i => ("B", i.toLong + 100000))
+    val splitGot = Profiler.aucFromCells(
+        Sketches.qsketchCells(split.toDF("g", "v"), "g", col("v"), 4), "g")
+      .as[(String, String, Long, Long, Long)].collect().head
+    assert(splitGot._5 == 0L)
+  }
+
+  test("chi2FromCells == BigInt floor model; identical groups read 0; bound raises") {
+    import graft.ops.{Profiler, Sketches}
+    val rnd = new scala.util.Random(20260822L)
+    val fx = (1 to 300).map(_ => ("A", rnd.nextInt(3000).toLong)) ++
+      (1 to 200).map(_ => ("B", rnd.nextInt(3000).toLong + 400))
+    val cells = Sketches.qsketchCells(fx.toDF("g", "v"), "g", col("v"), 4)
+    val got = Profiler.chi2FromCells(cells, "g")
+      .as[(String, String, Long, Long, Long, Long)].collect().head
+    val ca = fx.filter(_._1 == "A").map(t => cellOf(t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cb = fx.filter(_._1 == "B").map(t => cellOf(t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val na = 300L; val nb = 200L
+    val keys = (ca.keySet ++ cb.keySet).toSeq
+    val ss = keys.map { k =>
+      val a = ca.getOrElse(k, 0L); val b = cb.getOrElse(k, 0L)
+      val d = BigInt(a) * nb - BigInt(b) * na
+      d * d / (a + b)
+    }.sum
+    val exp = (ss * 1000 / (BigInt(na) * nb)).toLong
+    assert(got == (("A", "B", na, nb, keys.size.toLong - 1, exp)))
+    assert(got._6 > 0L, "shifted fixture must register")
+    // identical groups: every cell difference is 0
+    val same = (1 to 50).flatMap(i => Seq(("A", i.toLong * 13), ("B", i.toLong * 13)))
+    val sameGot = Profiler.chi2FromCells(
+        Sketches.qsketchCells(same.toDF("g", "v"), "g", col("v"), 4), "g")
+      .as[(String, String, Long, Long, Long, Long)].collect().head
+    assert(sameGot._6 == 0L)
+    // the 1e8 per-group bound raises loudly (constant value -> one cell)
+    val over = spark.range(100000002L)
+      .select(org.apache.spark.sql.functions.when(col("id") === 0L, "B")
+        .otherwise("A").as("g"), org.apache.spark.sql.functions.lit(7L).as("v"))
+    val e = intercept[Throwable] {
+      Profiler.chi2FromCells(
+        Sketches.qsketchCells(over, "g", col("v"), 4), "g").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("group-size bound"), s"got: $msgs")
+  }
+
   test("dataCard: one-row summary reconciles with hand computation") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"),      // exact dup pair
