@@ -2242,6 +2242,41 @@ object ExtensionQueries {
           "grp")
         .orderBy(col("g_a"), col("g_b"))),
 
+    // X205 retrieval eval: per event_type, the type's top-20
+    // users-by-activity as the ranking, high-value events (value>=80)
+    // as the ground truth — MRR / P@10 / R@10 / MAP@10 in exact ppm.
+    "q240_retrieval_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val res = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("c").desc, col("user_id").asc)))
+        .filter(col("r") <= 20)
+      val rel = ev.filter(col("value") >= 80)
+        .select(col("event_type"), col("user_id"))
+      EvalMetrics.retrievalMetrics(res, rel, "event_type", "user_id", "r",
+          k = 10)
+        .orderBy(col("event_type"))
+    }),
+
+    // X206 Theil-Sen robust trend on the q237 daily series: median
+    // pairwise slope + intercept, outlier-proof where OLS is not.
+    "q241_theil_sen" -> ((s, d) =>
+      Behavior.theilSenSlope(
+          Tables.events(s, d).groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+            .agg(count(lit(1)).as("n")),
+          "event_type", "day", col("n"))
+        .orderBy(col("event_type"))),
+
+    // X207 hash-Poisson bootstrap: deterministic 50-replicate error
+    // bars on each source's mean doc length, floor-ppm integers.
+    "q242_bootstrap_ci" -> ((s, d) =>
+      Profiler.bootstrapCi(Tables.documents(s, d), "source",
+          col("doc_id"), col("n_chars"), reps = 50)
+        .orderBy(col("source"))),
+
     // O1-O5 composition under the hard gate: a REAL PipelineETL.run
     // over a staging fixture derived deterministically from `part`
     // (two price sheets with first-sheet-wins overlap + a maintenance
@@ -6354,6 +6389,100 @@ object ExtensionQueries {
          |  CAST(cells - 1 AS BIGINT) AS dof,
          |  CAST((ss * 1000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS chi2_milli
          |FROM s ORDER BY g_a, g_b""".stripMargin,
+
+    // Mirrors EvalMetrics.retrievalMetrics over the activity ranking:
+    // per-hit precision floors first, the AP mean floors second.
+    "q240_retrieval_eval" ->
+      """WITH cnt AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |res AS (SELECT event_type, user_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, user_id) AS BIGINT) AS r
+        |  FROM cnt QUALIFY r <= 10),
+        |rel AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE value >= 80),
+        |nrel AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nrel
+        |  FROM rel GROUP BY 1),
+        |hits AS (SELECT res.event_type, res.r,
+        |    count(*) OVER (PARTITION BY res.event_type ORDER BY res.r) AS h
+        |  FROM res JOIN rel USING (event_type, user_id)),
+        |hq AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nhit,
+        |    min(r) AS fr, SUM((h * 1000000) // r) AS apsum
+        |  FROM hits GROUP BY 1)
+        |SELECT q.event_type, COALESCE(nrel, 0) AS n_rel,
+        |  COALESCE(nhit, 0) AS n_hits,
+        |  CAST(COALESCE(1000000 // fr, 0) AS BIGINT) AS rr_ppm,
+        |  CAST(COALESCE((nhit * 1000000) // 10, 0) AS BIGINT) AS p_at_k_ppm,
+        |  CAST(COALESCE((nhit * 1000000) // nrel, 0) AS BIGINT) AS r_at_k_ppm,
+        |  CAST(COALESCE(apsum // least(nrel, 10), 0) AS BIGINT) AS ap_ppm
+        |FROM (SELECT DISTINCT event_type FROM res) q
+        |LEFT JOIN nrel USING (event_type) LEFT JOIN hq USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // Mirrors Behavior.theilSenSlope on the q237 daily series: DuckDB's
+    // // TRUNCATES toward zero, so the slope's FLOOR division is spelled
+    // with the same sign-split CASE as the Spark side; lower-median rank
+    // picks on the compacted slope / intercept domains.
+    "q241_theil_sen" ->
+      """WITH dc AS (SELECT event_type AS g,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points FROM dc GROUP BY 1),
+        |pr AS (SELECT a.g,
+        |    CASE WHEN b.v >= a.v THEN ((b.v - a.v) * 1000000) // (b.t - a.t)
+        |         ELSE -(((a.v - b.v) * 1000000 + (b.t - a.t) - 1) // (b.t - a.t))
+        |    END AS s
+        |  FROM dc a JOIN dc b ON a.g = b.g AND a.t < b.t),
+        |ag AS (SELECT g, s, count(*) AS c FROM pr GROUP BY 1, 2),
+        |cm AS (SELECT g, s, c, SUM(c) OVER (PARTITION BY g ORDER BY s) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS p FROM ag),
+        |sl AS (SELECT g, CAST(p AS BIGINT) AS n_pairs, s AS slope FROM cm
+        |  WHERE cum >= (p + 1) // 2 AND cum - c < (p + 1) // 2),
+        |ic AS (SELECT sl.g, sl.n_pairs, sl.slope,
+        |    dc.v * 1000000 - sl.slope * dc.t AS i
+        |  FROM sl JOIN dc ON dc.g = sl.g),
+        |ia AS (SELECT g, n_pairs, slope, i, count(*) AS c
+        |  FROM ic GROUP BY 1, 2, 3, 4),
+        |im AS (SELECT g, n_pairs, slope, i, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY i) AS cum FROM ia)
+        |SELECT im.g AS event_type, np.n_points, im.n_pairs,
+        |  CAST(im.slope AS BIGINT) AS slope_ppm,
+        |  CAST(im.i AS BIGINT) AS intercept_ppm
+        |FROM im JOIN np ON np.g = im.g
+        |WHERE cum >= (n_points + 1) // 2 AND cum - c < (n_points + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    // Mirrors Profiler.bootstrapCi: the polyhash of id#rep cut against
+    // the exact integer Poisson(1) CDF thresholds, floor-ppm replicate
+    // means, [ceil(0.05R), ceil(0.95R)] rank picks.
+    "q242_bootstrap_ci" ->
+      s"""WITH base AS (SELECT source AS g, CAST(doc_id AS VARCHAR) AS id,
+         |    CAST(n_chars AS BIGINT) AS v FROM documents),
+         |rw AS (SELECT g, v, r,
+         |    ${dh("id || '#' || CAST(r AS VARCHAR)")} AS h
+         |  FROM base, (SELECT unnest(range(0, 50)) AS r)),
+         |w AS (SELECT g, r, v,
+         |    CASE WHEN h < 367879443 THEN 0 WHEN h < 735758887 THEN 1
+         |         WHEN h < 919698609 THEN 2 WHEN h < 981011849 THEN 3
+         |         WHEN h < 996340160 THEN 4 ELSE 5 END AS wt
+         |  FROM rw),
+         |rm AS (SELECT g, r, CASE WHEN SUM(wt) = 0 THEN 0
+         |    ELSE (SUM(wt * v) * 1000000) // SUM(wt) END AS m
+         |  FROM w GROUP BY 1, 2),
+         |cm AS (SELECT g, m, count(*) AS c FROM rm GROUP BY 1, 2),
+         |cc AS (SELECT g, m, SUM(c) OVER (PARTITION BY g ORDER BY m) AS cum
+         |  FROM cm),
+         |band AS (SELECT g, min(CASE WHEN cum >= 3 THEN m END) AS lo,
+         |    min(CASE WHEN cum >= 48 THEN m END) AS hi
+         |  FROM cc GROUP BY 1),
+         |pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    (SUM(v) * 1000000) // count(*) AS mean FROM base GROUP BY 1)
+         |SELECT pt.g AS source, pt.n,
+         |  CAST(pt.mean AS BIGINT) AS mean_ppm,
+         |  CAST(band.lo AS BIGINT) AS lo_ppm, CAST(band.hi AS BIGINT) AS hi_ppm
+         |FROM pt JOIN band ON band.g = pt.g
+         |ORDER BY source""".stripMargin,
 
     // Mirrors the PipelineETL composition over the part-derived
     // fixture: ISD (even keys) wins the catalog consolidation over ICD

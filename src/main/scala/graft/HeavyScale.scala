@@ -135,6 +135,13 @@ object HeavyScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Local mode has no executor recovery: a single long stop-the-world
+      // GC (measured: 160 s on the q97 x100 adjacency build, near the
+      // 48g heap ceiling) trips HeartbeatReceiver's 120 s default and
+      // the context kills ITSELF mid-measurement. A cluster sizes these
+      // timeouts to its own GC envelope; the probe harness does the same.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("heavy_warehouse").toString)
       .config("spark.ui.enabled", "false")

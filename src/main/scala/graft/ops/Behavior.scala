@@ -527,6 +527,86 @@ object Behavior {
           col("__mx") - col("__cum") > threshold).cast("long").as("alarm"))
   }
 
+  /** X206: Theil–Sen robust trend (Theil 1950, Sen JASA 1968) — the
+    * median of all pairwise slopes, the outlier-proof complement to
+    * [[trendSlopePpm]]'s OLS: one corrupted monitoring point (a backfill
+    * spike, a partial-day bucket) drags a least-squares slope
+    * arbitrarily while the pairwise median ignores up to ~29% gross
+    * corruption. Slope in ppm via sign-split FLOOR division (engine-
+    * exact for negative trends); intercept = median of
+    * (v·10⁶ − slope_ppm·t) at the median slope — both medians are the
+    * lower median, the deterministic rank ⌈P/2⌉ pick.
+    *
+    * Input contract matches [[cusumSeries]]: a PRE-AGGREGATED series,
+    * one row per (group, t) — duplicate points raise loudly. The pair
+    * self-join materializes P·(P−1)/2 rows per group, so the series
+    * length is bounded loudly at `maxPoints` (default 2000 → ≤ ~2M
+    * pairs per group, a single task's comfortable workload); a longer
+    * series must compact to a coarser grid first — the q56 discipline
+    * applied to the time axis. Median picks run on the compacted
+    * (group, slope) domain, never the raw pair volume.
+    *
+    * @return (`groupCol`, n_points, n_pairs, slope_ppm, intercept_ppm)
+    */
+  def theilSenSlope(series: DataFrame, groupCol: String, tCol: String,
+                    valueExpr: Column, maxPoints: Int = 2000): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2: $maxPoints")
+    import org.apache.spark.sql.expressions.Window
+    val wDup = Window.partitionBy(col("__g"), col("t"))
+    val wN = Window.partitionBy(col("__g"))
+    val pts = series.select(col(groupCol).as("__g"),
+        col(tCol).cast("long").as("t"), valueExpr.cast("long").as("v"))
+      .withColumn("v",
+        when(count(lit(1)).over(wDup) > 1, raise_error(concat(
+          lit("theilSenSlope: duplicate series point at t="),
+          col("t").cast("string"),
+          lit(" — pre-aggregate to one row per (group, t)"))))
+          .otherwise(col("v")))
+      .withColumn("__n", count(lit(1)).over(wN))
+      .withColumn("__n",
+        when(col("__n") > maxPoints, raise_error(concat(
+          lit(s"theilSenSlope series bound: maxPoints=$maxPoints keeps the "
+            + "pair join quadratic-in-a-constant — compact the series to a "
+            + "coarser grid for group "), col("__g").cast("string"))))
+          .otherwise(col("__n")))
+      .localCheckpoint(eager = false) // forked: pair join (both sides) + intercept
+    // sign-split floor: num div den rounds toward -inf like the oracle's //
+    def floorDiv(num: String, den: String): String =
+      s"CASE WHEN ($num) >= 0 THEN ($num) div ($den) " +
+        s"ELSE -((-($num) + ($den) - 1) div ($den)) END"
+    val pairs = pts.select(col("__g"), col("t").as("__ta"), col("v").as("__va"))
+      .join(pts.select(col("__g"), col("t").as("__tb"), col("v").as("__vb"),
+        col("__n")), Seq("__g"))
+      .filter(col("__ta") < col("__tb"))
+      .select(col("__g"), col("__n"),
+        expr(floorDiv("(__vb - __va) * 1000000", "__tb - __ta")).as("__s"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    // lower-median rank pick on the compacted slope domain (q56 idiom)
+    val slope = pairs.groupBy(col("__g"), col("__n"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__p", sum(col("__c")).over(wAll))
+      .filter(col("__cum") >= expr("(__p + 1) div 2") &&
+        col("__cum") - col("__c") < expr("(__p + 1) div 2"))
+      .select(col("__g"), col("__n").as("n_points"), col("__p").as("n_pairs"),
+        col("__s").as("slope_ppm"))
+    val wCumI = Window.partitionBy(col("__g")).orderBy(col("__i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slope.join(pts.select(col("__g"), col("t"), col("v")), Seq("__g"))
+      .select(col("__g"), col("n_points"), col("n_pairs"), col("slope_ppm"),
+        (col("v") * 1000000L - col("slope_ppm") * col("t")).as("__i"))
+      .groupBy(col("__g"), col("n_points"), col("n_pairs"), col("slope_ppm"),
+        col("__i"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCumI))
+      .filter(col("__cum") >= expr("(n_points + 1) div 2") &&
+        col("__cum") - col("__c") < expr("(n_points + 1) div 2"))
+      .select(col("__g").as(groupCol), col("n_points"), col("n_pairs"),
+        col("slope_ppm"), col("__i").as("intercept_ppm"))
+  }
+
   /** X148: grade correlation — Spearman's rank correlation in the one
     * spelling whose arithmetic survives corpus scale. Average ranks are
     * quantized to `grades` = B quantile buckets (the rank's grade), and

@@ -454,4 +454,71 @@ object EvalMetrics {
             .cast("long"))
           .as("alpha_ppm"))
   }
+
+  /** X205: retrieval metrics at k — the IR-evaluation quartet a
+    * pipeline runs against its OWN retrieval components (the ANN/BM25/
+    * RRF rankers this library ships) before trusting them to mine hard
+    * negatives or route queries: MRR (how early is the FIRST hit),
+    * precision@k (how clean is the page), recall@k (how much of the
+    * truth surfaced), MAP@k (the order-weighted summary). One row per
+    * query, exact ppm integers.
+    *
+    * AP spelling pinned to floor arithmetic so Spark ≡ DuckDB:
+    * ap = (Σ_{hits at rank i≤k} (hits_≤i · 10⁶ div i)) div min(n_rel, k)
+    * — per-hit precision floors first, the mean floors second.
+    * Queries with no relevant docs read 0 on all four (n_rel = 0 rides
+    * along so a consumer can drop them).
+    *
+    * Scale shape: results are pre-filtered to rank ≤ k, so every join
+    * is an equi-join on the query key over ≤ k rows per query and the
+    * cumulative window reads ≤ k rows — state ∝ |queries|·k, never
+    * corpus volume. Duplicate ranks raise loudly (an ambiguous ranking
+    * would silently reorder AP's cumulative hit count).
+    *
+    * @param results  ranked retrieval output; `rankCol` is 1-based and
+    *                 unique per query
+    * @param relevant ground-truth (query, doc) pairs; duplicates ignored
+    * @return (query, n_rel, n_hits, rr_ppm, p_at_k_ppm, r_at_k_ppm,
+    *         ap_ppm)
+    */
+  def retrievalMetrics(results: DataFrame, relevant: DataFrame,
+                       queryCol: String, docCol: String, rankCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val wDup = Window.partitionBy(col("__q"), col("__r"))
+    val base = results.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") <= k)
+      .withColumn("__r",
+        when(col("__r") < 1L, raise_error(concat(
+          lit("retrievalMetrics: ranks are 1-based, got "),
+          col("__r").cast("string"))))
+          .when(count(lit(1)).over(wDup) > 1, raise_error(concat(
+            lit("retrievalMetrics: duplicate rank for query "),
+            col("__q").cast("string"),
+            lit(" — an ambiguous ranking has no AP"))))
+          .otherwise(col("__r")))
+    val rel = relevant.select(col(queryCol).as("__q"), col(docCol).as("__d"))
+      .distinct()
+      .localCheckpoint(eager = false) // forked: per-query totals + hit join
+    val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("__nrel"))
+    val wCum = Window.partitionBy(col("__q")).orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hits = base.join(rel, Seq("__q", "__d"))
+      .withColumn("__h", count(lit(1)).over(wCum))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("__nhit"), min(col("__r")).as("__first"),
+        sum(expr("(__h * 1000000) div __r")).as("__apsum"))
+    base.select(col("__q")).distinct()
+      .join(nRel, Seq("__q"), "left")
+      .join(hits, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("__nrel"), lit(0L)).as("n_rel"),
+        coalesce(col("__nhit"), lit(0L)).as("n_hits"),
+        coalesce(expr("1000000 div __first"), lit(0L)).as("rr_ppm"),
+        coalesce(expr(s"(__nhit * 1000000) div $k"), lit(0L)).as("p_at_k_ppm"),
+        coalesce(expr("(__nhit * 1000000) div __nrel"), lit(0L)).as("r_at_k_ppm"),
+        coalesce(expr(s"__apsum div least(__nrel, ${k.toLong})"), lit(0L))
+          .as("ap_ppm"))
+  }
 }

@@ -485,6 +485,60 @@ class BehaviorSpec extends SparkSpec {
     assert(got.filter(_._1 == "a").exists(_._6 == 1L), "shift must alarm")
   }
 
+  test("theilSenSlope == brute pairwise-median model; outlier-immune where OLS moves") {
+    import graft.ops.Behavior
+    val rnd = new scala.util.Random(20260824L)
+    // group a: clean slope 3 + noise; group b: same but one wild outlier
+    def mk(g: String, outlier: Boolean) = (0 until 40).map { t =>
+      val v = 3L * t + 10 + rnd.nextInt(5) +
+        (if (outlier && t == 20) 100000L else 0L)
+      (g, t.toLong, v)
+    }
+    // mk draws from the shared rnd: materialize each group ONCE
+    val fxa = mk("a", outlier = false); val fxb = mk("b", outlier = true)
+    val fx = fxa ++ fxb
+    val got = Behavior.theilSenSlope(fx.toDF("g", "t", "v"), "g", "t", col("v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect()
+    def brute(pts: Seq[(String, Long, Long)]): (Long, Long, Long, Long) = {
+      val slopes = (for {
+        i <- pts.indices; j <- pts.indices if pts(i)._2 < pts(j)._2
+      } yield Math.floorDiv((pts(j)._3 - pts(i)._3) * 1000000L,
+        pts(j)._2 - pts(i)._2)).sorted
+      val slope = slopes((slopes.size + 1) / 2 - 1)
+      val ics = pts.map(p => p._3 * 1000000L - slope * p._2).sorted
+      (pts.size.toLong, slopes.size.toLong, slope, ics((pts.size + 1) / 2 - 1))
+    }
+    for ((g, fxg) <- Seq("a" -> fxa, "b" -> fxb)) {
+      val (np, npr, s, i) = brute(fxg)
+      assert(got.find(_._1 == g).get == ((g, np, npr, s, i)), g)
+    }
+    // the robust slopes of a and b agree within noise; OLS on b explodes
+    val sa = got.find(_._1 == "a").get._4; val sb = got.find(_._1 == "b").get._4
+    assert(math.abs(sa - sb) < 300000L, s"robust slopes: $sa vs $sb")
+  }
+
+  test("theilSenSlope: duplicate points and the maxPoints bound raise loudly") {
+    import graft.ops.Behavior
+    def msgsOf(e: Throwable) =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val dup = Seq(("a", 1L, 1L), ("a", 1L, 2L), ("a", 2L, 3L)).toDF("g", "t", "v")
+    val e1 = intercept[Throwable] {
+      Behavior.theilSenSlope(dup, "g", "t", col("v")).collect()
+    }
+    assert(msgsOf(e1).contains("duplicate series point"), msgsOf(e1))
+    val long = (0 until 12).map(t => ("a", t.toLong, t.toLong)).toDF("g", "t", "v")
+    val e2 = intercept[Throwable] {
+      Behavior.theilSenSlope(long, "g", "t", col("v"), maxPoints = 10).collect()
+    }
+    assert(msgsOf(e2).contains("series bound"), msgsOf(e2))
+    // in-bound control: 10 points at the cap run clean
+    val ok = Behavior.theilSenSlope(
+      (0 until 10).map(t => ("a", t.toLong, 2L * t)).toDF("g", "t", "v"),
+      "g", "t", col("v"), maxPoints = 10).collect()
+    assert(ok.length == 1 && ok.head.getLong(3) == 2000000L)
+  }
+
   test("cusumSeries: duplicate series points raise loudly") {
     val dup = Seq(("a", 1L, 1L), ("a", 1L, 2L)).toDF("g", "t", "v")
     val e = intercept[Throwable] {

@@ -279,4 +279,61 @@ class EvalMetricsSpec extends SparkSpec {
       (1 to 12).map(u => (u.toLong, if (u % 2 == 0) "b" else "a"))
     assert(run(anti)._3 < 0L)
   }
+
+  test("retrievalMetrics: hand fixture, zero-relevant and zero-hit queries") {
+    import graft.ops.EvalMetrics
+    // q1: docs d1..d5 ranked 1..5; relevant {d2, d4, d9} (d9 unretrieved)
+    // q2: ranked but nothing relevant; q3: relevant {x1,x2}, zero hits
+    val results = (1 to 5).map(i => ("q1", s"d$i", i.toLong)) ++
+      (1 to 5).map(i => ("q2", s"e$i", i.toLong)) ++
+      (1 to 5).map(i => ("q3", s"f$i", i.toLong))
+    val relevant = Seq(("q1", "d2"), ("q1", "d4"), ("q1", "d9"),
+      ("q3", "x1"), ("q3", "x2"))
+    val got = EvalMetrics.retrievalMetrics(results.toDF("q", "doc", "rank"),
+        relevant.toDF("q", "doc"), "q", "doc", "rank", k = 5)
+      .orderBy("q")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // q1: rr = 1e6 div 2; p = 2e6 div 5; r = 2e6 div 3;
+    //     ap = (1e6·1 div 2 + 1e6·2 div 4) div min(3,5) = 1e6 div 3
+    assert(got(0) == (("q1", 3L, 2L, 500000L, 400000L, 666666L, 333333L)))
+    assert(got(1) == (("q2", 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(2) == (("q3", 2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("retrievalMetrics == brute model on a seeded fixture; dup rank raises") {
+    import graft.ops.EvalMetrics
+    val rnd = new scala.util.Random(20260823L)
+    val k = 8
+    val results = for (q <- 1 to 12; r <- 1 to 15) yield
+      (s"q$q", s"d${rnd.nextInt(40)}_$q$r", r.toLong) // unique docs per row
+    val relevant = for (q <- 1 to 12; _ <- 1 to 6) yield {
+      val pick = results.filter(_._1 == s"q$q")(rnd.nextInt(15))
+      if (rnd.nextBoolean()) (pick._1, pick._2) else (s"q$q", s"miss${rnd.nextInt(30)}")
+    }
+    val got = EvalMetrics.retrievalMetrics(results.toDF("q", "doc", "rank"),
+        relevant.toDF("q", "doc"), "q", "doc", "rank", k)
+      .orderBy("q").as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val relSet = relevant.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    got.foreach { case (q, nRel, nHits, rr, p, r, ap) =>
+      val rel = relSet.getOrElse(q, Set.empty[String])
+      val hits = results.filter(t => t._1 == q && t._3 <= k && rel(t._2))
+        .map(_._3).sorted
+      assert(nRel == rel.size && nHits == hits.size, q)
+      assert(rr == (if (hits.isEmpty) 0L else 1000000L / hits.head), q)
+      assert(p == hits.size.toLong * 1000000L / k, q)
+      assert(r == (if (rel.isEmpty) 0L else hits.size.toLong * 1000000L / rel.size), q)
+      val apExp = if (rel.isEmpty || hits.isEmpty) 0L
+        else hits.zipWithIndex.map { case (rank, i) =>
+          (i + 1).toLong * 1000000L / rank }.sum / math.min(rel.size, k)
+      assert(ap == apExp, q)
+    }
+    val dup = Seq(("q1", "a", 1L), ("q1", "b", 1L)).toDF("q", "doc", "rank")
+    val e = intercept[Throwable] {
+      EvalMetrics.retrievalMetrics(dup, Seq(("q1", "a")).toDF("q", "doc"),
+        "q", "doc", "rank", 5).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate rank"), s"got: $msgs")
+  }
 }

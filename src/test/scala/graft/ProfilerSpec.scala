@@ -589,6 +589,43 @@ class ProfilerSpec extends SparkSpec {
     assert(msgs.contains("group-size bound"), s"got: $msgs")
   }
 
+  test("bootstrapCi == the deterministic hash-Poisson model") {
+    import graft.ops.Profiler
+    val rnd = new scala.util.Random(20260825L)
+    val reps = 50
+    val fx = (1 to 2).flatMap(g => (1 to 120).map(i =>
+      (s"g$g", (g * 1000 + i).toLong, rnd.nextInt(500).toLong - 30)))
+    val got = Profiler.bootstrapCi(fx.toDF("g", "id", "v"), "g",
+        col("id"), col("v"), reps)
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect()
+    def polyhash(s: String): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) { h = (h * 31 + s.codePointAt(i)) % 1000000007L; i += 1 }
+      h
+    }
+    val cuts = Seq(367879443L, 735758887L, 919698609L, 981011849L, 996340160L)
+    def weight(id: Long, rep: Int): Long = {
+      val h = polyhash(s"$id#$rep")
+      cuts.indexWhere(h < _) match { case -1 => 5L case w => w.toLong }
+    }
+    def floorDiv(a: BigInt, b: BigInt): Long =
+      ((a - (((a % b) + b) % b)) / b).toLong
+    for (g <- Seq("g1", "g2")) {
+      val rows = fx.filter(_._1 == g)
+      val means = (0 until reps).map { r =>
+        val ws = rows.map(t => (weight(t._2, r), t._3))
+        val n = ws.map(_._1).sum
+        if (n == 0) 0L
+        else floorDiv(ws.map(t => BigInt(t._1) * t._2).sum * 1000000, n)
+      }.sorted
+      val exp = (g, rows.size.toLong,
+        floorDiv(BigInt(rows.map(_._3).sum) * 1000000, rows.size),
+        means((reps * 5 + 99) / 100 - 1), means((reps * 95 + 99) / 100 - 1))
+      assert(got.find(_._1 == g).get == exp, g)
+      assert(exp._4 <= exp._5, "band ordered")
+    }
+  }
+
   test("dataCard: one-row summary reconciles with hand computation") {
     val docs = Seq(
       (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"),      // exact dup pair
