@@ -2260,6 +2260,23 @@ object ExtensionQueries {
         .orderBy(col("event_type"))
     }),
 
+    // X208 NDCG@10 on the q240 ranking with graded relevance (capped
+    // count of high-value events) — the pinned-discount-table integers.
+    "q243_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val res = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("c").desc, col("user_id").asc)))
+        .filter(col("r") <= 20)
+      val gr = ev.filter(col("value") >= 80)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(least(count(lit(1)), lit(4L)).as("g"))
+      EvalMetrics.ndcgAtK(res, gr, "event_type", "user_id", "r", "g", k = 10)
+        .orderBy(col("event_type"))
+    }),
+
     // X206 Theil-Sen robust trend on the q237 daily series: median
     // pairwise slope + intercept, outlier-proof where OLS is not.
     "q241_theil_sen" -> ((s, d) =>
@@ -6418,6 +6435,49 @@ object ExtensionQueries {
         |FROM (SELECT DISTINCT event_type FROM res) q
         |LEFT JOIN nrel USING (event_type) LEFT JOIN hq USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // Mirrors EvalMetrics.ndcgAtK: the SAME pinned discount integers
+    // (ndcgDiscount inlined as literals — no engine float math), gains
+    // (1 << g) - 1, ideal ranking via row_number over grade desc (equal
+    // grades interchange, so the arbitrary tie order is value-exact).
+    "q243_ndcg" -> {
+      val disc = graft.ops.EvalMetrics.ndcgDiscount(10)
+        .zipWithIndex.map { case (w, i) => s"(${i + 1}, ${w}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH cnt AS (SELECT event_type, user_id, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |res AS (SELECT event_type, user_id,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY c DESC, user_id) AS BIGINT) AS r
+         |  FROM cnt QUALIFY r <= 10),
+         |gr AS (SELECT event_type, user_id,
+         |    CAST(least(count(*), 4) AS BIGINT) AS g
+         |  FROM events WHERE value >= 80 GROUP BY 1, 2),
+         |disc(i, w) AS (VALUES $disc),
+         |dcg AS (SELECT res.event_type,
+         |    SUM(((1::BIGINT << gr.g) - 1) * disc.w) AS dcg
+         |  FROM res JOIN gr USING (event_type, user_id)
+         |  JOIN disc ON disc.i = res.r GROUP BY 1),
+         |ideal AS (SELECT event_type, g,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY g DESC) AS ir
+         |  FROM gr),
+         |idcg AS (SELECT event_type,
+         |    SUM(((1::BIGINT << g) - 1) * disc.w) AS idcg
+         |  FROM ideal JOIN disc ON disc.i = ideal.ir
+         |  WHERE ir <= 10 GROUP BY 1),
+         |ng AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_graded
+         |  FROM gr GROUP BY 1)
+         |SELECT q.event_type, COALESCE(n_graded, 0) AS n_graded,
+         |  CAST(COALESCE(dcg, 0) AS BIGINT) AS dcg_q,
+         |  CAST(COALESCE(idcg, 0) AS BIGINT) AS idcg_q,
+         |  CAST(COALESCE(CASE WHEN idcg > 0
+         |    THEN (CAST(COALESCE(dcg, 0) AS HUGEINT) * 1000000) // idcg END,
+         |    0) AS BIGINT) AS ndcg_ppm
+         |FROM (SELECT DISTINCT event_type FROM res) q
+         |LEFT JOIN ng USING (event_type) LEFT JOIN dcg USING (event_type)
+         |LEFT JOIN idcg USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
 
     // Mirrors Behavior.theilSenSlope on the q237 daily series: DuckDB's
     // // TRUNCATES toward zero, so the slope's FLOOR division is spelled

@@ -521,4 +521,101 @@ object EvalMetrics {
         coalesce(expr(s"__apsum div least(__nrel, ${k.toLong})"), lit(0L))
           .as("ap_ppm"))
   }
+
+  /** Pinned NDCG discount table: w(i) = ⌊10⁹ / log₂(i+1)⌋ for 1-based
+    * rank i. Computed once with StrictMath (bit-reproducible across
+    * JVMs/platforms, unlike Math.log intrinsics) and INLINED into the
+    * oracle SQL as literals — both engines consume the same integers,
+    * so no runtime float ever crosses the comparison boundary. */
+  def ndcgDiscount(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i =>
+      (1e9 / (StrictMath.log(i + 1.0) / StrictMath.log(2.0))).toLong)
+
+  /** X208: NDCG@k — the graded companion completing the retrieval
+    * quartet ([[retrievalMetrics]] sees binary relevance; NDCG weights
+    * HOW relevant each position is): dcg = Σ_{i≤k} (2^grade − 1)·w(i)
+    * with the [[ndcgDiscount]] table, idcg = the same sum over the
+    * query's own grades sorted descending (ties broken by the grade
+    * value itself — deterministic because only the multiset of grades
+    * enters), ndcg = dcg·10⁶ div idcg in exact integers.
+    *
+    * Grades are bounded loudly at 20 (2^20−1 gains keep every fold
+    * comfortably inside long·10⁹ → DECIMAL(38,0)); ungraded retrieved
+    * docs count grade 0. Queries with no graded docs read 0 with
+    * n_graded riding along. Scale shape identical to
+    * [[retrievalMetrics]]: rank ≤ k pre-filter, equi-joins on the
+    * query key, the ideal ranking's window reads ≤ the query's graded
+    * docs AFTER a (query, grade) compaction — count-weighted, so state
+    * is |distinct grades| ≤ 21 rows per query, never the corpus.
+    *
+    * @param grades (query, doc, grade) ground truth; duplicates ignored
+    *               (max grade wins, deterministically)
+    * @return (query, n_graded, dcg_q, idcg_q, ndcg_ppm)
+    */
+  def ndcgAtK(results: DataFrame, grades: DataFrame, queryCol: String,
+              docCol: String, rankCol: String, gradeCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000]: $k")
+    val disc = ndcgDiscount(k)
+    val wDup = Window.partitionBy(col("__q"), col("__r"))
+    val base = results.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") <= k)
+      .withColumn("__r",
+        when(col("__r") < 1L, raise_error(concat(
+          lit("ndcgAtK: ranks are 1-based, got "), col("__r").cast("string"))))
+          .when(count(lit(1)).over(wDup) > 1, raise_error(concat(
+            lit("ndcgAtK: duplicate rank for query "), col("__q").cast("string"))))
+          .otherwise(col("__r")))
+    val g = grades.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(gradeCol).cast("long").as("__g"))
+      .groupBy(col("__q"), col("__d")).agg(max(col("__g")).as("__g"))
+      .withColumn("__g",
+        when(col("__g") > 20L || col("__g") < 0L, raise_error(concat(
+          lit("ndcgAtK grade bound: grades live in [0, 20] (2^20 gains "
+            + "keep the fold exact) — got "), col("__g").cast("string"))))
+          .otherwise(col("__g")))
+      .localCheckpoint(eager = false) // forked: dcg join + ideal ranking
+    // rank -> discount as a literal lookup (element_at on a pinned array)
+    val discCol = array(disc.map(lit): _*)
+    val dcg = base.join(g, Seq("__q", "__d"))
+      .groupBy(col("__q"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(__g as int)) - 1") *
+        element_at(discCol, col("__r").cast("int"))).as("__dcg"))
+    // ideal DCG: grades sorted desc; compact to (query, grade, count)
+    // first so the window walks <= 21 rows per query, then each grade
+    // block covers ideal ranks (cum - c, cum] ∩ [1, k]
+    val wIdeal = Window.partitionBy(col("__q")).orderBy(col("__g").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val discPrefix = disc.scanLeft(0L)(_ + _) // prefix(j) = Σ_{i<=j} w(i)
+    val prefCol = array(discPrefix.map(lit): _*) // 1-based via element_at(j+1)
+    val idcg = g.groupBy(col("__q"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wIdeal))
+      .select(col("__q"), col("__g"),
+        (least(col("__cum"), lit(k.toLong)) -
+          least(col("__cum") - col("__c"), lit(k.toLong))).as("__take"),
+        least(col("__cum"), lit(k.toLong)).as("__hi"))
+      .filter(col("__take") > 0L)
+      .select(col("__q"), col("__g"), col("__hi"), col("__take"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("__nblk"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(__g as int)) - 1") *
+          (element_at(prefCol, (col("__hi") + 1L).cast("int")) -
+            element_at(prefCol, (col("__hi") - col("__take") + 1L).cast("int"))))
+          .as("__idcg"))
+    val nGraded = g.groupBy(col("__q")).agg(count(lit(1)).as("n_graded"))
+    base.select(col("__q")).distinct()
+      .join(nGraded, Seq("__q"), "left")
+      .join(dcg, Seq("__q"), "left")
+      .join(idcg.select(col("__q"), col("__idcg")), Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("n_graded"), lit(0L)).as("n_graded"),
+        coalesce(col("__dcg"), lit(0L)).as("dcg_q"),
+        coalesce(col("__idcg"), lit(0L)).as("idcg_q"),
+        coalesce(expr("""CASE WHEN __idcg > 0
+            |THEN (cast(coalesce(__dcg, 0) as decimal(38,0)) * 1000000)
+            |     div __idcg END""".stripMargin).cast("long"), lit(0L))
+          .as("ndcg_ppm"))
+  }
 }

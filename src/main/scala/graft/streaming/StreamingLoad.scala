@@ -332,6 +332,66 @@ object StreamingLoad {
       }
   }
 
+  final case class CusumOut(group: String, t: Long, v: Long,
+                            s_pos: Long, s_neg: Long, alarm: Long)
+
+  /** Streaming twin of [[graft.ops.Behavior.cusumSeries]] — the
+    * sequential level-shift alarm running ON the stream it was designed
+    * for: per-group state is THREE prefix longs (running sum of
+    * deviations, its running min and max) plus the last timestamp, so
+    * the prefix identity S_t = cum − min(0, min cum) gives both
+    * one-sided statistics exactly at every trigger — bit-identical to
+    * the batch operator at each trigger-cut point (spec-pinned), state
+    * four longs per group forever.
+    *
+    * Ordering contract (the stream form of the batch op's duplicate
+    * raise): per group, points must arrive in strictly increasing `t`
+    * across and within triggers — an out-of-order or duplicate point
+    * raises loudly, because a silently order-dependent alarm is the
+    * one thing a monitor must never be. A late-data deployment puts a
+    * watermarked pre-aggregation in front (the q237 daily compaction),
+    * which restores monotone emission order.
+    *
+    * Emits the group's LATEST point per trigger (Update mode), carrying
+    * the same (s_pos, s_neg, alarm) columns as the batch frame.
+    */
+  def cusumStream(rows: DataFrame, groupCol: String, tCol: String,
+                  valueCol: String, ref: Long,
+                  threshold: Long): Dataset[CusumOut] = {
+    require(threshold > 0, s"alarm threshold must be positive: $threshold")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(groupCol).cast("string").as("g"),
+        col(tCol).cast("long").as("t"), col(valueCol).cast("long").as("v"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], CusumOut](GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Array[Long]]) =>
+          // state = [lastT, cum, minCum, maxCum]; sentinel lastT = MinValue
+          val st = state.getOption.getOrElse(
+            Array(Long.MinValue, 0L, 0L, 0L))
+          var lastT = st(0); var cum = st(1); var mn = st(2); var mx = st(3)
+          var lastV = 0L
+          it.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
+            if (t <= lastT)
+              throw new IllegalArgumentException(
+                s"cusumStream: non-increasing point t=$t after t=$lastT for " +
+                  s"group $g — pre-aggregate/watermark upstream (an " +
+                  "order-dependent alarm must raise, not guess)")
+            lastT = t; lastV = v
+            cum += v - ref
+            if (cum < mn) mn = cum
+            if (cum > mx) mx = cum
+          }
+          state.update(Array(lastT, cum, mn, mx))
+          val sPos = cum - math.min(0L, mn)
+          val sNeg = math.max(0L, mx) - cum
+          CusumOut(g, lastT, lastV, sPos, sNeg,
+            if (sPos > threshold || sNeg > threshold) 1L else 0L)
+      }
+  }
+
   // ---- custom state: dataset content digest (mapGroupsWithState) -------
 
   final case class DigestOut(shard: Long, n_rows: Long, xor_h: Long,

@@ -336,4 +336,55 @@ class EvalMetricsSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("duplicate rank"), s"got: $msgs")
   }
+
+  test("ndcgAtK == brute model with the pinned table; perfect ranking reads 1e6") {
+    import graft.ops.EvalMetrics
+    val k = 6
+    val disc = EvalMetrics.ndcgDiscount(k)
+    def brute(res: Seq[(String, String, Long)],
+              gr: Seq[(String, String, Long)], q: String): (Long, Long, Long) = {
+      val gm = gr.filter(_._1 == q).groupBy(_._2).view
+        .mapValues(_.map(_._3).max).toMap
+      val dcg = res.filter(t => t._1 == q && t._3 <= k)
+        .map(t => ((1L << gm.getOrElse(t._2, 0L)) - 1) * disc(t._3.toInt - 1))
+        .sum
+      val idcg = gm.values.toSeq.sortBy(-_).take(k).zipWithIndex
+        .map { case (g, i) => ((1L << g) - 1) * disc(i) }.sum
+      (dcg, idcg,
+        if (idcg > 0) (BigInt(dcg) * 1000000 / idcg).toLong else 0L)
+    }
+    val rnd = new scala.util.Random(20260827L)
+    val res = for (q <- 1 to 8; r <- 1 to 10) yield
+      (s"q$q", s"d${r}_$q", r.toLong)
+    val gr = for (q <- 1 to 8; _ <- 1 to 7) yield
+      (s"q$q", s"d${rnd.nextInt(14) + 1}_$q", rnd.nextInt(5).toLong)
+    val got = EvalMetrics.ndcgAtK(res.toDF("q", "doc", "rank"),
+        gr.toDF("q", "doc", "g"), "q", "doc", "rank", "g", k)
+      .orderBy("q").as[(String, Long, Long, Long, Long)].collect()
+    got.foreach { case (q, nG, dcg, idcg, ndcg) =>
+      val exp = brute(res, gr, q)
+      assert(nG == gr.filter(_._1 == q).map(_._2).distinct.size, q)
+      assert((dcg, idcg, ndcg) == exp, q)
+    }
+    // perfect ranking: docs ordered by their own grade -> exactly 1e6
+    val pres = (1 to 4).map(i => ("p", s"x$i", i.toLong))
+    val pgr = (1 to 4).map(i => ("p", s"x$i", (5 - i).toLong))
+    val perfect = EvalMetrics.ndcgAtK(pres.toDF("q", "doc", "rank"),
+        pgr.toDF("q", "doc", "g"), "q", "doc", "rank", "g", k)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(perfect._5 == 1000000L)
+    // grade bound raises loudly just past 20; 20 itself is clean
+    val e = intercept[Throwable] {
+      EvalMetrics.ndcgAtK(pres.toDF("q", "doc", "rank"),
+        Seq(("p", "x1", 21L)).toDF("q", "doc", "g"),
+        "q", "doc", "rank", "g", k).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("grade bound"), s"got: $msgs")
+    val ok = EvalMetrics.ndcgAtK(pres.toDF("q", "doc", "rank"),
+      Seq(("p", "x1", 20L)).toDF("q", "doc", "g"),
+      "q", "doc", "rank", "g", k).collect()
+    assert(ok.length == 1)
+  }
 }

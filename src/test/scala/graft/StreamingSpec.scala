@@ -537,4 +537,59 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("streaming CUSUM equals the batch statistic at every trigger cut") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260826L)
+    // group a shifts +8 at t=40, group b stays centered
+    val series = for (g <- Seq("a", "b"); t <- 0 until 60) yield
+      (g, t.toLong,
+        (rnd.nextInt(15) - 7 + (if (g == "a" && t >= 40) 8 else 0)).toLong)
+    val ordered = series.sortBy(_._2) // interleave groups, t ascending
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamingLoad.cusumStream(mem.toDF().toDF("g", "t", "v"),
+        "g", "t", "v", ref = 0L, threshold = 40L)
+      .writeStream.format("memory").queryName("cusum_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val cuts = Seq(40, 90, 120) // uneven trigger cuts (rows, 2 groups)
+      var off = 0
+      val batch = graft.ops.Behavior.cusumSeries(series.toDF("g", "t", "v"),
+          "g", "t", col("v"), ref = 0L, threshold = 40L)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r).toMap
+      for (cut <- cuts) {
+        mem.addData(ordered.slice(off, cut): _*); off = cut
+        q.processAllAvailable()
+        // the latest emission per group must equal the batch row at
+        // that group's last ingested t
+        val got = spark.table("cusum_test")
+          .as[(String, Long, Long, Long, Long, Long)].collect()
+          .groupBy(_._1).map(_._2.maxBy(_._2))
+        got.foreach { r => assert(r == batch((r._1, r._2)), s"cut $cut: $r") }
+      }
+      val lastA = spark.table("cusum_test")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .filter(_._1 == "a").maxBy(_._2)
+      assert(lastA._6 == 1L, "the shifted group must be in alarm at close")
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM raises loudly on out-of-order arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamingLoad.cusumStream(mem.toDF().toDF("g", "t", "v"),
+        "g", "t", "v", ref = 0L, threshold = 10L)
+      .writeStream.format("memory").queryName("cusum_ooo_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(("a", 5L, 1L)); q.processAllAvailable()
+      mem.addData(("a", 4L, 1L)) // behind the watermark of its group
+      val e = intercept[Throwable] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("non-increasing point"), s"got: $msgs")
+    } finally q.stop()
+  }
 }
