@@ -2294,6 +2294,34 @@ object ExtensionQueries {
           col("doc_id"), col("n_chars"), reps = 50)
         .orderBy(col("source"))),
 
+    // X209 priority sampling: top-8 docs per source by hash-priority
+    // w·M div (h+1), survivors carry the max(w, τ) unbiased estimate.
+    "q244_priority_sample" -> ((s, d) =>
+      Curation.prioritySample(Tables.documents(s, d), "source",
+          col("doc_id"), col("n_chars"), k = 8)
+        .orderBy(col("source"), col("id"))),
+
+    // X211 group ablation: leave-one-source-out corpus mean deltas on
+    // doc length — "dropping source S moves the corpus mean by δ".
+    "q245_source_ablation" -> ((s, d) =>
+      Curation.ablateGroups(Tables.documents(s, d), "source",
+          col("n_chars"))
+        .orderBy(col("source"))),
+
+    // X210 entropy secret scan over an md5-augmented corpus (the base
+    // fixture has no ≥16-char tokens): each doc gains one hex blob
+    // (flagged, H ≈ 3.7-4.0 bits) and every 5th doc one 'aaaa…' run
+    // (candidate, never flagged) — both sides derive the augmentation
+    // from the same parquet.
+    "q246_entropy_scan" -> ((s, d) =>
+      Profiler.entropyScan(
+          Tables.documents(s, d).select(col("doc_id"),
+            concat(col("text"), lit(" "), md5(col("text")),
+              when(col("doc_id") % 5 === 0, lit(" aaaaaaaaaaaaaaaaaaaa"))
+                .otherwise(lit(""))).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // O1-O5 composition under the hard gate: a REAL PipelineETL.run
     // over a staging fixture derived deterministically from `part`
     // (two price sheets with first-sheet-wins overlap + a maintenance
@@ -6543,6 +6571,67 @@ object ExtensionQueries {
          |  CAST(band.lo AS BIGINT) AS lo_ppm, CAST(band.hi AS BIGINT) AS hi_ppm
          |FROM pt JOIN band ON band.g = pt.g
          |ORDER BY source""".stripMargin,
+
+    // Mirrors Curation.prioritySample (k=8): p = w·(1e9+7) // (h+1),
+    // top-8 per source by (p DESC, id ASC), est = max(w, 9th priority).
+    "q244_priority_sample" ->
+      s"""WITH base AS (SELECT source AS g, doc_id AS id,
+         |    CAST(n_chars AS BIGINT) AS w FROM documents),
+         |p AS (SELECT g, id, w,
+         |    (w * 1000000007) // (${dh("CAST(id AS VARCHAR)")} + 1) AS pr
+         |  FROM base),
+         |r AS (SELECT g, id, w, pr,
+         |    row_number() OVER (PARTITION BY g ORDER BY pr DESC, id ASC) AS rn
+         |  FROM p),
+         |tau AS (SELECT g, max(CASE WHEN rn = 9 THEN pr END) AS t
+         |  FROM r WHERE rn <= 9 GROUP BY g)
+         |SELECT r.g AS source, r.id, r.w AS weight, r.pr AS priority,
+         |  greatest(r.w, coalesce(tau.t, 0)) AS est_weight
+         |FROM r JOIN tau ON tau.g = r.g WHERE r.rn <= 8
+         |ORDER BY source, id""".stripMargin,
+
+    // Mirrors Curation.ablateGroups on doc length: one (sum, count)
+    // per source, the global fold attached, floor // everywhere
+    // (values are positive, so // IS the sign-split floor).
+    "q245_source_ablation" ->
+      """WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(n_chars AS BIGINT)) AS s FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS tn, SUM(s) AS ts FROM per)
+        |SELECT per.g AS source, per.n,
+        |  CAST((per.s * 1000000) // per.n AS BIGINT) AS group_mean_ppm,
+        |  CAST((tot.ts * 1000000) // tot.tn AS BIGINT) AS overall_mean_ppm,
+        |  CAST(((tot.ts - per.s) * 1000000) // (tot.tn - per.n) AS BIGINT)
+        |    AS loo_mean_ppm,
+        |  CAST(((tot.ts - per.s) * 1000000) // (tot.tn - per.n)
+        |    - (tot.ts * 1000000) // tot.tn AS BIGINT) AS delta_ppm
+        |FROM per, tot ORDER BY source""".stripMargin,
+
+    // Mirrors Profiler.entropyScan over the md5-augmented corpus: the
+    // pinned ⌊log₂·10⁶⌋ table is inlined as literals (X208 discipline),
+    // H_ppm = (Σ c·(L[n]−L[c])) // n over printable-ASCII tokens ≥ 16.
+    "q246_entropy_scan" ->
+      s"""WITH aug AS (SELECT doc_id, text || ' ' || md5(text) ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' aaaaaaaaaaaaaaaaaaaa'
+         |         ELSE '' END AS text FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS t FROM aug),
+         |cand AS (SELECT doc_id, substr(t, 1, 256) AS t FROM tok
+         |  WHERE regexp_matches(t, '^[\\x21-\\x7e]{16,}$$')),
+         |lt AS (SELECT [${graft.ops.Profiler.log2Micro.mkString(", ")}] AS L),
+         |e AS (SELECT doc_id, len(t) AS n, string_split(t, '') AS cs
+         |  FROM cand),
+         |c AS (SELECT doc_id, n, list_transform(list_distinct(cs),
+         |    ch -> CAST(len(list_filter(cs, x -> x = ch)) AS BIGINT)) AS cnts
+         |  FROM e),
+         |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(cnts, k -> k * (L[n] - L[k]))),
+         |      (a, x) -> a + x) // n AS hppm
+         |  FROM c, lt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(count(*) FILTER (WHERE hppm >= 3000000) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(max(hppm) AS BIGINT) AS max_h_ppm
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Mirrors the PipelineETL composition over the part-derived
     // fixture: ISD (even keys) wins the catalog consolidation over ICD

@@ -749,4 +749,115 @@ object Curation {
           .otherwise(-expr("((v - __sum) * 1000) div (n - 1)"))
           .as("loo_milli")): _*)
   }
+
+  /** X209: priority sampling (Duffield, Lund & Thorup, JACM 2007 — "the
+    * near-optimal weight-sensitive sampling scheme") — a k-row sample
+    * per group whose retained rows carry UNBIASED total-weight
+    * estimates: each row draws priority p = w/u (u uniform), the top-k
+    * priorities survive, and every survivor's weight is re-estimated as
+    * max(w, τ) with τ the (k+1)-th priority. Σ est over the sample
+    * estimates the group total with near-minimal variance — THE way to
+    * subsample a weighted corpus (bytes, tokens, costs) and still sum
+    * it honestly, where X54's systematic sampler only picks rows.
+    *
+    * Determinism: u comes from the id hash, u ≈ (h+1)/M with
+    * h = polyhash(id) ∈ [0, M), M = 10⁹+7, so p = ⌊w·M div (h+1)⌋ is
+    * integer-exact and engine-independent (the q242 hash discipline;
+    * floor costs < 1 part in 10⁹ of u-resolution, documented). Weights
+    * are bounded loudly to [1, 9·10⁹] so w·M stays inside a long; ids
+    * must be unique per group (they ARE the randomness — a duplicate
+    * id draws the same u twice and silently correlates the sample).
+    *
+    * Scale shape: the rank filter `rn ≤ k+1` after `row_number` is
+    * exactly the pattern Catalyst's InferWindowGroupLimit rewrites to
+    * a per-partition group-limit BEFORE the shuffle — map-side top-k,
+    * the window never sorts a full group on one task. τ and the k
+    * survivors then read ≤ k+1 rows per group.
+    *
+    * @return (`groupCol`, id, weight, priority, est_weight): the top-k
+    *         rows per group by priority; est_weight = max(w, τ),
+    *         exactly w when the group holds ≤ k rows (τ undefined)
+    */
+  def prioritySample(df: DataFrame, groupCol: String, idExpr: Column,
+                     weightExpr: Column, k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be at least 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df
+      .select(col(groupCol).as("__g"), idExpr.cast("long").as("__id"),
+        weightExpr.cast("long").as("__w"))
+      .withColumn("__w",
+        when(col("__w") < 1L || col("__w") > 9000000000L,
+          raise_error(concat(
+            lit("prioritySample: weights must sit in [1, 9e9] (keeps w*(1e9+7) inside a long): "),
+            col("__w").cast("string")))).otherwise(col("__w")))
+      .withColumn("__h",
+        graft.functions.TextFeatures.charHash(col("__id").cast("string")))
+      .withColumn("__p", expr("(__w * 1000000007L) div (__h + 1L)"))
+    val top = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__g"))
+          .orderBy(col("__p").desc, col("__id").asc)))
+      .filter(col("__rn") <= k + 1)
+      .localCheckpoint(eager = false) // forked: tau + the survivor rows
+    val tau = top.groupBy(col("__g"))
+      .agg(max(when(col("__rn") === k + 1, col("__p"))).as("__tau"))
+    top.filter(col("__rn") <= k)
+      .join(tau, Seq("__g"))
+      .select(col("__g").as(groupCol), col("__id").as("id"),
+        col("__w").as("weight"), col("__p").as("priority"),
+        greatest(col("__w"), coalesce(col("__tau"), lit(0L)))
+          .as("est_weight"))
+  }
+
+  /** X211: group-ablation report — for every group (source, domain,
+    * shard), what happens to the corpus-level mean if the group is
+    * removed: loo_mean = mean over every OTHER row, delta = loo − the
+    * overall mean. The leave-one-group-out form of data valuation a
+    * curator actually acts on ("dropping source S moves corpus quality
+    * by +δ") — the group-grain sibling of X181's per-row LOO encode,
+    * and the decision input to X63's source gate (which drops on the
+    * group's OWN score; this measures the effect on everyone else).
+    *
+    * Integer-exact: sums fold in DECIMAL(38,0), every mean is the
+    * sign-split floor ppm division the engine uses everywhere, so
+    * negative metrics floor identically cross-engine. Requires ≥ 2
+    * groups (ablating the only group leaves an undefined mean — raised
+    * loudly, never NULL).
+    *
+    * Scale shape: ONE map-side-combinable (sum, count) aggregate on
+    * the group key, one single-row global fold attached back as the
+    * documented one-row broadcast class. State = |groups|, shuffle =
+    * |groups| partials; nothing else moves at any corpus size.
+    *
+    * @return (`groupCol`, n, group_mean_ppm, overall_mean_ppm,
+    *         loo_mean_ppm, delta_ppm) — delta_ppm = loo − overall
+    */
+  def ablateGroups(df: DataFrame, groupCol: String,
+                   valueExpr: Column): DataFrame = {
+    def floorPpm(num: String, den: String): Column = expr(
+      s"""CASE WHEN $num >= 0 THEN ($num * 1000000) div $den
+         |ELSE -((-($num) * 1000000 + $den - 1) div $den) END""".stripMargin)
+      .cast("long")
+    val per = df
+      .select(col(groupCol).as("__g"), valueExpr.cast("long").as("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).as("__s"))
+    val tot = per.agg(sum(col("n")).as("__tn"),
+      sum(col("__s")).as("__ts"), count(lit(1)).as("__ng"))
+    per.crossJoin(tot) // one-row scalar attach (documented BNLJ class)
+      // the guard rides on an OUTPUT column — a free-standing check
+      // column would be pruned and the raise would never fire
+      .withColumn("n",
+        when(col("__ng") < 2, raise_error(
+          lit("ablateGroups: need at least 2 groups (ablating the only group leaves no mean)")))
+          .otherwise(col("n")))
+      .select(col("__g").as(groupCol), col("n"),
+        floorPpm("__s", "n").as("group_mean_ppm"),
+        floorPpm("__ts", "__tn").as("overall_mean_ppm"),
+        floorPpm("(__ts - __s)", "(__tn - n)").as("loo_mean_ppm"),
+        (floorPpm("(__ts - __s)", "(__tn - n)") -
+          floorPpm("__ts", "__tn")).as("delta_ppm"))
+  }
 }

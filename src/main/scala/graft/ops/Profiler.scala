@@ -1429,4 +1429,67 @@ object Profiler {
           .otherwise(-expr("(-trimmed_sum) div n_kept"))
           .as("trimmed_mean"))
   }
+
+  /** Pinned ⌊log₂(x)·10⁶⌋ for x = 1..256 — [[entropyScan]]'s integer
+    * log table, computed once with StrictMath (the X208 discount-table
+    * discipline: the oracle inlines these exact values as literals, so
+    * no runtime float ever crosses the engine boundary). */
+  private[graft] val log2Micro: Array[Long] = Array.tabulate(256)(i =>
+    math.floor(StrictMath.log(i + 1.0) / StrictMath.log(2.0) * 1e6).toLong)
+
+  /** X210: secret scan — per-token Shannon entropy over candidate
+    * tokens — the high-entropy-string detector every code/web corpus
+    * runs before training (the detect-secrets/trufflehog heuristic,
+    * BigCode's secrets pass): leaked API keys, tokens and passwords are
+    * long runs of near-uniform characters, and char entropy separates
+    * them from natural words without a single pattern rule.
+    *
+    * Candidates are whole whitespace tokens of ≥ `minLen` PRINTABLE
+    * ASCII chars (`[\x21-\x7e]` — secrets are ASCII by construction,
+    * and the ASCII gate also pins char = codepoint on every engine, so
+    * the oracle cannot diverge on multi-byte splitting). Entropy reads
+    * the first 256 chars (longer blobs saturate the signal; the cap
+    * bounds the pinned table and the per-token work). In µbits/char:
+    * H_ppm = (Σ_c cnt_c·(L[n] − L[cnt_c])) div n over the pinned
+    * [[log2Micro]] table — integer-exact, engine-independent.
+    *
+    * Scale shape: everything up to the doc rollup is per-row codegen'd
+    * HOF arithmetic (O(distinct·n) per token, distinct ≤ 95 printable
+    * chars) — no shuffle carries a char; the only exchange is the
+    * map-side-combinable per-doc aggregate. Docs with no candidate
+    * token are absent (nothing to scan), the [[Curation.docQualityScorePpm]]
+    * absence convention.
+    *
+    * @return (`idCol`, n_candidates, n_flagged, max_h_ppm) — flagged =
+    *         entropy ≥ `thresholdPpm` µbits/char (default 3.0 bits:
+    *         above every natural-language token, below hex/base64 keys)
+    */
+  def entropyScan(docs: DataFrame, idCol: String, textCol: String,
+                  minLen: Int = 16, thresholdPpm: Long = 3000000L): DataFrame = {
+    require(minLen >= 2 && minLen <= 256,
+      s"minLen must sit in [2, 256] (the pinned log table's domain): $minLen")
+    val L = array(log2Micro.map(lit): _*)
+    docs
+      .select(col(idCol).as("__id"),
+        explode(filter(graft.functions.TextFeatures.tokens(col(textCol)),
+          t => t.rlike(s"^[\\x21-\\x7e]{$minLen,}$$"))).as("__t0"))
+      .select(col("__id"), expr("substr(__t0, 1, 256)").as("__t"))
+      .withColumn("__n", length(col("__t")))
+      .withColumn("__cs",
+        expr("transform(sequence(1, length(__t)), i -> substr(__t, i, 1))"))
+      .withColumn("__cnts", transform(array_distinct(col("__cs")),
+        c => size(filter(col("__cs"), x => x === c)).cast("long")))
+      .withColumn("__hppm",
+        aggregate(col("__cnts"), lit(0L), (acc, cnt) =>
+          acc + cnt * (element_at(L, col("__n")) -
+            element_at(L, cnt.cast("int")))))
+      .withColumn("__hppm", expr("__hppm div __n"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__hppm") >= thresholdPpm, 1L).otherwise(0L))
+          .as("n_flagged"),
+        max(col("__hppm")).as("max_h_ppm"))
+      .select(col("__id").as(idCol), col("n_candidates"),
+        col("n_flagged"), col("max_h_ppm"))
+  }
 }

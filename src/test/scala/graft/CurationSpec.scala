@@ -474,4 +474,65 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(got == ((7L, 8L, 500L, expectMoved, expectMoved * 1000000L / 500L)))
   }
+
+  private def polyhash(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) { h = (h * 31 + s.codePointAt(i)) % 1000000007L; i += 1 }
+    h
+  }
+
+  test("prioritySample == brute DLT model: top-k by w*M div (h+1), est = max(w, tau)") {
+    val rows = (1 to 60).map(i => (s"g${i % 3}", i.toLong, (i * 37 % 500 + 1).toLong))
+    val df = rows.toDF("g", "id", "w")
+    val got = Curation.prioritySample(df, "g", col("id"), col("w"), k = 5)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val withP = rs.map { case (_, id, w) =>
+        (id, w, w * 1000000007L / (polyhash(id.toString) + 1L)) }
+      val ranked = withP.sortBy { case (id, _, p) => (-p, id) }
+      val tau = if (ranked.size > 5) ranked(5)._3 else 0L
+      ranked.take(5).map { case (id, w, p) => (g, id, w, p, math.max(w, tau)) }
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("prioritySample: a group at or under k keeps every row with est_weight = w") {
+    val df = (1 to 4).map(i => ("only", i.toLong, i * 100L)).toDF("g", "id", "w")
+    val got = Curation.prioritySample(df, "g", col("id"), col("w"), k = 8)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == 4)
+    assert(got.forall { case (_, _, w, _, est) => est == w },
+      "tau is undefined under k rows: the sample IS the group, estimates exact")
+  }
+
+  test("prioritySample: out-of-domain weights raise loudly") {
+    val bad = Seq(("g", 1L, 0L), ("g", 2L, 5L)).toDF("g", "id", "w")
+    val e = intercept[Exception] {
+      Curation.prioritySample(bad, "g", col("id"), col("w"), k = 2).collect()
+    }
+    assert(e.getMessage.contains("weights must sit in [1, 9e9]"))
+    val big = Seq(("g", 1L, 9000000001L)).toDF("g", "id", "w")
+    val e2 = intercept[Exception] {
+      Curation.prioritySample(big, "g", col("id"), col("w"), k = 2).collect()
+    }
+    assert(e2.getMessage.contains("weights must sit in [1, 9e9]"))
+  }
+
+  test("ablateGroups: exact floor-ppm LOO deltas, negative values floor like the oracle") {
+    val df = Seq(("a", -3L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val got = Curation.ablateGroups(df, "g", col("v"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // overall = 8e6 div 3 = 2666666 (floor)
+    assert(got("a") == (("a", 1L, -3000000L, 2666666L, 5500000L, 2833334L)))
+    assert(got("b") == (("b", 2L, 5500000L, 2666666L, -3000000L, -5666666L)))
+  }
+
+  test("ablateGroups: a single group raises loudly instead of an undefined mean") {
+    val df = Seq(("only", 1L), ("only", 2L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Curation.ablateGroups(df, "g", col("v")).collect()
+    }
+    assert(e.getMessage.contains("at least 2 groups"))
+  }
 }

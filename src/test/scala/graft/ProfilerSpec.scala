@@ -792,4 +792,58 @@ class ProfilerSpec extends SparkSpec {
       ("g", 50L, 5L, 15L, 10L),
       ("g", 100L, 10L, 20L, 10L)))
   }
+
+  private def entropyModelPpm(tok: String): Long = {
+    val t = tok.take(256)
+    val L = Profiler.log2Micro
+    val h = t.groupBy(identity).values.map(_.length.toLong)
+      .map(c => c * (L(t.length - 1) - L(c.toInt - 1))).sum
+    h / t.length
+  }
+
+  test("entropyScan: hand fixture — uniform hex flags, constant runs and short/non-ASCII don't") {
+    val docs = Seq(
+      // 4x4 chars: H = 2 bits exactly; 'a'*20: H = 0; short words ignored
+      (1L, "short words AAAABBBBCCCCDDDD aaaaaaaaaaaaaaaaaaaa"),
+      // 16 distinct chars: H = log2(16) = 4 bits -> flagged at 3.0
+      (2L, "0123456789abcdef plain text"),
+      // 16 accented chars: printable-ASCII gate excludes the token
+      (3L, "ÇÇÇÇÇÇÇÇÇÇÇÇÇÇÇÇ nothing else"),
+      (4L, "no candidates here at all")
+    ).toDF("doc_id", "text")
+    val got = Profiler.entropyScan(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L), "docs 3 and 4 have nothing to scan")
+    // H("AAAABBBBCCCCDDDD") = 2 bits, H('a'*20) = 0, H(16 distinct) = 4
+    // bits — asserted through the pinned table (within a µbit of exact)
+    val h2bit = entropyModelPpm("AAAABBBBCCCCDDDD")
+    val h4bit = entropyModelPpm("0123456789abcdef")
+    assert(math.abs(h2bit - 2000000L) <= 1 && math.abs(h4bit - 4000000L) <= 1)
+    assert(got(1L) == ((1L, 2L, 0L, h2bit)))
+    assert(got(2L) == ((2L, 1L, 1L, h4bit)))
+  }
+
+  test("entropyScan == per-token model over random printable tokens; 256-char cap honored") {
+    val rnd = new scala.util.Random(7)
+    val chars = (0x21 to 0x7e).map(_.toChar)
+    val toks = (1 to 30).map(i =>
+      (1 to (16 + rnd.nextInt(300))).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, s"pad $t pad") }
+      .toDF("doc_id", "text")
+    val got = Profiler.entropyScan(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    toks.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == entropyModelPpm(t), s"token $i (len ${t.length})")
+    }
+  }
+
+  test("entropyScan: minLen outside the pinned table domain raises") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Profiler.entropyScan(docs, "doc_id", "text", minLen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.entropyScan(docs, "doc_id", "text", minLen = 257)
+    }
+  }
 }
