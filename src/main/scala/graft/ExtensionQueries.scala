@@ -2322,6 +2322,49 @@ object ExtensionQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // X212 Wasserstein-1 on the same qsketch cells as q232: the panel
+    // member with units — how far the length mass travelled, in chars
+    // x1000 (area between the cell-censored CDFs).
+    "q247_w1_cells" -> ((s, d) =>
+      Profiler.wassersteinFromCells(
+          Sketches.qsketchCells(
+            Tables.documents(s, d).select(col("source").as("grp"),
+              col("n_chars").cast("long").as("v")),
+            "grp", col("v"), subBits = 4),
+          "grp")
+        .orderBy(col("g_a"), col("g_b"))),
+
+    // X213 Pareto skyline of parts: maximize size AND retail price —
+    // the undominated quality/cost frontier; floor(price*100) is the
+    // IEEE-pinned integerization (DuckDB CAST rounds, so floor first).
+    "q248_skyline" -> ((s, d) =>
+      Curation.skyline2D(Tables.part(s, d), "p_partkey",
+          col("p_size"), floor(col("p_retailprice") * 100).cast("long"))
+        .orderBy(col("p_partkey"))),
+
+    // X214 grid-density clustering of the embedding map's first two
+    // dims: 1/32-wide cells, dense at >=4 points, 8-adjacent dense
+    // cells merge (7 modes + noise at this grain); sparse-cell points
+    // read noise (-1).
+    "q249_grid_density" -> ((s, d) =>
+      Clustering.gridDensityClusters(Tables.embeddings(s, d), "vec_id",
+          element_at(col("embedding"), 1), element_at(col("embedding"), 2),
+          invCell = 32, minPts = 4L)
+        .orderBy(col("vec_id"))),
+
+    // X215 HyperBall on the distinct part co-purchase graph (q100's
+    // edge construction): per part, the HLL-estimated 0/1/2-hop ball
+    // size — the "how central is this item" probe without |V| BFS runs.
+    "q250_hyperball" -> ((s, d) => {
+      val pe = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = pe.as("x").join(pe.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      GraphRank.hyperBall(ed, radii = 2)
+        .orderBy(col("node"), col("r"))
+    }),
+
     // O1-O5 composition under the hard gate: a REAL PipelineETL.run
     // over a staging fixture derived deterministically from `part`
     // (two price sheets with first-sheet-wins overlap + a maintenance
@@ -6632,6 +6675,107 @@ object ExtensionQueries {
          |    AS n_flagged,
          |  CAST(max(hppm) AS BIGINT) AS max_h_ppm
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Profiler.wassersteinFromCells: gap to the next pooled
+    // cell's lower bound x the |cumA·nb − cumB·na| CDF gap, then the
+    // x1000 floor lift over na·nb.
+    "q247_w1_cells" ->
+      s"""WITH $docCellsCte,
+         |t AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY 1),
+         |pr AS (SELECT a.g AS g_a, b.g AS g_b
+         |  FROM (SELECT DISTINCT g FROM cells) a, (SELECT DISTINCT g FROM cells) b
+         |  WHERE a.g < b.g),
+         |pv AS (SELECT DISTINCT g_a, g_b, e, m FROM (
+         |  SELECT pr.g_a, pr.g_b, c.e, c.m FROM pr JOIN cells c ON c.g = pr.g_a
+         |  UNION ALL SELECT pr.g_a, pr.g_b, c.e, c.m FROM pr JOIN cells c ON c.g = pr.g_b)),
+         |cum AS (SELECT pv.g_a, pv.g_b, pv.e, pv.m,
+         |    (pv.m << CAST(greatest(pv.e - 4, 0) AS INT)) AS lo,
+         |    SUM(COALESCE(ca.cnt, 0)) OVER (PARTITION BY pv.g_a, pv.g_b ORDER BY pv.e, pv.m) AS cuma,
+         |    SUM(COALESCE(cb.cnt, 0)) OVER (PARTITION BY pv.g_a, pv.g_b ORDER BY pv.e, pv.m) AS cumb
+         |  FROM pv LEFT JOIN cells ca ON ca.g = pv.g_a AND ca.e = pv.e AND ca.m = pv.m
+         |          LEFT JOIN cells cb ON cb.g = pv.g_b AND cb.e = pv.e AND cb.m = pv.m),
+         |gp AS (SELECT g_a, g_b, cuma, cumb,
+         |    COALESCE(lead(lo) OVER (PARTITION BY g_a, g_b ORDER BY e, m) - lo, 0) AS gap
+         |  FROM cum),
+         |s AS (SELECT gp.g_a, gp.g_b, ta.n AS na, tb.n AS nb,
+         |    SUM(CAST(gap AS HUGEINT)
+         |      * abs(CAST(cuma AS HUGEINT) * tb.n - CAST(cumb AS HUGEINT) * ta.n)) AS ss
+         |  FROM gp JOIN t ta ON ta.g = gp.g_a JOIN t tb ON tb.g = gp.g_b
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT g_a, g_b, na AS n_a, nb AS n_b,
+         |  CAST((ss * 1000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS w1_milli
+         |FROM s ORDER BY g_a, g_b""".stripMargin,
+
+    // Mirrors Curation.skyline2D by the definition: NOT EXISTS a
+    // dominating row (>= both, > somewhere). n^2 is fine at oracle SF.
+    "q248_skyline" ->
+      """WITH pts AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+        |    CAST(floor(p_retailprice * 100) AS BIGINT) AS y FROM part)
+        |SELECT p.p_partkey, p.x, p.y FROM pts p WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+        |ORDER BY p_partkey""".stripMargin,
+
+    // Mirrors Clustering.gridDensityClusters: same exact-IEEE cell
+    // grid, min-label fixpoint over 8-adjacent dense cells via the
+    // recursive CTE, sparse points coalesce to -1.
+    "q249_grid_density" ->
+      """WITH RECURSIVE
+        |pts AS (SELECT vec_id, CAST(floor(embedding[1] * 32) AS BIGINT) AS cx,
+        |    CAST(floor(embedding[2] * 32) AS BIGINT) AS cy FROM embeddings),
+        |dense AS (SELECT cx, cy,
+        |    ((cx + 1048576) << 21) + (cy + 1048576) AS k
+        |  FROM pts GROUP BY cx, cy HAVING count(*) >= 4),
+        |e AS (SELECT a.k AS s, b.k AS t FROM dense a JOIN dense b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.k <> b.k),
+        |cc(n, l) AS (SELECT k, k FROM dense
+        |  UNION SELECT e.t, cc.l FROM cc JOIN e ON e.s = cc.n),
+        |lbl AS (SELECT n, min(l) AS c FROM cc GROUP BY n)
+        |SELECT p.vec_id, p.cx, p.cy, COALESCE(lbl.c, -1) AS cluster
+        |FROM pts p
+        |LEFT JOIN dense d ON d.cx = p.cx AND d.cy = p.cy
+        |LEFT JOIN lbl ON lbl.n = d.k
+        |ORDER BY vec_id""".stripMargin,
+
+    // Mirrors GraphRank.hyperBall (p=6, MaxRho=30, radii=2): seed
+    // registers from the node-id polyhash+mix, two rounds of per-bucket
+    // max over the symmetrized+self-looped edges, the integer harmonic
+    // estimate read after every round.
+    "q250_hyperball" -> {
+      val vh = dh("CAST(n AS VARCHAR)")
+      s"""WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ed AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM pe x JOIN pe y ON x.o = y.o AND x.p < y.p),
+         |nodes AS (SELECT a AS n FROM ed UNION SELECT b FROM ed),
+         |und AS (SELECT a AS s, b AS t FROM ed
+         |  UNION ALL SELECT b, a FROM ed
+         |  UNION ALL SELECT n, n FROM nodes),
+         |mx AS (SELECT n, ((48271 * ((h * h) % 1000000007)) % 1000000007
+         |    + (16807 * h) % 1000000007) % 1000000007 AS m
+         |  FROM (SELECT n, $vh AS h FROM nodes)),
+         |r0 AS (SELECT n AS node, m % 64 AS bucket,
+         |    CASE WHEN m // 64 = 0 THEN 30
+         |         ELSE least(30, bit_count(((m // 64) & -(m // 64)) - 1) + 1)
+         |    END AS register FROM mx),
+         |r1 AS (SELECT u.s AS node, r0.bucket, max(r0.register) AS register
+         |  FROM und u JOIN r0 ON r0.node = u.t GROUP BY 1, 2),
+         |r2 AS (SELECT u.s AS node, r1.bucket, max(r1.register) AS register
+         |  FROM und u JOIN r1 ON r1.node = u.t GROUP BY 1, 2),
+         |est AS (
+         |  SELECT node, CAST(0 AS BIGINT) AS r, count(*) AS occ,
+         |      SUM(CAST(1 AS BIGINT) << CAST(30 - register AS INT)) AS s
+         |    FROM r0 GROUP BY 1, 2
+         |  UNION ALL SELECT node, 1, count(*),
+         |      SUM(CAST(1 AS BIGINT) << CAST(30 - register AS INT))
+         |    FROM r1 GROUP BY 1, 2
+         |  UNION ALL SELECT node, 2, count(*),
+         |      SUM(CAST(1 AS BIGINT) << CAST(30 - register AS INT))
+         |    FROM r2 GROUP BY 1, 2)
+         |SELECT node, r, CAST(occ AS BIGINT) AS n_occupied,
+         |  CAST((709 * 64 * 64 * (CAST(1 AS BIGINT) << 30))
+         |    // (1000 * (s + (64 - occ) * (CAST(1 AS BIGINT) << 30))) AS BIGINT) AS est
+         |FROM est ORDER BY node, r""".stripMargin
+    },
 
     // Mirrors the PipelineETL composition over the part-derived
     // fixture: ISD (even keys) wins the catalog consolidation over ICD

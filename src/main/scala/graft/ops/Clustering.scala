@@ -395,4 +395,78 @@ object Clustering {
       .select(col("cluster_id"), col("n_members"),
         col("__m.l").as("majority_label"), (-col("__m.nc")).as("majority_n"))
       .withColumn("purity_ppm", expr("(majority_n * 1000000) div n_members"))
+
+
+  /** X214: grid-density clustering — the bounded-state member of the
+    * density-based family (the grid tier of DBSCAN: STING / the
+    * cell-based DBSCAN accelerations, Wang et al. VLDB 1997; Ester et
+    * al. KDD 1996 for the density semantics): points land on a square
+    * grid of side 1/`invCell`, a cell is DENSE when it holds ≥ `minPts`
+    * points, clusters are connected components of 8-adjacent dense
+    * cells, and points in sparse cells read cluster −1 (noise). The
+    * embedding-map view a curator uses to find modes and strip outliers
+    * when k-means' "exactly k convex blobs" assumption is wrong —
+    * density finds however many arbitrarily-shaped modes exist.
+    *
+    * Determinism: `invCell` must be a power of two (loud), so
+    * x·invCell is an EXACT IEEE product and floor() lands identically
+    * on any engine — same pin as the quantizer family. Cell
+    * coordinates are loudly bounded to |c| < 2^20 so a cell packs into
+    * one long key ((cx+2^20) << 21 | cy+2^20); the cluster id is the
+    * min packed key in the component — canonical and engine-portable.
+    *
+    * Scale shape: the corpus collapses to cell counts in ONE map-side-
+    * combinable aggregate (state = live cells, never points); dense-
+    * cell adjacency is 4 equi-joins on shifted keys (forward offsets
+    * only — each undirected edge built once) over the ≤ |cells| frame;
+    * components run on [[graft.ops.ConnectedComponents]] (pointer-
+    * doubling, ⌈log₂ n⌉ rounds); the only corpus-width operation is
+    * the final broadcast-size label join back onto the points.
+    *
+    * @return (`idCol`, cx, cy, cluster) — cluster = min packed dense-cell
+    *         key in the component, −1 for points in sparse cells
+    */
+  def gridDensityClusters(df: DataFrame, idCol: String, xExpr: Column,
+                          yExpr: Column, invCell: Int,
+                          minPts: Long): DataFrame = {
+    require(invCell >= 1 && (invCell & (invCell - 1)) == 0 &&
+      invCell <= (1 << 20),
+      s"invCell must be a power of two in [1, 2^20] (exact IEEE product): $invCell")
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val Half = 1L << 20
+    def cellOf(e: Column, name: String): Column = {
+      val c = floor(e.cast("double") * invCell).cast("long")
+      when(abs(c) >= Half, raise_error(concat(
+        lit(s"gridDensityClusters: |$name cell| must stay below 2^20 "
+          + "(packs into one long key) — coarsen invCell: "),
+        c.cast("string")))).otherwise(c)
+    }
+    val pts = df.select(col(idCol).as("__id"),
+        cellOf(xExpr, "x").as("cx"), cellOf(yExpr, "y").as("cy"))
+      .localCheckpoint(eager = false) // forked: cell counts + label join
+    val packed = expr(s"shiftleft(cx + ${Half}L, 21) + (cy + ${Half}L)")
+    val dense = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minPts)
+      .select(col("cx"), col("cy"), packed.as("__k"))
+      .localCheckpoint(eager = false) // forked: 4 edge probes + self rows
+    // forward offsets only: each undirected adjacency built exactly once
+    val edges = Seq((1, -1), (1, 0), (1, 1), (0, 1))
+      .map { case (dx, dy) =>
+        dense.as("a").join(dense.as("b"),
+          col("a.cx") + dx === col("b.cx") && col("a.cy") + dy === col("b.cy"))
+          .select(col("a.__k").as("a"), col("b.__k").as("b"))
+      }
+      .reduce(_ unionByName _)
+      // isolated dense cells are single-cell clusters: keep them in the
+      // node set with a self-loop (labels() only sees edge endpoints)
+      .unionByName(dense.select(col("__k").as("a"), col("__k").as("b")))
+    val labels = ConnectedComponents.labels(edges)
+      .select(col("node").as("__k"), col("cluster_id").as("__c"))
+    pts
+      .join(broadcast(dense.join(labels, Seq("__k"))
+        .select(col("cx"), col("cy"), col("__c"))), Seq("cx", "cy"), "left")
+      .select(col("__id").as(idCol), col("cx"), col("cy"),
+        coalesce(col("__c"), lit(-1L)).as("cluster"))
+  }
 }

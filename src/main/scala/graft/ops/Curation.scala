@@ -860,4 +860,79 @@ object Curation {
         (floorPpm("(__ts - __s)", "(__tn - n)") -
           floorPpm("__ts", "__tn")).as("delta_ppm"))
   }
+
+
+  /** X213: 2-D Pareto skyline — the rows no other row dominates (≥ in
+    * both objectives, > in at least one), both objectives MAXIMIZED
+    * (negate/shift to minimize). The multi-objective selection primitive
+    * (Börzsönyi, Kossmann & Stocker, "The Skyline Operator", ICDE 2001)
+    * a curator reaches for when two scores trade off — quality vs
+    * length, relevance vs recency — and any single weighted blend would
+    * bake in an arbitrary exchange rate: the skyline IS the set of
+    * defensible picks.
+    *
+    * Duplicate points (equal in BOTH objectives) dominate nothing and
+    * all survive together — the deterministic convention, pinned in
+    * spec. `xExpr` must be ≥ 0 (loud — it keys the bucket grid, the
+    * [[graft.ops.Sketches.qsketchCells]] domain discipline); `yExpr`
+    * is any long.
+    *
+    * Scale shape — the classic sort-based skyline needs one GLOBAL
+    * x-sort with a running y-max: a single-task window at corpus scale.
+    * This decomposes it: (1) a map-side-combinable collapse to distinct
+    * (bucket, x) rows with their y-max, buckets = log-linear qsketch
+    * cells of x (≤ ~1k, value-disjoint and ordered); (2) the
+    * cross-bucket running max on the ≤ ~1k-row bucket frame (the
+    * documented sketch-size window); (3) a per-bucket window over
+    * DISTINCT x only; (4) one broadcast-size join back. A row is
+    * dominated iff some strictly-greater-x row has y' ≥ y (read off
+    * (2)+(3)) or an equal-x row has y' > y (read off (1)) — nothing
+    * scales past the distinct-(bucket, x) frame but the first collapse.
+    *
+    * @return (`idCol`, x, y) — the undominated rows
+    */
+  def skyline2D(df: DataFrame, idCol: String, xExpr: Column,
+                yExpr: Column, subBits: Int = 4): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"skyline2D needs 1 <= subBits <= 16, got $subBits")
+    import org.apache.spark.sql.expressions.Window
+    val x0 = xExpr.cast("long")
+    val base = df.select(col(idCol).as("__id"),
+        when(x0 < 0, raise_error(concat(
+          lit("skyline2D: objective x must be >= 0 (it keys the bucket "
+            + "grid) — shift it: "), x0.cast("string"))))
+          .otherwise(x0).as("__x"),
+        yExpr.cast("long").as("__y"))
+      .withColumn("__e", when(col("__x") === 0L, lit(-1L))
+        .otherwise(length(bin(col("__x"))).cast("long") - 1L))
+      .withColumn("__m",
+        expr(s"shiftright(__x, cast(greatest(__e - $subBits, 0L) AS int))"))
+      .localCheckpoint(eager = false) // forked: distinct-x frame + join back
+    // (1) collapse to distinct (bucket, x): per-x y-max — partial-agg
+    // map-side combine does the heavy lifting here
+    val xs = base.groupBy(col("__e"), col("__m"), col("__x"))
+      .agg(max(col("__y")).as("__ymax"))
+      .localCheckpoint(eager = false) // forked: bucket frame + two windows
+    // (2) bucket-level running max from strictly HIGHER buckets (bucket
+    // value-ranges are disjoint + ordered, so higher bucket => x' > x)
+    val wB = Window.orderBy(col("__e").desc, col("__m").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bmax = xs.groupBy(col("__e"), col("__m"))
+      .agg(max(col("__ymax")).as("__bm"))
+      .withColumn("__above", max(col("__bm")).over(wB))
+      .drop("__bm")
+    // (3) within-bucket running max over distinct x, strictly greater
+    val wX = Window.partitionBy(col("__e"), col("__m"))
+      .orderBy(col("__x").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val marks = xs
+      .withColumn("__within", max(col("__ymax")).over(wX))
+      .join(broadcast(bmax), Seq("__e", "__m"), "left")
+    // (4) broadcast-size: |marks| = distinct (bucket, x) — join back
+    base
+      .join(marks, Seq("__e", "__m", "__x"))
+      .filter(!(coalesce(col("__above"), lit(Long.MinValue)) >= col("__y") ||
+        coalesce(col("__within"), lit(Long.MinValue)) >= col("__y") ||
+        col("__ymax") > col("__y")))
+      .select(col("__id").as(idCol), col("__x").as("x"), col("__y").as("y"))
+  }
 }

@@ -849,4 +849,63 @@ object GraphRank {
   def bibCoupling(edges: DataFrame, srcCol: String, dstCol: String,
                   maxCitedFanin: Long = 1000, minCommon: Long = 2): DataFrame =
     commonNeighborPairs(edges, dstCol, srcCol, maxCitedFanin, minCommon)
+
+
+  /** X215: HyperBall — the approximate neighborhood function: for every
+    * node, an HLL-sketched estimate of |B(v, r)|, the number of nodes
+    * within r hops (Palmer, Gibbons & Faloutsos, "ANF", KDD 2002;
+    * Boldi, Rosa & Vigna, "HyperANF", WWW 2011 — the algorithm that
+    * measured the Facebook graph's four degrees). Exact r-hop
+    * reachability is a frontier BFS per node (|V| traversals); this
+    * keeps ONE fixed-size register sketch per node and runs r rounds of
+    * "my ball = me ∪ my neighbors' balls", which the HLL union (per-
+    * bucket max) prices in m small ints per node — the graph-scale
+    * "how connected is this corpus / how big is each doc's citation
+    * ball" probe that is flatly impossible exactly at 100 TB.
+    *
+    * Determinism: registers are [[graft.ops.Sketches.hllRegisters]]'
+    * (polyhash + quadratic mix, trailing-zero rho) and the union is a
+    * max — order-free, merge-safe, engine-portable; estimates are the
+    * integer harmonic [[graft.ops.Sketches.hllEstimate]] fold. The
+    * estimate at r = 0 is the sketch's read of the singleton ball
+    * (≈ 1) — reported, not special-cased, so the error model is uniform
+    * across radii.
+    *
+    * Scale shape: per round, ONE equi-join of the symmetrized edge list
+    * against the ≤ |V|·m register table and one map-side-combinable
+    * per-(node, bucket) max — shuffle is |E|·occupied rows, state never
+    * exceeds |V|·m; rounds are lazily localCheckpoint'ed (bounded
+    * lineage, the [[graft.ops.ConnectedComponents]] discipline). The
+    * radius loop is driver-side orchestration of r ≪ diameter rounds,
+    * not per-node work.
+    *
+    * @param edges undirected edges (a, b); isolated nodes don't appear
+    * @return (node, r, n_occupied, est) for r = 0..radii — est ≈ |B(node, r)|
+    */
+  def hyperBall(edges: DataFrame, radii: Int, p: Int = 6): DataFrame = {
+    require(radii >= 1 && radii <= 30, s"radii must sit in [1, 30]: $radii")
+    val nodes = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node"))).distinct()
+      .localCheckpoint(eager = false) // forked: seed registers + self-loops
+    val und = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .unionByName(nodes.select(col("node").as("a"), col("node").as("b")))
+      .localCheckpoint(eager = false) // probed once per round
+    var regs = Sketches.hllRegisters(nodes, "node",
+        col("node").cast("string"), p)
+      .localCheckpoint(eager = false)
+    var out = Sketches.hllEstimate(regs, "node", p)
+      .select(col("node"), lit(0L).as("r"), col("n_occupied"), col("est"))
+    for (r <- 1 to radii) {
+      regs = und
+        .join(regs, und("b") === regs("node"))
+        .groupBy(und("a").as("node"), col("bucket"))
+        .agg(max(col("register")).as("register"))
+        .localCheckpoint(eager = false) // next round + this round's read
+      out = out.unionByName(Sketches.hllEstimate(regs, "node", p)
+        .select(col("node"), lit(r.toLong).as("r"), col("n_occupied"),
+          col("est")))
+    }
+    out
+  }
 }

@@ -1492,4 +1492,93 @@ object Profiler {
       .select(col("__id").as(idCol), col("n_candidates"),
         col("n_flagged"), col("max_h_ppm"))
   }
+
+
+  /** X212: pairwise 1-Wasserstein (earth-mover) distance on qsketch
+    * cells — the drift panel's only member with UNITS: where L1 counts
+    * mass that moved and KS reports the worst CDF gap, W₁ = ∫|F_a −
+    * F_b| dx prices how FAR the mass travelled, in the value column's
+    * own units ("p50 latency drifted, and the average microsecond of
+    * probability mass moved 340 µs") — the number a capacity ticket can
+    * act on. Classic identity: for 1-D distributions W₁ equals the
+    * area between the CDFs (Vallender 1974), so it reads off the same
+    * cell grid as the rest of the panel in one pass.
+    *
+    * Cell censoring: each cell's mass sits at the cell's LOWER bound
+    * (the same convention [[graft.ops.Sketches.qsketchQuantiles]]
+    * reports), so this is the EXACT W₁ of the censored data, and its
+    * distance from the raw-data W₁ is bounded by the sketch's relative
+    * width contract (≤ 2^−subBits of each value). Integer spelling:
+    * W₁·n_a·n_b = Σ_i gap_i·|cumA_i·n_b − cumB_i·n_a| with gap_i the
+    * distance to the next pooled cell's lower bound — gaps partition
+    * the value range, so the fold is bounded by range·n_a·n_b and the
+    * ×1000 lift stays inside DECIMAL(38,0) under the same loud 10⁸
+    * rows-per-group bound as [[chi2FromCells]].
+    *
+    * Physical shape: identical to [[ksStatFromCells]] — every read
+    * touches the ≤ ~1k-cell sketch, the pair fan-out is |groups|²
+    * sketch-row joins, the per-pair window sorts ≤ ~2k cells; nothing
+    * scales with corpus rows.
+    *
+    * @param cells a [[graft.ops.Sketches.qsketchCells]] frame
+    *              (`groupCol`, e, m, cnt); subBits must match the build
+    * @return (g_a < g_b, n_a, n_b, w1_milli) — W₁ in value units ×1000
+    */
+  def wassersteinFromCells(cells: DataFrame, groupCol: String,
+                           subBits: Int = 4): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"qsketch needs 1 <= subBits <= 16, got $subBits")
+    val counts = cells.select(col(groupCol).cast("string").as("g"),
+        col("e").cast("long").as("e"), col("m").cast("long").as("m"),
+        col("cnt").cast("long").as("cnt"))
+      .localCheckpoint(eager = false) // forked: totals + two pair probes
+    val totals = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .withColumn("n",
+        when(col("n") > 100000000L, raise_error(concat(
+          lit("wassersteinFromCells group-size bound: 1e8 rows per group "
+            + "keeps gap*(cum*n) and the x1000 lift inside DECIMAL(38,0) "
+            + "— sample the group: "),
+          col("g")))).otherwise(col("n")))
+      .localCheckpoint(eager = false)
+    val groups = counts.select(col("g")).distinct()
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(groups.select(col("g").as("g_b")))
+      .filter(col("g_a") < col("g_b"))
+    val pooled = pairs
+      .join(counts.select(col("g").as("g_a"), col("e"), col("m")), Seq("g_a"))
+      .unionByName(pairs
+        .join(counts.select(col("g").as("g_b"), col("e"), col("m")), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("e"), col("m")))
+      .distinct()
+    val wCum = Window.partitionBy(col("g_a"), col("g_b"))
+      .orderBy(col("e").asc, col("m").asc)
+    pooled
+      .join(counts.select(col("g").as("g_a"), col("e"), col("m"),
+        col("cnt").as("__ca")), Seq("g_a", "e", "m"), "left")
+      .join(counts.select(col("g").as("g_b"), col("e"), col("m"),
+        col("cnt").as("__cb")), Seq("g_b", "e", "m"), "left")
+      .join(totals.select(col("g").as("g_a"), col("n").as("__na")), Seq("g_a"))
+      .join(totals.select(col("g").as("g_b"), col("n").as("__nb")), Seq("g_b"))
+      .withColumn("__lo",
+        expr(s"shiftleft(m, cast(greatest(e - $subBits, 0L) AS int))"))
+      .withColumn("__cuma", sum(coalesce(col("__ca"), lit(0L)))
+        .over(wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cumb", sum(coalesce(col("__cb"), lit(0L)))
+        .over(wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // distance to the next pooled cell's lower bound; the largest
+      // cell has no successor and carries diff = 0 anyway (both CDFs
+      // have reached 1), so the 0 gap is exact, not a truncation
+      .withColumn("__gap",
+        coalesce(lead(col("__lo"), 1).over(wCum) - col("__lo"), lit(0L)))
+      .groupBy(col("g_a"), col("g_b"), col("__na"), col("__nb"))
+      .agg(sum(expr(
+        """cast(__gap as decimal(38,0)) *
+          |abs(cast(__cuma as decimal(38,0)) * __nb
+          |    - cast(__cumb as decimal(38,0)) * __na)""".stripMargin))
+        .as("__s"))
+      .select(col("g_a"), col("g_b"), col("__na").as("n_a"),
+        col("__nb").as("n_b"),
+        expr("(__s * 1000) div (cast(__na as decimal(38,0)) * __nb)")
+          .cast("long").as("w1_milli"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Clustering
+import org.apache.spark.sql.functions.col
 
 class ClusteringSpec extends SparkSpec {
   import spark.implicits._
@@ -191,5 +192,50 @@ class ClusteringSpec extends SparkSpec {
       (1L, 4L, "en", 3L, 750000L),
       (2L, 2L, "de", 1L, 500000L),
       (3L, 2L, "es", 2L, 1000000L)))
+  }
+
+  test("gridDensityClusters == brute grid model; sparse reads -1; invCell pinned to powers of two") {
+    import graft.ops.Clustering
+    val rnd = new scala.util.Random(20260832L)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1)) ++
+      // a far-away tight blob: an isolated dense cell = its own cluster
+      (301 to 306).map(i => (i.toLong, 50.03, 50.07))
+    val got = Clustering.gridDensityClusters(pts.toDF("id", "x", "y"), "id",
+        col("x"), col("y"), invCell = 4, minPts = 4L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // brute model: cells, density, union-find over 8-adjacency
+    def cellOf2(v: Double): Long = math.floor(v * 4).toLong
+    val cells = pts.groupBy(p => (cellOf2(p._2), cellOf2(p._3)))
+    val dense = cells.filter(_._2.size >= 4).keySet
+    def pack(c: (Long, Long)): Long = ((c._1 + 1048576L) << 21) + (c._2 + 1048576L)
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    dense.foreach(c => parent(pack(c)) = pack(c))
+    for (a <- dense; b <- dense
+         if a != b && math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1) {
+      val (ra, rb) = (find(pack(a)), find(pack(b)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pts.foreach { case (id, x, y) =>
+      val c = (cellOf2(x), cellOf2(y))
+      val expCluster = if (dense(c)) find(pack(c)) else -1L
+      assert(got(id) == ((c._1, c._2, expCluster)), s"point $id")
+    }
+    assert(got.values.map(_._3).toSet.size >= 3,
+      "fixture should produce several clusters plus noise")
+    assert(got(301L)._3 == pack((cellOf2(50.03), cellOf2(50.07))),
+      "isolated dense cell is its own cluster")
+    // non-power-of-two grid raises
+    val e = intercept[IllegalArgumentException] {
+      Clustering.gridDensityClusters(pts.toDF("id", "x", "y"), "id",
+        col("x"), col("y"), invCell = 3, minPts = 4L)
+    }
+    assert(e.getMessage.contains("power of two"))
   }
 }

@@ -535,4 +535,41 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("at least 2 groups"))
   }
+
+  test("skyline2D == brute dominance model; duplicates survive; negative x raises") {
+    import graft.ops.Curation
+    val rnd = new scala.util.Random(20260831L)
+    // small coordinate ranges force x-ties, y-ties and exact duplicates
+    val pts = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(60).toLong, rnd.nextInt(60).toLong - 20))
+    val got = Curation.skyline2D(pts.toDF("id", "xc", "yc"), "id",
+        col("xc"), col("yc"))
+      .as[(Long, Long, Long)].collect().toSet
+    val exp = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y) }
+    }.toSet
+    assert(got == exp)
+    assert(exp.size > 1, "fixture should keep a multi-point frontier")
+    // exact duplicates of a frontier point all survive together
+    val dup = Seq((1L, 10L, 10L), (2L, 10L, 10L), (3L, 5L, 20L), (4L, 3L, 3L))
+    val dupGot = Curation.skyline2D(dup.toDF("id", "xc", "yc"), "id",
+        col("xc"), col("yc"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dupGot == Set((1L, 10L, 10L), (2L, 10L, 10L), (3L, 5L, 20L)))
+    // x = 0 rows participate (the sentinel bucket)
+    val zero = Seq((1L, 0L, 99L), (2L, 50L, 1L), (3L, 7L, 50L))
+    val zeroGot = Curation.skyline2D(zero.toDF("id", "xc", "yc"), "id",
+        col("xc"), col("yc"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(zeroGot == zero.toSet)
+    // negative x raises loudly
+    val e = intercept[Throwable] {
+      Curation.skyline2D(Seq((1L, -3L, 5L)).toDF("id", "xc", "yc"), "id",
+        col("xc"), col("yc")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("must be >= 0"), s"got: $msgs")
+  }
 }

@@ -409,4 +409,42 @@ class GraphRankSpec extends SparkSpec {
     // the cap excludes hub keys entirely: with cap 1 nothing pairs
     assert(GraphRank.coCitation(edges, "src", "dst", 1, 1).count() == 0)
   }
+
+  test("hyperBall: sketch after r rounds == HLL of the exact r-ball; growth is monotone") {
+    import graft.ops.GraphRank
+    // chain 1-2-3-4-5, triangle 10-11-12, isolated edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    val got = GraphRank.hyperBall(edges.toDF("a", "b"), radii = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // exact balls by BFS
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, r: Int): Set[Long] =
+      (1 to r).foldLeft(Set(v))((s, _) => s ++ s.flatMap(adj.getOrElse(_, Set.empty)))
+    // model registers: polyhash of the id string, quadratic mix, rho
+    val M = 1000000007L
+    def polyhash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)
+    def mix(h: Long): Long = ((48271L * ((h * h) % M)) % M + (16807L * h) % M) % M
+    def est(members: Set[Long]): (Long, Long) = {
+      val regs = members.toSeq
+        .map { u => val m = mix(polyhash(u.toString)); (m % 64, m / 64) }
+        .groupBy(_._1).view.mapValues(_.map { case (_, r) =>
+          if (r == 0L) 30L
+          else math.min(30L, java.lang.Long.numberOfTrailingZeros(r) + 1L)
+        }.max).toMap
+      val s = regs.values.map(r => 1L << (30 - r).toInt).sum
+      val occ = regs.size.toLong
+      (occ, (709L * 64 * 64 * (1L << 30)) / (1000L * (s + (64 - occ) * (1L << 30))))
+    }
+    for (v <- nodes; r <- 0 to 2)
+      assert(got((v, r.toLong)) == est(ball(v, r)), s"node $v radius $r")
+    // ball growth is monotone in the sketch too (union only adds)
+    for (v <- nodes)
+      assert(got((v, 0L))._2 <= got((v, 1L))._2 + 0 &&
+        got((v, 1L))._2 <= got((v, 2L))._2, s"monotone $v")
+  }
 }

@@ -846,4 +846,63 @@ class ProfilerSpec extends SparkSpec {
       Profiler.entropyScan(docs, "doc_id", "text", minLen = 257)
     }
   }
+
+  test("wassersteinFromCells == BigInt gap model; identity 0; pure shift reads exact") {
+    import graft.ops.{Profiler, Sketches}
+    val rnd = new scala.util.Random(20260830L)
+    val fx = (1 to 260).map(_ => ("A", rnd.nextInt(5000).toLong)) ++
+      (1 to 190).map(_ => ("B", rnd.nextInt(5000).toLong + 900)) ++
+      (1 to 80).map(_ => ("C", (rnd.nextInt(90) * 41).toLong))
+    val df = fx.toDF("g", "v").repartition(5)
+    val got = Profiler.wassersteinFromCells(
+        Sketches.qsketchCells(df, "g", col("v"), subBits = 4), "g")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val byG = fx.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def loOf(k: (Long, Long)): Long = k._2 << math.max(k._1 - 4L, 0L).toInt
+    def model(a: Seq[Long], b: Seq[Long]): Long = {
+      val ca = a.groupBy(cellOf).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(cellOf).view.mapValues(_.size.toLong).toMap
+      val na = a.size.toLong; val nb = b.size.toLong
+      val keys = (ca.keySet ++ cb.keySet).toSeq.sorted
+      var cuma = 0L; var cumb = 0L; var s = BigInt(0)
+      keys.zipWithIndex.foreach { case (k, i) =>
+        cuma += ca.getOrElse(k, 0L); cumb += cb.getOrElse(k, 0L)
+        val gap = if (i + 1 < keys.size) loOf(keys(i + 1)) - loOf(k) else 0L
+        s += BigInt(gap) * (BigInt(cuma) * nb - BigInt(cumb) * na).abs
+      }
+      (s * 1000 / (BigInt(na) * nb)).toLong
+    }
+    for (p <- Seq(("A", "B"), ("A", "C"), ("B", "C"))) {
+      val (a, b) = (byG(p._1), byG(p._2))
+      val (na, nb, w1) = got(p)
+      assert((na, nb) == ((a.size.toLong, b.size.toLong)), s"totals $p")
+      assert(w1 == model(a, b), s"gap model $p")
+      assert(w1 > 0L, s"shifted fixtures must register $p")
+    }
+    // identical cell sets: every CDF gap is 0
+    val same = (1 to 40).flatMap(i => Seq(("A", i.toLong * 11), ("B", i.toLong * 11)))
+    val sameGot = Profiler.wassersteinFromCells(
+        Sketches.qsketchCells(same.toDF("g", "v"), "g", col("v"), 4), "g")
+      .as[(String, String, Long, Long, Long)].collect().head
+    assert(sameGot._5 == 0L)
+    // a pure location step between cell lower bounds is priced exactly:
+    // all mass at 0 vs all mass at 8192 (both their cells' lo) -> 8192.000
+    val shift = (1 to 15).map(_ => ("A", 0L)) ++ (1 to 15).map(_ => ("B", 8192L))
+    val shiftGot = Profiler.wassersteinFromCells(
+        Sketches.qsketchCells(shift.toDF("g", "v"), "g", col("v"), 4), "g")
+      .as[(String, String, Long, Long, Long)].collect().head
+    assert(shiftGot._5 == 8192000L)
+    // the 1e8 per-group bound raises loudly
+    val over = spark.range(100000002L)
+      .select(org.apache.spark.sql.functions.when(col("id") === 0L, "B")
+        .otherwise("A").as("g"), org.apache.spark.sql.functions.lit(7L).as("v"))
+    val e = intercept[Throwable] {
+      Profiler.wassersteinFromCells(
+        Sketches.qsketchCells(over, "g", col("v"), 4), "g").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("group-size bound"), s"got: $msgs")
+  }
 }
