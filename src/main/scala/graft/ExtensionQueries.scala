@@ -2365,6 +2365,34 @@ object ExtensionQueries {
         .orderBy(col("node"), col("r"))
     }),
 
+    // X216 harmonic centrality off the q250 sketches: Σ shell_r / r in
+    // ppm — per-node reach-weighted centrality with the 2-hop horizon.
+    "q251_harmonic_centrality" -> ((s, d) => {
+      val pe = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ed = pe.as("x").join(pe.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      GraphRank.harmonicCentrality(ed, radii = 2)
+        .orderBy(col("node"))
+    }),
+
+    // X217 phonetic blocking: every distinct leading word of part
+    // names keyed by classic Soundex — bucket sizes and the candidate
+    // pair count an entity-resolution pass would enumerate per code.
+    "q252_soundex_blocking" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(lower(element_at(split(col("p_name"), " "), 1)).as("term"))
+        .distinct()
+        .withColumn("code",
+          graft.functions.TextAnalysis.soundexCode(col("term")))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_terms"),
+          min(col("term")).as("first_term"),
+          max(col("term")).as("last_term"),
+          expr("count(1) * (count(1) - 1) div 2").as("n_candidate_pairs"))
+        .orderBy(col("code"))),
+
     // O1-O5 composition under the hard gate: a REAL PipelineETL.run
     // over a staging fixture derived deterministically from `part`
     // (two price sheets with first-sheet-wins overlap + a maintenance
@@ -6776,6 +6804,75 @@ object ExtensionQueries {
          |    // (1000 * (s + (64 - occ) * (CAST(1 AS BIGINT) << 30))) AS BIGINT) AS est
          |FROM est ORDER BY node, r""".stripMargin
     },
+
+    // Mirrors GraphRank.harmonicCentrality: the q250 sketch chain, then
+    // Σ ((est_r − est_{r−1})·1e6) // r per node with the lag window.
+    "q251_harmonic_centrality" -> {
+      val vh = dh("CAST(n AS VARCHAR)")
+      s"""WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |ed AS (SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM pe x JOIN pe y ON x.o = y.o AND x.p < y.p),
+         |nodes AS (SELECT a AS n FROM ed UNION SELECT b FROM ed),
+         |und AS (SELECT a AS s, b AS t FROM ed
+         |  UNION ALL SELECT b, a FROM ed
+         |  UNION ALL SELECT n, n FROM nodes),
+         |mx AS (SELECT n, ((48271 * ((h * h) % 1000000007)) % 1000000007
+         |    + (16807 * h) % 1000000007) % 1000000007 AS m
+         |  FROM (SELECT n, $vh AS h FROM nodes)),
+         |r0 AS (SELECT n AS node, m % 64 AS bucket,
+         |    CASE WHEN m // 64 = 0 THEN 30
+         |         ELSE least(30, bit_count(((m // 64) & -(m // 64)) - 1) + 1)
+         |    END AS register FROM mx),
+         |r1 AS (SELECT u.s AS node, r0.bucket, max(r0.register) AS register
+         |  FROM und u JOIN r0 ON r0.node = u.t GROUP BY 1, 2),
+         |r2 AS (SELECT u.s AS node, r1.bucket, max(r1.register) AS register
+         |  FROM und u JOIN r1 ON r1.node = u.t GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT node, CAST(0 AS BIGINT) AS r, count(*) AS occ,
+         |      SUM(CAST(1 AS BIGINT) << CAST(30 - register AS INT)) AS s
+         |    FROM r0 GROUP BY 1, 2
+         |  UNION ALL SELECT node, 1, count(*),
+         |      SUM(CAST(1 AS BIGINT) << CAST(30 - register AS INT))
+         |    FROM r1 GROUP BY 1, 2
+         |  UNION ALL SELECT node, 2, count(*),
+         |      SUM(CAST(1 AS BIGINT) << CAST(30 - register AS INT))
+         |    FROM r2 GROUP BY 1, 2),
+         |res AS (SELECT node, r,
+         |    CAST((709 * 64 * 64 * (CAST(1 AS BIGINT) << 30))
+         |      // (1000 * (s + (64 - occ) * (CAST(1 AS BIGINT) << 30))) AS BIGINT) AS est
+         |  FROM agg),
+         |sh AS (SELECT node, r, est,
+         |    lag(est) OVER (PARTITION BY node ORDER BY r) AS prev
+         |  FROM res)
+         |SELECT node,
+         |  CAST(SUM(((est - prev) * 1000000) // r) AS BIGINT) AS centrality_ppm,
+         |  CAST(MAX(CASE WHEN r = 2 THEN est END) AS BIGINT) AS reach_est
+         |FROM sh WHERE r >= 1 GROUP BY node ORDER BY node""".stripMargin
+    },
+
+    // Mirrors TextAnalysis.soundexCode verbatim: the same fixed
+    // pipeline of upper/strip/HW-drop/translate/7-collapse/lead-drop/
+    // 0-strip/rpad — RE2-safe (no backreferences) on both engines.
+    "q252_soundex_blocking" ->
+      """WITH t AS (SELECT DISTINCT lower(string_split(p_name, ' ')[1]) AS term FROM part),
+        |p1 AS (SELECT term, regexp_replace(upper(term), '[^A-Z]', '', 'g') AS s FROM t),
+        |p2 AS (SELECT term, s, substr(s, 1, 1) AS f,
+        |    substr(s, 1, 1) || regexp_replace(substr(s, 2), '[HW]', '', 'g') AS cl FROM p1),
+        |p3 AS (SELECT term, s, f, translate(cl,
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202') AS d FROM p2),
+        |p4 AS (SELECT term, s, f,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(d,
+        |      '0{2,}', '0', 'g'), '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+        |      '3{2,}', '3', 'g'), '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+        |      '6{2,}', '6', 'g') AS cd FROM p3),
+        |p5 AS (SELECT term, CASE WHEN length(s) = 0 THEN NULL
+        |    ELSE f || rpad(substr(regexp_replace(substr(cd, 2), '0', '', 'g'), 1, 3), 3, '0')
+        |    END AS code FROM p4)
+        |SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+        |  min(term) AS first_term, max(term) AS last_term,
+        |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_candidate_pairs
+        |FROM p5 GROUP BY code ORDER BY code""".stripMargin,
 
     // Mirrors the PipelineETL composition over the part-derived
     // fixture: ISD (even keys) wins the catalog consolidation over ICD

@@ -87,4 +87,42 @@ object TextAnalysis {
     "fp_winnow" -> when(size(toks) >= w,
       array_min(transform(shingles(toks, w), s => charHash(s))))
       .otherwise(charHash(text)))
+
+  /** X217: classic American Soundex — the phonetic blocking key of
+    * record linkage (Odell & Russell's 1918 patent family; the NARA
+    * census-indexing rules): names that sound alike land on the same
+    * 4-char code (Robert/Rupert → R163), so an entity-resolution pass
+    * blocks candidate pairs on the CODE instead of an n² name join —
+    * the phonetic sibling of the edit-distance (X65) and
+    * sorted-neighborhood (X94) blockers, catching what both miss
+    * (Tymczak/Tymcak agree phonetically at edit distance > window).
+    *
+    * Spelled as a fixed pipeline of engine-identical string primitives
+    * (upper → strip non-letters → keep the first letter, drop H/W from
+    * the tail → digit-translate → collapse same-digit runs → drop the
+    * lead digit → drop vowels' 0s → pad to 4), so Spark and any SQL
+    * oracle compute the same bytes; the run-collapse is 7 fixed
+    * single-digit regexes because RE2 engines have no backreferences.
+    * The H/W rule rides the pipeline order: H/W vanish BEFORE the
+    * collapse (codes separated by h/w merge — Ashcraft → A261), vowels
+    * become 0s that survive UNTIL after it (codes separated by vowels
+    * don't — Tymczak → T522). All six canonical vectors pinned in
+    * spec, plus agreement with Spark's built-in `soundex` on them.
+    * Input with no letters at all reads NULL (nothing to encode —
+    * callers filter or null-handle explicitly).
+    */
+  def soundexCode(c: Column): Column = {
+    val s = regexp_replace(upper(c), "[^A-Z]", "")
+    val first = substring(s, 1, 1)
+    val cleaned = concat(first,
+      regexp_replace(s.substr(lit(2), length(s)), "[HW]", ""))
+    val digits = translate(cleaned,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    val collapsed = (0 to 6).foldLeft(digits)((d, i) =>
+      regexp_replace(d, s"$i{2,}", i.toString))
+    val tail = regexp_replace(
+      collapsed.substr(lit(2), length(collapsed)), "0", "")
+    when(length(s) === 0, lit(null).cast("string"))
+      .otherwise(concat(first, rpad(substring(tail, 1, 3), 3, "0")))
+  }
 }

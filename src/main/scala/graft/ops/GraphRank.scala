@@ -908,4 +908,36 @@ object GraphRank {
     }
     out
   }
+
+  /** X216: harmonic centrality, approximated from the [[hyperBall]]
+    * sketches — Boldi & Vigna's own application ("Axioms for
+    * centrality", Internet Math 2014; HyperANF WWW 2011): H(v) =
+    * Σ_{u≠v} 1/d(u,v), read from the ball sizes as Σ_r (|B(v,r)| −
+    * |B(v,r−1)|)/r — every node first reached at radius r contributes
+    * 1/r. The centrality that handles disconnected graphs out of the
+    * box (unreachable nodes contribute 0, no ∞ to patch, unlike
+    * closeness) — per-node, at graph scales where |V| BFS runs are
+    * impossible; truncation at `radii` is the documented horizon (the
+    * tail past r contributes < (|V|−|B(v,radii)|)/(radii+1)).
+    *
+    * Integer-exact given the sketches: the shell term is
+    * ((est_r − est_{r−1})·10⁶) div r — est is [[hyperBall]]'s integer
+    * harmonic estimate, provably non-decreasing in r (registers only
+    * grow under max; the estimator is monotone in registers), so every
+    * shell is ≥ 0 and the fold is engine-portable. est ≤ 709·2¹²·2³⁰
+    * div (1000·64) < 5·10¹⁰, so shell·10⁶ sits far inside a long.
+    *
+    * @return (node, centrality_ppm, reach_est) — reach_est = the
+    *         estimated |B(node, radii)| the truncation saw
+    */
+  def harmonicCentrality(edges: DataFrame, radii: Int,
+                         p: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col("node")).orderBy(col("r").asc)
+    hyperBall(edges, radii, p)
+      .withColumn("__prev", lag(col("est"), 1).over(w))
+      .filter(col("r") >= 1)
+      .groupBy(col("node"))
+      .agg(sum(expr("((est - __prev) * 1000000) div r")).as("centrality_ppm"),
+        max(when(col("r") === radii, col("est"))).as("reach_est"))
+  }
 }

@@ -447,4 +447,24 @@ class GraphRankSpec extends SparkSpec {
       assert(got((v, 0L))._2 <= got((v, 1L))._2 + 0 &&
         got((v, 1L))._2 <= got((v, 2L))._2, s"monotone $v")
   }
+
+  test("harmonicCentrality == the shell fold over hyperBall; isolated pair reads one shell") {
+    import graft.ops.GraphRank
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    val balls = GraphRank.hyperBall(edges.toDF("a", "b"), radii = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val got = GraphRank.harmonicCentrality(edges.toDF("a", "b"), radii = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach { v =>
+      val (e0, e1, e2) = (balls((v, 0L)), balls((v, 1L)), balls((v, 2L)))
+      val exp = (e1 - e0) * 1000000L / 1 + (e2 - e1) * 1000000L / 2
+      assert(got(v) == ((exp, e2)), s"node $v")
+    }
+    // the isolated pair's 2-ball is its 1-ball: the r=2 shell is empty
+    assert(balls((20L, 2L)) == balls((20L, 1L)))
+    assert(got(20L)._1 == (balls((20L, 1L)) - balls((20L, 0L))) * 1000000L)
+  }
 }

@@ -45,4 +45,34 @@ class TextFeaturesSpec extends SparkSpec {
     // tf-weighting must distinguish same token SET, different counts
     assert(out(0) != out(1))
   }
+
+  test("soundexCode: canonical vectors, H/W vs vowel separation, empty reads null, builtin agreement") {
+    import graft.functions.TextAnalysis
+    import org.apache.spark.sql.functions.{col, soundex}
+    val vectors = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",   // same code, different spelling
+      "Ashcraft" -> "A261",                     // s-c separated by h: MERGE
+      "Tymczak" -> "T522",                      // c-z separated by vowel: KEEP both
+      "Pfister" -> "P236",                      // leading same-code pair collapses
+      "Honeyman" -> "H555",                     // H first letter is kept verbatim
+      "Gutierrez" -> "G362", "Jackson" -> "J250",
+      "a" -> "A000", "r2-d2" -> "R300")         // short pad; digits stripped
+    val got = vectors.map(_._1).toDF("name")
+      .select(col("name"), TextAnalysis.soundexCode(col("name")).as("code"),
+        soundex(col("name")).as("builtin"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    vectors.foreach { case (name, exp) =>
+      assert(got(name)._1 == exp, s"$name: got ${got(name)._1}")
+    }
+    // the pipeline IS the classic algorithm: Spark's commons-codec
+    // builtin lands on the same bytes for every alphabetic vector
+    vectors.map(_._1).filter(_.forall(_.isLetter)).foreach { name =>
+      assert(got(name)._1 == got(name)._2, s"builtin disagrees on $name")
+    }
+    // nothing to encode -> null, loudly visible to the caller
+    val empty = Seq("", "42", "  ").toDF("name")
+      .select(TextAnalysis.soundexCode(col("name")).as("code"))
+      .collect().map(r => r.isNullAt(0))
+    assert(empty.forall(identity))
+  }
 }
