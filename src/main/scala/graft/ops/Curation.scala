@@ -778,6 +778,19 @@ object Curation {
     *         rows per group by priority; est_weight = max(w, τ),
     *         exactly w when the group holds ≤ k rows (τ undefined)
     */
+  /** [[prioritySample]]'s rank-filter stage, kept separate so the plan
+    * guard can see it: the checkpoint right after it hides the
+    * WindowGroupLimit from the composed operator's executedPlan (the
+    * TextDedup.fanOut visibility pattern). */
+  private[graft] def rankTopK(base: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__g"))
+          .orderBy(col("__p").desc, col("__id").asc)))
+      .filter(col("__rn") <= k + 1)
+  }
+
   def prioritySample(df: DataFrame, groupCol: String, idExpr: Column,
                      weightExpr: Column, k: Int): DataFrame = {
     require(k >= 1, s"sample size must be at least 1: $k")
@@ -794,11 +807,7 @@ object Curation {
       .withColumn("__h",
         graft.functions.TextFeatures.charHash(col("__id").cast("string")))
       .withColumn("__p", expr("(__w * 1000000007L) div (__h + 1L)"))
-    val top = base
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__g"))
-          .orderBy(col("__p").desc, col("__id").asc)))
-      .filter(col("__rn") <= k + 1)
+    val top = rankTopK(base, k)
       .localCheckpoint(eager = false) // forked: tau + the survivor rows
     val tau = top.groupBy(col("__g"))
       .agg(max(when(col("__rn") === k + 1, col("__p"))).as("__tau"))

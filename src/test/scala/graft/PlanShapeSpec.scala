@@ -311,4 +311,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(partialAt >= 0 && exchangeAt >= 0 && partialAt > exchangeAt,
       s"expected partial_count BELOW the gram exchange (plan reads top-down):\n$plan")
   }
+
+  test("prioritySample: the k+1 rank filter pushes WindowGroupLimit ahead of the shuffle") {
+    // the operator checkpoints right after the rank stage (tau + the
+    // survivor rows fork), so the pushed limit is only observable on
+    // the stage itself — the TextDedup.fanOut visibility pattern
+    val base = (1 to 500).map(i => ("g" + (i % 4), i.toLong, (i % 97 + 1).toLong))
+      .toDF("__g", "__id", "__p")
+    val plan = planOf(graft.ops.Curation.rankTopK(base, k = 8))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed; a full group would sort on one task:\n$plan")
+  }
+
+  test("skyline2D: bucket-frame prefix + broadcast join back, no nested loop") {
+    val pts = (1 to 400).map(i => (i.toLong, (i % 60).toLong, (i % 37).toLong))
+      .toDF("id", "xc", "yc")
+    val plan = planOf(graft.ops.Curation.skyline2D(pts, "id", col("xc"), col("yc")))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"skyline degraded to a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket maxima should broadcast back, not shuffle:\n$plan")
+  }
+
+  test("gridDensityClusters: corpus collapses map-side; the label join back is broadcast") {
+    // (i % 5)/(i % 3) grids pack ~20 points per cell — well past minPts,
+    // so the dense map is non-empty and the label join survives the
+    // optimizer (an empty broadcast side legitimately constant-folds
+    // the whole join to cluster = -1)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, (i % 5).toDouble / 8, (i % 3).toDouble / 8)).toDF("id", "x", "y")
+    val plan = planOf(graft.ops.Clustering.gridDensityClusters(
+      pts, "id", col("x"), col("y"), invCell = 8, minPts = 3L))
+    assert(!plan.contains("CartesianProduct"),
+      s"cell adjacency degraded to a cross join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dense-cell label map should broadcast onto the points:\n$plan")
+  }
+
+  test("hyperBall: each round is one equi-join + partial-agg max, never a nested loop") {
+    val edges = (1L to 60L).map(i => (i, i % 30 + 1)).toDF("a", "b")
+    val plan = planOf(graft.ops.GraphRank.hyperBall(edges, radii = 2))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"register merge degraded:\n$plan")
+  }
 }
