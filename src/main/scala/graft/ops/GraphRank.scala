@@ -871,19 +871,33 @@ object GraphRank {
     * (≈ 1) — reported, not special-cased, so the error model is uniform
     * across radii.
     *
-    * Scale shape: per round, ONE equi-join of the symmetrized edge list
-    * against the ≤ |V|·m register table and one map-side-combinable
-    * per-(node, bucket) max — shuffle is |E|·occupied rows, state never
-    * exceeds |V|·m; rounds are lazily localCheckpoint'ed (bounded
-    * lineage, the [[graft.ops.ConnectedComponents]] discipline). The
-    * radius loop is driver-side orchestration of r ≪ diameter rounds,
-    * not per-node work.
+    * Scale shape (HyperANF §4's own layout): the m registers live in
+    * ONE packed vector per node — m/8 bigints of eight 7-bit byte
+    * lanes — so each round is ONE equi-join of the symmetrized edge
+    * list against the ≤ |V|-row vector table and one
+    * [[graft.functions.PackedRegMaxAgg]] lane-max: a DECLARATIVE
+    * aggregate over primitive long buffer slots, so the merge runs on
+    * HashAggregateExec's fast path inside whole-stage codegen with
+    * map-side partial combine, and the join moves |E| rows (not
+    * |E|·m); state never exceeds |V| vectors; rounds are lazily
+    * localCheckpoint'ed (bounded lineage, the
+    * [[graft.ops.ConnectedComponents]] discipline). The row-per-bucket
+    * spelling ([[graft.ops.Sketches.hllRegisters]] + per-(node, bucket)
+    * max) computes identical registers but starves the partial
+    * aggregate once the graph densifies — the r10 golden sweep
+    * measured it super-linear (771.6 s at 10×, ~70× for 10× data);
+    * the packed rewrite is the scoped fix, bit-identical output
+    * (spec-pinned). The radius loop is driver-side orchestration of
+    * r ≪ diameter rounds, not per-node work.
     *
     * @param edges undirected edges (a, b); isolated nodes don't appear
     * @return (node, r, n_occupied, est) for r = 0..radii — est ≈ |B(node, r)|
     */
   def hyperBall(edges: DataFrame, radii: Int, p: Int = 6): DataFrame = {
     require(radii >= 1 && radii <= 30, s"radii must sit in [1, 30]: $radii")
+    require(p >= 3, s"packed layout needs p >= 3 (full lane-longs): $p")
+    graft.functions.GraftFunctions.register(edges.sparkSession)
+    val nLongs = (1 << p) / 8
     val nodes = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node"))).distinct()
       .localCheckpoint(eager = false) // forked: seed registers + self-loops
@@ -891,22 +905,55 @@ object GraphRank {
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .unionByName(nodes.select(col("node").as("a"), col("node").as("b")))
       .localCheckpoint(eager = false) // probed once per round
-    var regs = Sketches.hllRegisters(nodes, "node",
-        col("node").cast("string"), p)
+    // seed: each node's own rho lands in lane (bucket mod 8) of long
+    // (bucket div 8); the lane-max aggregate unions duplicates
+    var regs = Sketches.hllRhoRows(nodes, "node", col("node").cast("string"), p)
+      .select(col("node"),
+        expr(s"transform(sequence(0, ${nLongs - 1}), i -> " +
+          "IF(bucket DIV 8 = i, shiftleft(__rho, cast(8 * (bucket % 8) AS int)), 0L))")
+          .as("regs"))
+      .groupBy(col("node"))
+      .agg(expr(s"graft_packmax(regs, $nLongs)").as("regs"))
       .localCheckpoint(eager = false)
-    var out = Sketches.hllEstimate(regs, "node", p)
-      .select(col("node"), lit(0L).as("r"), col("n_occupied"), col("est"))
+    var out = packedEstimate(regs, 0L, p)
     for (r <- 1 to radii) {
-      regs = und
-        .join(regs, und("b") === regs("node"))
-        .groupBy(und("a").as("node"), col("bucket"))
-        .agg(max(col("register")).as("register"))
+      regs = ballRound(und, regs, nLongs)
         .localCheckpoint(eager = false) // next round + this round's read
-      out = out.unionByName(Sketches.hllEstimate(regs, "node", p)
-        .select(col("node"), lit(r.toLong).as("r"), col("n_occupied"),
-          col("est")))
+      out = out.unionByName(packedEstimate(regs, r.toLong, p))
     }
     out
+  }
+
+  /** One HyperBall round: pull every neighbor's packed vector across
+    * the edge list and lane-max per owner — |E| single-vector rows
+    * through one equi-join and one map-side-combining declarative
+    * aggregate. Factored out (pre-checkpoint) so the plan shape is
+    * pinnable. */
+  private[graft] def ballRound(und: DataFrame, regs: DataFrame,
+                               nLongs: Int): DataFrame =
+    und
+      .join(regs, und("b") === regs("node"))
+      .groupBy(und("a").as("node"))
+      .agg(expr(s"graft_packmax(regs, $nLongs)").as("regs"))
+
+  /** [[graft.ops.Sketches.hllEstimate]]'s integer-exact arithmetic read
+    * off a packed register vector: split each long into its eight byte
+    * lanes (bucket = 8·i + j, matching the seed pack), then the same
+    * harmonic fold — an empty bucket (rho 0) contributes the full
+    * 2^MaxRho weight, exactly the (m − n_occupied) term of the
+    * row-based spelling, so the two layouts estimate bit-identically. */
+  private def packedEstimate(regs: DataFrame, r: Long, p: Int): DataFrame = {
+    val m = 1L << p
+    val full = 1L << Sketches.MaxRho
+    regs
+      .select(col("node"), lit(r).as("r"),
+        expr("flatten(transform(regs, L -> transform(sequence(0, 7), " +
+          "j -> shiftright(L, cast(8 * j AS int)) & 255)))").as("__a"))
+      .select(col("node"), col("r"),
+        expr("cast(size(filter(__a, x -> x > 0)) as bigint)").as("n_occupied"),
+        expr(s"(709 * $m * $m * ${full}L) DIV (1000 * aggregate(__a, 0L, " +
+          s"(acc, x) -> acc + shiftleft(1L, cast(${Sketches.MaxRho} - x as int))))")
+          .as("est"))
   }
 
   /** X216: harmonic centrality, approximated from the [[hyperBall]]

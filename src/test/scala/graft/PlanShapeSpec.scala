@@ -354,4 +354,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"register merge degraded:\n$plan")
   }
+
+  test("hyperBall round: packed vectors lane-max on the codegen hash-agg fast path") {
+    // the packed layout's whole point: each round's join moves |E|
+    // single-vector rows (not |E|·m bucket rows) and the lane-max
+    // union partial-combines BEFORE the exchange on HashAggregateExec
+    // (primitive long buffers — NOT ObjectHashAggregate, whose
+    // interpreted per-row path and sort fallback this layout replaces).
+    // Pinned on the pre-checkpoint round frame (the final plan reads
+    // checkpoint RDDs).
+    graft.functions.GraftFunctions.register(spark)
+    val und = (1L to 60L).map(i => (i, i % 30 + 1)).toDF("a", "b")
+    val regs = (1L to 60L).map(i => (i, Array.fill(8)(1L))).toDF("node", "regs")
+    val plan = planOf(graft.ops.GraphRank.ballRound(und, regs, 8))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"round merge degraded:\n$plan")
+    assert(plan.contains("graft_packmax"),
+      s"round merge should lane-max packed vectors:\n$plan")
+    assert(plan.contains("partial_graft_packmax"),
+      s"vector union must combine map-side before the exchange:\n$plan")
+    assert(plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate"),
+      s"declarative lane-max must ride the codegen hash-agg fast path:\n$plan")
+  }
 }
