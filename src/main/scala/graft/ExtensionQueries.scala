@@ -21,6 +21,15 @@ import graft.ops.{AsOfJoin, Behavior, BloomPrune, BpeTrainer, Clustering, Contam
   * fold in array index order — both reproducible bit-for-bit in DuckDB's
   * list_reduce/list_transform.
   */
+/** q255's corruption literals, interpolated into BOTH the Spark query
+  * and the DuckDB oracle so the injected bytes are identical: "café ’s"
+  * whose UTF-8 got read as latin-1 (the canonical mojibake), and a
+  * decoder-gave-up tail (U+FFFD + the C1 NEL control). */
+private[graft] object EncodingQaFixture {
+  val Mojibake: String = "caf\u00C3\u00A9 \u00E2\u0080\u0099s"
+  val Corrupt: String = "bad\uFFFDchar \u0085next"
+}
+
 object ExtensionQueries {
 
   /** q24 stop-shingle cap: shingles present in more than this many
@@ -2392,6 +2401,75 @@ object ExtensionQueries {
           max(col("term")).as("last_term"),
           expr("count(1) * (count(1) - 1) div 2").as("n_candidate_pairs"))
         .orderBy(col("code"))),
+
+    // X218 exact heavy hitters by corpus share: a Misra–Gries
+    // bounded-state candidate pass then an exact broadcast recount —
+    // the shaped value plants 5 hot keys (~10% of rows) over the
+    // |parts| light tail; the share-relative threshold (0.5%) keeps
+    // the MG no-false-negative guarantee valid at every sf.
+    "q253_heavy_hitters" -> ((s, d) =>
+      Sketches.heavyHittersByShare(
+        Tables.lineitem(s, d).select(
+          when(col("l_orderkey") % 100 < 10,
+            concat(lit("hot_"), (col("l_orderkey") % 5).cast("string")))
+            .otherwise(concat(lit("part_"), col("l_partkey").cast("string")))
+            .as("item")),
+        col("item"), k = 256, sharePpm = 5000L)
+        .orderBy(col("item"))),
+
+    // X221 weighted exact heavy hitters: same shaped domain but items
+    // weigh by quantity — "which domains hold >= 0.5% of total weight"
+    // through the weighted MG candidate pass + exact weighted recount.
+    "q256_heavy_weight" -> ((s, d) =>
+      Sketches.heavyHittersByWeightShare(
+        Tables.lineitem(s, d).select(
+          when(col("l_orderkey") % 100 < 10,
+            concat(lit("hot_"), (col("l_orderkey") % 5).cast("string")))
+            .otherwise(concat(lit("part_"), col("l_partkey").cast("string")))
+            .as("item"),
+          col("l_quantity").cast("long").as("wt")),
+        col("item"), col("wt"), k = 256, sharePpm = 5000L)
+        .orderBy(col("item"))),
+
+    // X219 blocked Jaro–Winkler matching over the distinct part-name
+    // vocabulary: block on the first token (Winkler's prefix boost
+    // concentrates high scores on shared prefixes), verify with the
+    // integer-exact ppm comparator, keep pairs >= 0.888 — a threshold
+    // inside a measured >=10000-ppm gap of the vocabulary's exact
+    // score distribution, so the oracle's float spelling cannot
+    // straddle it. Output keeps the integer-exact columns only.
+    "q254_jw_blocking" -> ((s, d) =>
+      FuzzyJoin.jaroWinklerPairs(
+        Tables.part(s, d).select(col("p_name").as("name"),
+          element_at(split(col("p_name"), " "), 1).as("blk")),
+        "name", "blk", minPpm = 888000L)
+        .select(col("name_a"), col("name_b"), col("lev"))
+        .orderBy(col("name_a"), col("name_b"))),
+
+    // X220 encoding QA on a deterministically corrupted twin of the
+    // corpus: every 5th doc gains a UTF-8-read-as-latin1 mojibake
+    // tail, every 7th a replacement char + C1 control — per-source
+    // counts of each corruption witness plus the corpus non-ASCII ppm.
+    "q255_encoding_qa" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" " + EncodingQaFixture.Mojibake)))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" " + EncodingQaFixture.Corrupt)))
+          .otherwise(col("text")))
+      val cols = TextAnalysis.encodingQaColumns(col("text"))
+      docs.select((col("source") +: cols.map { case (n, c) => c.as(n) }): _*)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_scanned"),
+          sum(when(col("n_replacement") + col("n_c1_controls") +
+            col("n_mojibake_digraphs") > 0, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("n_replacement")).as("n_replacement"),
+          sum(col("n_c1_controls")).as("n_c1_controls"),
+          sum(col("n_mojibake_digraphs")).as("n_mojibake_digraphs"),
+          expr("sum(n_non_ascii) * 1000000 DIV sum(n_chars)")
+            .as("non_ascii_ppm"))
+        .orderBy(col("source"))
+    }),
 
     // O1-O5 composition under the hard gate: a REAL PipelineETL.run
     // over a staging fixture derived deterministically from `part`
@@ -6873,6 +6951,74 @@ object ExtensionQueries {
         |  min(term) AS first_term, max(term) AS last_term,
         |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_candidate_pairs
         |FROM p5 GROUP BY code ORDER BY code""".stripMargin,
+
+    // Exact heavy hitters: the oracle is the full groupBy-HAVING the
+    // operator's two-pass MG-candidates+recount provably equals (the
+    // sharePpm·(k+1) > 1e6 guarantee makes false negatives impossible,
+    // and the exact recount removes false positives).
+    "q253_heavy_hitters" ->
+      """WITH v AS (SELECT CASE WHEN l_orderkey % 100 < 10
+        |      THEN 'hot_' || CAST(l_orderkey % 5 AS VARCHAR)
+        |      ELSE 'part_' || CAST(l_partkey AS VARCHAR) END AS item FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM v)
+        |SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        |FROM v, n GROUP BY item, n.n
+        |HAVING count(*) * 1000000 >= 5000 * n.n
+        |ORDER BY item""".stripMargin,
+
+    // Weighted heavy hitters: the oracle is the weighted groupBy-HAVING
+    // the weighted-MG two-pass provably equals (Berinde et al. carry
+    // the W/(k+1) guarantee to weights; exact recount drops the rest).
+    "q256_heavy_weight" ->
+      """WITH v AS (SELECT CASE WHEN l_orderkey % 100 < 10
+        |      THEN 'hot_' || CAST(l_orderkey % 5 AS VARCHAR)
+        |      ELSE 'part_' || CAST(l_partkey AS VARCHAR) END AS item,
+        |    CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |t AS (SELECT sum(wt) AS w FROM v)
+        |SELECT item, CAST(sum(wt) AS BIGINT) AS w
+        |FROM v, t GROUP BY item, t.w
+        |HAVING sum(wt) * 1000000 >= 5000 * t.w
+        |ORDER BY item""".stripMargin,
+
+    // Blocked Jaro–Winkler: DuckDB's jaro_winkler_similarity is the
+    // same classic definition (floored transposition count, 0.1 prefix
+    // scale capped at 4, boost past jaro > 0.7) computed in doubles;
+    // the 0.888 threshold sits in a measured >=10000-ppm gap of the
+    // vocabulary's exact score distribution, so the double can't
+    // straddle it and the PAIR SET matches exactly. Only integer-exact
+    // columns (names, levenshtein) are emitted.
+    "q254_jw_blocking" ->
+      """WITH t AS (SELECT DISTINCT p_name AS name,
+        |    string_split(p_name, ' ')[1] AS blk FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.name < b.name
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.888
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // Encoding QA: the corruption literals interpolate from the SAME
+    // Scala constants the Spark query appends, so both engines scan
+    // identical bytes; patterns are the RE2 spellings of the Java
+    // classes ([\x{..}-\x{..}] == [\u....-\u....]).
+    "q255_encoding_qa" ->
+      s"""WITH c AS (SELECT source,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' ${EncodingQaFixture.Mojibake}'
+         |         WHEN doc_id % 7 = 0 THEN text || ' ${EncodingQaFixture.Corrupt}'
+         |         ELSE text END AS text FROM documents),
+         |m AS (SELECT source, length(text) AS n_chars,
+         |    len(regexp_extract_all(text, '\\x{FFFD}')) AS n_repl,
+         |    len(regexp_extract_all(text, '[\\x{0080}-\\x{009F}]')) AS n_c1,
+         |    len(regexp_extract_all(text,
+         |      '\\x{00C3}[\\x{0080}-\\x{00BF}]|\\x{00E2}\\x{0080}[\\x{0090}-\\x{00BE}]|\\x{00C2}[\\x{00A0}-\\x{00BF}]')) AS n_moji,
+         |    len(regexp_extract_all(text, '[^\\x{0000}-\\x{007F}]')) AS n_na
+         |  FROM c)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs_scanned,
+         |  CAST(sum(CASE WHEN n_repl + n_c1 + n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(n_repl) AS BIGINT) AS n_replacement,
+         |  CAST(sum(n_c1) AS BIGINT) AS n_c1_controls,
+         |  CAST(sum(n_moji) AS BIGINT) AS n_mojibake_digraphs,
+         |  CAST(sum(n_na) * 1000000 // sum(n_chars) AS BIGINT) AS non_ascii_ppm
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirrors the PipelineETL composition over the part-derived
     // fixture: ISD (even keys) wins the catalog consolidation over ICD

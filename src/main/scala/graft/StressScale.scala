@@ -323,6 +323,23 @@ object StressScale {
         println(s"[stress] decade_kmv survivors<=${4 * 256 * 64} est_total=$est " +
           "(bottom-64 state per group; hash space 1e9+7 saturates at this n)")
       }
+      timed("mg_1e9") {
+        // X218's candidate pass at 10^9 rows: 7 planted heavy keys
+        // (~1.43% of rows each, via CRT on the bijective v) over a
+        // ~10^8-distinct tail. State is ONE <= k-entry summary per
+        // partition — the groupBy alternative would shuffle every
+        // distinct tail key. Each hot share 1.43% > 1/(k+1) = 0.78%,
+        // so the MG guarantee REQUIRES all 7 to survive any order.
+        val shaped = big.select(
+          when(col("v") % 10 === 0,
+            concat(lit("hot_"), (col("v") % 7).cast("string")))
+            .otherwise(col("v").cast("string")).as("item"))
+        val row = shaped.agg(expr("graft_mg(item, 127)").as("s")).head()
+        val items = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+        val hotKept = (0 until 7).count(i => items.contains(s"hot_$i"))
+        println(s"[stress] decade_mg summary=${items.size} (bound 127) " +
+          s"hot_kept=$hotKept/7 (guarantee demands 7/7)")
+      }
     }
 
     // Index-compaction stress (VERDICT r9 task 2): 20 arrival batches

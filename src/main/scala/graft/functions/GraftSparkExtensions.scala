@@ -33,5 +33,33 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - ordered double dot product of float arrays"),
       (es: Seq[Expression]) => DotProductExpr(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bytemax"),
+      info("graft_bytemax", "graft_bytemax(bin) - aggregate: elementwise byte max"),
+      (es: Seq[Expression]) => ByteMaxAgg(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_hllpack"),
+      info("graft_hllpack", "graft_hllpack(bucket, rho, m) - aggregate: packed HLL registers"),
+      (es: Seq[Expression]) => HllPackAgg(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_unpack_bytes"),
+      info("graft_unpack_bytes", "graft_unpack_bytes(bin) - bytes as array<bigint>"),
+      (es: Seq[Expression]) => UnpackBytesExpr(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_mg"),
+      info("graft_mg", "graft_mg(item, k) - aggregate: Misra-Gries frequent-items summary"),
+      (es: Seq[Expression]) => MgSummaryAgg(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler", "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in ppm"),
+      (es: Seq[Expression]) => JaroWinklerExpr(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_swarmax"),
+      info("graft_swarmax", "graft_swarmax(a, b) - lane-wise max of 8 byte lanes in a bigint"),
+      (es: Seq[Expression]) => SwarByteMaxExpr(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_packmax"),
+      info("graft_packmax", "graft_packmax(arr, n) - aggregate: lane-wise max of packed register vectors"),
+      (es: Seq[Expression]) => PackedRegMaxAgg(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_mgw"),
+      info("graft_mgw", "graft_mgw(item, w, k) - aggregate: weighted Misra-Gries summary"),
+      (es: Seq[Expression]) => MgWeightedAgg(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -55,5 +55,25 @@ object GraftFunctions {
         es(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_minhash16", es => MinHashExpr(es.head, k = 16), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_bytemax", es => ByteMaxAgg(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_hllpack", es => HllPackAgg(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_unpack_bytes", es => UnpackBytesExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_mg", es => MgSummaryAgg(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_jaro_winkler", es => JaroWinklerExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_swarmax", es => SwarByteMaxExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_packmax", es => PackedRegMaxAgg(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_mgw", es => MgWeightedAgg(es.head, es(1),
+        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

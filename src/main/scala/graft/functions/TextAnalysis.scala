@@ -79,6 +79,31 @@ object TextAnalysis {
       "redacted" -> regexp_replace(noEmail, PhoneRe, "<PHONE>"))
   }
 
+  /** X220: encoding / mojibake QA — the web-corpus hygiene scan run
+    * before any text processing: a crawl snapshot always carries
+    * replacement characters (U+FFFD — a decoder already gave up), C1
+    * control codepoints U+0080–U+009F (the cp1252-read-as-latin1
+    * signature), and UTF-8-read-as-latin1 digraphs ('Ã' + a latin-1
+    * continuation, 'â€¦'-family punctuation wrecks) — each a loud,
+    * mechanical witness of a broken decode step upstream. Counts per
+    * document via codegen'd regexp passes; the non-ASCII ppm separates
+    * legitimately non-English text from corruption when read next to
+    * the digraph count. Engine-portable: every pattern is RE2-safe
+    * (no backreferences, explicit codepoint classes).
+    */
+  def encodingQaColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text).cast("long"),
+    "n_replacement" ->
+      size(regexp_extract_all(text, lit("\\uFFFD"), lit(0))).cast("long"),
+    "n_c1_controls" ->
+      size(regexp_extract_all(text, lit("[\\u0080-\\u009F]"), lit(0))).cast("long"),
+    "n_mojibake_digraphs" ->
+      size(regexp_extract_all(text,
+        lit("\\u00C3[\\u0080-\\u00BF]|\\u00E2\\u0080[\\u0090-\\u00BE]|\\u00C2[\\u00A0-\\u00BF]"),
+        lit(0))).cast("long"),
+    "n_non_ascii" ->
+      size(regexp_extract_all(text, lit("[^\\u0000-\\u007F]"), lit(0))).cast("long"))
+
   /** Document fingerprints: whole-text polynomial rolling hash, plus a
     * winnowing-style selected fingerprint (min hash over all `w`-token
     * windows — robust to local edits). */

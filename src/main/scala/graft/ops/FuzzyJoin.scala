@@ -176,4 +176,39 @@ object FuzzyJoin {
       .filter(col("rb") > col("ra") && col("rb") <= col("ra") + winSize)
       .select(col("id_a"), col("id_b"), (col("rb") - col("ra")).as("gap"))
   }
+
+  /** X219: blocked Jaro–Winkler matching — the census-linkage comparator
+    * (Jaro JASA 1989; Winkler 1990) as a block-then-verify equi-join:
+    * candidates pair ONLY within a caller-chosen block key (first
+    * token, Soundex code, sorted-neighborhood window, …), then the
+    * codegen'd integer-exact [[graft.functions.JaroWinklerExpr]] scores
+    * each candidate and the threshold keeps the matches. Winkler's
+    * prefix boost concentrates high scores on shared-prefix pairs, so
+    * prefix-shaped blockers lose little recall while cutting the |D|²
+    * comparison space to Σ|block|² — the standard production shape
+    * (Fellegi–Sunter pipelines block first, always). Deduplicate /
+    * aggregate the name frame BEFORE calling on corpus-scale input:
+    * the verify stage is per candidate pair.
+    *
+    * @param names frame carrying `nameCol` (strings) and `blockCol`
+    * @return (name_a < name_b, jw_ppm, lev) for pairs scoring >= minPpm
+    */
+  def jaroWinklerPairs(names: DataFrame, nameCol: String, blockCol: String,
+                       minPpm: Long): DataFrame = {
+    require(minPpm >= 1 && minPpm <= 1000000,
+      s"minPpm must sit in [1, 1000000]: $minPpm")
+    graft.functions.GraftFunctions.register(names.sparkSession)
+    val base = names
+      .select(col(blockCol).as("__blk"), col(nameCol).as("__name"))
+      .filter(col("__name").isNotNull && col("__blk").isNotNull)
+      .distinct()
+      .localCheckpoint(eager = false) // forked: both sides of the block join
+    base.select(col("__blk"), col("__name").as("name_a"))
+      .join(base.select(col("__blk"), col("__name").as("name_b")), Seq("__blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw_ppm", expr("graft_jaro_winkler(name_a, name_b)"))
+      .filter(col("jw_ppm") >= minPpm)
+      .select(col("name_a"), col("name_b"), col("jw_ppm"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("lev"))
+  }
 }

@@ -519,4 +519,132 @@ object Sketches {
         expr(s"shiftleft(1L, cast(greatest(__c.e - $subBits, 0L) AS int))")
           .as("width"))
   }
+
+  /** X218: exact heavy hitters through a Misra–Gries candidate pass —
+    * "which items appear at least `minCount` times" priced WITHOUT a
+    * full groupBy over the value domain. Pass 1 folds the corpus into
+    * one ≤ k-counter [[graft.functions.MgSummaryAgg]] summary (bounded
+    * state, map-side combinable); the MG merge guarantee (Misra–Gries
+    * 1982; Agarwal et al., PODS 2012) is that any item with true
+    * frequency > N/(k+1) survives, so with the loudly-checked
+    * precondition minCount·(k+1) > N the candidate set has ZERO false
+    * negatives. Pass 2 recounts ONLY the candidates — a broadcast
+    * semi-join (≤ k rows) plus a partial-combining count — and filters
+    * at the exact threshold, so the output is the exact answer,
+    * deterministic under any partitioning even though MG's internal
+    * counter values are order-dependent.
+    *
+    * The 100 TB shape this replaces: groupBy(value).count() over a
+    * token-scale domain shuffles |distinct| keys to find the handful of
+    * heavy ones; here the shuffle after pass 1 is one ≤ k-entry summary
+    * per partition, and pass 2's aggregate only ever sees candidate
+    * rows. The driver holds ≤ k candidate strings — bounded by
+    * construction, the documented collect discipline.
+    *
+    * @param df       input frame
+    * @param value    item expression (cast to string)
+    * @param k        MG counter budget; N/(k+1) is the candidate bound
+    * @param minCount exact output threshold; must exceed N/(k+1) or the
+    *                 no-false-negative guarantee is void (loud raise)
+    * @return (item, cnt) — exactly the items with cnt >= minCount
+    */
+  def heavyHittersExact(df: DataFrame, value: Column, k: Int,
+                        minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    val (recount, n) = mgRecount(df, value, k)
+    require(BigInt(minCount) * (k + 1) > BigInt(n),
+      s"heavyHittersExact: minCount=$minCount must exceed N/(k+1) = " +
+        s"$n/${k + 1} or items can silently miss the candidate set — " +
+        "raise k or minCount")
+    recount.filter(col("cnt") >= minCount)
+  }
+
+  /** [[heavyHittersExact]] with a RELATIVE threshold — items holding at
+    * least `sharePpm` of the corpus — so one parameterization stays
+    * valid from the sf0.001 fixture to 100 TB (an absolute minCount
+    * stops satisfying its own guarantee the moment N grows past
+    * minCount·(k+1)). Guarantee check is N-free: sharePpm·(k+1) > 10⁶
+    * ⟺ every qualifying item's frequency sharePpm·N/10⁶ strictly
+    * exceeds the MG bound N/(k+1). The threshold comparison is the
+    * cross-multiplied integer cnt·10⁶ ≥ sharePpm·N (N ≤ 9·10¹²
+    * loudly enforced — both sides sit inside a long with room).
+    *
+    * @return (item, cnt) — exactly the items with cnt/N >= sharePpm/10⁶
+    */
+  def heavyHittersByShare(df: DataFrame, value: Column, k: Int,
+                          sharePpm: Long): DataFrame = {
+    require(sharePpm >= 1 && sharePpm <= 1000000,
+      s"sharePpm must sit in [1, 1000000]: $sharePpm")
+    require(BigInt(sharePpm) * (k + 1) > BigInt(1000000),
+      s"heavyHittersByShare: sharePpm=$sharePpm needs k+1 > 1e6/sharePpm " +
+        s"= ${1000000.0 / sharePpm} (got k=$k) or items can silently " +
+        "miss the candidate set")
+    val (recount, n) = mgRecount(df, value, k)
+    require(n <= 9000000000000L,
+      s"heavyHittersByShare: N=$n past the 9e12 cross-multiply bound")
+    recount.filter(col("cnt") * 1000000L >= lit(sharePpm) * lit(n))
+  }
+
+  /** X221: WEIGHTED exact heavy hitters — "which domains/sources hold
+    * at least `sharePpm` of the corpus' total weight (tokens, bytes,
+    * cost)", the domain-capping / mixture-budget precursor at 100 TB.
+    * Same two-pass shape as [[heavyHittersByShare]] with the weighted
+    * Misra–Gries candidate summary ([[graft.functions.MgWeightedAgg]];
+    * Berinde et al. TODS 2010 carry the N/(k+1) guarantee over to
+    * total weight W), then an exact weighted recount over the ≤ k
+    * candidates. Guarantee check is W-free: sharePpm·(k+1) > 10⁶.
+    * Weights must be positive (zero-weight rows are meaningless here
+    * and a negative weight breaks the MG guarantee — the aggregate
+    * raises loudly); W ≤ 9·10¹² bounds the cross-multiply.
+    *
+    * @return (item, w) — exactly the items with w/W >= sharePpm/10⁶
+    */
+  def heavyHittersByWeightShare(df: DataFrame, value: Column, weight: Column,
+                                k: Int, sharePpm: Long): DataFrame = {
+    require(sharePpm >= 1 && sharePpm <= 1000000,
+      s"sharePpm must sit in [1, 1000000]: $sharePpm")
+    require(BigInt(sharePpm) * (k + 1) > BigInt(1000000),
+      s"heavyHittersByWeightShare: sharePpm=$sharePpm needs k+1 > " +
+        s"1e6/sharePpm = ${1000000.0 / sharePpm} (got k=$k) or items can " +
+        "silently miss the candidate set")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val vals = df.select(value.cast("string").as("item"),
+        weight.cast("long").as("__w"))
+      .filter(col("item").isNotNull && col("__w").isNotNull)
+      .localCheckpoint(eager = false) // forked: summary pass + recount pass
+    val head = vals
+      .agg(expr(s"graft_mgw(item, __w, $k)").as("cands"),
+        sum(col("__w")).as("w"))
+      .head()
+    val w = if (head.isNullAt(1)) 0L else head.getLong(1)
+    require(w <= 9000000000000L,
+      s"heavyHittersByWeightShare: W=$w past the 9e12 cross-multiply bound")
+    val cands = head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    import df.sparkSession.implicits._
+    val candDf = cands.toDF("item") // <= k rows by construction
+    vals.join(broadcast(candDf), Seq("item"))
+      .groupBy(col("item"))
+      .agg(sum(col("__w")).as("w"))
+      .filter(col("w") * 1000000L >= lit(sharePpm) * lit(w))
+  }
+
+  /** Shared two-pass body: MG candidate summary (+ total N) then the
+    * exact broadcast-semi-join recount over the ≤ k candidates. */
+  private def mgRecount(df: DataFrame, value: Column,
+                        k: Int): (DataFrame, Long) = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val vals = df.select(value.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .localCheckpoint(eager = false) // forked: summary pass + recount pass
+    val head = vals
+      .agg(expr(s"graft_mg(item, $k)").as("cands"), count(lit(1)).as("n"))
+      .head()
+    val n = head.getLong(1)
+    val cands = head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    import df.sparkSession.implicits._
+    val candDf = cands.toDF("item") // <= k rows by construction
+    (vals.join(broadcast(candDf), Seq("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt")), n)
+  }
 }

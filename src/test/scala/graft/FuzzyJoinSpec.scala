@@ -112,4 +112,46 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(got == model(w), s"winSize=$w")
     }
   }
+
+  test("jaroWinkler: canonical vectors, fences, and the floored-transposition convention") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Long =
+      JaroWinkler.ppm(UTF8String.fromString(a), UTF8String.fromString(b))
+    // Winkler's own census vectors (floored to ppm)
+    assert(jw("martha", "marhta") == 961111L)
+    assert(jw("dixon", "dicksonx") == 813333L)
+    // jaro > 0.7 but zero common prefix: no boost
+    assert(jw("crate", "trace") == 733333L)
+    // the matching window excludes all of abc/bca (window 0)
+    assert(jw("abc", "bca") == 0L)
+    assert(jw("same", "same") == 1000000L)
+    assert(jw("", "") == 1000000L)
+    assert(jw("", "x") == 0L && jw("x", "") == 0L)
+    // ODD transposition count: classic half-count would read 779924;
+    // the floored count (DuckDB/rapidfuzz convention, what the q254
+    // oracle computes) reads 800757 — pin the convention
+    assert(jw("blue anvil", "large anvil") == 800757L)
+    // loud raise past the 10k-char bound, fence passes
+    val long = "a" * 10001
+    intercept[Exception](jw(long, "a"))
+    assert(jw("a" * 10000, "a" * 10000) == 1000000L)
+  }
+
+  test("jaroWinklerPairs: blocks bound candidates; threshold + lev columns hold") {
+    val names = Seq(
+      ("small ring", "small"), ("small rod", "small"), // jw 895555
+      ("large ring", "large"), ("large rod", "large"),
+      // high-JW pair in DIFFERENT blocks: must not pair
+      ("alpha gamma", "alpha"), ("alphb gamma", "alphb"),
+      ("zzz", "zzz")).toDF("name", "blk")
+    val got = graft.ops.FuzzyJoin.jaroWinklerPairs(names, "name", "blk", 880000L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("large ring", "large rod", 895555L, 3L),
+      ("small ring", "small rod", 895555L, 3L)))
+    // sub-threshold pairs drop even inside a block
+    val none = graft.ops.FuzzyJoin.jaroWinklerPairs(names, "name", "blk", 990000L)
+    assert(none.count() == 0)
+  }
 }

@@ -306,4 +306,95 @@ class SketchesSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     assert(messages(ex).exists(m => m != null && m.contains("qsketch value out of")))
   }
+
+  test("heavyHittersExact == groupBy-HAVING model; deterministic across partitionings") {
+    // 4 hot items (~300 each) over a 200-item light tail (~6 each):
+    // N = 2400, k = 63 → bound N/64 = 37.5; threshold 100 qualifies
+    val rows = (1 to 2400).map { i =>
+      if (i % 2 == 0) s"hot_${i % 8 / 2}" else s"cold_${i % 200}"
+    }
+    val model = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 100L).toMap
+    assert(model.size == 4, s"fixture must have 4 heavy items: $model")
+    Seq(1, 7).foreach { parts =>
+      val df = rows.toDF("v").repartition(parts)
+      val got = Sketches.heavyHittersExact(df, col("v"), k = 63, minCount = 100L)
+        .as[(String, Long)].collect().toMap
+      assert(got == model, s"parts=$parts")
+    }
+  }
+
+  test("heavyHittersExact: sub-guarantee threshold raises loudly; the fence passes") {
+    val df = (1 to 1000).map(i => s"v${i % 50}").toDF("v")
+    // N = 1000, k = 9 → N/(k+1) = 100: minCount 100 fails 100*10 > 1000
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.heavyHittersExact(df, col("v"), k = 9, minCount = 100L)
+    }
+    assert(ex.getMessage.contains("must exceed N/(k+1)"))
+    // one past the fence: 101*10 = 1010 > 1000 — runs (and finds nothing:
+    // every item appears 20 times)
+    assert(Sketches.heavyHittersExact(df, col("v"), k = 9, minCount = 101L)
+      .count() == 0)
+  }
+
+  test("heavyHittersByWeightShare == weighted groupBy-HAVING model across partitionings") {
+    // 3 heavy items carry weight 900 each over a 60-item light tail
+    // (weight ~15 each): W = 3600, share 10% → threshold 360
+    val rows = (1 to 360).flatMap { i =>
+      if (i % 4 == 0) Seq((s"big_${i % 12 / 4}", 30L)) else Seq((s"tail_${i % 60}", 5L))
+    }
+    val model = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter { case (_, w) => w * 1000000L >= 100000L * rows.map(_._2).sum }
+      .toMap
+    assert(model.size == 3, s"fixture wants 3 heavy items: $model")
+    Seq(1, 11).foreach { parts =>
+      val got = Sketches.heavyHittersByWeightShare(
+          rows.toDF("v", "w").repartition(parts),
+          col("v"), col("w"), k = 15, sharePpm = 100000L)
+        .as[(String, Long)].collect().toMap
+      assert(got == model, s"parts=$parts")
+    }
+  }
+
+  test("weighted MG red paths: zero/negative/oversized weights raise; sub-guarantee share raises") {
+    val ex = intercept[Exception] {
+      Seq(("a", 0L)).toDF("v", "w")
+        .agg(expr("graft_mgw(v, w, 4)")).collect()
+    }
+    assert(ex.getMessage != null)
+    intercept[Exception] {
+      Seq(("a", -5L)).toDF("v", "w")
+        .agg(expr("graft_mgw(v, w, 4)")).collect()
+    }
+    intercept[Exception] {
+      Seq(("a", 9000000000001L)).toDF("v", "w")
+        .agg(expr("graft_mgw(v, w, 4)")).collect()
+    }
+    // guarantee fence: share 10% needs k+1 > 10
+    val df = Seq(("a", 1L)).toDF("v", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.heavyHittersByWeightShare(df, col("v"), col("w"),
+        k = 9, sharePpm = 100000L)
+    }
+    assert(e2.getMessage.contains("candidate set"))
+    // one past the fence runs
+    assert(Sketches.heavyHittersByWeightShare(df, col("v"), col("w"),
+      k = 10, sharePpm = 100000L).count() == 1)
+  }
+
+  test("MG summary keeps every item past the N/(k+1) bound under any partitioning") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // adversarial interleave: heavy item arrives scattered between floods
+    val rows = (1 to 3000).map(i => if (i % 3 == 0) "HEAVY" else s"n_$i")
+    Seq(1, 17).foreach { parts =>
+      val got = rows.toDF("v").repartition(parts)
+        .agg(expr("graft_mg(v, 15)").as("s"))
+        .selectExpr("transform(s, x -> x.item) AS items")
+        .as[Seq[String]].head()
+      // freq(HEAVY) = 1000 > N/(k+1) = 3000/16 = 187.5 → must survive
+      assert(got.contains("HEAVY"), s"parts=$parts lost the heavy item: $got")
+      assert(got.size <= 15, s"parts=$parts summary overflows k")
+    }
+  }
 }
