@@ -22,6 +22,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // GC-envelope hardening (BASELINE.md q97 lesson): a single long
+      // stop-the-world pause in this one-JVM local[32] fleet can trip
+      // HeartbeatReceiver's 120 s default and kill the only executor,
+      // which local mode cannot recover. Clusters pin the same pair.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
+      // Let AQE coalesce CACHED plans' output partitioning too: a cached
+      // post-shuffle frame otherwise pins initialPartitionNum partitions,
+      // so every downstream job (counts, writes) pays shuffle-width task
+      // counts on tiny data — the q236 store-write regression class.
+      // Values are unchanged; only partition counts move (scale-neutral:
+      // the flag defers to the same AQE size targets on any volume).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: file listing + footer reads + first codegen —

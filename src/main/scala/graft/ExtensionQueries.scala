@@ -78,18 +78,25 @@ object ExtensionQueries {
     e.unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
   }
 
-  /** The MinHash+LSH candidate chain (shingle → signature → band →
-    * bucket join) is the expensive common prefix of q22 and q36.
-    * Materialize it once per (session, dataset) — localCheckpoint'ed so
-    * both consumers read the same computed RDD instead of re-running
-    * the whole chain (the r2 bench paid it twice).
+  /** Expensive common prefixes shared by more than one declared query —
+    * the MinHash+LSH candidate chain (q22/q36/q138), the exact
+    * trigram-Jaccard truth pairs (q24/q138), the edit-distance pair
+    * graph (q87/q106), the part co-purchase pair graph (q100/q250/q251)
+    * and the HyperBall sketch chain (q250/q251) — are materialized once
+    * per (session, dataset, name): localCheckpoint'ed so every consumer
+    * reads the same computed RDD instead of re-running the whole chain
+    * (the r2 bench paid the minhash chain twice; r10 measured the
+    * hyperball chain paid twice and the Jaccard truth chain paid twice).
+    * The FIRST consumer pays the build inside its own timed window — the
+    * suite still computes every chain exactly once from the parquet
+    * inputs; nothing survives across runs.
     *
     * The memo is RUN-SCOPED, not process-scoped: harnesses call
     * [[clearMemos]] per run. An unevictable map would pin the
     * checkpointed RDDs (and their sessions) for process lifetime — a
     * leak in any long-lived service embedding the query map. */
-  private val minhashMemo =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private val frameMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
 
   /** Persistent-RDD ids backing the memoized frames — the set
     * [[BlockRelease]] must NOT unpersist between queries (a released
@@ -105,16 +112,18 @@ object ExtensionQueries {
     * Spark's ContextCleaner reclaim the checkpoint RDD blocks (or
     * [[BlockRelease.releaseTransient]] reclaims them synchronously once
     * the protection set is emptied here). */
-  def clearMemos(): Unit = synchronized { minhashMemo.clear(); memoRddIds.clear() }
+  def clearMemos(): Unit = synchronized { frameMemo.clear(); memoRddIds.clear() }
 
   def protectedRddIds: Set[Int] = synchronized { memoRddIds.toSet }
 
-  private[graft] def memoSize: Int = synchronized { minhashMemo.size }
+  private[graft] def memoSize: Int = synchronized { frameMemo.size }
 
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = synchronized {
-    minhashMemo.getOrElseUpdate((s, d), {
-      val df = TextDedup.minhashCandidates(
-        demoCorpus(Tables.documents(s, d)), "doc_id", "text").localCheckpoint()
+  /** Build-or-reuse a named shared chain. EAGER checkpoint: the builder
+    * runs inside the first consumer's own action window. */
+  private def memo(name: String, s: SparkSession, d: String)
+                  (build: => DataFrame): DataFrame = synchronized {
+    frameMemo.getOrElseUpdate((s, d, name), {
+      val df = build.localCheckpoint()
       df.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD => memoRddIds += lr.rdd.id
         case _ => ()
@@ -122,6 +131,93 @@ object ExtensionQueries {
       df
     })
   }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    memo("minhash_pairs", s, d) {
+      TextDedup.minhashCandidates(
+        demoCorpus(Tables.documents(s, d)), "doc_id", "text")
+    }
+
+  /** Exact trigram-Jaccard pairs over the demo corpus — the q24 query
+    * body and q138's truth side, one spelling. */
+  private def ngramTruthPairs(s: SparkSession, d: String): DataFrame =
+    memo("ngram_truth_pairs", s, d) {
+      TextDedup.ngramJaccardPairs(demoCorpus(Tables.documents(s, d)),
+        "doc_id", "text", maxShingleDf = StopShingleDf)
+    }
+
+  /** Edit-distance pair graph over the 30-char prefixes + one-deletion
+    * mutants — the q87 query body and q106's cluster input, one
+    * spelling. */
+  private def editJoinPairs(s: SparkSession, d: String): DataFrame =
+    memo("edit_join_pairs", s, d) {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("s"))
+      val mut = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(substring(col("s"), 1, 10), expr("substring(s, 12)")).as("s"))
+      FuzzyJoin.editDistanceJoin(base.unionByName(mut), "doc_id", "s",
+        maxDist = 2, minLen = 12)
+    }
+
+  /** Weighted part co-purchase pair graph ((a, b) with a < b, weight =
+    * distinct orders sharing the pair) — the expensive per-order pair
+    * self-join shared by q100 (weights), q250 and q251 (pair set). */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    memo("copurchase_pairs", s, d) {
+      val pe = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      pe.as("x").join(pe.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w"))
+    }
+
+  /** HyperBall sketch estimates over the co-purchase pair set — q250's
+    * query body and q251's input, one spelling. */
+  private def coPurchaseBalls(s: SparkSession, d: String): DataFrame =
+    memo("copurchase_balls", s, d) {
+      graft.ops.GraphRank.hyperBall(
+        coPurchasePairs(s, d).select(col("a"), col("b")), radii = 2)
+    }
+
+  /** Distinct directed supplier→part edge list (suppkey·2 → partkey·2+1,
+    * the disjoint-id remap) — the shared input of the q63/q68/q110/
+    * q115/q117/q118 graph family. Each operator still applies its own
+    * `.distinct()` internally (contract unchanged); the memo removes the
+    * repeated lineitem scan + 600k-row dedup shuffle per query. */
+  private def supplierPartEdges(s: SparkSession, d: String): DataFrame =
+    memo("supplier_part_edges", s, d) {
+      Tables.lineitem(s, d).select(
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst")).distinct()
+    }
+
+  /** Duplicate-cluster labels over the ≥0.75 MinHash pairs — the
+    * connected-components pass shared verbatim by q36 and q147. */
+  private def minhashClusters(s: SparkSession, d: String): DataFrame =
+    memo("minhash_cc_labels", s, d) {
+      graft.ops.ConnectedComponents.labels(
+        minhashPairs(s, d).filter(col("est_jaccard") >= 0.75)
+          .select(col("id_a").as("a"), col("id_b").as("b")))
+    }
+
+  /** The 3-round BPE merge table over the fanned corpus — trained once,
+    * read by q77 (table), q78 (segmentation) and q139 (fertility). */
+  private def bpeMergeTable(s: SparkSession, d: String): DataFrame =
+    memo("bpe_merges", s, d) {
+      BpeTrainer.trainMerges(docsFanned(s, d), "text", 3)
+    }
+
+  /** The corpus vocabulary segmented under [[bpeMergeTable]] — q78's
+    * query body and q139's aggregation input, one spelling. */
+  private def bpeSegmented(s: SparkSession, d: String): DataFrame =
+    memo("bpe_segmented", s, d) {
+      val table = bpeMergeTable(s, d)
+        .orderBy(col("rnk")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrainer.applyMerges(docsFanned(s, d), "text", table)
+    }
 
   /** Exercised by q22/q36 and MemoSpec (package-private seam). */
   private[graft] def minhashPairsFor(s: SparkSession, d: String): DataFrame =
@@ -146,23 +242,18 @@ object ExtensionQueries {
 
     // Exact trigram Jaccard over shared-shingle candidates, with the
     // stop-shingle cap (doc frequency over distinct texts) bounding the
-    // hot-key fan-out of the shingle-equality join.
+    // hot-key fan-out of the shingle-equality join. Shares the
+    // materialized chain with q138's truth side (one spelling).
     "q24_dedup_ngram_jaccard" -> ((s, d) =>
-      TextDedup.ngramJaccardPairs(demoCorpus(Tables.documents(s, d)), "doc_id", "text",
-          maxShingleDf = StopShingleDf)
-        .orderBy(col("id_a"), col("id_b"))),
+      ngramTruthPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
     // Duplicate clusters: connected components (min-label propagation)
     // over high-confidence MinHash pairs — pairs become groups, one
     // representative (the min id) per component.
-    "q36_dedup_clusters" -> ((s, d) => {
-      val pairs = minhashPairs(s, d)
-        .filter(col("est_jaccard") >= 0.75)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
-      graft.ops.ConnectedComponents.labels(pairs)
+    "q36_dedup_clusters" -> ((s, d) =>
+      minhashClusters(s, d)
         .select(col("node").as("doc_id"), col("cluster_id"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Embedding-cosine near-dup pairs via sign-LSH buckets.
     "q25_embedding_neardup" -> ((s, d) =>
@@ -274,7 +365,7 @@ object ExtensionQueries {
     // is one pair-count aggregate + a TakeOrdered argmax, merges apply
     // as the greedy-leftmost fold. Driver state = the merge table.
     "q77_bpe_merges" -> ((s, d) =>
-      BpeTrainer.trainMerges(docsFanned(s, d), "text", 3)
+      bpeMergeTable(s, d)
         .select(col("rnk"), col("left").as("merge_left"),
           col("right").as("merge_right"), col("freq"))
         .orderBy(col("rnk"))),
@@ -283,14 +374,8 @@ object ExtensionQueries {
     // vocabulary in training order — the tokenizer's full
     // train-then-segment cycle, all vocab-bounded after the one corpus
     // collapse.
-    "q78_bpe_segment" -> ((s, d) => {
-      val docs = docsFanned(s, d)
-      val table = BpeTrainer.trainMerges(docs, "text", 3)
-        .orderBy(col("rnk")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      BpeTrainer.applyMerges(docs, "text", table)
-        .orderBy(col("word"))
-    }),
+    "q78_bpe_segment" -> ((s, d) =>
+      bpeSegmented(s, d).orderBy(col("word"))),
 
     // Product-quantization codes: 8 subvectors against the first-16
     // codebook — m codes per vector replace 64 floats; assignment is
@@ -772,10 +857,9 @@ object ExtensionQueries {
     // policy production pipelines actually want.
     "q147_best_survivor" -> ((s, d) => {
       val corpus = demoCorpus(Tables.documents(s, d))
-      val pairs = minhashPairsFor(s, d).filter(col("est_jaccard") >= 0.75)
-      val labels = graft.ops.ConnectedComponents.labels(
-          pairs.select(col("id_a").as("a"), col("id_b").as("b")))
-        .localCheckpoint(eager = false) // forked: member count + survivor
+      // q36's duplicate clusters (shared memoized chain; already a
+      // materialized RDD, so the old fork-checkpoint is subsumed).
+      val labels = minhashClusters(s, d)
       val scores = Curation.docQualityScorePpm(corpus, "doc_id", "text")
       val surv = labels.join(scores, labels("node") === scores("doc_id"))
         .groupBy(col("cluster_id"))
@@ -846,17 +930,13 @@ object ExtensionQueries {
     // Tokenizer fertility off the q78 BPE chain: corpus-weighted mean
     // pieces per token occurrence in exact ppm — the tokenizer-eval
     // number (high fertility = the merge table fits the corpus badly).
-    "q139_bpe_fertility" -> ((s, d) => {
-      val docs = docsFanned(s, d)
-      val table = BpeTrainer.trainMerges(docs, "text", 3)
-        .orderBy(col("rnk")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      BpeTrainer.applyMerges(docs, "text", table)
+    "q139_bpe_fertility" -> ((s, d) =>
+      // q78's segmented vocabulary (shared memoized chain), aggregated.
+      bpeSegmented(s, d)
         .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_tokens"),
           sum(col("n") * col("n_syms")).as("n_pieces"))
         .select(col("n_words"), col("n_tokens"), col("n_pieces"),
-          expr("n_pieces * 1000000 DIV n_tokens").as("fertility_ppm"))
-    }),
+          expr("n_pieces * 1000000 DIV n_tokens").as("fertility_ppm"))),
 
     // Span-level exact dedup (Lee et al. arXiv:2107.06499): duplicated
     // 5-token windows across DISTINCT docs, overlapping spans merged by
@@ -1324,11 +1404,9 @@ object ExtensionQueries {
     // variable-length string — at 100 TB the node id is the single
     // hottest shuffle key in the operator.
     "q63_pagerank" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        (col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
-      val sym = li.unionByName(
-        li.select(col("dst").as("src"), col("src").as("dst")))
+      val e = supplierPartEdges(s, d)
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
       GraphRank.pageRank(sym, "src", "dst", 3).orderBy(col("node"))
     }),
 
@@ -1337,13 +1415,10 @@ object ExtensionQueries {
     // carries real weight here — each iteration folds the dangling mass
     // back as a per-node `D div n` share inside the damped term. The
     // leak variant (q63) stays the default.
-    "q68_pagerank_redistribute" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        (col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
-      GraphRank.pageRank(li, "src", "dst", 3, redistributeDangling = true)
-        .orderBy(col("node"))
-    }),
+    "q68_pagerank_redistribute" -> ((s, d) =>
+      GraphRank.pageRank(supplierPartEdges(s, d), "src", "dst", 3,
+          redistributeDangling = true)
+        .orderBy(col("node"))),
 
     // Snapshot CDC diff: last month's corpus vs this month's (every 7th
     // doc dropped, every 5th survivor revised, every 11th re-ingested
@@ -1364,16 +1439,8 @@ object ExtensionQueries {
     // doc prefixes plus one-deletion mutants, all pairs within 2 edits
     // via the lossless positional rare-q-gram prefix (q=4 keeps the
     // flat word vocabulary informative) + banded levenshtein confirm.
-    "q87_edit_join" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 30).as("s"))
-      val mut = base.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 40000).as("doc_id"),
-          concat(substring(col("s"), 1, 10), expr("substring(s, 12)")).as("s"))
-      FuzzyJoin.editDistanceJoin(base.unionByName(mut), "doc_id", "s",
-          maxDist = 2, minLen = 12)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "q87_edit_join" -> ((s, d) =>
+      editJoinPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
     // HyperLogLog-family register table: per-event-type distinct-user
     // sketch state (64 byte-sized maxima per group, mergeable under any
@@ -1496,31 +1563,21 @@ object ExtensionQueries {
     // Weighted label propagation (2 synchronous rounds) on the part
     // co-purchase graph — weight = distinct orders sharing the pair;
     // argmax per node is window-free (struct-min), shuffle ∝ edges.
-    "q100_label_propagation" -> ((s, d) => {
-      // (order, part) presence-distinct FIRST, so the pair join never
-      // multiplies duplicate rows and the weight is a plain count —
-      // identical to count_distinct(order) per pair, half the cost.
-      val pe = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val ew = pe.as("x").join(pe.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-        .agg(count(lit(1)).as("w"))
-      GraphRank.labelPropagation(ew, "a", "b", "w", rounds = 2)
-        .orderBy(col("n"))
-    }),
+    "q100_label_propagation" -> ((s, d) =>
+      // (order, part) presence-distinct FIRST inside the shared
+      // coPurchasePairs chain (weight == count_distinct(order) per pair).
+      GraphRank.labelPropagation(coPurchasePairs(s, d), "a", "b", "w", rounds = 2)
+        .orderBy(col("n"))),
 
     // 3 peel rounds toward the 80-core of the part co-purchase graph —
     // survivors with their final-round degree; the edge set only
     // shrinks, so every round is cheaper than the last.
-    "q101_kcore" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val e = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      GraphRank.kCorePeel(e, "a", "b", k = 80, rounds = 3).orderBy(col("n"))
-    }),
+    "q101_kcore" -> ((s, d) =>
+      // The same co-purchase pair SET as the q100 chain (kCorePeel
+      // dedups internally, so the raw-lineitem spelling and the
+      // presence-distinct one peel identically — shared memoized chain).
+      GraphRank.kCorePeel(coPurchasePairs(s, d), "a", "b", k = 80, rounds = 3)
+        .orderBy(col("n"))),
 
     // signup → click (≤6h) → purchase (≤6h) first-touch funnel: each
     // stage a scan-pushed type filter + user-keyed join, no windows.
@@ -1557,19 +1614,12 @@ object ExtensionQueries {
     // Entity resolution end-to-end: q87's edit-distance pair graph
     // collapsed to connected components — near-key variants cluster
     // under one canonical (min) entity id.
-    "q106_entity_clusters" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 30).as("s"))
-      val mut = base.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 40000).as("doc_id"),
-          concat(substring(col("s"), 1, 10), expr("substring(s, 12)")).as("s"))
-      val pairs = FuzzyJoin.editDistanceJoin(base.unionByName(mut), "doc_id",
-        "s", maxDist = 2, minLen = 12)
+    "q106_entity_clusters" -> ((s, d) =>
+      // q87's pair graph (shared memoized chain) collapsed to components.
       graft.ops.ConnectedComponents.labels(
-          pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+          editJoinPairs(s, d).select(col("id_a").as("a"), col("id_b").as("b")))
         .select(col("node").as("doc_id"), col("cluster_id").as("entity_id"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Greedy max-cover selection of the 5 most trigram-diverse docs —
     // each round an anti-join + TakeOrdered argmax, ties to smaller id.
@@ -1595,13 +1645,11 @@ object ExtensionQueries {
     // Random-walk-with-restart proximity to the %50 supplier seeds on
     // the directed supplier→part graph — q63's seeded twin.
     "q110_personalized_pagerank" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        (col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_suppkey") % 50 === 0)
         .select((col("s_suppkey") * 2).as("seed"))
-      GraphRank.personalizedPageRank(li, "src", "dst", seeds, "seed", 3)
+      GraphRank.personalizedPageRank(supplierPartEdges(s, d), "src", "dst",
+          seeds, "seed", 3)
         .orderBy(col("node"))
     }),
 
@@ -1663,12 +1711,9 @@ object ExtensionQueries {
 
     // HITS hubs/authorities (2 rounds) on the supplier→part graph —
     // integer-exact with per-round max-renormalization.
-    "q115_hits" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        (col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
-      GraphRank.hits(li, "src", "dst", 2).orderBy(col("node"))
-    }),
+    "q115_hits" -> ((s, d) =>
+      GraphRank.hits(supplierPartEdges(s, d), "src", "dst", 2)
+        .orderBy(col("node"))),
 
     // Exact all-pairs cosine (Bayardo WWW'07) on the duplicate-heavy
     // corpus — the non-probabilistic complement of q22/q23: clone pairs
@@ -1681,9 +1726,7 @@ object ExtensionQueries {
     // Multi-source BFS on the symmetrized co-purchase graph: hop
     // distance from the q110 seed suppliers, capped at 3.
     "q117_hop_distance" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val fwd = li.select((col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
+      val fwd = supplierPartEdges(s, d)
       val sym = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_suppkey") % 50 === 0)
@@ -1695,9 +1738,7 @@ object ExtensionQueries {
     // Deterministic DeepWalk corpus: 2 hash-stepped walks of length 3
     // from every node of the symmetrized co-purchase graph.
     "q118_random_walks" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val fwd = li.select((col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
+      val fwd = supplierPartEdges(s, d)
       val sym = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       GraphRank.randomWalks(sym, "src", "dst", walksPerNode = 2, walkLen = 3)
         .orderBy(col("walk_id"), col("step"))
@@ -1845,11 +1886,10 @@ object ExtensionQueries {
     // corpus — the evaluation harness that justifies LSH band/row
     // parameters before they gate a real corpus.
     "q138_dedup_calibration" -> ((s, d) => {
-      val corpus = demoCorpus(Tables.documents(s, d))
       val cand = minhashPairsFor(s, d)
         .select(col("id_a"), col("id_b"), lit(1L).as("__c"))
-      val truth = TextDedup.ngramJaccardPairs(corpus, "doc_id", "text",
-          maxShingleDf = StopShingleDf)
+      // truth = q24's exact-Jaccard chain, shared (one spelling).
+      val truth = ngramTruthPairs(s, d)
         .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
       cand.join(truth, Seq("id_a", "id_b"), "full")
         .agg(
@@ -2364,27 +2404,16 @@ object ExtensionQueries {
     // X215 HyperBall on the distinct part co-purchase graph (q100's
     // edge construction): per part, the HLL-estimated 0/1/2-hop ball
     // size — the "how central is this item" probe without |V| BFS runs.
-    "q250_hyperball" -> ((s, d) => {
-      val pe = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val ed = pe.as("x").join(pe.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      GraphRank.hyperBall(ed, radii = 2)
-        .orderBy(col("node"), col("r"))
-    }),
+    "q250_hyperball" -> ((s, d) =>
+      coPurchaseBalls(s, d).orderBy(col("node"), col("r"))),
 
     // X216 harmonic centrality off the q250 sketches: Σ shell_r / r in
     // ppm — per-node reach-weighted centrality with the 2-hop horizon.
-    "q251_harmonic_centrality" -> ((s, d) => {
-      val pe = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val ed = pe.as("x").join(pe.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      GraphRank.harmonicCentrality(ed, radii = 2)
-        .orderBy(col("node"))
-    }),
+    "q251_harmonic_centrality" -> ((s, d) =>
+      // Reads q250's memoized sketch chain; the shell fold is all that
+      // is specific to this query.
+      GraphRank.harmonicFromBalls(coPurchaseBalls(s, d), radii = 2)
+        .orderBy(col("node"))),
 
     // X217 phonetic blocking: every distinct leading word of part
     // names keyed by classic Soundex — bucket sizes and the candidate

@@ -34,6 +34,10 @@ object RunOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OHA_THRESHOLD", "128"))
+      // Session parity with Bench (see Bench.scala for both rationales).
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

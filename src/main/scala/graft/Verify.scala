@@ -25,6 +25,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // GC-envelope hardening (BASELINE.md q97 lesson; see Bench.scala).
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
+      // AQE for cached plans (see Bench.scala).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -268,15 +268,21 @@ object GraphRank {
       .distinct().localCheckpoint(eager = false)
     var hub = nodes.select(col("node"), lit(1000000L).as("h"))
       .localCheckpoint(eager = false)
-    var auth = nodes.select(col("node"), lit(0L).as("a"))
+    var auth: DataFrame = null
+    // In-loop frames are SPARSE: only nodes carrying the role's score
+    // appear (r10 optimization — the old spelling left-joined `nodes`
+    // every half-round to pad zeros, one |V| join + |V|-row checkpoint
+    // per half-round). A zero-padded row contributes exactly 0 to the
+    // next half-round's sum and cannot own the max (m > 0), so the
+    // sparse and padded loops compute identical scores; the zeros are
+    // attached ONCE on the way out.
     def renorm(raw: DataFrame, joinKey: String, out: String): DataFrame = {
       val m = raw.agg(max(col("__v"))).head.getLong(0)
       // the max-score node of each half-round holds exactly 10⁶, so a
       // non-empty edge set can never drive the next max to 0
       require(m > 0, "HITS on a degenerate (empty or zero-score) graph")
-      nodes.join(raw.select(col(joinKey).as("node"), col("__v")), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(expr(s"(__v * 1000000) div $m"), lit(0L)).as(out))
+      raw.select(col(joinKey).as("node"),
+          expr(s"(__v * 1000000) div $m").as(out))
         .localCheckpoint(eager = false)
     }
     (1 to iters).foreach { _ =>
@@ -287,8 +293,9 @@ object GraphRank {
         e.join(auth, e("dst") === auth("node"))
           .groupBy(col("src")).agg(sum(col("a")).as("__v")), "src", "h")
     }
-    hub.join(auth, Seq("node"))
-      .select(col("node"), col("h").as("hub_q"), col("a").as("auth_q"))
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_q"),
+        coalesce(col("a"), lit(0L)).as("auth_q"))
   }
 
   /** X90: multi-source BFS hop distance — the minimum number of edge
@@ -978,9 +985,16 @@ object GraphRank {
     *         estimated |B(node, radii)| the truncation saw
     */
   def harmonicCentrality(edges: DataFrame, radii: Int,
-                         p: Int = 6): DataFrame = {
+                         p: Int = 6): DataFrame =
+    harmonicFromBalls(hyperBall(edges, radii, p), radii)
+
+  /** The shell fold alone, over an already-computed [[hyperBall]] frame —
+    * split out so a caller holding the sketches (e.g. a run computing
+    * both ball sizes and centrality) does not re-run the whole register
+    * chain. Identical arithmetic to the fused spelling. */
+  def harmonicFromBalls(balls: DataFrame, radii: Int): DataFrame = {
     val w = Window.partitionBy(col("node")).orderBy(col("r").asc)
-    hyperBall(edges, radii, p)
+    balls
       .withColumn("__prev", lag(col("est"), 1).over(w))
       .filter(col("r") >= 1)
       .groupBy(col("node"))

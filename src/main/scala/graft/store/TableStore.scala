@@ -30,6 +30,15 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Row target per output file for the count-known append path
+    * (guide §6: aim for fat files, never shuffle-width dust). Conf-tunable
+    * (`graft.store.targetRowsPerFile`) for clusters where row width
+    * differs wildly; the default keeps append files in the
+    * tens-of-MB-to-GB band for typical widths. */
+  private def targetRowsPerFile: Long =
+    spark.conf.getOption("graft.store.targetRowsPerFile")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(4L * 1000 * 1000)
+
   def tablePath(table: String): String = s"$root/$table"
 
   def exists(table: String): Boolean = fs.exists(new Path(tablePath(table)))
@@ -103,7 +112,19 @@ class TableStore(val spark: SparkSession, val root: String) {
       }
     val n = fresh.cache().count()
     if (n > 0) {
-      val w = fresh.write.mode("append")
+      // Output-file sizing (optimization guide §6): the anti-join above
+      // leaves `fresh` with shuffle-width partitions (and a CACHED plan
+      // keeps them — AQE may not re-coalesce cached output partitioning),
+      // so a small batch would otherwise scatter into hundreds of
+      // near-empty files — paying per-file open cost on every later read
+      // and, on local filesystems without native IO, a forked `chmod`
+      // process per file at write time (measured: the q236 pipeline run
+      // spent most of its 100 s wall in Hadoop Shell.runCommand forks).
+      // n is already known exactly, so size the write to it; coalesce
+      // reads the cached blocks — no extra shuffle.
+      val k = math.max(1L, math.min(fresh.rdd.getNumPartitions.toLong,
+        (n + targetRowsPerFile - 1) / targetRowsPerFile)).toInt
+      val w = fresh.coalesce(k).write.mode("append")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
     } else if (!exists(table)) publish(table, fresh)
     fresh.unpersist()
@@ -181,7 +202,17 @@ class TableStore(val spark: SparkSession, val root: String) {
     val id = java.util.UUID.randomUUID()
     val staging = new Path(s"$root/.staging/${table}_$id")
     val parts = Schemas.partitionedBy.getOrElse(table, Nil)
-    val w = df.write.mode("overwrite")
+    // REBALANCE before the rewrite (optimization guide §6): AQE sizes the
+    // write tasks to the advisory partition size, so a small table lands
+    // as one file instead of shuffle-width near-empty ones and a large
+    // partitioned table clusters by its partition column (few full files
+    // per partition directory, no small-files tax on later reads). Skew in
+    // a partition value is still split — REBALANCE, unlike repartition,
+    // lets AQE break oversized groups.
+    val sized =
+      if (parts.nonEmpty) df.hint("rebalance", parts.map(col): _*)
+      else df.hint("rebalance")
+    val w = sized.write.mode("overwrite")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(staging.toString)
     fs.mkdirs(target.getParent)
     val old = new Path(s"$root/.staging/${table}_old_$id")

@@ -14,6 +14,16 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // GC-envelope hardening (the BASELINE.md q97 lesson, applied to the
+      // shared test session): one long stop-the-world pause in this 48 GiB
+      // single-JVM fork can trip HeartbeatReceiver's 120 s default, mark the
+      // only executor dead, and local mode cannot re-register it (the
+      // BlockManager re-register path asks the CoarseGrainedScheduler
+      // endpoint, which exists only on clusters) — the fork then dies with
+      // exit 56 minutes later. Clusters pin exactly these two for their own
+      // GC envelopes.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
