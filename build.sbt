@@ -37,4 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // localCheckpoint blocks accumulated — late-order queries paid for it
   // (q40 took 24 s in-bench vs 4 s in isolation).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // Dev-only A/B knob for JVM-level experiments (GC, code cache, JIT):
+  // space-separated extra flags, empty by default so driver runs are
+  // untouched. Example: SPARK_GRAFT_EXTRA_JVM="-XX:+UseParallelGC".
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(' ')).filter(_.nonEmpty)

@@ -18,6 +18,28 @@ object Bench {
       // stand-in.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         math.max(128, cpus.toInt * 8))
+      // Coalesce post-shuffle stages to the ADVISORY SIZE, not to the
+      // core count (guide §2.2: size partitions to data, not cores):
+      // with the default parallelismFirst=true a KB-sized stage still
+      // runs `defaultParallelism` tasks, and at local[32] the per-task
+      // scheduling overhead (single-threaded DAGScheduler event loop)
+      // dominates small queries — measured on a 45-query sf0.1 slice:
+      // 79.2 s → 64.9 s best-of-2 (single-pass 182 → 121 s). At 100 TB
+      // the same setting yields the same wide stages as before, because
+      // data volume, not core count, then drives the width.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // ...with the advisory size PARAMETERISED and a local default that
+      // keeps CPU-dense stages parallel: coalescing is size-based, but a
+      // stage can be compute-bound on few bytes (q97's in-core triangle
+      // intersections: 5.8 MB shuffle, ~7 s CPU — 64 MB advisory funnels
+      // it into ONE task). 2 MB at sf0.1 (~100 MB inputs) is the same
+      // partitions-per-input ratio a 64-256 MB advisory gives cluster
+      // inputs; production sets SPARK_GRAFT_ADVISORY_PART accordingly.
+      // Measured (best-of-2, sf0.1, 32c): CPU-dense 12-query slice
+      // 75.4 s @64m -> 47.7 s @2m; scheduling-bound 45-query slice
+      // 79.2 s (parallelismFirst=true) -> 59.2 s.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "2m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -37,6 +59,13 @@ object Bench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-only runtime-conf passthrough (";"-separated k=v pairs) for
+    // config A/Bs without a rebuild — runtime SQL confs only. The
+    // driver never sets it; the session above is what drivers measure.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('='); spark.conf.set(kv.take(i), kv.drop(i + 1))
+      })
     // untimed warmup: file listing + footer reads + first codegen —
     // otherwise whichever query runs first absorbs one-time session
     // costs and the per-query numbers aren't comparable
@@ -58,6 +87,14 @@ object Bench {
     // whole bench into a head-of-empty-list crash.
     val repeats = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPEATS").flatMap(_.toIntOption).getOrElse(1))
+    // Dev-only subset filter (comma-separated name prefixes), mirroring
+    // Verify's SPARK_GRAFT_VERIFY_ONLY: lets an in-bench-context effect
+    // (block-store pressure, GC/JIT contention) be reproduced on a
+    // slice without a 256-query pass. The driver never sets it, so its
+    // benches always time the full map.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    def wanted(name: String) = only.forall(_.exists(name.startsWith))
     val passes = (1 to repeats).map { _ =>
       ExtensionQueries.clearMemos() // run-scoped memo: start fresh
       // Sorted name order: SparkEntry.queries is a hash Map whose
@@ -66,7 +103,8 @@ object Bench {
       // "regression" was its neighbor's garbage. Sorted order keeps each
       // query's bench context stable across rounds, so numbers are
       // comparable.
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(kv => wanted(kv._1)).sortBy(_._1)
+        .map { case (name, fn) =>
         // isolate queries from each other: name the jobs (so a
         // regression is attributable in the event log / UI), release
         // prior queries' checkpoint blocks deterministically (the
@@ -85,6 +123,11 @@ object Bench {
         // query's failure latency as its best pass.
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
+        // Retire memos whose last sorted-order consumer just ran —
+        // OUTSIDE the timed window — so their pinned checkpoint blocks
+        // stop taxing the remaining queries' memory headroom (the next
+        // releaseTransient reclaims them).
+        ExtensionQueries.releaseMemosAfter(name)
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }

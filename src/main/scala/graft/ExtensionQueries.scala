@@ -98,15 +98,17 @@ object ExtensionQueries {
   private val frameMemo =
     scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
 
-  /** Persistent-RDD ids backing the memoized frames — the set
+  /** Persistent-RDD id backing each memoized frame — the set
     * [[BlockRelease]] must NOT unpersist between queries (a released
     * localCheckpoint is unrecoverable: its lineage was truncated).
     * Captured from the checkpointed frame's own LogicalRDD — NOT by
     * diffing the block store around the build, which over-captures the
     * chain's internal lazy checkpoints (transient by design; the
     * ContextCleaner reclaims them asynchronously, so a diff-captured
-    * set decays under it). */
-  private val memoRddIds = scala.collection.mutable.Set.empty[Int]
+    * set decays under it). Keyed like [[frameMemo]] so a single memo
+    * can be retired (and its block protection dropped) independently. */
+  private val memoRddIds =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, String), Int]
 
   /** Drop all memoized frames. The released DataFrame references let
     * Spark's ContextCleaner reclaim the checkpoint RDD blocks (or
@@ -114,18 +116,58 @@ object ExtensionQueries {
     * the protection set is emptied here). */
   def clearMemos(): Unit = synchronized { frameMemo.clear(); memoRddIds.clear() }
 
-  def protectedRddIds: Set[Int] = synchronized { memoRddIds.toSet }
+  def protectedRddIds: Set[Int] = synchronized { memoRddIds.values.toSet }
 
   private[graft] def memoSize: Int = synchronized { frameMemo.size }
 
-  /** Build-or-reuse a named shared chain. EAGER checkpoint: the builder
-    * runs inside the first consumer's own action window. */
+  /** Every declared query that can read each memo — directly or through
+    * a dependent memo's build — so a sorted-order runner can retire a
+    * memo (drop its block protection) as soon as its LAST consumer has
+    * run, instead of pinning every chain's blocks for the whole pass
+    * (r10 verdict: the pinned footprint taxed all ~200 later queries'
+    * memory headroom). Releasing early is always SAFE, merely slow: a
+    * released memo entry is gone from [[frameMemo]], so an unexpected
+    * later consumer rebuilds the chain from the parquet inputs. */
+  private[graft] val memoConsumers: Map[String, Seq[String]] = Map(
+    "minhash_pairs" -> Seq("q22_dedup_minhash_lsh", "q138_dedup_calibration",
+      "q147_best_survivor", "q36_dedup_clusters"),
+    "ngram_truth_pairs" -> Seq("q24_dedup_ngram_jaccard", "q138_dedup_calibration"),
+    "edit_join_pairs" -> Seq("q87_edit_join", "q106_entity_clusters"),
+    "copurchase_pairs" -> Seq("q100_label_propagation", "q101_kcore",
+      "q250_hyperball", "q251_harmonic_centrality"),
+    "copurchase_balls" -> Seq("q250_hyperball", "q251_harmonic_centrality"),
+    "supplier_part_edges" -> Seq("q63_pagerank", "q68_pagerank_redistribute",
+      "q110_personalized_pagerank", "q115_hits", "q117_hop_distance",
+      "q118_random_walks"),
+    "minhash_cc_labels" -> Seq("q147_best_survivor", "q36_dedup_clusters"),
+    "bpe_merges" -> Seq("q77_bpe_merges", "q78_bpe_segment", "q139_bpe_fertility"),
+    "bpe_segmented" -> Seq("q78_bpe_segment", "q139_bpe_fertility"),
+  )
+
+  /** Retire every memo whose consumers have ALL run, given that the
+    * suite executes in sorted-name order and `justRan` just finished —
+    * called by the runners OUTSIDE any timed window. The next
+    * [[BlockRelease.releaseTransient]] then reclaims the blocks. */
+  def releaseMemosAfter(justRan: String): Unit = synchronized {
+    val done = frameMemo.keys.filter { case (_, _, n) =>
+      memoConsumers.get(n).exists(_.forall(_ <= justRan))
+    }.toSeq
+    done.foreach { k => frameMemo.remove(k); memoRddIds.remove(k) }
+  }
+
+  /** Build-or-reuse a named shared chain. LAZY checkpoint: the chain
+    * fuses into the first consumer's own action (one pass computes the
+    * chain AND that consumer's aggregation, persisting the blocks as a
+    * side effect), where the r10 eager spelling ran the build as a
+    * separate job and re-read the blocks — the measured q138/q139
+    * first-consumer regression (driver: 9.4→22.9 s / 2.3→7.7 s). */
   private def memo(name: String, s: SparkSession, d: String)
                   (build: => DataFrame): DataFrame = synchronized {
     frameMemo.getOrElseUpdate((s, d, name), {
-      val df = build.localCheckpoint()
+      val df = build.localCheckpoint(eager = false)
       df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => memoRddIds += lr.rdd.id
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          memoRddIds((s, d, name)) = lr.rdd.id
         case _ => ()
       }
       df

@@ -249,11 +249,13 @@ object GraphRank {
     * under any partitioning, mirrored by an unrolled oracle.
     *
     * Shape: per half-round ONE edge-keyed equi-join + a
-    * map-side-combinable sum; the renorm max is a 1-value driver
-    * scalar per half-round (the k-means/Spectral bounded-driver-state
-    * pattern — 2·iters tiny actions, never row-proportional). Frames
-    * checkpoint per half-round because each is read twice (next
-    * half-round + output/max).
+    * map-side-combinable sum; the renorm max is a ONE-ROW aggregate
+    * attached by a broadcast cross-join (the [[pageRank]] dangling-mass
+    * pattern), so the whole loop is LAZY — zero mid-loop driver
+    * actions; the r10 spelling blocked on a `.head` per half-round
+    * (2·iters scheduling round-trips). Frames checkpoint per
+    * half-round because each is read twice (next half-round + the
+    * output join).
     *
     * @return (node, hub_q, auth_q) for every node; nodes without the
     *         role score 0
@@ -263,6 +265,11 @@ object GraphRank {
     require(iters >= 1, "HITS needs at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
+    // the max-score node of each half-round holds exactly 10⁶, so a
+    // non-empty edge set can never drive a renorm max to 0 — name the
+    // degenerate precondition ONCE here (reads the checkpoint blocks,
+    // not the lineage) instead of probing the max per half-round
+    require(e.count() > 0, "HITS on a degenerate (empty) graph")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(eager = false)
@@ -275,14 +282,18 @@ object GraphRank {
     // per half-round). A zero-padded row contributes exactly 0 to the
     // next half-round's sum and cannot own the max (m > 0), so the
     // sparse and padded loops compute identical scores; the zeros are
-    // attached ONCE on the way out.
-    def renorm(raw: DataFrame, joinKey: String, out: String): DataFrame = {
-      val m = raw.agg(max(col("__v"))).head.getLong(0)
-      // the max-score node of each half-round holds exactly 10⁶, so a
-      // non-empty edge set can never drive the next max to 0
-      require(m > 0, "HITS on a degenerate (empty or zero-score) graph")
-      raw.select(col(joinKey).as("node"),
-          expr(s"(__v * 1000000) div $m").as(out))
+    // attached ONCE on the way out. The renorm max rides as a ONE-ROW
+    // broadcast cross-join (the pageRank dangling-mass pattern): the
+    // loop stays fully lazy — the r10 `.head` spelling paid a blocking
+    // driver action per half-round for the same scalar.
+    def renorm(rawIn: DataFrame, joinKey: String, out: String): DataFrame = {
+      // forked below (max agg + renormed output): mark it so one pass
+      // computes the join+sum and the second reader hits the blocks
+      val raw = rawIn.localCheckpoint(eager = false)
+      val m = raw.agg(max(col("__v")).as("__m"))
+      raw.crossJoin(broadcast(m))
+        .select(col(joinKey).as("node"),
+          expr("(__v * 1000000) div __m").as(out))
         .localCheckpoint(eager = false)
     }
     (1 to iters).foreach { _ =>

@@ -24,6 +24,10 @@ object TestSpark {
       // GC envelopes.
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "30s")
+      // Session parity with the runners (see Bench.scala): coalesce
+      // post-shuffle stages by data size, not core count — specs run
+      // KB-sized frames, so per-task scheduling overhead is pure waste.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
