@@ -42,3 +42,28 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // space-separated extra flags, empty by default so driver runs are
   // untouched. Example: SPARK_GRAFT_EXTRA_JVM="-XX:+UseParallelGC".
   sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(' ')).filter(_.nonEmpty)
+
+// Split the 45 Spark suites across concurrent forked JVMs: one fork ran
+// them strictly sequentially on a 32-core box (measured 21.6 min wall —
+// long enough to look hung/time out under an external harness even with
+// 472/472 green). Suites already share nothing across JVMs (one
+// TestSpark session per fork, createTempDirectory everywhere, read-only
+// test data), so interleaving them by name into N groups is safe. Each
+// fork gets a 12g heap: suite working sets are tiny (the old 48g was
+// sized for the 256-query bench, not tests), and 4 x 12g fits the
+// 128 GiB container with the sbt JVM.
+val testForks = sys.env.get("SPARK_GRAFT_TEST_FORKS")
+  .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(4)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val baseOpts = (Test / javaOptions).value
+    .filterNot(_.startsWith("-Xmx")) :+ "-Xmx12g"
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions(baseOpts.toVector)
+    .withOutputStrategy(Some(OutputStrategy.StdoutOutput: OutputStrategy))
+  tests.zipWithIndex.groupBy(_._2 % testForks).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"spark-tests-$i", ts.map(_._1), Tests.SubProcess(forkOpts))
+    }
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, testForks)

@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: runMain graft.PlanOne <q1,q2,...> [sfDir]")
+      sys.exit(2)
+    }
     val names = args(0).split(",").toSeq.filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
