@@ -134,13 +134,14 @@ object ExtensionQueries {
     "ngram_truth_pairs" -> Seq("q24_dedup_ngram_jaccard", "q138_dedup_calibration"),
     "edit_join_pairs" -> Seq("q87_edit_join", "q106_entity_clusters"),
     "copurchase_pairs" -> Seq("q100_label_propagation", "q101_kcore",
-      "q250_hyperball", "q251_harmonic_centrality"),
+      "q131_clustering_coeff", "q250_hyperball", "q251_harmonic_centrality"),
     "copurchase_balls" -> Seq("q250_hyperball", "q251_harmonic_centrality"),
     "supplier_part_edges" -> Seq("q63_pagerank", "q68_pagerank_redistribute",
       "q110_personalized_pagerank", "q115_hits", "q117_hop_distance",
-      "q118_random_walks"),
+      "q118_random_walks", "q127_assortativity", "q130_modularity"),
     "minhash_cc_labels" -> Seq("q147_best_survivor", "q36_dedup_clusters"),
-    "bpe_merges" -> Seq("q77_bpe_merges", "q78_bpe_segment", "q139_bpe_fertility"),
+    "bpe_merges" -> Seq("q77_bpe_merges", "q78_bpe_segment", "q139_bpe_fertility",
+      "q191_tokenizer_fit"),
     "bpe_segmented" -> Seq("q78_bpe_segment", "q139_bpe_fertility"),
   )
 
@@ -203,15 +204,19 @@ object ExtensionQueries {
     }
 
   /** Weighted part co-purchase pair graph ((a, b) with a < b, weight =
-    * distinct orders sharing the pair) — the expensive per-order pair
-    * self-join shared by q100 (weights), q250 and q251 (pair set). */
+    * distinct orders sharing the pair), shared by q100 (weights), q101,
+    * q131, q250 and q251 (pair set). One collect_set shuffle + in-core
+    * pair expansion ([[graft.ops.GraphRank.keyedValuePairs]]) replaces
+    * the old distinct + per-order self-join — same (a, b, w) rows
+    * (baskets hold ≤ 7 lineitems at any TPC-H scale, so the per-order
+    * expansion is a bounded constant). */
   private def coPurchasePairs(s: SparkSession, d: String): DataFrame =
     memo("copurchase_pairs", s, d) {
-      val pe = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      pe.as("x").join(pe.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.GraphRank.keyedValuePairs(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p")
+        .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("w"))
     }
 
@@ -520,13 +525,15 @@ object ExtensionQueries {
     }),
 
     // Tokenizer fit: pieces-per-word histogram under the 3-merge BPE
-    // table — the fertility / domain-mismatch readout.
+    // table — the fertility / domain-mismatch readout. The table is the
+    // SAME trainMerges(docsFanned, 3) frame q77/q78/q139 read, so it
+    // comes from the shared memo instead of retraining (guide §2.4:
+    // the training pass — vocab + 3 merge rounds — ran once already).
     "q191_tokenizer_fit" -> ((s, d) => {
-      val docs = docsFanned(s, d)
-      val table = BpeTrainer.trainMerges(docs, "text", 3)
+      val table = bpeMergeTable(s, d)
         .orderBy(col("rnk")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      BpeTrainer.fitHistogram(docs, "text", table)
+      BpeTrainer.fitHistogram(docsFanned(s, d), "text", table)
         .orderBy(col("n_pieces"))
     }),
 
@@ -1571,11 +1578,16 @@ object ExtensionQueries {
     // (suppliers sharing a part) — wedges built only at each edge's
     // low-degree end, so hub nodes never fan out quadratically.
     "q97_triangles" -> ((s, d) => {
-      val sp = Tables.lineitem(s, d)
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-      val edges = sp.as("x").join(sp.as("y"),
-          col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-        .select(col("x.s").as("src"), col("y.s").as("dst"))
+      // Co-supply edges via the one-shuffle collect_set pair expansion
+      // (replaces the distinct + per-part self-join; ≤ 4 suppliers per
+      // part bound the in-core expansion). triangleCount normalizes
+      // (least/greatest + distinct) internally, so the pre-deduped pair
+      // set is provably the same edge set.
+      val edges = GraphRank.keyedValuePairs(
+          Tables.lineitem(s, d)
+            .select(col("l_partkey").as("p"), col("l_suppkey").as("s")),
+          "p", "s")
+        .select(col("a").as("src"), col("b").as("dst"))
       GraphRank.triangleCount(edges, "src", "dst")
     }),
 
@@ -1842,11 +1854,13 @@ object ExtensionQueries {
 
     // Modularity of the supplier/part bipartition on the co-purchase
     // graph — every edge crosses sides, so Q is negative (pairs with
-    // q127's negative assortativity).
+    // q127's negative assortativity). Input is the shared distinct
+    // supplier→part edge memo: modularityPpm normalizes (src≠dst filter
+    // + distinct) internally, so the pre-distincted frame is provably
+    // the same edge set as the raw lineitem projection, and the node
+    // set (and so the labels) is unchanged by the dedup.
     "q130_modularity" -> ((s, d) => {
-      val fwd = Tables.lineitem(s, d).select(
-        (col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
+      val fwd = supplierPartEdges(s, d)
       val labels = fwd.select(col("src").as("node"))
         .unionByName(fwd.select(col("dst").as("node"))).distinct()
         .select(col("node"), pmod(col("node"), lit(2L)).as("side"))
@@ -1855,16 +1869,17 @@ object ExtensionQueries {
 
     // Per-node local clustering coefficient on the part co-purchase
     // graph (parts sharing an order) — triangle participation and
-    // cc_ppm per node via the oriented-adjacency edge iterator.
-    "q131_clustering_coeff" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst"))
-      GraphRank.clusteringCoefficientPpm(edges, "src", "dst")
-        .orderBy(col("n"))
-    }),
+    // cc_ppm per node via the oriented-adjacency edge iterator. The
+    // edge set comes from the shared co-purchase pair memo (a < b,
+    // distinct): clusteringCoefficientPpm normalizes its input with
+    // least/greatest + distinct anyway, so the memoized pair set is
+    // provably the same undirected edge set as the per-order self-join
+    // it replaced (weights are ignored by the operator).
+    "q131_clustering_coeff" -> ((s, d) =>
+      GraphRank.clusteringCoefficientPpm(
+          coPurchasePairs(s, d).select(col("a").as("src"), col("b").as("dst")),
+          "src", "dst")
+        .orderBy(col("n"))),
 
     // Shuffle-key skew profile of the event stream's user_id: top-20
     // heavy hitters with corpus share and ratio-to-mean in exact ppm.
@@ -1967,13 +1982,12 @@ object ExtensionQueries {
         .orderBy(col("lang"), col("doc_id"))),
 
     // Degree assortativity of the co-purchase graph in exact ppm
-    // (bipartite-ish → expect it negative).
-    "q127_assortativity" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select(
-        (col("l_suppkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
-      GraphRank.degreeAssortativityPpm(li, "src", "dst")
-    }),
+    // (bipartite-ish → expect it negative). Reads the shared distinct
+    // supplier→part edge memo: degreeAssortativityPpm's own src≠dst
+    // filter + distinct make the pre-distincted frame equivalent to the
+    // raw lineitem projection it replaced.
+    "q127_assortativity" -> ((s, d) =>
+      GraphRank.degreeAssortativityPpm(supplierPartEdges(s, d), "src", "dst")),
 
     // Reproducibility digest of lineitem in 8 shards: commutative
     // count/xor/sum/min/max over the polynomial row hash.

@@ -98,17 +98,29 @@ object Behavior {
   def frequentPairsPpm(df: DataFrame, basketCol: String, itemCol: String,
                        minCount: Long): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
-    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
-      .localCheckpoint() // forked: N count + item counts + both join sides
-    val n = items.select(col("basket")).distinct().count()
+    // ONE basket-keyed collect_set shuffle (map-side combinable)
+    // replaces the old distinct + per-basket pair self-join (guide
+    // §2.3 "aggregate before you shuffle"): basket count, per-item
+    // basket counts and the i<j pair expansion all read the grouped
+    // frame. Null semantics preserved exactly: a null basket still
+    // counts toward N (its own group here, as distinct kept one row),
+    // but never pairs (the old equi-join never matched it — filtered
+    // before expansion); null items never pair nor survive the
+    // item_a/item_b equi-joins on either spelling.
+    val grouped = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .groupBy(col("basket"))
+      .agg(array_sort(collect_set(col("item"))).as("__items"))
+      .localCheckpoint() // forked: N count + item counts + pair expansion
+    val n = grouped.count()
     require(n > 0, "frequentPairsPpm needs at least one basket")
-    val itemCounts = items.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val itemCounts = grouped
+      .select(explode(col("__items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_i"))
       .localCheckpoint(eager = false) // forked: joined twice below
-    items.select(col("basket"), col("item").as("item_a"))
-      .join(items.select(col("basket"), col("item").as("item_b")), Seq("basket"))
-      .filter(col("item_a") < col("item_b"))
-      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+    graft.ops.GraphRank.pairsFromSets(
+        grouped.filter(col("basket").isNotNull), "__items")
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
       .join(itemCounts.select(col("item").as("item_a"), col("n_i").as("n_a")),
         Seq("item_a"))

@@ -778,19 +778,60 @@ object GraphRank {
     *
     * @return (id_a, id_b, n_common) with id_a < id_b
     */
+  /** In-core i<j pair expansion of a sorted value-set column: each
+    * row's pairs are enumerated inside codegen (higher-order
+    * functions), so pair rows exist only as the downstream
+    * aggregation's INPUT — never as shuffle rows of a self-join. The
+    * one-shuffle replacement for the classic distinct + equi-self-join
+    * pair spelling (guide §2.3 "aggregate before you shuffle" / §2.4):
+    * the partial collect_set combines map-side, so the exchange
+    * carries one set row per key instead of the edge list twice plus
+    * the joined pairs. Per-row work/memory is C(|set|, 2) — callers
+    * own the bound (basket sizes are small constants; degree-capped
+    * callers filter on set size before expanding). */
+  def pairsFromSets(grouped: DataFrame, vsCol: String): DataFrame =
+    grouped.withColumn("__p", explode(expr(
+        s"flatten(transform($vsCol, (x, i) -> " +
+        s"transform(slice($vsCol, i + 2, size($vsCol)), " +
+        "y -> named_struct('a', x, 'b', y))))")))
+      .withColumn("a", col("__p.a")).withColumn("b", col("__p.b"))
+      .drop(vsCol, "__p")
+
+  /** Distinct (a < b) value pairs sharing a key, one row per
+    * (key, pair) incidence — the shared-neighbor pair generator
+    * ([[commonNeighborPairs]] without the cap/floor), via the
+    * one-shuffle [[pairsFromSets]] path. Identical to the
+    * distinct-then-self-join spelling: collect_set dedups values per
+    * key, nulls never pair on either spelling (collect_set drops them;
+    * the v < v' predicate rejected them), null keys never pair (the
+    * equi-join never matched them; filtered here). */
+  def keyedValuePairs(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    pairsFromSets(
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).as("__k"))
+        .agg(array_sort(collect_set(col(valCol))).as("__vs")),
+      "__vs")
+
   def commonNeighborPairs(edges: DataFrame, keyCol: String, valCol: String,
                           maxKeyDegree: Long, minCommon: Long): DataFrame = {
     require(maxKeyDegree >= 1, s"non-positive degree cap: $maxKeyDegree")
     require(minCommon >= 1, s"non-positive support floor: $minCommon")
-    val e = edges.select(col(keyCol).as("k"), col(valCol).as("v")).distinct()
-      .localCheckpoint(eager = false) // forked: degree gate + pair join
-    val ok = e.join(
-      e.groupBy(col("k")).agg(count(lit(1)).as("__d"))
-        .filter(col("__d") <= maxKeyDegree).select(col("k")),
-      Seq("k"), "left_semi")
-    ok.as("x").join(ok.as("y"),
-        col("x.k") === col("y.k") && col("x.v") < col("y.v"))
-      .groupBy(col("x.v").as("id_a"), col("y.v").as("id_b"))
+    // One map-side-combinable set aggregation replaces the old
+    // distinct + degree semi-join + equi-self-join (three exchanges of
+    // the edge list → one): the key's degree IS its distinct value
+    // count — size(set) plus one when a null value exists, since the
+    // old spelling's distinct kept a (k, null) row that counted toward
+    // the degree gate but could never pair (guide §2.4).
+    val grouped = edges.select(col(keyCol).as("__k"), col(valCol).as("__v"))
+      .filter(col("__k").isNotNull)
+      .groupBy(col("__k"))
+      .agg(array_sort(collect_set(col("__v"))).as("__vs"),
+        max(col("__v").isNull).as("__hasNull"))
+      .filter(size(col("__vs")) +
+        when(col("__hasNull"), 1).otherwise(0) <= maxKeyDegree)
+      .drop("__hasNull")
+    pairsFromSets(grouped, "__vs")
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
   }
